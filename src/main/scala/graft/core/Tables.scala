@@ -1,0 +1,46 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated TPC-H-ish parquet tables
+  * (see /root/repo/TESTDATA.md). All queries take the scale-factor
+  * directory as a parameter so the same code runs at sf0.001 → sf0.1 →
+  * (conceptually) 100 TB; nothing below hard-codes a path.
+  *
+  * Scale note: `spark.read.parquet` gives splittable columnar scans with
+  * column pruning + predicate pushdown for free — every downstream
+  * operator keeps its filters/projections declarative so they reach the
+  * scan (verified via `.explain`: PushedFilters / ReadSchema).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, table: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$table.parquet")
+
+  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS) which Spark 4
+    * refuses to read natively ([PARQUET_TYPE_ILLEGAL]). Read it as long
+    * nanos (legacy conf) and convert to a µs timestamp — lossless here:
+    * the generated data is µs-precision (verified: epoch_ns % 1000 == 0
+    * for all rows), matching what the DuckDB oracle sees. */
+  private def loadNanoTs(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/$table.parquet")
+    raw.withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+
+  def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame     = loadNanoTs(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

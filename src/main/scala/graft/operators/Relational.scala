@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Relational query shapes from SURVEY.md §2 re-expressed over the
+  * TPC-H-ish test tables — each models one operator family of the
+  * reference (filter/projection P2-P5, equi-joins J1-J4, grouped
+  * aggregation A1-A3, unions SO1/SO2) as a declarative Spark plan so
+  * Catalyst gets full pushdown/pruning freedom.
+  *
+  * Scale notes (100 TB / 1000-executor):
+  *  - Dimension tables (region/nation) are always on the build side of a
+  *    broadcast join — the fact side never shuffles for enrichment,
+  *    mirroring the reference's lookup-join design (SURVEY.md §2.4 J4).
+  *  - Fact-fact joins (orders ⋈ lineitem) shuffle on the join key only
+  *    after filters/projections are pushed to the parquet scan.
+  *  - Aggregations rely on partial aggregation (map-side combine); keys
+  *    are natural attributes with bounded cardinality per group.
+  *
+  * Determinism note (oracle hash-matching): money doubles in the test
+  * data are exact 2-decimal values, so `cast(x as decimal(18,2))` is
+  * LOSSLESS and decimal sums are bit-identical between Spark and the
+  * DuckDB oracle — no float summation-order nondeterminism. Derived
+  * per-row products are computed in double (IEEE-identical per row in
+  * both engines), rounded to 6 decimals (still identical), then summed
+  * exactly as decimals.
+  */
+object Relational {
+
+  /** Lossless 2-decimal money cast (see determinism note above). */
+  def money(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Exact sum of a per-row double expression: round to 6 decimals
+    * (deterministic given identical per-row doubles), sum as decimal
+    * (exact, order-independent), emit double. */
+  def exactSum6(c: Column): Column =
+    sum(round(c, 6).cast("decimal(28,6)")).cast("double")
+
+  /** A1/A2-style grouped aggregation: pricing summary per flag/status
+    * (the classic TPC-H q1 shape — one shuffle on two low-cardinality
+    * keys, map-side partial agg does nearly all the work). */
+  def pricingSummary(li: DataFrame): DataFrame =
+    li.where(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(money(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        exactSum6(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))).as("sum_charge"),
+        round(sum(col("l_quantity")) / count(lit(1)), 6).as("avg_qty"),
+        round(sum(money(col("l_extendedprice"))).cast("double") / count(lit(1)), 6)
+          .as("avg_price"),
+        round(sum(money(col("l_discount"))).cast("double") / count(lit(1)), 6)
+          .as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** J4-style dimension-enrichment join chain: customer → nation →
+    * region, dims broadcast (at 100 TB the customer side is the fact
+    * and never shuffles for this join). */
+  def customerByRegion(customer: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
+    customer
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("r_name").as("region_name"), col("n_name").as("nation_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(money(col("c_acctbal"))).cast("double").as("total_acctbal"))
+      .orderBy(col("region_name"), col("nation_name"))
+
+  /** J1-style fact-fact inner equi-join (orders ⋈ lineitem on orderkey)
+    * + aggregation — the batch analogue of the reference's
+    * order_detail ⋈ order_info stream join
+    * (app/dwd/DwdTradeOrderPreProcess.java:165-167). Shuffles both
+    * sides on the key; AQE may convert to broadcast at small SF. */
+  def orderRevenue(orders: DataFrame, li: DataFrame): DataFrame =
+    orders
+      .where(col("o_orderstatus") =!= "F")
+      .join(li, orders("o_orderkey") === li("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))
+          .cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority"))
+
+  /** J2-style left outer join: every order, with high-quantity lineitem
+    * matches where present (batch analogue of od LEFT JOIN
+    * order_detail_activity, app/dwd/DwdTradeOrderPreProcess.java:168-171). */
+  def orderWithOptionalLines(orders: DataFrame, li: DataFrame): DataFrame =
+    orders
+      .join(li.where(col("l_quantity") > 45),
+        orders("o_orderkey") === li("l_orderkey"), "left")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("l_orderkey")).as("n_matched"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Anti join — customers without open orders. left_anti never
+    * materializes right columns → the shuffle carries keys only. */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders.where(col("o_orderstatus") === "O"),
+        customer("c_custkey") === orders("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+
+  /** P4/P5-style conditional projection + predicate filter — the
+    * when/otherwise mirrors `if(type='insert', sku_num, ...)`
+    * (app/dwd/DwdTradeCartAdd.java:31); the isin filter mirrors the CDC
+    * type filter (app/dim/DimApp.java:142-160). */
+  def conditionalProjection(events: DataFrame): DataFrame =
+    events
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("event_type"),
+        when(col("event_type") === "view", col("value"))
+          .otherwise(col("value") * 2).as("adj_value"))
+      .orderBy(col("event_id"))
+
+  /** SO1/SO2-style union of N filtered branches then aggregate — the
+    * DWS pattern of unioning counter streams, with events pre-encoded
+    * as 0/1 counters before the sum (X7 pre-aggregation;
+    * DwsTrafficVcChArIsNewPageViewWindow.java:43-86). Spark unions are
+    * plan-level concatenation: no shuffle until the group-by. */
+  def unionCounters(events: DataFrame): DataFrame = {
+    val a = events.where(col("event_type") === "view")
+      .select(col("user_id"), lit(1L).as("pv"), lit(0L).as("clk"), lit(0L).as("buy"))
+    val b = events.where(col("event_type") === "click")
+      .select(col("user_id"), lit(0L).as("pv"), lit(1L).as("clk"), lit(0L).as("buy"))
+    val c = events.where(col("event_type") === "purchase")
+      .select(col("user_id"), lit(0L).as("pv"), lit(0L).as("clk"), lit(1L).as("buy"))
+    a.union(b).union(c)
+      .groupBy(col("user_id"))
+      .agg(sum(col("pv")).as("pv_ct"), sum(col("clk")).as("clk_ct"),
+        sum(col("buy")).as("buy_ct"))
+      .orderBy(col("user_id"))
+  }
+
+  /** P1-style schemaless JSON field extraction (the Maxwell/log envelope
+    * parse, utils/MyKafkaUtil.java:79-89): pull `k` out of the props
+    * JSON string, filter, aggregate. */
+  def jsonPropsAgg(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .where(col("k").isNotNull && col("k") >= 50)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"))
+      .orderBy(col("event_type"))
+}
