@@ -1,0 +1,282 @@
+package graft.apps
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.Envelopes
+import graft.functions.Tokenizer
+
+/** The reference warehouse's 20 pipelines (SURVEY.md §0, §2) re-expressed as
+  * pure `DataFrame => DataFrame` functions over parsed envelopes. Sources
+  * and sinks are injected by the caller (MemoryStream/parquet in tests,
+  * Kafka in production), so every pipeline runs identically in batch and
+  * streaming — same declarative plan, Catalyst optimizes both.
+  *
+  * Inputs: `db` = Envelopes.parseMaxwell(topic_db), `log` =
+  * Envelopes.parseLog(topic_log), both clean (post [[Envelopes.cleanDirty]]).
+  *
+  * Scale: all filters are pushed to the scan; map-access projections are
+  * codegen'd `element_at`; the trade pipelines shuffle only on join keys;
+  * dimension lookups broadcast (J4).
+  */
+object GmallPipelines {
+
+  private def d(k: String): Column = element_at(col("data"), k)
+  private def o(k: String): Column = element_at(col("old"), k)
+  private def tbl(t: String, typ: String*): Column = {
+    val base = col("table") === t
+    if (typ.isEmpty) base else base && col("type").isin(typ: _*)
+  }
+
+  // ================================================================= DWD ==
+  // ----------------------------------------------------- traffic (log) ----
+
+  /** BaseLogApp 5-way split (P7, app/dwd/BaseLogApp.java:93-156): one parsed
+    * log stream → page / start / display / action / err branches. Branches
+    * are filters over ONE shared plan — callers persist the parsed input per
+    * micro-batch to avoid recomputing the parse (SURVEY §7.3 #4). Display
+    * and action branches explode their arrays, carrying common/page_id/ts
+    * (P6, BaseLogApp.java:123-147). */
+  def baseLogSplit(log: DataFrame): Map[String, DataFrame] = {
+    val err = log.where(col("err").isNotNull)
+    val noErr = log // reference keeps err section on other branches
+    val start = noErr.where(col("start").isNotNull)
+      .select(col("common"), col("start"), col("ts"))
+    val page = noErr.where(col("start").isNull && col("page").isNotNull)
+    val display = page.where(col("displays").isNotNull)
+      .select(col("common"), col("page.page_id").as("page_id"), col("ts"),
+        explode(col("displays")).as("display"))
+      .select(col("common"), col("page_id"), col("ts"), col("display.*"))
+    val action = page.where(col("actions").isNotNull)
+      .select(col("common"), col("page.page_id").as("page_id"), col("ts"),
+        explode(col("actions")).as("action"))
+      .select(col("common"), col("page_id"), col("ts"), col("action.*"))
+    Map("page" -> page.select(col("common"), col("page"), col("ts")),
+      "start" -> start, "display" -> display, "action" -> action,
+      "err" -> err.select(col("common"), col("err"), col("ts")))
+  }
+
+  // ------------------------------------------------------ trade (db) ------
+
+  /** DwdTradeCartAdd (P4/P5, app/dwd/DwdTradeCartAdd.java:25-49): cart
+    * inserts plus quantity-increasing updates; sku_num = delta for updates. */
+  def tradeCartAdd(db: DataFrame): DataFrame =
+    db.where(tbl("cart_info") && (col("type") === "insert" ||
+        (col("type") === "update" && o("sku_num").isNotNull &&
+          d("sku_num").cast("int") > o("sku_num").cast("int"))))
+      .select(d("id").as("id"), d("user_id").as("user_id"),
+        d("sku_id").as("sku_id"), d("cart_price").as("cart_price"),
+        when(col("type") === "insert", d("sku_num"))
+          .otherwise((d("sku_num").cast("int") - o("sku_num").cast("int"))
+            .cast("string")).as("sku_num"),
+        d("sku_name").as("sku_name"), d("create_time").as("create_time"),
+        col("ts"))
+
+  /** DwdTradeOrderDetail / order_detail view (DwdTradeOrderPreProcess.java:
+    * 25-43): order_detail inserts. */
+  def orderDetail(db: DataFrame): DataFrame =
+    db.where(tbl("order_detail", "insert"))
+      .select(d("id").as("id"), d("order_id").as("order_id"),
+        d("sku_id").as("sku_id"), d("sku_name").as("sku_name"),
+        d("sku_num").as("sku_num"), d("create_time").as("create_time"),
+        d("source_id").as("source_id"), d("source_type").as("source_type"),
+        d("split_activity_amount").as("split_activity_amount"),
+        d("split_coupon_amount").as("split_coupon_amount"),
+        d("split_total_amount").as("split_total_amount"), col("ts"))
+
+  /** order_info view (insert+update, DwdTradeOrderPreProcess.java:46-72). */
+  def orderInfo(db: DataFrame): DataFrame =
+    db.where(tbl("order_info", "insert", "update"))
+      .select(d("id").as("id"), d("user_id").as("user_id"),
+        d("province_id").as("province_id"),
+        d("operate_time").as("operate_time"),
+        d("order_status").as("order_status"), col("type").as("op_type"),
+        o("order_status").as("old_order_status"), col("ts"))
+
+  /** order_detail_activity / order_detail_coupon views
+    * (DwdTradeOrderPreProcess.java:75-115). */
+  def orderDetailActivity(db: DataFrame): DataFrame =
+    db.where(tbl("order_detail_activity", "insert"))
+      .select(d("order_detail_id").as("order_detail_id"),
+        d("activity_id").as("activity_id"),
+        d("activity_rule_id").as("activity_rule_id"))
+  def orderDetailCoupon(db: DataFrame): DataFrame =
+    db.where(tbl("order_detail_coupon", "insert"))
+      .select(d("order_detail_id").as("order_detail_id"),
+        d("coupon_id").as("coupon_id"))
+
+  /** DwdTradeOrderPreProcess (J1/J2/J4, DwdTradeOrderPreProcess.java:
+    * 120-173): od ⋈ oi LEFT⋈ activity LEFT⋈ coupon ⋈ base_dic. The
+    * activity/coupon/dic sides are small → broadcast; od⋈oi shuffles on
+    * order_id only. */
+  def tradeOrderPreProcess(db: DataFrame, baseDic: DataFrame): DataFrame = {
+    val od = orderDetail(db)
+    val oi = orderInfo(db).withColumnRenamed("id", "order_id")
+      .withColumnRenamed("ts", "oi_ts")
+    val act = orderDetailActivity(db)
+    val cou = orderDetailCoupon(db)
+    od.join(oi, Seq("order_id"))
+      .join(act, od("id") === act("order_detail_id"), "left").drop("order_detail_id")
+      .join(cou, od("id") === cou("order_detail_id"), "left").drop("order_detail_id")
+      .join(broadcast(baseDic.select(col("dic_code"), col("dic_name").as("source_type_name"))),
+        col("source_type") === col("dic_code"), "left")
+      .drop("dic_code")
+  }
+
+  /** DwdTradeCancelDetail (P5, DwdTradeCancelDetail.java:90-92): status
+    * update to cancelled (1003). */
+  def tradeCancel(db: DataFrame): DataFrame =
+    orderInfo(db).where(col("op_type") === "update" &&
+      col("old_order_status").isNotNull && col("order_status") === "1003")
+
+  /** DwdTradePayDetailSuc (P5+J1+J4, DwdTradePayDetailSuc.java:23-34,94-98):
+    * successful payments (1602) joined to order detail + dic. */
+  def tradePaySuccess(db: DataFrame, orderPre: DataFrame, baseDic: DataFrame): DataFrame = {
+    val pay = db.where(tbl("payment_info", "update") && d("payment_status") === "1602")
+      .select(d("user_id").as("pay_user_id"), d("order_id").as("order_id"),
+        d("payment_type").as("payment_type"),
+        d("callback_time").as("callback_time"), col("ts").as("pay_ts"))
+    pay.join(orderPre, Seq("order_id"))
+      .join(broadcast(baseDic.select(col("dic_code"),
+        col("dic_name").as("payment_type_name"))),
+        col("payment_type") === col("dic_code"), "left")
+      .drop("dic_code")
+  }
+
+  /** DwdTradeOrderRefund (P5, DwdTradeOrderRefund.java:53-80): refund
+    * requests — order_refund_info inserts + order_info refund updates (1005). */
+  def tradeOrderRefund(db: DataFrame): DataFrame = {
+    val refundInfo = db.where(tbl("order_refund_info", "insert"))
+      .select(d("id").as("id"), d("user_id").as("user_id"),
+        d("order_id").as("order_id"), d("sku_id").as("sku_id"),
+        d("refund_type").as("refund_type"), d("refund_num").as("refund_num"),
+        d("refund_amount").as("refund_amount"),
+        d("refund_reason_type").as("refund_reason_type"),
+        d("create_time").as("create_time"), col("ts"))
+    val oiRefund = db.where(tbl("order_info", "update") &&
+        d("order_status") === "1005" && o("order_status").isNotNull)
+      .select(d("id").as("order_id"), d("province_id").as("province_id"))
+    refundInfo.join(oiRefund, Seq("order_id"))
+  }
+
+  /** DwdTradeRefundPaySuc (P5+J1, DwdTradeRefundPaySuc.java:54-127):
+    * refund payments done (refund_status 0702, order_status 1006);
+    * two-key join on (order_id, sku_id). */
+  def tradeRefundPaySuccess(db: DataFrame): DataFrame = {
+    val refundPay = db.where(tbl("refund_payment") && d("refund_status") === "0702")
+      .select(d("id").as("id"), d("order_id").as("order_id"),
+        d("sku_id").as("sku_id"), d("payment_type").as("payment_type"),
+        d("total_amount").as("total_amount"),
+        d("callback_time").as("callback_time"), col("ts"))
+    val refundInfo = db.where(tbl("order_refund_info", "update") &&
+        d("refund_status") === "0705" && o("refund_status").isNotNull)
+      .select(d("order_id").as("order_id"), d("sku_id").as("sku_id"),
+        d("refund_num").as("refund_num"))
+    val oi = db.where(tbl("order_info", "update") &&
+        d("order_status") === "1006" && o("order_status").isNotNull)
+      .select(d("id").as("order_id"), d("user_id").as("user_id"),
+        d("province_id").as("province_id"))
+    refundPay.join(oi, Seq("order_id"))
+      .join(refundInfo, Seq("order_id", "sku_id"))
+  }
+
+  // ------------------------------------------------------- tool / misc ----
+
+  /** DwdToolCouponGet (DwdToolCouponGet.java:51-52): coupon grants. */
+  def couponGet(db: DataFrame): DataFrame =
+    db.where(tbl("coupon_use", "insert"))
+      .select(d("id").as("id"), d("coupon_id").as("coupon_id"),
+        d("user_id").as("user_id"),
+        date_format(d("get_time").cast("timestamp"), "yyyy-MM-dd").as("date_id"),
+        d("get_time").as("get_time"), col("ts"))
+
+  /** DwdToolCouponOrder (DwdToolCouponOrder.java:61-64): coupon applied to
+    * an order — update with using_time newly set (1402). */
+  def couponOrder(db: DataFrame): DataFrame =
+    db.where(tbl("coupon_use", "update") && d("coupon_status") === "1402" &&
+        o("coupon_status") === "1401")
+      .select(d("id").as("id"), d("coupon_id").as("coupon_id"),
+        d("user_id").as("user_id"), d("order_id").as("order_id"),
+        d("using_time").as("using_time"), col("ts"))
+
+  /** DwdToolCouponPay (DwdToolCouponPay.java:54-56): coupon consumed at
+    * payment — used_time newly set. */
+  def couponPay(db: DataFrame): DataFrame =
+    db.where(tbl("coupon_use", "update") && o("used_time").isNull &&
+        d("used_time").isNotNull)
+      .select(d("id").as("id"), d("coupon_id").as("coupon_id"),
+        d("user_id").as("user_id"), d("order_id").as("order_id"),
+        d("used_time").as("used_time"), col("ts"))
+
+  /** DwdInteractionFavorAdd (DwdInteractionFavorAdd.java:55-56): favor adds
+    * — inserts, or updates flipping is_cancel 1→0. */
+  def favorAdd(db: DataFrame): DataFrame =
+    db.where(tbl("favor_info") && (col("type") === "insert" ||
+        (col("type") === "update" && d("is_cancel") === "0" && o("is_cancel") === "1")))
+      .select(d("id").as("id"), d("user_id").as("user_id"),
+        d("sku_id").as("sku_id"), d("create_time").as("create_time"), col("ts"))
+
+  /** DwdInteractionComment (DwdInteractionComment.java:66-87): comment
+    * inserts enriched with the appraise dictionary (J4 lookup join). */
+  def comment(db: DataFrame, baseDic: DataFrame): DataFrame =
+    db.where(tbl("comment_info", "insert"))
+      .select(d("id").as("id"), d("user_id").as("user_id"),
+        d("sku_id").as("sku_id"), d("appraise").as("appraise"),
+        d("comment_txt").as("comment_txt"), col("ts"))
+      .join(broadcast(baseDic.select(col("dic_code"),
+        col("dic_name").as("appraise_name"))),
+        col("appraise") === col("dic_code"), "left")
+      .drop("dic_code")
+
+  /** DwdUserRegister (DwdUserRegister.java:54-55): user_info inserts. */
+  def userRegister(db: DataFrame): DataFrame =
+    db.where(tbl("user_info", "insert"))
+      .select(d("id").as("user_id"),
+        date_format(d("create_time").cast("timestamp"), "yyyy-MM-dd").as("date_id"),
+        d("create_time").as("create_time"), col("ts"))
+
+  // ================================================================= DIM ==
+
+  /** DimApp config router (J3/P8/P9, app/dim/DimApp.java:178-187 +
+    * app/func/TableProcessFunction.java:169-324): route CDC rows whose
+    * `table` appears in the config, prune `data` to the configured
+    * sink_columns, and stamp the sink table name. Config is broadcast —
+    * the CDC side never shuffles. */
+  def dimRouter(db: DataFrame, config: DataFrame): DataFrame =
+    Envelopes.cdcUpserts(db)
+      .join(broadcast(config.select(
+          col("source_table"), col("sink_table"),
+          split(col("sink_columns"), ",").as("cfg_cols"))),
+        col("table") === col("source_table"))
+      .select(col("sink_table"),
+        map_filter(col("data"), (k, _) => array_contains(col("cfg_cols"), k))
+          .as("data"),
+        col("type"), col("ts"))
+
+  // ================================================================= DWS ==
+
+  /** DwsTrafficSourceKeywordPageViewWindow source filter + tokenize (J5/U1,
+    * DwsTrafficSourceKeywordPageViewWindow.java:123-141): search-page hits,
+    * keyword split into one row per token. Window agg is applied by the
+    * caller ([[graft.operators.EventOps.tumblingAgg]] batch /
+    * [[Windows.tumblingCount]] streaming). */
+  def keywordHits(log: DataFrame): DataFrame =
+    log.where(col("page.last_page_id") === "search" &&
+        col("page.item_type") === "keyword" && col("page.item").isNotNull)
+      .select(explode(Tokenizer.tokenizeUdf(col("page.item"))).as("word"),
+        timestamp_millis(col("ts")).as("rt"))
+
+  /** DwsTrafficVcChArIsNewPageViewWindow pre-aggregation encode (X7/A2,
+    * DwsTrafficVcChArIsNewPageViewWindow.java:43-81): page views as 0/1
+    * counter rows keyed by (vc,ch,ar,is_new); uv/sv flags derived from
+    * per-mid dedup and session starts (W9). uniqueVisitorFlags = output of
+    * the A4 dedup marking each row's first-of-day status. */
+  def trafficCounters(page: DataFrame): DataFrame =
+    page.select(
+      col("common.vc").as("vc"), col("common.ch").as("ch"),
+      col("common.ar").as("ar"), col("common.is_new").as("is_new"),
+      col("common.mid").as("mid"),
+      lit(1L).as("pv"),
+      col("page.during_time").as("dur"),
+      when(col("page.last_page_id").isNull, lit(1L)).otherwise(lit(0L)).as("sv"),
+      timestamp_millis(col("ts")).as("rt"))
+}

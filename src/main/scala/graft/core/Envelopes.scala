@@ -1,0 +1,140 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Envelope schemas + parsers for the three ODS input families of the
+  * reference warehouse (SURVEY.md §1.1, FIXTURES.md):
+  *
+  *  - Maxwell CDC (`topic_db`): reference DDL utils/MyKafkaUtil.java:79-89,
+  *    sample app/func/TableProcessFunction.java:276-277.
+  *  - Behavior log (`topic_log`): field accesses app/dwd/BaseLogApp.java:
+  *    56,72-73,105-147.
+  *  - Debezium config stream: app/func/TableProcessFunction.java:187-193.
+  *
+  * Parsing is `from_json` in PERMISSIVE mode with a corrupt-record column —
+  * the declarative replacement for the reference's try/catch dirty side
+  * output (app/dwd/BaseLogApp.java:36-52). Bad input NEVER fails the job
+  * (X11); it routes to the dirty stream.
+  *
+  * Scale: `from_json` is a codegen'd Catalyst expression evaluated at the
+  * scan — no shuffle, no UDF, schema pruning applies when downstream
+  * selects a subset of envelope fields.
+  */
+object Envelopes {
+
+  val Corrupt = "_corrupt"
+
+  // ------------------------------------------------------------- schemas --
+
+  /** Maxwell envelope: data/old as string→string maps exactly like the
+    * reference DDL (`data MAP<STRING,STRING>`, utils/MyKafkaUtil.java:85). */
+  val maxwellSchema: StructType = StructType(Seq(
+    StructField("database", StringType),
+    StructField("table", StringType),
+    StructField("type", StringType),
+    StructField("ts", LongType),
+    StructField("xid", LongType),
+    StructField("commit", BooleanType),
+    StructField("data", MapType(StringType, StringType)),
+    StructField("old", MapType(StringType, StringType)),
+    StructField(Corrupt, StringType)))
+
+  /** Behavior-log envelope (FIXTURES.md §1). `displays`/`actions` are
+    * arrays of structs; `start` presence ⇒ launch log. */
+  val logSchema: StructType = {
+    val common = StructType(Seq(
+      StructField("mid", StringType), StructField("vc", StringType),
+      StructField("ch", StringType), StructField("ar", StringType),
+      StructField("is_new", StringType), StructField("uid", StringType),
+      StructField("os", StringType), StructField("md", StringType),
+      StructField("ba", StringType)))
+    val page = StructType(Seq(
+      StructField("page_id", StringType),
+      StructField("last_page_id", StringType),
+      StructField("item", StringType),
+      StructField("item_type", StringType),
+      StructField("during_time", LongType)))
+    val display = StructType(Seq(
+      StructField("display_type", StringType), StructField("item", StringType),
+      StructField("item_type", StringType), StructField("pos_id", LongType),
+      StructField("order", LongType)))
+    val action = StructType(Seq(
+      StructField("action_id", StringType), StructField("item", StringType),
+      StructField("item_type", StringType), StructField("ts", LongType)))
+    val start = StructType(Seq(
+      StructField("entry", StringType), StructField("open_ad_id", LongType),
+      StructField("loading_time", LongType), StructField("open_ad_ms", LongType),
+      StructField("open_ad_skip_ms", LongType)))
+    val err = StructType(Seq(
+      StructField("error_code", LongType), StructField("msg", StringType)))
+    StructType(Seq(
+      StructField("common", common), StructField("page", page),
+      StructField("displays", ArrayType(display)),
+      StructField("actions", ArrayType(action)),
+      StructField("start", start), StructField("err", err),
+      StructField("ts", LongType),
+      StructField(Corrupt, StringType)))
+  }
+
+  /** Debezium envelope for the config stream (only the fields the
+    * reference reads: `after` + `op`, TableProcessFunction.java:192-193). */
+  val debeziumConfigSchema: StructType = {
+    val tp = StructType(Seq(
+      StructField("source_table", StringType),
+      StructField("sink_table", StringType),
+      StructField("sink_columns", StringType),
+      StructField("sink_pk", StringType),
+      StructField("sink_extend", StringType)))
+    StructType(Seq(
+      StructField("before", tp), StructField("after", tp),
+      StructField("op", StringType), StructField("ts_ms", LongType),
+      StructField(Corrupt, StringType)))
+  }
+
+  // ------------------------------------------------------------- parsing --
+
+  private def parse(raw: DataFrame, jsonCol: String, schema: StructType): DataFrame =
+    raw.withColumn("_env", from_json(col(jsonCol), schema,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> Corrupt)))
+      .select(col(jsonCol).as("_raw"), col("_env.*"))
+
+  /** Parse a Maxwell JSON column; corrupt input keeps `_raw` and gets a
+    * non-null [[Corrupt]] column. */
+  def parseMaxwell(raw: DataFrame, jsonCol: String = "value"): DataFrame =
+    parse(raw, jsonCol, maxwellSchema)
+
+  /** Parse a behavior-log JSON column. */
+  def parseLog(raw: DataFrame, jsonCol: String = "value"): DataFrame =
+    parse(raw, jsonCol, logSchema)
+
+  /** Parse the Debezium config stream. */
+  def parseDebeziumConfig(raw: DataFrame, jsonCol: String = "value"): DataFrame =
+    parse(raw, jsonCol, debeziumConfigSchema)
+
+  /** A record is dirty iff the corrupt column captured anything — or, for
+    * log records, the envelope carries neither page nor start section
+    * (matches the reference treating unparseable records as dirty,
+    * BaseLogApp.java:36-52). */
+  def isDirty: Column = col(Corrupt).isNotNull
+
+  /** Split one parsed stream into (clean, dirty) without recomputing the
+    * parse: both branches are filters over the same plan. */
+  def cleanDirty(parsed: DataFrame): (DataFrame, DataFrame) =
+    (parsed.where(!isDirty).drop(Corrupt), parsed.where(isDirty))
+
+  /** The Maxwell CDC type filter (P2): keep row-changing types, drop
+    * `delete`/noise exactly like app/dim/DimApp.java:142-160. */
+  def cdcUpserts(parsed: DataFrame): DataFrame =
+    parsed.where(col("type").isin("insert", "update", "bootstrap-insert"))
+
+  /** P3 — project Maxwell `data['k']` map entries to named string columns:
+    * `dataCols("id", "sku_id")` ⇒ element_at per key, mirroring the
+    * reference's `data['id'] id` select lists
+    * (app/dwd/DwdTradeOrderPreProcess.java:25-43). */
+  def dataCols(parsed: DataFrame, keys: String*): DataFrame =
+    parsed.select(
+      (Seq(col("database"), col("table"), col("type"), col("ts"), col("old"))
+        ++ keys.map(k => element_at(col("data"), k).as(k))): _*)
+}

@@ -1,0 +1,124 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming twins of the reference's keyed-state programs (SURVEY.md §2.5
+  * A4/A5/A6, §2.6 W8), implemented with `flatMapGroupsWithState` — the
+  * Spark-native replacement for Flink's RichMapFunction + ValueState.
+  * The batch forms in [[graft.operators.EventOps]] define the oracle
+  * semantics; these produce the same answers incrementally on unbounded
+  * input.
+  *
+  * Scale: state is keyed by the entity id (mid/user) — Spark hash-partitions
+  * the state store by key across executors; each key holds O(1) state
+  * (a date string or one pending event), so state size is bounded by
+  * #distinct-keys, not by event volume. The reference's 1-day state TTL
+  * (app/dwd/DwdTrafficUniqueVisitorDetail.java:62-65) is preserved: the
+  * state *content* is the last-seen date, so it never grows.
+  */
+object StatefulOps {
+
+  /** Event row shape shared by the streaming ops (mirrors the driver's
+    * events table; `mid`-style key = user_id). */
+  case class Event(
+      event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  /** A4 — streaming daily UV dedup: first event per (user, day) passes.
+    * Reference: app/dwd/DwdTrafficUniqueVisitorDetail.java:55-84
+    * (ValueState lastVisitDate + 1-day TTL). State = last seen date. */
+  def dedupDaily(events: Dataset[Event]): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, it: Iterator[Event], state: GroupState[String]) => {
+          // process in event-time order within the batch
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var last = state.getOption.getOrElse("")
+          val out = sorted.flatMap { e =>
+            val day = e.ts.toLocalDateTime.toLocalDate.toString
+            if (day != last && day > last) { last = day; Some(e) }
+            else if (day != last && last == "") { last = day; Some(e) }
+            else None
+          }
+          if (last.nonEmpty) state.update(last)
+          out.iterator
+        })
+  }
+
+  /** A6 — streaming visitor-flag repair: is_new=1 only on the user's
+    * first-ever day; revisits on later days are demoted.
+    * Reference: app/dwd/BaseLogApp.java:59-91. Emits (event, fixedIsNew). */
+  def visitorRepair(events: Dataset[Event]): Dataset[(Event, Int)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, it: Iterator[Event], state: GroupState[String]) => {
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var first = state.getOption.getOrElse("")
+          val out = sorted.map { e =>
+            val day = e.ts.toLocalDateTime.toLocalDate.toString
+            if (first == "") { first = day; (e, 1) }
+            else (e, if (day == first) 1 else 0)
+          }
+          if (first.nonEmpty) state.update(first)
+          out.iterator
+        })
+  }
+
+  /** W8 — streaming jump (bounce) detection, the reference's CEP pattern
+    * (app/dwd/DwdTrafficUserJumpDetail.java:48-82): an ENTRY event is a
+    * bounce if the next event from the same user is another entry, or if
+    * nothing arrives within `horizonSec` (timeout). Both the matched and
+    * the timed-out starts are emitted — the union of the two CEP outputs.
+    *
+    * Implementation: one pending entry per key in state; an event-time
+    * timeout (watermark-driven) fires the silence case. Callers must set
+    * a watermark on `ts` upstream.
+    */
+  def jumpDetect(
+      events: Dataset[Event],
+      isEntry: Event => Boolean,
+      horizonSec: Long): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: Long, it: Iterator[Event], state: GroupState[Event]) => {
+          if (state.hasTimedOut) {
+            // silence horizon elapsed (watermark passed pending.ts+horizon)
+            val pending = state.get
+            state.remove()
+            Iterator.single(pending)
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var pending = state.getOption
+            val out = Seq.newBuilder[Event]
+            sorted.foreach { e =>
+              pending match {
+                case Some(p) =>
+                  if (e.ts.getTime - p.ts.getTime > horizonSec * 1000L) {
+                    out += p // silence observed within this batch
+                    pending = if (isEntry(e)) Some(e) else None
+                  } else if (isEntry(e)) {
+                    out += p // entry→entry = matched bounce
+                    pending = Some(e)
+                  } else {
+                    pending = None // entry→non-entry ≤ horizon: not a bounce
+                  }
+                case None =>
+                  if (isEntry(e)) pending = Some(e)
+              }
+            }
+            pending match {
+              case Some(p) =>
+                state.update(p)
+                state.setTimeoutTimestamp(p.ts.getTime + horizonSec * 1000L)
+              case None => if (state.exists) state.remove()
+            }
+            out.result().iterator
+          }
+        })
+  }
+}

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-time windowing for the DWS layer (SURVEY.md §2.6 W1-W7): tumbling
+  * windows with bounded-out-of-orderness watermarks, window bounds emitted
+  * as `stt`/`edt` strings exactly like the reference beans.
+  *
+  * Spark's streaming window aggregation is already incremental (partial
+  * aggregation + state store, X6) — the reference's reduce+finisher
+  * pattern (DwsTrafficVcChArIsNewPageViewWindow.java:118-144) needs no
+  * custom code.
+  */
+object Windows {
+
+  /** Tumbling event-time aggregation (W1/W2) with watermark (W3/W4) and
+    * formatted window bounds (W6). Works on both streaming and batch input
+    * (watermark is a no-op in batch). No keys ⇒ the reference's windowAll
+    * (A3). */
+  def tumblingAgg(
+      df: DataFrame,
+      tsCol: String,
+      windowDur: String,
+      watermarkDelay: String,
+      keys: Seq[Column],
+      aggs: Seq[Column]): DataFrame = {
+    val wm = if (df.isStreaming) df.withWatermark(tsCol, watermarkDelay) else df
+    wm.groupBy((window(col(tsCol), windowDur) +: keys): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("stt", date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss"))
+      .withColumn("edt", date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss"))
+      .drop("window")
+  }
+
+  /** A1 — the keyword count window (10 s tumble, 2 s watermark), the shape
+    * of DwsTrafficSourceKeywordPageViewWindow.java:145-154. */
+  def keywordCount(hits: DataFrame): DataFrame =
+    tumblingAgg(hits, "rt", "10 seconds", "2 seconds",
+      Seq(col("word")), Seq(count(lit(1)).as("keyword_count")))
+
+  /** A2 — the traffic counter window: sum the 0/1 counters per
+    * (vc,ch,ar,is_new) per 10 s tumble (watermark 14 s per W4). */
+  def trafficPageView(counters: DataFrame): DataFrame =
+    tumblingAgg(counters, "rt", "10 seconds", "14 seconds",
+      Seq(col("vc"), col("ch"), col("ar"), col("is_new")),
+      Seq(sum(col("pv")).as("pv_ct"), sum(col("sv")).as("sv_ct"),
+        sum(col("dur")).as("dur_sum")))
+}
