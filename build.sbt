@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // hundreds of janino-generated classes across 30+ queries overflow the
+  // default 240m code cache → sweeper/deopt churn and erratic stalls
+  "-XX:ReservedCodeCacheSize=1g",
+  // G1 on a large heap grows young-gen until survivor copying costs
+  // ~600 ms per young GC (measured); throughput GC keeps batch runs flat
+  "-XX:+UseParallelGC",
 )

@@ -1,10 +1,13 @@
 package graft
 
+import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.Tables
-import graft.operators.{Dedup, EventOps, Relational, Similarity}
+import graft.core.{Envelopes, Tables}
+import graft.apps.GmallPipelines
+import graft.operators.{Dedup, EventOps, Multimodal, Relational, Similarity}
 import graft.functions.TextFunctions
+import graft.streaming.{StatefulOps, StreamHarness}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -114,6 +117,165 @@ object SparkEntry {
 
     "q17_dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d)).orderBy(col("fp"))),
+
+    // ---- near-dup dedup stack (MinHash+LSH / SimHash / n-gram Jaccard) ----
+
+    "q18_minhash_lsh" -> ((s, d) =>
+      Dedup.lshCandidates(Dedup.minhashSignatures(Tables.documents(s, d)))
+        .orderBy(col("a"), col("b"))),
+
+    "q19_simhash_sig" -> ((s, d) =>
+      Dedup.simhash(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
+    "q20_simhash_neardup" -> ((s, d) =>
+      Dedup.simhashNearDups(Dedup.simhash(Tables.documents(s, d)))
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy(col("a"), col("b"))),
+
+    "q21_jaccard_pairs" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), threshold = 0.5)
+        .orderBy(col("a"), col("b"))),
+
+    "q22_jaccard_verify" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.jaccardVerify(docs,
+          Dedup.lshCandidates(Dedup.minhashSignatures(docs)), threshold = 0.5)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // -------------------- embedding similarity / ANN -----------------------
+
+    "q23_embed_neardup" -> ((s, d) =>
+      Similarity.nearDupPairs(Tables.embeddings(s, d), 0.35, 64)
+        .orderBy(col("a"), col("b"))),
+
+    "q24_ann_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") % 50 === 0), 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // scale path: LSH-bucketed ANN (recall < 1 by design → rows-only check)
+    "q25_ann_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb, emb.where(col("vec_id") % 50 === 0), 10, 64)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ------------------ envelope parse + pipeline plumbing -----------------
+
+    // Maxwell CDC envelope → parse → type-filter → map-access projection →
+    // aggregate (S3/P1/P2/P3): JSON built deterministically from `orders`.
+    "q26_cdc_route" -> ((s, d) => {
+      // repartition before the (CPU-heavy) JSON round-trip: a single parquet
+      // file would otherwise pin serialize+parse to one task
+      val env = Tables.orders(s, d)
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+        .select(to_json(struct(
+        lit("gmall").as("database"), lit("order_info").as("table"),
+        when(col("o_orderstatus") === "O", "insert")
+          .when(col("o_orderstatus") === "F", "delete")
+          .otherwise("update").as("type"),
+        col("o_orderkey").as("ts"),
+        map(
+          lit("id"), col("o_orderkey").cast("string"),
+          lit("status"), col("o_orderstatus"),
+          lit("total"), col("o_totalprice").cast("decimal(18,2)").cast("string"),
+          lit("priority"), col("o_orderpriority")).as("data"))).as("value"))
+      val (clean, _) = Envelopes.cleanDirty(Envelopes.parseMaxwell(env))
+      Envelopes.dataCols(Envelopes.cdcUpserts(clean), "id", "status", "total", "priority")
+        .groupBy(col("type"), col("priority"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("total").cast("decimal(18,2)")).cast("double").as("sum_total"))
+        .orderBy(col("type"), col("priority"))
+    }),
+
+    // Behavior-log envelope → parse → 5-way split → explode (P1/P6/P7):
+    // JSON built deterministically from `events`.
+    "q27_log_split" -> ((s, d) => {
+      val env = Tables.events(s, d)
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+        .select(to_json(struct(
+        struct(concat(lit("mid_"), col("user_id")).as("mid"),
+          col("event_type").as("ch")).as("common"),
+        when(col("event_id") % 7 === 0,
+          struct(lit("icon").as("entry"))).as("start"),
+        when(col("event_id") % 7 =!= 0, struct(
+          col("event_type").as("page_id"),
+          when(col("event_id") % 3 === 0, lit(null).cast("string"))
+            .otherwise(lit("home")).as("last_page_id"),
+          (col("value") * 1000).cast("long").as("during_time"))).as("page"),
+        when(col("event_id") % 2 === 0, array(
+          struct(lit("promo").as("item"), lit(0L).as("pos_id")),
+          struct(lit("rec").as("item"), lit(1L).as("pos_id")))).as("displays"),
+        when(col("event_id") % 11 === 0,
+          struct(lit(42L).as("error_code"), lit("boom").as("msg"))).as("err"),
+        unix_millis(col("ts")).as("ts"))).as("value"))
+      val (clean, _) = Envelopes.cleanDirty(Envelopes.parseLog(env))
+      val branches = GmallPipelines.baseLogSplit(clean)
+      Seq("page", "start", "display", "action", "err")
+        .map(b => branches(b).select(lit(b).as("branch")))
+        .reduce(_ union _)
+        .groupBy(col("branch")).agg(count(lit(1)).as("n_rows"))
+        .orderBy(col("branch"))
+    }),
+
+    // ------------- streaming twins driven through real micro-batches -------
+
+    // A4 dedup as an incremental flatMapGroupsWithState run: state must
+    // carry across the micro-batch boundary; same oracle as q10.
+    "q28_stream_dedup" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).as[StatefulOps.Event]
+        .collect().toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val (h1, h2) = ev.splitAt(ev.length / 2)
+      StreamHarness.run(s, Seq(h1, h2))(ds => StatefulOps.dedupDaily(ds).toDF())
+        .select(col("user_id"), to_date(col("ts")).cast("string").as("visit_date"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("first_ts"))
+        .orderBy(col("user_id"), col("visit_date"))
+    }),
+
+    // W8 CEP jump detection as a streaming query with event-time timeouts:
+    // a sentinel batch advances the watermark to flush pending state; same
+    // oracle as q13.
+    "q29_stream_jump" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).as[StatefulOps.Event]
+        .collect().toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val maxTs = ev.map(_.ts.getTime).max
+      val sentinel = StatefulOps.Event(
+        -1L, new Timestamp(maxTs + 3600L * 1000L), -1L, "flush", 0.0, "{}")
+      StreamHarness.run(s, Seq(ev, Seq(sentinel)))(ds =>
+        StatefulOps.jumpDetect(ds.withWatermark("ts", "2 seconds"),
+          _.event_type == "view", 30L).toDF())
+        .where(col("user_id") =!= -1L)
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"))
+        .orderBy(col("event_id"))
+    }),
+
+    // --------------------------- multimodal --------------------------------
+
+    "q30_media_meta" -> ((s, d) =>
+      Multimodal.resizePlan(Multimodal.decodeMeta(
+          Multimodal.ingestDocsAsMedia(Tables.documents(s, d))))
+        .select(col("media_id"), col("mime"), col("n_bytes"), col("width"),
+          col("height"), col("out_w"), col("out_h"), col("duration_ms"))
+        .orderBy(col("media_id"))),
+
+    "q31_media_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(Multimodal.decodeMeta(
+          Multimodal.ingestDocsAsMedia(Tables.documents(s, d))))
+        .orderBy(col("media_id"), col("frame_no"))),
+
+    // batched per-partition decode (mapInPandas analogue) — UDF path, so
+    // rows-only check; determinism is spec-tested.
+    "q32_media_features" -> ((s, d) =>
+      Multimodal.extractFeatures(
+          Multimodal.ingestDocsAsMedia(Tables.documents(s, d)))
+        .orderBy(col("media_id"))),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -136,6 +298,66 @@ object SparkEntry {
     "CASE WHEN ascii_raw < 0.5 THEN 'cjk' WHEN stop_raw >= 0.05 THEN 'en' ELSE 'unknown' END"
   private val normalizedSql =
     "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  /** Hex chars [from, from+14] of md5(e) as a non-negative 60-bit long —
+    * MUST mirror graft.operators.Dedup.md5Long / Multimodal.hexSeg. */
+  private def hexLongSql(e: String, from: Int = 1): String =
+    s"list_reduce(list_transform(string_split(substr(md5($e), $from, 15), ''), " +
+      "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
+
+  /** Word 3-gram shingles over token list `w` — mirrors TextFunctions.shingles. */
+  private val sh3Sql =
+    "CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')] " +
+      "ELSE list_transform(range(0, len(w) - 2), i -> concat_ws(' ', w[i+1], w[i+2], w[i+3])) END"
+
+  /** Distinct (doc_id, shingle) rows. */
+  private val shCte =
+    s"""toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct($sh3Sql)) AS sh FROM toks)""".stripMargin
+
+  /** MinHash signatures + LSH band candidates — mirrors Dedup.minhashSignatures
+    * (32 perms) + Dedup.lshCandidates (8 bands of 4) with the identical affine
+    * coefficients. */
+  private val sigCte: String = {
+    val coeffVals = (0 until 32).map { i =>
+      val (a, b) = Dedup.permCoeff(i); s"($i, $a, $b)"
+    }.mkString(", ")
+    s"""h AS (SELECT doc_id, ${hexLongSql("sh")} AS h FROM sh),
+       |coeff AS (SELECT * FROM (VALUES $coeffVals) t(i, ca, cb)),
+       |pm AS (SELECT doc_id, i, min(CAST((CAST(h AS HUGEINT) * ca + cb) % 2305843009213693951 AS BIGINT)) AS m
+       |  FROM h CROSS JOIN coeff GROUP BY doc_id, i),
+       |sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM pm GROUP BY doc_id),
+       |banded AS (SELECT doc_id, bd, array_to_string(array_slice(sig, bd*4+1, bd*4+4), ',') AS bandkey
+       |  FROM sig CROSS JOIN range(8) t(bd)),
+       |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM banded l
+       |  JOIN banded r ON l.bd = r.bd AND l.bandkey = r.bandkey AND l.doc_id < r.doc_id)""".stripMargin
+  }
+
+  /** 60-bit SimHash per doc — mirrors Dedup.simhash. */
+  private val simhashCte =
+    s"""tok AS (SELECT doc_id, unnest(list_distinct(w)) AS tk FROM toks),
+       |th AS (SELECT doc_id, ${hexLongSql("tk")} AS h FROM tok),
+       |votes AS (SELECT doc_id, bb, sum(CASE WHEN (h >> bb) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM th CROSS JOIN range(60) t(bb) GROUP BY doc_id, bb),
+       |ssig AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bb) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM votes GROUP BY doc_id)""".stripMargin
+
+  /** ‖e‖₂ with the same fold order as VectorFunctions.norm. */
+  private val nrmSql =
+    "sqrt(list_reduce(list_transform(e, u -> CAST(u AS DOUBLE) * CAST(u AS DOUBLE)), (p, q) -> p + q))"
+
+  /** Σ va.e[i]·vb.e[i] with the same fold order as VectorFunctions.dot. */
+  private val dotSql =
+    "list_reduce(list_transform(range(64), i -> CAST(va.e[i+1] AS DOUBLE) * CAST(vb.e[i+1] AS DOUBLE)), (p, q) -> p + q)"
+
+  /** Fake media ingest+decode — mirrors Multimodal.ingestDocsAsMedia/decodeMeta. */
+  private val mediaCte =
+    s"""m AS (SELECT doc_id AS media_id,
+       |  (['image/png', 'audio/wav', 'video/mp4'])[CAST(doc_id % 3 + 1 AS INT)] AS mime,
+       |  text, octet_length(encode(text)) AS n_bytes,
+       |  64 + ${hexLongSql("text", 1)} % 1857 AS width,
+       |  64 + ${hexLongSql("text", 17)} % 1857 AS height
+       | FROM documents)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -269,5 +491,120 @@ object SparkEntry {
       s"""SELECT md5($normalizedSql) AS fp, min(doc_id) AS keeper_id,
          | count(*) AS n_copies
          |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "q18_minhash_lsh" ->
+      s"""WITH $shCte,
+         |$sigCte
+         |SELECT a, b FROM cand ORDER BY a, b""".stripMargin,
+
+    "q19_simhash_sig" ->
+      s"""WITH $shCte,
+         |$simhashCte
+         |SELECT doc_id, simhash FROM ssig ORDER BY doc_id""".stripMargin,
+
+    "q20_simhash_neardup" ->
+      s"""WITH $shCte,
+         |$simhashCte,
+         |bkt AS (SELECT doc_id, simhash, simhash >> 44 AS bucket FROM ssig)
+         |SELECT l.doc_id AS a, r.doc_id AS b,
+         | CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+         |FROM bkt l JOIN bkt r ON l.bucket = r.bucket AND l.doc_id < r.doc_id
+         |WHERE bit_count(xor(l.simhash, r.simhash)) <= 8
+         |ORDER BY a, b""".stripMargin,
+
+    "q21_jaccard_pairs" ->
+      s"""WITH $shCte,
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |pr AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT a, b, jaccard FROM (
+         | SELECT pr.a, pr.b,
+         |  round(CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE), 6) AS jaccard
+         | FROM pr JOIN sz sa ON pr.a = sa.doc_id JOIN sz sb ON pr.b = sb.doc_id)
+         |WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin,
+
+    "q22_jaccard_verify" ->
+      s"""WITH $shCte,
+         |$sigCte,
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |pr AS (SELECT cand.a, cand.b, count(*) AS common
+         |  FROM cand JOIN sh x ON x.doc_id = cand.a
+         |  JOIN sh y ON y.doc_id = cand.b AND x.sh = y.sh
+         |  GROUP BY 1, 2)
+         |SELECT a, b, jaccard FROM (
+         | SELECT pr.a, pr.b,
+         |  round(CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE), 6) AS jaccard
+         | FROM pr JOIN sz sa ON pr.a = sa.doc_id JOIN sz sb ON pr.b = sb.doc_id)
+         |WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin,
+
+    "q23_embed_neardup" ->
+      s"""WITH v AS (SELECT vec_id, embedding AS e, $nrmSql AS nrm FROM embeddings)
+         |SELECT a, b, round(score, 6) AS score FROM (
+         | SELECT va.vec_id AS a, vb.vec_id AS b, $dotSql / (va.nrm * vb.nrm) AS score
+         | FROM v va JOIN v vb ON va.vec_id < vb.vec_id)
+         |WHERE score >= 0.35 ORDER BY a, b""".stripMargin,
+
+    "q24_ann_topk" ->
+      s"""WITH v AS (SELECT vec_id, embedding AS e, $nrmSql AS nrm FROM embeddings),
+         |scored AS (SELECT va.vec_id AS query_id, vb.vec_id AS neighbor_id,
+         |  $dotSql / (va.nrm * vb.nrm) AS score
+         | FROM (SELECT * FROM v WHERE vec_id % 50 = 0) va
+         | JOIN v vb ON va.vec_id <> vb.vec_id),
+         |ranked AS (SELECT query_id, neighbor_id, score,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS "rank"
+         | FROM scored)
+         |SELECT query_id, neighbor_id, round(score, 6) AS score, "rank" FROM ranked
+         |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin,
+
+    "q26_cdc_route" ->
+      """SELECT CASE WHEN o_orderstatus = 'O' THEN 'insert' ELSE 'update' END AS type,
+        | o_orderpriority AS priority, count(*) AS n_rows,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM orders WHERE o_orderstatus <> 'F'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q27_log_split" ->
+      """SELECT 'display' AS branch, 2 * count(*) AS n_rows FROM events
+        | WHERE event_id % 7 <> 0 AND event_id % 2 = 0
+        |UNION ALL SELECT 'err', count(*) FROM events WHERE event_id % 11 = 0
+        |UNION ALL SELECT 'page', count(*) FROM events WHERE event_id % 7 <> 0
+        |UNION ALL SELECT 'start', count(*) FROM events WHERE event_id % 7 = 0
+        |ORDER BY 1""".stripMargin,
+
+    "q28_stream_dedup" ->
+      """SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS visit_date,
+        | strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts
+        |FROM events GROUP BY user_id, CAST(ts AS DATE)
+        |ORDER BY user_id, visit_date""".stripMargin,
+
+    "q29_stream_jump" ->
+      """WITH e AS (
+        | SELECT event_id, user_id, ts, (event_type = 'view') AS is_entry,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts,
+        |  lead(event_type = 'view') OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_entry
+        | FROM events)
+        |SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+        |FROM e WHERE is_entry AND (next_ts IS NULL
+        |  OR epoch_us(next_ts) - epoch_us(ts) > 30000000 OR next_entry)
+        |ORDER BY event_id""".stripMargin,
+
+    "q30_media_meta" ->
+      s"""WITH $mediaCte,
+         |r AS (SELECT *, 224.0 / CAST(greatest(width, height) AS DOUBLE) AS scale FROM m)
+         |SELECT media_id, mime, n_bytes, width, height,
+         | greatest(1, CAST(floor(CAST(width AS DOUBLE) * scale) AS BIGINT)) AS out_w,
+         | greatest(1, CAST(floor(CAST(height AS DOUBLE) * scale) AS BIGINT)) AS out_h,
+         | CASE WHEN mime <> 'image/png' THEN n_bytes * 10 END AS duration_ms
+         |FROM r ORDER BY media_id""".stripMargin,
+
+    "q31_media_frames" ->
+      s"""WITH $mediaCte,
+         |vid AS (SELECT media_id, text, n_bytes, 1 + n_bytes % 7 AS n_frames
+         |  FROM m WHERE mime = 'video/mp4')
+         |SELECT media_id, frame_no,
+         | md5(substr(text, CAST(frame_no * (n_bytes // n_frames) + 1 AS BIGINT), 32)) AS frame_fp
+         |FROM (SELECT media_id, text, n_bytes, n_frames,
+         |  unnest(range(n_frames)) AS frame_no FROM vid)
+         |ORDER BY media_id, frame_no""".stripMargin,
   )
 }

@@ -2,6 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnBridge
+import graft.functions.{HashExpressions, MinHashUtil}
 import graft.functions.TextFunctions._
 
 /** Deduplication operators for the documents pipeline — the four standard
@@ -42,28 +44,20 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash --
 
-  val MersennePrime = 2305843009213693951L // 2^61 - 1
+  val MersennePrime: Long = MinHashUtil.MersennePrime
 
-  /** Affine permutation of a base hash: (a·h + b) mod p, computed in
-    * multiplicative pieces that stay within long range for h < 2^60. */
-  private def perm(h: Column, i: Int): Column = {
-    // deterministic per-perm coefficients (split-mix style)
-    def mix(x0: Long): Long = {
-      var x = x0 * 0x9e3779b97f4a7c15L
-      x ^= (x >>> 30); x *= 0xbf58476d1ce4e5b9L
-      x ^= (x >>> 27); x *= 0x94d049bb133111ebL
-      x ^ (x >>> 31)
-    }
-    val a = (mix(2L * i + 1).abs % (MersennePrime - 1)) + 1
-    val b = mix(2L * i + 2).abs % MersennePrime
-    // (a*h+b) mod p without overflow: use Spark decimal for the product.
-    ((h.cast("decimal(38,0)") * lit(a) + lit(b)) % lit(MersennePrime)).cast("long")
-  }
+  /** Deterministic per-perm affine coefficients — see
+    * [[graft.functions.MinHashUtil.permCoeff]] (public so the DuckDB oracle
+    * injects the identical (a, b) literals). */
+  def permCoeff(i: Int): (Long, Long) = MinHashUtil.permCoeff(i)
 
   /** MinHash signatures: one row per doc, `sig` = array of numPerms minima
-    * over the doc's shingle hashes. Implemented as numPerms `min()`
-    * aggregates over the exploded shingle set → a single shuffle with
-    * map-side partial mins (no per-doc collect, no UDAF).
+    * over the doc's shingle hashes, computed by the single-pass
+    * [[graft.functions.HashExpressions.MinHashSig]] expression. NO shuffle:
+    * signatures are a narrow per-row transform (the earlier explode +
+    * 32-chained-min-aggregates needed a shuffle and overflowed codegen).
+    * The repartition only spreads rows over cores — at 100 TB the scan
+    * itself provides the partitions and it becomes a no-op to remove.
     */
   def minhashSignatures(
       docs: DataFrame,
@@ -71,14 +65,12 @@ object Dedup {
       textCol: String = "text",
       shingleN: Int = 3,
       numPerms: Int = 32): DataFrame = {
-    val sh = docs.select(
+    val sp = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    docs.repartition(sp).select(
       col(idCol),
-      explode(array_distinct(shingles(col(textCol), shingleN))).as("sh"))
-    val h = sh.withColumn("h", md5Long(col("sh")))
-    val minCols = (0 until numPerms).map(i => min(perm(col("h"), i)).as(s"m$i"))
-    h.groupBy(col(idCol))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col(idCol), array((0 until numPerms).map(i => col(s"m$i")): _*).as("sig"))
+      ColumnBridge.column(HashExpressions.MinHashSig(
+        ColumnBridge.expression(array_distinct(shingles(col(textCol), shingleN))),
+        numPerms)).as("sig"))
   }
 
   /** LSH banding: split each signature into `bands` bands of
@@ -120,6 +112,7 @@ object Dedup {
       shingleN: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     val sh = docs
+      .repartition(docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, col(idCol))
       .select(col(idCol).as("id"),
         explode(array_distinct(shingles(col(textCol), shingleN))).as("sh"))
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
@@ -162,30 +155,22 @@ object Dedup {
 
   // -------------------------------------------------------------- simhash --
 
-  /** 64-bit SimHash per document: every distinct token contributes its
+  /** 60-bit SimHash per document: every distinct token contributes its
     * 60-bit md5 hash; each output bit is the majority vote across tokens.
-    * Implemented as 64 conditional sums in ONE aggregation (map-side
-    * combine) — no per-doc state, scales linearly.
+    * Single-pass narrow expression ([[graft.functions.HashExpressions.SimHashSig]])
+    * — no shuffle, no per-doc state, scales linearly.
     */
   def simhash(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       bits: Int = 60): DataFrame = {
-    val tok = docs.select(
+    val sp = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    docs.repartition(sp).select(
       col(idCol),
-      explode(array_distinct(tokens(col(textCol)))).as("tok"))
-      .withColumn("h", md5Long(col("tok")))
-    val votes: Seq[Column] = (0 until bits).map { b =>
-      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(-1)).as(s"v$b")
-    }
-    tok.groupBy(col(idCol))
-      .agg(votes.head, votes.tail: _*)
-      .select(
-        col(idCol),
-        (0 until bits).map { b =>
-          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
-        }.reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
+      ColumnBridge.column(HashExpressions.SimHashSig(
+        ColumnBridge.expression(array_distinct(tokens(col(textCol)))),
+        bits)).as("simhash"))
   }
 
   /** Near-dup pairs by SimHash: bucket on the top `prefixBits` bits (docs

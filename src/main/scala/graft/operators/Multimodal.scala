@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing for a training-data
+  * pipeline: media as an opaque `binary` column plus typed metadata,
+  * processed either by codegen'd expressions (metadata extract / resize /
+  * frame sampling — all deterministic, oracle-checkable) or by a batched
+  * per-partition decoder ([[extractFeatures]]) — the Scala analogue of a
+  * `mapInPandas` batch UDF.
+  *
+  * The actual byte-level decode (libjpeg / ffmpeg / soundfile) is STUBBED
+  * behind [[MediaDecoder]]: those libraries are not in this environment, so
+  * [[StubDecoder]] produces deterministic fake features from byte
+  * statistics. The Spark-side plumbing — binary columns, schema, batch
+  * iteration, partition distribution — is real and tested.
+  *
+  * Scale: content bytes never shuffle in any of these operators; metadata
+  * extraction and frame sampling are narrow (per-row) transforms, and
+  * [[extractFeatures]] is embarrassingly parallel over partitions with
+  * bounded per-batch memory (`batchSize` rows decoded at a time, modeling
+  * batched accelerator calls).
+  */
+object Multimodal {
+
+  /** Ingest documents as fake media rows: the utf-8 bytes of `text` become
+    * the opaque `content` blob, mime cycles deterministically. At 100 TB the
+    * source would be parquet/tar shards of real bytes; everything downstream
+    * of this ingest is agnostic to where the bytes came from. */
+  def ingestDocsAsMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      col("text").cast("binary").as("content"),
+      element_at(
+        array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
+        (col("doc_id") % 3 + 1).cast("int")).as("mime"))
+
+  private def hexSeg(c: org.apache.spark.sql.Column, from: Int): org.apache.spark.sql.Column =
+    conv(substring(md5(c), from, 15), 16, 10).cast("long")
+
+  /** "Decode" the media header into typed metadata. The real decoder would
+    * parse PNG/WAV/MP4 headers; the stub derives deterministic fake
+    * dimensions from the content hash (so the full pipeline remains
+    * end-to-end verifiable against the oracle). Pure codegen'd expressions —
+    * no UDF, no shuffle. */
+  def decodeMeta(media: DataFrame): DataFrame =
+    media
+      .withColumn("n_bytes", length(col("content")).cast("long"))
+      .withColumn("width", (lit(64L) + hexSeg(col("content"), 1) % 1857L))
+      .withColumn("height", (lit(64L) + hexSeg(col("content"), 17) % 1857L))
+      .withColumn("duration_ms",
+        when(col("mime") =!= "image/png", col("n_bytes") * 10L))
+
+  /** Resize plan: fit into `target`×`target` preserving aspect ratio.
+    * Emits the output dims the (stubbed) resampler would produce. */
+  def resizePlan(meta: DataFrame, target: Int = 224): DataFrame = {
+    val scale = lit(target.toDouble) / greatest(col("width"), col("height")).cast("double")
+    meta
+      .withColumn("out_w", greatest(lit(1L), floor(col("width").cast("double") * scale).cast("long")))
+      .withColumn("out_h", greatest(lit(1L), floor(col("height").cast("double") * scale).cast("long")))
+  }
+
+  /** Frame sampling for video rows: n_frames derived from the fake header,
+    * one output row per sampled frame with a byte-range fingerprint (the
+    * real pipeline would hand each range to the decoder). `posexplode` of a
+    * `sequence` — narrow, codegen'd, no shuffle. */
+  def sampleFrames(meta: DataFrame): DataFrame = {
+    val nFrames = (lit(1L) + col("n_bytes") % 7L)
+    meta.where(col("mime") === "video/mp4")
+      .withColumn("n_frames", nFrames)
+      .select(col("media_id"), col("n_frames"), col("n_bytes"), col("content"),
+        explode(sequence(lit(0L), col("n_frames") - 1L)).as("frame_no"))
+      .withColumn("frame_off", col("frame_no") * expr("n_bytes div n_frames"))
+      .withColumn("frame_fp",
+        md5(col("content").cast("string")
+          .substr((col("frame_off") + 1L).cast("int"), lit(32))))
+      .select(col("media_id"), col("frame_no"), col("frame_fp"))
+  }
+
+  // ----------------------------------------------------- batched decoding --
+
+  /** The decode contract. Real implementations (JPEG → pixels → CNN
+    * features, WAV → spectrogram, MP4 → keyframes) plug in here; none of
+    * those libraries exist in this environment, so the shipped
+    * implementation is [[StubDecoder]]. */
+  trait MediaDecoder extends Serializable {
+    /** Decode one batch of media payloads into fixed-width feature vectors.
+      * Batched on purpose: real decoders amortize model/codec setup per
+      * batch (the `mapInPandas` batch shape). */
+    def decodeBatch(contents: Seq[Array[Byte]], mimes: Seq[String]): Seq[Array[Float]]
+  }
+
+  /** Deterministic fake: 8 byte-statistics features. Stands in for
+    * `??? // real codec` so the distributed plumbing is testable. */
+  object StubDecoder extends MediaDecoder {
+    override def decodeBatch(contents: Seq[Array[Byte]], mimes: Seq[String]): Seq[Array[Float]] =
+      contents.zip(mimes).map { case (bytes, mime) =>
+        if (bytes.isEmpty) Array.fill(8)(0f)
+        else {
+          val n = bytes.length
+          val mean = bytes.map(b => (b & 0xff).toDouble).sum / n
+          val varr = bytes.map(b => math.pow((b & 0xff) - mean, 2)).sum / n
+          Array(
+            n.toFloat, mean.toFloat, math.sqrt(varr).toFloat,
+            (bytes.head & 0xff).toFloat, (bytes.last & 0xff).toFloat,
+            bytes.map(b => b & 0xff).min.toFloat,
+            bytes.map(b => b & 0xff).max.toFloat,
+            mime.length.toFloat)
+        }
+      }
+  }
+
+  /** Run the decoder over the corpus: per partition, pull `batchSize` rows
+    * at a time through [[MediaDecoder.decodeBatch]]. Iterator-to-iterator
+    * (no partition materialization), so executor memory is bounded by one
+    * batch of payloads regardless of partition size. */
+  def extractFeatures(
+      media: DataFrame,
+      decoder: MediaDecoder = StubDecoder,
+      batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val in: Dataset[(Long, Array[Byte], String)] = media
+      .select(col("media_id"), col("content"), col("mime"))
+      .as[(Long, Array[Byte], String)]
+    in.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val feats = decoder.decodeBatch(batch.map(_._2), batch.map(_._3))
+        batch.zip(feats).map { case ((id, _, mime), f) => (id, mime, f) }
+      }
+    }.toDF("media_id", "mime", "features")
+  }
+}

@@ -30,10 +30,19 @@ object Similarity {
       k: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // norms are precomputed per vector (not per pair) — identical float op
+    // order as cosine(), so bit-equal scores, at a third of the flops.
+    // The corpus side is repartitioned so the broadcast nested-loop scoring
+    // parallelizes across all cores (a single parquet file would otherwise
+    // score every (query, doc) pair in ONE task).
+    val shufflePartitions =
+      corpus.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn")).repartition(shufflePartitions)
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", cosine(col("qv"), col("cv")))
+      .withColumn("score", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -53,18 +62,23 @@ object Similarity {
       nPlanes: Int = 12,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    val shufflePartitions =
+      corpus.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val cb = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"),
       hyperplaneBucket(col(vecCol), dim, nPlanes).as("bucket"))
+      .repartition(shufflePartitions)
     // multi-probe: query also checks buckets at hamming distance 1
     val qb0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"),
       hyperplaneBucket(col(vecCol), dim, nPlanes).as("bucket0"))
     val probes = array((lit(0L) +: (0 until nPlanes).map(b => lit(1L << b))): _*)
-    val qb = qb0.select(col("query_id"), col("qv"),
+    val qb = qb0.select(col("query_id"), col("qv"), col("qn"),
       explode(transform(probes, m => col("bucket0").bitwiseXOR(m))).as("bucket"))
     val scored = cb.join(broadcast(qb), Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("score"))
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("score"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(max(col("score")).as("score")) // dedup multi-probe collisions
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
@@ -86,15 +100,33 @@ object Similarity {
       nPlanes: Int = 0,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val withBucket =
-      if (nPlanes <= 0) vecs.select(col(idCol), col(vecCol)).withColumn("bucket", lit(0L))
-      else vecs.select(col(idCol), col(vecCol),
-        hyperplaneBucket(col(vecCol), dim, nPlanes).as("bucket"))
-    val l = withBucket.select(col(idCol).as("a"), col(vecCol).as("va"), col("bucket"))
-    val r = withBucket.select(col(idCol).as("b"), col(vecCol).as("vb"), col("bucket"))
-    l.join(r, Seq("bucket"))
+    val base = vecs.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"))
+    val shufflePartitions =
+      vecs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val joined =
+      if (nPlanes <= 0) {
+        // exact all-pairs: a constant join key would degenerate to a
+        // single-task nested loop — instead broadcast one side and
+        // repartition the other so the O(n²) scoring spreads over all cores.
+        val l = base.select(col(idCol).as("a"), col(vecCol).as("va"),
+          col("nrm").as("na")).repartition(shufflePartitions)
+        val r = base.select(col(idCol).as("b"), col(vecCol).as("vb"),
+          col("nrm").as("nb"))
+        l.crossJoin(broadcast(r))
+      } else {
+        // scale path: only same-bucket pairs are candidates; the bucket
+        // equi-join shuffle-partitions the pair space by bucket.
+        val withBucket =
+          base.withColumn("bucket", hyperplaneBucket(col(vecCol), dim, nPlanes))
+        val l = withBucket.select(col(idCol).as("a"), col(vecCol).as("va"),
+          col("nrm").as("na"), col("bucket"))
+        val r = withBucket.select(col(idCol).as("b"), col(vecCol).as("vb"),
+          col("nrm").as("nb"), col("bucket"))
+        l.join(r, Seq("bucket"))
+      }
+    joined
       .where(col("a") < col("b"))
-      .withColumn("score", cosine(col("va"), col("vb")))
+      .withColumn("score", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("score") >= threshold)
       .select(col("a"), col("b"), round(col("score"), 6).as("score"))
   }

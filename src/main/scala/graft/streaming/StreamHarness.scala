@@ -1,0 +1,42 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Drives a genuinely-streaming (micro-batch) query over in-memory batches
+  * and hands back the collected sink as a DataFrame. This is how the
+  * correctness gate exercises the *incremental* code paths
+  * ([[StatefulOps]]) against the same DuckDB oracles as the batch forms:
+  * state must carry correctly across micro-batch boundaries and event-time
+  * timeouts must fire off the advancing watermark — exactly the semantics
+  * the reference's Flink jobs rely on.
+  *
+  * Scale note: this harness collects input to the driver, which is fine for
+  * the gate (≤100k rows) and for tests; production streams read Kafka via
+  * `readStream` with the identical transform functions.
+  */
+object StreamHarness {
+
+  private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Feed `batches` one micro-batch at a time through `build`, wait for
+    * every batch (and any watermark-triggered no-data batch) to complete,
+    * return the memory sink's contents. */
+  def run[T](spark: SparkSession, batches: Seq[Seq[T]])(
+      build: Dataset[T] => DataFrame)(implicit enc: Encoder[T]): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[T]
+    val name = s"graft_mem_sink_${counter.incrementAndGet()}"
+    val ckpt = Files.createTempDirectory("graft_ckpt_").toString
+    val query = build(stream.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try batches.foreach { b =>
+      stream.addData(b)
+      query.processAllAvailable()
+    } finally query.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,27 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: run one SparkEntry query by name with plan + timing.
+  * `runMain graft.tools.Profile <query> [sfDir] [explain]` */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", sys.env.getOrElse("PROFILE_UI", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    if (args.contains("explain")) df.explain("formatted")
+    (1 to sys.env.getOrElse("PROFILE_ITERS", "2").toInt).foreach { i =>
+      val t0 = System.nanoTime()
+      val n = df.count()
+      println(f"[profile] $name run$i: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}
