@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.operators.{Multimodal, Similarity}
+
+/** Vector expressions, ANN recall, and multimodal plumbing. */
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(7)
+  private val dim = 16
+  private def vec(): Array[Float] = Array.fill(dim)(rnd.nextGaussian().toFloat)
+  private val corpus = (0L until 200L).map(i => (i, vec())).toSeq
+
+  test("codegen'd dot/norm match naive double-fold reference") {
+    val df = corpus.take(20).toDF("vec_id", "embedding")
+    val got = df.select(
+      col("vec_id"),
+      VectorFunctions.dot(col("embedding"), col("embedding")).as("d"),
+      VectorFunctions.norm(col("embedding")).as("n"))
+      .as[(Long, Double, Double)].collect()
+    got.foreach { case (id, d, n) =>
+      val v = corpus(id.toInt)._2
+      val refDot = v.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+      assert(d === refDot, s"dot id=$id")
+      assert(n === math.sqrt(refDot), s"norm id=$id")
+    }
+  }
+
+  test("bruteForceTopK returns exact neighbors in score order") {
+    val df = corpus.toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(df, df.where(col("vec_id") === 0), 5)
+      .orderBy("rank").as[(Long, Long, Double, Int)].collect()
+    assert(out.length === 5)
+    assert(out.map(_._4).toSeq === Seq(1, 2, 3, 4, 5))
+    assert(out.map(_._3).toSeq === out.map(_._3).sortBy(-_).toSeq) // descending
+    // reference: naive top-5 by cosine
+    val q = corpus.head._2
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1.toDouble * p._2.toDouble)
+      val na = math.sqrt(a.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+      val nb = math.sqrt(b.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+      d / (na * nb)
+    }
+    val expect = corpus.tail.map { case (id, v) => (id, cos(q, v)) }
+      .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
+    assert(out.map(_._2).toSeq === expect)
+  }
+
+  test("lshTopK achieves useful recall against brute force") {
+    val df = corpus.toDF("vec_id", "embedding")
+    val queries = df.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(df, queries, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(df, queries, 10, dim, nPlanes = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // gaussian corpus is a worst case for LSH; multi-probe at 8 planes
+    // should still recover a solid fraction of the true top-10
+    assert(recall > 0.3, s"recall=$recall")
+    assert(approx.nonEmpty)
+  }
+
+  test("nearDupPairs exact and LSH-bucketed paths agree on high-sim pairs") {
+    // plant near-duplicates: vector i and i+1000 differ by tiny noise
+    val planted = corpus.take(20).map { case (id, v) =>
+      (id + 1000L, v.map(x => x + 0.001f * rnd.nextFloat()))
+    }
+    val df = (corpus.take(20) ++ planted).toDF("vec_id", "embedding")
+    val exact = Similarity.nearDupPairs(df, 0.999, dim, nPlanes = 0)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(exact === (0L until 20L).map(i => (i, i + 1000L)).toSet)
+    val bucketed = Similarity.nearDupPairs(df, 0.999, dim, nPlanes = 6)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // near-identical vectors share every hyperplane sign → full recall
+    assert(bucketed === exact)
+  }
+
+  test("multimodal extractFeatures is deterministic and batch-shaped (stub decoder)") {
+    val docs = Seq((1L, "hello world"), (2L, ""), (3L, "αβγ multi-byte"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.ingestDocsAsMedia(docs)
+    val out = Multimodal.extractFeatures(media, Multimodal.StubDecoder, batchSize = 2)
+      .orderBy("media_id").as[(Long, String, Array[Float])].collect()
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(out.forall(_._3.length === 8))
+    assert(out(1)._3.forall(_ === 0f)) // empty content → zero features
+    assert(out(0)._3(0) === "hello world".getBytes("UTF-8").length.toFloat)
+    val again = Multimodal.extractFeatures(media, Multimodal.StubDecoder, batchSize = 2)
+      .orderBy("media_id").as[(Long, String, Array[Float])].collect()
+    assert(out.map(_._3.toSeq) === again.map(_._3.toSeq))
+  }
+
+  test("multimodal frame sampling: one row per sampled frame, video only") {
+    val docs = Seq((2L, "abcdefghij"), (5L, "0123456789abcdef"), (1L, "not video"))
+      .toDF("doc_id", "text") // doc_id % 3 == 2 → video/mp4
+    val media = Multimodal.decodeMeta(Multimodal.ingestDocsAsMedia(docs))
+    val frames = Multimodal.sampleFrames(media)
+      .select("media_id", "frame_no").as[(Long, Long)].collect()
+    // n_frames = 1 + n_bytes % 7 → doc 2: 1 + 10%7 = 4; doc 5: 1 + 16%7 = 3
+    assert(frames.count(_._1 == 2L) === 4)
+    assert(frames.count(_._1 == 5L) === 3)
+    assert(!frames.exists(_._1 == 1L))
+  }
+}

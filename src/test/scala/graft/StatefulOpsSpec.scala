@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.EventOps
+import graft.streaming.{StatefulOps, StreamHarness}
+import graft.streaming.StatefulOps.Event
+
+/** Streaming twins vs batch semantics: the flatMapGroupsWithState operators
+  * must produce exactly the batch (oracle) answers when driven through real
+  * micro-batches, including state carried across batch boundaries and
+  * event-time timeouts fired by the advancing watermark (SURVEY.md §2.5
+  * A4/A6, §2.6 W8). */
+class StatefulOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ev(id: Long, user: Long, sec: Long, typ: String = "view"): Event =
+    Event(id, new Timestamp(sec * 1000L), user, typ, 1.0, "{}")
+
+  private val events = Seq(
+    ev(1, 1, 10), ev(2, 1, 20), ev(3, 1, 86410),          // u1: two days
+    ev(4, 2, 15), ev(5, 2, 16), ev(6, 2, 17),             // u2: one day, dups
+    ev(7, 3, 86420))                                       // u3: day 2 only
+
+  test("streaming dedupDaily equals batch dedupDaily across batch boundaries (A4)") {
+    val batches = Seq(events.take(4), events.drop(4))
+    val streamed = StreamHarness.run(spark, batches)(ds => StatefulOps.dedupDaily(ds).toDF())
+      .select("user_id", "event_id").as[(Long, Long)].collect().toSet
+    val batch = EventOps.dedupDaily(events.toDF())
+      .join(events.toDF(), Seq("user_id"))
+      .where(col("ts") === col("first_ts"))
+      .select("user_id", "event_id").as[(Long, Long)].collect().toSet
+    assert(streamed === Set((1L, 1L), (1L, 3L), (2L, 4L), (3L, 7L)))
+    assert(streamed === batch)
+  }
+
+  test("streaming visitorRepair demotes revisits on later days (A6)") {
+    val batches = Seq(events.take(3), events.drop(3))
+    val out = StreamHarness.run(spark, batches)(ds =>
+      StatefulOps.visitorRepair(ds).toDF("event", "fixed_is_new"))
+      .select(col("event.event_id"), col("fixed_is_new")).as[(Long, Int)]
+      .collect().toMap
+    assert(out === Map(1L -> 1, 2L -> 1, 3L -> 0, 4L -> 1, 5L -> 1, 6L -> 1, 7L -> 1))
+  }
+
+  test("streaming jumpDetect matches the batch lead() semantics incl. timeouts (W8)") {
+    // u1: entry at 10 followed by entry at 20 (match), entry at 20 followed
+    // by non-entry at 25 within horizon (not a bounce); u2: entry at 100 and
+    // silence (timeout); u3: entry at 50 then next event at 200 (> horizon).
+    val evs = Seq(
+      ev(1, 1, 10), ev(2, 1, 20), ev(3, 1, 25, "click"),
+      ev(4, 2, 100),
+      ev(5, 3, 50), ev(6, 3, 200, "click"))
+    val sentinel = ev(99, -1, 5000, "flush")
+    val streamed = StreamHarness.run(spark, Seq(evs, Seq(sentinel)))(ds =>
+      StatefulOps.jumpDetect(ds.withWatermark("ts", "2 seconds"),
+        _.event_type == "view", 30L).toDF())
+      .where(col("user_id") =!= -1L)
+      .select("event_id").as[Long].collect().toSet
+    val batch = EventOps.jumpDetect(
+      evs.toDF(), col("event_type") === "view", 30L)
+      .select("event_id").as[Long].collect().toSet
+    assert(streamed === Set(1L, 4L, 5L))
+    assert(streamed === batch)
+  }
+
+  test("batch jumpDetect horizon boundary is exclusive (> horizon, not >=)") {
+    val evs = Seq(ev(1, 1, 0), ev(2, 1, 30, "click"), // exactly 30 s later → within
+      ev(3, 2, 0), ev(4, 2, 31, "click"))             // 31 s → silence → bounce
+    val out = EventOps.jumpDetect(evs.toDF(), col("event_type") === "view", 30L)
+      .select("event_id").as[Long].collect().toSet
+    assert(out === Set(3L))
+  }
+}
