@@ -256,6 +256,55 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // J1 — watermarked stream-stream inner join with an event-time range
+    // condition (the reference's TTL'd order_detail ⋈ order_info, re-keyed
+    // to events): views matched to purchases by the same user ≤ 24 h later.
+    // Both sides are filters of ONE MemoryStream (a stream self-join), state
+    // evicted by the watermark + time bound exactly like X1.
+    "q33_stream_join" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).as[StatefulOps.Event]
+        .collect().toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val (h1, h2) = ev.splitAt(ev.length / 2)
+      StreamHarness.run(s, Seq(h1, h2)) { ds =>
+        val views = ds.toDF().where(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id"),
+            col("ts").as("view_ts"))
+          .withWatermark("view_ts", "10 seconds")
+        val buys = ds.toDF().where(col("event_type") === "purchase")
+          .select(col("event_id").as("buy_id"), col("user_id").as("b_user"),
+            col("ts").as("buy_ts"))
+          .withWatermark("buy_ts", "10 seconds")
+        views.join(buys,
+          col("user_id") === col("b_user") &&
+            col("buy_ts") >= col("view_ts") &&
+            col("buy_ts") <= col("view_ts") + expr("INTERVAL 24 HOURS"))
+          .select(col("view_id"), col("buy_id"))
+      }.orderBy(col("view_id"), col("buy_id"))
+    }),
+
+    // A1/W1/W3/W6 — streaming tumbling event-time window aggregation in
+    // append mode: windows emit only once the watermark passes their end
+    // (a far-future sentinel flushes the tail). Same oracle as q09.
+    "q34_stream_window" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).as[StatefulOps.Event]
+        .collect().toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val (h1, h2) = ev.splitAt(ev.length / 2)
+      val maxTs = ev.map(_.ts.getTime).max
+      val sentinel = StatefulOps.Event(
+        -1L, new Timestamp(maxTs + 7200L * 1000L), -1L, "flush", 0.0, "{}")
+      StreamHarness.run(s, Seq(h1, h2, Seq(sentinel))) { ds =>
+        graft.streaming.Windows.tumblingAgg(ds.toDF(), "ts", "1 hour", "10 seconds",
+          Seq(col("event_type")),
+          Seq(count(lit(1)).as("n_events"),
+            sum(Relational.money(col("value"))).cast("double").as("sum_value")))
+      }.where(col("event_type") =!= "flush")
+        .select(col("stt"), col("edt"), col("event_type"), col("n_events"),
+          col("sum_value"))
+        .orderBy(col("stt"), col("event_type"))
+    }),
+
     // --------------------------- multimodal --------------------------------
 
     "q30_media_meta" -> ((s, d) =>
@@ -587,6 +636,21 @@ object SparkEntry {
         |FROM e WHERE is_entry AND (next_ts IS NULL
         |  OR epoch_us(next_ts) - epoch_us(ts) > 30000000 OR next_entry)
         |ORDER BY event_id""".stripMargin,
+
+    "q33_stream_join" ->
+      """SELECT a.event_id AS view_id, b.event_id AS buy_id
+        |FROM events a JOIN events b
+        | ON a.user_id = b.user_id AND a.event_type = 'view'
+        | AND b.event_type = 'purchase'
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 24 HOUR
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q34_stream_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS stt,
+        | strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS edt,
+        | event_type, count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
 
     "q30_media_meta" ->
       s"""WITH $mediaCte,
