@@ -325,6 +325,48 @@ object SparkEntry {
       Multimodal.extractFeatures(
           Multimodal.ingestDocsAsMedia(Tables.documents(s, d)))
         .orderBy(col("media_id"))),
+
+    // ---------------------- skew + full DWD pipeline -----------------------
+
+    // Two-phase salted aggregation (hot-key mitigation): results must be
+    // row-identical to the direct groupBy the oracle runs.
+    "q35_salted_agg" -> ((s, d) =>
+      graft.operators.Skew.saltedSumCount(Tables.events(s, d),
+          Seq(col("user_id")), Relational.money(col("value")))
+        .select(col("user_id"), col("sum_value").cast("double").as("sum_value"),
+          col("cnt"))
+        .orderBy(col("user_id"))),
+
+    // DwdTradeCartAdd end-to-end over a synthesized cart_info CDC stream
+    // (insert + quantity-delta update + delete filtering, P4/P5) built
+    // deterministically from lineitem.
+    "q36_dwd_cart" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      val qint = col("l_quantity").cast("int")
+      val env = li.select(to_json(struct(
+        lit("gmall").as("database"), lit("cart_info").as("table"),
+        when(col("l_returnflag") === "N", "insert")
+          .when(col("l_returnflag") === "A", "update")
+          .otherwise("delete").as("type"),
+        col("l_orderkey").as("ts"),
+        map(
+          lit("id"), concat(col("l_orderkey"), lit("-"), col("l_linenumber")),
+          lit("user_id"), col("l_suppkey").cast("string"),
+          lit("sku_id"), col("l_partkey").cast("string"),
+          lit("cart_price"), col("l_extendedprice").cast("decimal(18,2)").cast("string"),
+          lit("sku_num"), qint.cast("string"),
+          lit("sku_name"), concat(lit("sku_"), col("l_partkey")),
+          lit("create_time"), date_format(col("l_shipdate"), "yyyy-MM-dd")).as("data"),
+        when(col("l_returnflag") === "A",
+          map(lit("sku_num"), (qint - (col("l_linenumber") % 4 - 1)).cast("string")))
+          .as("old"))).as("value"))
+      val (clean, _) = Envelopes.cleanDirty(Envelopes.parseMaxwell(env))
+      GmallPipelines.tradeCartAdd(clean)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("sku_num").cast("int")).as("sum_num"),
+          sum(col("cart_price").cast("decimal(18,2)")).cast("double").as("sum_price"))
+    }),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -636,6 +678,19 @@ object SparkEntry {
         |FROM e WHERE is_entry AND (next_ts IS NULL
         |  OR epoch_us(next_ts) - epoch_us(ts) > 30000000 OR next_entry)
         |ORDER BY event_id""".stripMargin,
+
+    "q35_salted_agg" ->
+      """SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        | count(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q36_dwd_cart" ->
+      """SELECT count(*) AS n_rows,
+        | CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS INT)
+        |          ELSE (l_linenumber % 4) - 1 END) AS BIGINT) AS sum_num,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE l_returnflag = 'N' OR (l_returnflag = 'A' AND (l_linenumber % 4) IN (2, 3))""".stripMargin,
 
     "q33_stream_join" ->
       """SELECT a.event_id AS view_id, b.event_id AS buy_id
