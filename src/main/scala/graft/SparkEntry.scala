@@ -326,6 +326,33 @@ object SparkEntry {
           Multimodal.ingestDocsAsMedia(Tables.documents(s, d)))
         .orderBy(col("media_id"))),
 
+    // DWS keyword window end-to-end (the reference's flagship hybrid app,
+    // SURVEY §3.3): behavior-log JSON → parse → search-hit filter →
+    // tokenizer UDF + explode (U1/J5) → 10 s tumbling event-time window
+    // count (A1/W1/W3/W6), run as a REAL streaming query; a far-future
+    // sentinel search hit flushes the append-mode tail windows.
+    "q37_dws_keyword" -> ((s, d) => {
+      import s.implicits._
+      val logs = Tables.documents(s, d).select(
+        col("doc_id"),
+        concat(lit("""{"common":{"mid":"m"""), col("doc_id"),
+          lit(""""},"page":{"page_id":"good_list","last_page_id":"search","item_type":"keyword","item":""""),
+          concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 3)),
+          lit(""""},"ts":"""), col("doc_id") * 3000, lit("}")).as("value"))
+        .orderBy(col("doc_id"))
+        .as[(Long, String)].collect().toSeq
+      val maxId = logs.map(_._1).max
+      val sentinel = (maxId + 1, s"""{"common":{"mid":"zz"},"page":{"page_id":"good_list","last_page_id":"search","item_type":"keyword","item":"zzsentinel"},"ts":${(maxId + 1000000) * 3000}}""")
+      val batches = logs.grouped(math.max(1, logs.size / 2)).toSeq :+ Seq(sentinel)
+      StreamHarness.run(s, batches) { ds =>
+        val (clean, _) = Envelopes.cleanDirty(Envelopes.parseLog(ds.toDF()
+          .withColumnRenamed("_2", "value")))
+        graft.streaming.Windows.keywordCount(GmallPipelines.keywordHits(clean))
+      }.where(col("word") =!= "zzsentinel")
+        .select(col("stt"), col("edt"), col("word"), col("keyword_count"))
+        .orderBy(col("stt"), col("word"))
+    }),
+
     // ---------------------- skew + full DWD pipeline -----------------------
 
     // Two-phase salted aggregation (hot-key mitigation): results must be
@@ -678,6 +705,15 @@ object SparkEntry {
         |FROM e WHERE is_entry AND (next_ts IS NULL
         |  OR epoch_us(next_ts) - epoch_us(ts) > 30000000 OR next_entry)
         |ORDER BY event_id""".stripMargin,
+
+    "q37_dws_keyword" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |words AS (SELECT doc_id, unnest(w[1:3]) AS word FROM toks),
+         |win AS (SELECT word, (doc_id * 3) // 10 * 10 AS w0 FROM words)
+         |SELECT strftime(make_timestamp(w0 * 1000000), '%Y-%m-%d %H:%M:%S') AS stt,
+         | strftime(make_timestamp((w0 + 10) * 1000000), '%Y-%m-%d %H:%M:%S') AS edt,
+         | word, count(*) AS keyword_count
+         |FROM win GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
 
     "q35_salted_agg" ->
       """SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
