@@ -237,6 +237,23 @@ object SparkEntry {
         .orderBy(col("user_id"), col("visit_date"))
     }),
 
+    // A4 on the Spark 4 transformWithState API (RocksDB state store,
+    // ValueState with optional 1-day TTL = reference X4); same oracle.
+    "q38_stream_dedup_tws" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).as[StatefulOps.Event]
+        .collect().toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val (h1, h2) = ev.splitAt(ev.length / 2)
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try
+        StreamHarness.run(s, Seq(h1, h2))(ds => StatefulOps.dedupDailyTws(ds).toDF())
+          .select(col("user_id"), to_date(col("ts")).cast("string").as("visit_date"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("first_ts"))
+          .orderBy(col("user_id"), col("visit_date"))
+      finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }),
+
     // W8 CEP jump detection as a streaming query with event-time timeouts:
     // a sentinel batch advances the watermark to flush pending state; same
     // oracle as q13.
@@ -690,6 +707,12 @@ object SparkEntry {
         |ORDER BY 1""".stripMargin,
 
     "q28_stream_dedup" ->
+      """SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS visit_date,
+        | strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts
+        |FROM events GROUP BY user_id, CAST(ts AS DATE)
+        |ORDER BY user_id, visit_date""".stripMargin,
+
+    "q38_stream_dedup_tws" ->
       """SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS visit_date,
         | strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts
         |FROM events GROUP BY user_id, CAST(ts AS DATE)

@@ -1,8 +1,10 @@
 package graft.streaming
 
 import java.sql.Timestamp
+import java.time.Duration
 import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Streaming twins of the reference's keyed-state programs (SURVEY.md §2.5
   * A4/A5/A6, §2.6 W8), implemented with `flatMapGroupsWithState` — the
@@ -46,6 +48,49 @@ object StatefulOps {
           if (last.nonEmpty) state.update(last)
           out.iterator
         })
+  }
+
+  /** A4 via the Spark 4 `transformWithState` API (the modern successor to
+    * flatMapGroupsWithState): one `ValueState[String]` holding the last
+    * seen date with a DECLARED 1-day TTL — the exact shape of the
+    * reference's StateTtlConfig (app/dwd/DwdTrafficUniqueVisitorDetail
+    * .java:62-65, X4). Requires the RocksDB state store provider
+    * (spark.sql.streaming.stateStore.providerClass).
+    */
+  class DedupDailyProcessor(ttl: TTLConfig) extends StatefulProcessor[Long, Event, Event] {
+    @transient private var lastDate: ValueState[String] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastDate = getHandle.getValueState[String]("lastDate", Encoders.STRING, ttl)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[Event], timerValues: TimerValues): Iterator[Event] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var last = Option(lastDate.get()).getOrElse("")
+      val out = sorted.flatMap { e =>
+        val day = e.ts.toLocalDateTime.toLocalDate.toString
+        if (day > last) { last = day; Some(e) } else None
+      }
+      if (last.nonEmpty) lastDate.update(last)
+      out.iterator
+    }
+  }
+
+  /** [[dedupDaily]] on the transformWithState code path. Pass
+    * `ttl = Some(Duration.ofDays(1))` in production for the reference's
+    * exact X4 retention (TTL clocks require TimeMode.ProcessingTime, whose
+    * periodic timer batches never let `processAllAvailable` settle — so
+    * bounded tests/gates run with no TTL and TimeMode.None). */
+  def dedupDailyTws(
+      events: Dataset[Event],
+      ttl: Option[Duration] = None): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    val (ttlConf, timeMode) = ttl match {
+      case Some(d) => (TTLConfig(d), TimeMode.ProcessingTime())
+      case None    => (TTLConfig.NONE, TimeMode.None())
+    }
+    events.groupByKey(_.user_id)
+      .transformWithState(new DedupDailyProcessor(ttlConf), timeMode, OutputMode.Append())
   }
 
   /** A6 — streaming visitor-flag repair: is_new=1 only on the user's

@@ -64,6 +64,17 @@ class StatefulOpsSpec extends SparkTestBase {
     assert(streamed === batch)
   }
 
+  test("transformWithState dedup (RocksDB + 1-day state TTL) equals flatMapGroupsWithState twin") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batches = Seq(events.take(4), events.drop(4))
+      val tws = StreamHarness.run(spark, batches)(ds => StatefulOps.dedupDailyTws(ds).toDF())
+        .select("user_id", "event_id").as[(Long, Long)].collect().toSet
+      assert(tws === Set((1L, 1L), (1L, 3L), (2L, 4L), (3L, 7L)))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("batch jumpDetect horizon boundary is exclusive (> horizon, not >=)") {
     val evs = Seq(ev(1, 1, 0), ev(2, 1, 30, "click"), // exactly 30 s later → within
       ev(3, 2, 0), ev(4, 2, 31, "click"))             // 31 s → silence → bounce
