@@ -1,7 +1,7 @@
 package graft
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Envelopes, Tables}
 import graft.apps.GmallPipelines
@@ -342,6 +342,67 @@ object SparkEntry {
       Multimodal.extractFeatures(
           Multimodal.ingestDocsAsMedia(Tables.documents(s, d)))
         .orderBy(col("media_id"))),
+
+    // DwdTradeOrderPreProcess end-to-end (the reference's most complex app:
+    // od ⋈ oi LEFT⋈ activity LEFT⋈ coupon ⋈ dic, J1/J2/J4) over a
+    // synthesized 4-table Maxwell CDC stream — all four views carved out of
+    // ONE envelope stream exactly like the reference's single topic_db.
+    "q39_dwd_order_pre" -> ((s, d) => {
+      val sp = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val li = Tables.lineitem(s, d).repartition(sp)
+      val ord = Tables.orders(s, d).repartition(sp)
+      def env(table: String, typ: Column, ts: Column, data: Column, old: Column): Column =
+        to_json(struct(lit("gmall").as("database"), lit(table).as("table"),
+          typ.as("type"), ts.as("ts"), data.as("data"), old.as("old")))
+      val detail = li.select(env("order_detail", lit("insert"), col("l_orderkey"),
+        map(
+          lit("id"), concat(col("l_orderkey"), lit("-"), col("l_linenumber")),
+          lit("order_id"), col("l_orderkey").cast("string"),
+          lit("sku_id"), col("l_partkey").cast("string"),
+          lit("sku_name"), concat(lit("sku_"), col("l_partkey")),
+          lit("sku_num"), col("l_quantity").cast("int").cast("string"),
+          lit("create_time"), date_format(col("l_shipdate"), "yyyy-MM-dd"),
+          lit("source_id"), col("l_suppkey").cast("string"),
+          lit("source_type"), concat(lit("240"), (col("l_linenumber") % 2 + 1)),
+          lit("split_activity_amount"), lit("0.00"),
+          lit("split_coupon_amount"), lit("0.00"),
+          lit("split_total_amount"), col("l_extendedprice").cast("decimal(18,2)").cast("string")),
+        lit(null).cast("map<string,string>")).as("value"))
+      val info = ord.select(env("order_info",
+        when(col("o_orderstatus") === "O", "insert").otherwise("update"),
+        col("o_orderkey"),
+        map(
+          lit("id"), col("o_orderkey").cast("string"),
+          lit("user_id"), col("o_custkey").cast("string"),
+          lit("province_id"), (col("o_custkey") % 34).cast("string"),
+          lit("operate_time"), date_format(col("o_orderdate"), "yyyy-MM-dd"),
+          lit("order_status"), lit("1002")),
+        when(col("o_orderstatus") =!= "O", map(lit("order_status"), lit("1001")))).as("value"))
+      val activity = li.where(col("l_linenumber") % 3 === 0)
+        .select(env("order_detail_activity", lit("insert"), col("l_orderkey"),
+          map(
+            lit("order_detail_id"), concat(col("l_orderkey"), lit("-"), col("l_linenumber")),
+            lit("activity_id"), concat(lit("act_"), col("l_suppkey") % 5),
+            lit("activity_rule_id"), lit("r1")),
+          lit(null).cast("map<string,string>")).as("value"))
+      val coupon = li.where(col("l_partkey") % 4 === 0)
+        .select(env("order_detail_coupon", lit("insert"), col("l_orderkey"),
+          map(
+            lit("order_detail_id"), concat(col("l_orderkey"), lit("-"), col("l_linenumber")),
+            lit("coupon_id"), concat(lit("cpn_"), col("l_partkey") % 7)),
+          lit(null).cast("map<string,string>")).as("value"))
+      val db = Envelopes.cleanDirty(Envelopes.parseMaxwell(
+        detail.unionByName(info).unionByName(activity).unionByName(coupon)))._1
+      import s.implicits._
+      val dic = Seq(("2401", "promo"), ("2402", "search")).toDF("dic_code", "dic_name")
+      GmallPipelines.tradeOrderPreProcess(db, dic)
+        .groupBy(col("op_type"), col("source_type_name"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("split_total_amount").cast("decimal(18,2)")).cast("double").as("sum_amount"),
+          count(col("activity_id")).as("n_act"),
+          count(col("coupon_id")).as("n_cpn"))
+        .orderBy(col("op_type"), col("source_type_name"))
+    }),
 
     // DWS keyword window end-to-end (the reference's flagship hybrid app,
     // SURVEY §3.3): behavior-log JSON → parse → search-hit filter →
@@ -750,6 +811,23 @@ object SparkEntry {
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem
         |WHERE l_returnflag = 'N' OR (l_returnflag = 'A' AND (l_linenumber % 4) IN (2, 3))""".stripMargin,
+
+    "q39_dwd_order_pre" ->
+      """WITH det AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  CAST(l_extendedprice AS DECIMAL(18,2)) AS amt,
+        |  concat('240', l_linenumber % 2 + 1) AS source_type FROM lineitem),
+        |act AS (SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_linenumber % 3 = 0),
+        |cpn AS (SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_partkey % 4 = 0)
+        |SELECT CASE WHEN o.o_orderstatus = 'O' THEN 'insert' ELSE 'update' END AS op_type,
+        | CASE WHEN d.source_type = '2401' THEN 'promo' ELSE 'search' END AS source_type_name,
+        | count(*) AS n_rows,
+        | CAST(sum(d.amt) AS DOUBLE) AS sum_amount,
+        | count(a.l_orderkey) AS n_act,
+        | count(c.l_orderkey) AS n_cpn
+        |FROM det d JOIN orders o ON d.l_orderkey = o.o_orderkey
+        |LEFT JOIN act a ON d.l_orderkey = a.l_orderkey AND d.l_linenumber = a.l_linenumber
+        |LEFT JOIN cpn c ON d.l_orderkey = c.l_orderkey AND d.l_linenumber = c.l_linenumber
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q33_stream_join" ->
       """SELECT a.event_id AS view_id, b.event_id AS buy_id
