@@ -391,8 +391,14 @@ object SparkEntry {
             lit("order_detail_id"), concat(col("l_orderkey"), lit("-"), col("l_linenumber")),
             lit("coupon_id"), concat(lit("cpn_"), col("l_partkey") % 7)),
           lit(null).cast("map<string,string>")).as("value"))
+      // persist + materialize the parsed stream eagerly: four views + the
+      // broadcast join sides would otherwise re-execute the JSON parse per
+      // branch — and broadcast-exchange subqueries run it single-task
+      // before the cache fills (SURVEY §7.3 #4)
       val db = Envelopes.cleanDirty(Envelopes.parseMaxwell(
         detail.unionByName(info).unionByName(activity).unionByName(coupon)))._1
+        .persist()
+      db.count()
       import s.implicits._
       val dic = Seq(("2401", "promo"), ("2402", "search")).toDF("dic_code", "dic_name")
       GmallPipelines.tradeOrderPreProcess(db, dic)
