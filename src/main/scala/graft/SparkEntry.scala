@@ -437,6 +437,43 @@ object SparkEntry {
         .orderBy(col("stt"), col("word"))
     }),
 
+    // DWS traffic page-view window (A2/X7/W9): behavior-log JSON → page
+    // branch → 0/1 counter encode (pv/sv/dur) → multi-key 1 h tumbling
+    // event-time window sums, streamed with a sentinel-flushed tail.
+    "q40_dws_traffic" -> ((s, d) => {
+      import s.implicits._
+      val logs = Tables.events(s, d).select(col("event_id"), concat(
+        lit("""{"common":{"mid":"m"""), col("user_id"),
+        lit("""","vc":"v"""), col("user_id") % 3,
+        lit("""","ch":""""), col("event_type"),
+        lit("""","ar":""""), col("user_id") % 5,
+        lit("""","is_new":""""), col("event_id") % 2,
+        lit(""""},"page":{"page_id":"home""""),
+        when(col("event_id") % 3 =!= 0, lit(",\"last_page_id\":\"search\""))
+          .otherwise(lit("")),
+        lit(""","during_time":"""), round(col("value")).cast("long"),
+        lit("""},"ts":"""), unix_millis(col("ts")), lit("}")).as("value"))
+        .orderBy(col("event_id")).as[(Long, String)].collect().toSeq
+      val maxId = logs.map(_._1).max
+      val farTs = 9999999999999L // far-future millis flushes every window
+      val sentinel = (maxId + 1,
+        s"""{"common":{"mid":"zz","vc":"zz","ch":"zz","ar":"zz","is_new":"9"},"page":{"page_id":"home","during_time":0},"ts":$farTs}""")
+      val batches = logs.grouped(math.max(1, logs.size / 2)).toSeq :+ Seq(sentinel)
+      StreamHarness.run(s, batches) { ds =>
+        val (clean, _) = Envelopes.cleanDirty(Envelopes.parseLog(
+          ds.toDF().withColumnRenamed("_2", "value")))
+        val page = GmallPipelines.baseLogSplit(clean)("page")
+        graft.streaming.Windows.tumblingAgg(
+          GmallPipelines.trafficCounters(page), "rt", "1 hour", "14 seconds",
+          Seq(col("vc"), col("ch"), col("ar"), col("is_new")),
+          Seq(sum(col("pv")).as("pv_ct"), sum(col("sv")).as("sv_ct"),
+            sum(col("dur")).as("dur_sum")))
+      }.where(col("vc") =!= "zz")
+        .select(col("stt"), col("edt"), col("vc"), col("ch"), col("ar"),
+          col("is_new"), col("pv_ct"), col("sv_ct"), col("dur_sum"))
+        .orderBy(col("stt"), col("vc"), col("ch"), col("ar"), col("is_new"))
+    }),
+
     // ---------------------- skew + full DWD pipeline -----------------------
 
     // Two-phase salted aggregation (hot-key mitigation): results must be
@@ -804,6 +841,19 @@ object SparkEntry {
          | strftime(make_timestamp((w0 + 10) * 1000000), '%Y-%m-%d %H:%M:%S') AS edt,
          | word, count(*) AS keyword_count
          |FROM win GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
+
+    "q40_dws_traffic" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS stt,
+        | strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS edt,
+        | 'v' || CAST(user_id % 3 AS VARCHAR) AS vc,
+        | event_type AS ch,
+        | CAST(user_id % 5 AS VARCHAR) AS ar,
+        | CAST(event_id % 2 AS VARCHAR) AS is_new,
+        | count(*) AS pv_ct,
+        | CAST(sum(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS sv_ct,
+        | CAST(sum(CAST(round(value) AS BIGINT)) AS BIGINT) AS dur_sum
+        |FROM events
+        |GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY 1, 3, 4, 5, 6""".stripMargin,
 
     "q35_salted_agg" ->
       """SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
