@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver greps `runMain graft.Bench` stdout for the one-line result
+// JSON; sbt's default logger prefixes forwarded output with "[info] ",
+// which breaks its parser (BENCH_r01 "parsed": null). StdoutOutput passes
+// the forked JVM's stdout through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

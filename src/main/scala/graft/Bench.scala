@@ -1,5 +1,12 @@
 package graft
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every SparkEntry query against
+  * SPARK_GRAFT_SF_DIR and emits ONE raw JSON line on stdout (plus a copy at
+  * bench_result.json) for the driver. A query failure aborts the run with a
+  * non-zero exit — a broken query must never bench as a fast success.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,7 +19,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] FATAL: $name failed: $e")
+        spark.stop()
+        sys.exit(1)
+      }
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-22s $sec%8.2f s")
       name -> sec
@@ -20,7 +32,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get("bench_result.json"), json + "\n")
+    println(json)
     spark.stop()
   }
 }

@@ -30,6 +30,17 @@ object SparkEntry {
       Tables.customer(spark, d), Tables.nation(spark, d), Tables.region(spark, d))
   }
 
+  /** Two micro-batches for the dedup gates: even-numbered days first, odd
+    * days second (so earlier days can arrive AFTER later ones), each batch
+    * internally scrambled by a deterministic id hash. */
+  private def disorderedDayBatches(
+      ev: Seq[StatefulOps.Event]): (Seq[StatefulOps.Event], Seq[StatefulOps.Event]) = {
+    val (odd, even) = ev.partition(_.ts.toLocalDateTime.getDayOfMonth % 2 == 1)
+    def scrambled(b: Seq[StatefulOps.Event]) =
+      b.sortBy(e => e.event_id * 0x9E3779B97F4A7C15L)
+    (scrambled(even), scrambled(odd))
+  }
+
   // ------------------------------------------------------------------ queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -226,11 +237,15 @@ object SparkEntry {
 
     // A4 dedup as an incremental flatMapGroupsWithState run: state must
     // carry across the micro-batch boundary; same oracle as q10.
+    // The feed is DELIBERATELY disordered: shuffled within each batch, and
+    // batched by day parity so a user's EARLIER day arrives in a LATER
+    // micro-batch — proving the seen-days state doesn't swallow
+    // out-of-order days (each (user, day) stays within one batch, so the
+    // per-batch µs sort still surfaces the day's true first event).
     "q28_stream_dedup" -> ((s, d) => {
       import s.implicits._
-      val ev = Tables.events(s, d).as[StatefulOps.Event]
-        .collect().toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-      val (h1, h2) = ev.splitAt(ev.length / 2)
+      val ev = Tables.events(s, d).as[StatefulOps.Event].collect().toSeq
+      val (h1, h2) = disorderedDayBatches(ev)
       StreamHarness.run(s, Seq(h1, h2))(ds => StatefulOps.dedupDaily(ds).toDF())
         .select(col("user_id"), to_date(col("ts")).cast("string").as("visit_date"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("first_ts"))
@@ -241,9 +256,8 @@ object SparkEntry {
     // ValueState with optional 1-day TTL = reference X4); same oracle.
     "q38_stream_dedup_tws" -> ((s, d) => {
       import s.implicits._
-      val ev = Tables.events(s, d).as[StatefulOps.Event]
-        .collect().toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-      val (h1, h2) = ev.splitAt(ev.length / 2)
+      val ev = Tables.events(s, d).as[StatefulOps.Event].collect().toSeq
+      val (h1, h2) = disorderedDayBatches(ev) // see q28
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try
@@ -336,12 +350,19 @@ object SparkEntry {
           Multimodal.ingestDocsAsMedia(Tables.documents(s, d))))
         .orderBy(col("media_id"), col("frame_no"))),
 
-    // batched per-partition decode (mapInPandas analogue) — UDF path, so
-    // rows-only check; determinism is spec-tested.
-    "q32_media_features" -> ((s, d) =>
-      Multimodal.extractFeatures(
-          Multimodal.ingestDocsAsMedia(Tables.documents(s, d)))
-        .orderBy(col("media_id"))),
+    // batched per-partition decode (mapInPandas analogue). The raw
+    // array<float> features column is not hashable by the driver's oracle
+    // (pandas can't sort ndarray cells), so the gate projects each feature
+    // to a rounded scalar column; the DuckDB oracle replicates
+    // StubDecoder's byte statistics from hex(encode(text)).
+    "q32_media_features" -> ((s, d) => {
+      val feats = Multimodal.extractFeatures(
+        Multimodal.ingestDocsAsMedia(Tables.documents(s, d)))
+      val fCols = (0 until 8).map(i =>
+        round(element_at(col("features"), i + 1).cast("double"), 6).as(s"f$i"))
+      feats.select((col("media_id") +: col("mime") +: fCols): _*)
+        .orderBy(col("media_id"))
+    }),
 
     // DwdTradeOrderPreProcess end-to-end (the reference's most complex app:
     // od ⋈ oi LEFT⋈ activity LEFT⋈ coupon ⋈ dic, J1/J2/J4) over a
@@ -417,12 +438,17 @@ object SparkEntry {
     // sentinel search hit flushes the append-mode tail windows.
     "q37_dws_keyword" -> ((s, d) => {
       import s.implicits._
+      // to_json(struct(...)), not string concat: a token containing a quote
+      // or backslash must be escaped, or Spark would route the row to the
+      // dirty stream while the DuckDB oracle still counts it
       val logs = Tables.documents(s, d).select(
         col("doc_id"),
-        concat(lit("""{"common":{"mid":"m"""), col("doc_id"),
-          lit(""""},"page":{"page_id":"good_list","last_page_id":"search","item_type":"keyword","item":""""),
-          concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 3)),
-          lit(""""},"ts":"""), col("doc_id") * 3000, lit("}")).as("value"))
+        to_json(struct(
+          struct(concat(lit("m"), col("doc_id")).as("mid")).as("common"),
+          struct(lit("good_list").as("page_id"), lit("search").as("last_page_id"),
+            concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 3)).as("item"),
+            lit("keyword").as("item_type")).as("page"),
+          (col("doc_id") * 3000).as("ts"))).as("value"))
         .orderBy(col("doc_id"))
         .as[(Long, String)].collect().toSeq
       val maxId = logs.map(_._1).max
@@ -442,17 +468,18 @@ object SparkEntry {
     // event-time window sums, streamed with a sentinel-flushed tail.
     "q40_dws_traffic" -> ((s, d) => {
       import s.implicits._
-      val logs = Tables.events(s, d).select(col("event_id"), concat(
-        lit("""{"common":{"mid":"m"""), col("user_id"),
-        lit("""","vc":"v"""), col("user_id") % 3,
-        lit("""","ch":""""), col("event_type"),
-        lit("""","ar":""""), col("user_id") % 5,
-        lit("""","is_new":""""), col("event_id") % 2,
-        lit(""""},"page":{"page_id":"home""""),
-        when(col("event_id") % 3 =!= 0, lit(",\"last_page_id\":\"search\""))
-          .otherwise(lit("")),
-        lit(""","during_time":"""), round(col("value")).cast("long"),
-        lit("""},"ts":"""), unix_millis(col("ts")), lit("}")).as("value"))
+      // to_json drops null fields, so the conditional last_page_id needs no
+      // string surgery (and event_type escaping is handled — see q37)
+      val logs = Tables.events(s, d).select(col("event_id"), to_json(struct(
+        struct(concat(lit("m"), col("user_id")).as("mid"),
+          concat(lit("v"), col("user_id") % 3).as("vc"),
+          col("event_type").as("ch"),
+          (col("user_id") % 5).cast("string").as("ar"),
+          (col("event_id") % 2).cast("string").as("is_new")).as("common"),
+        struct(lit("home").as("page_id"),
+          when(col("event_id") % 3 =!= 0, lit("search")).as("last_page_id"),
+          round(col("value")).cast("long").as("during_time")).as("page"),
+        unix_millis(col("ts")).as("ts"))).as("value"))
         .orderBy(col("event_id")).as[(Long, String)].collect().toSeq
       val maxId = logs.map(_._1).max
       val farTs = 9999999999999L // far-future millis flushes every window
@@ -908,6 +935,33 @@ object SparkEntry {
          | greatest(1, CAST(floor(CAST(height AS DOUBLE) * scale) AS BIGINT)) AS out_h,
          | CASE WHEN mime <> 'image/png' THEN n_bytes * 10 END AS duration_ms
          |FROM r ORDER BY media_id""".stripMargin,
+
+    "q32_media_features" ->
+      """WITH b AS (
+        | SELECT doc_id AS media_id,
+        |  (['image/png', 'audio/wav', 'video/mp4'])[CAST(doc_id % 3 + 1 AS INT)] AS mime,
+        |  hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+        | FROM documents),
+        |bl AS (
+        | SELECT media_id, mime, n,
+        |  list_transform(range(n), i ->
+        |   (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS BIGINT), 1)) - 1) * 16
+        |   + (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS BIGINT), 1)) - 1)) AS bs
+        | FROM b),
+        |st AS (SELECT *, CAST(list_reduce(bs, (a, x) -> a + x) AS DOUBLE) / n AS mean FROM bl),
+        |v AS (SELECT *,
+        |  list_reduce(list_transform(bs, x -> (x - mean) * (x - mean)), (a, x) -> a + x) / n AS varr
+        | FROM st)
+        |SELECT media_id, mime,
+        | round(CAST(CAST(n AS FLOAT) AS DOUBLE), 6) AS f0,
+        | round(CAST(CAST(mean AS FLOAT) AS DOUBLE), 6) AS f1,
+        | round(CAST(CAST(sqrt(varr) AS FLOAT) AS DOUBLE), 6) AS f2,
+        | round(CAST(CAST(bs[1] AS FLOAT) AS DOUBLE), 6) AS f3,
+        | round(CAST(CAST(bs[n] AS FLOAT) AS DOUBLE), 6) AS f4,
+        | round(CAST(CAST(list_aggregate(bs, 'min') AS FLOAT) AS DOUBLE), 6) AS f5,
+        | round(CAST(CAST(list_aggregate(bs, 'max') AS FLOAT) AS DOUBLE), 6) AS f6,
+        | round(CAST(CAST(len(mime) AS FLOAT) AS DOUBLE), 6) AS f7
+        |FROM v ORDER BY media_id""".stripMargin,
 
     "q31_media_frames" ->
       s"""WITH $mediaCte,

@@ -122,10 +122,13 @@ object GmallPipelines {
       .drop("dic_code")
   }
 
-  /** DwdTradeCancelDetail (P5, DwdTradeCancelDetail.java:90-92): status
-    * update to cancelled (1003). */
-  def tradeCancel(db: DataFrame): DataFrame =
-    orderInfo(db).where(col("op_type") === "update" &&
+  /** DwdTradeCancelDetail (P5, DwdTradeCancelDetail.java:65-92): cancelled
+    * order DETAIL rows — the reference filters the PRE-PROCESS wide table
+    * (`from dwd_order_pre where type='update' and old['order_status'] is
+    * not null and order_status='1003'`), so pass [[tradeOrderPreProcess]]
+    * output, not the raw stream. */
+  def tradeCancel(orderPre: DataFrame): DataFrame =
+    orderPre.where(col("op_type") === "update" &&
       col("old_order_status").isNotNull && col("order_status") === "1003")
 
   /** DwdTradePayDetailSuc (P5+J1+J4, DwdTradePayDetailSuc.java:23-34,94-98):
@@ -142,33 +145,45 @@ object GmallPipelines {
       .drop("dic_code")
   }
 
-  /** DwdTradeOrderRefund (P5, DwdTradeOrderRefund.java:53-80): refund
-    * requests — order_refund_info inserts + order_info refund updates (1005). */
-  def tradeOrderRefund(db: DataFrame): DataFrame = {
+  /** DwdTradeOrderRefund (P5+J4, DwdTradeOrderRefund.java:53-114): refund
+    * requests — order_refund_info inserts ⋈ order_info refund updates
+    * (1005, old not null) ⋈ base_dic twice (refund_type + reason_type). */
+  def tradeOrderRefund(db: DataFrame, baseDic: DataFrame): DataFrame = {
     val refundInfo = db.where(tbl("order_refund_info", "insert"))
       .select(d("id").as("id"), d("user_id").as("user_id"),
         d("order_id").as("order_id"), d("sku_id").as("sku_id"),
         d("refund_type").as("refund_type"), d("refund_num").as("refund_num"),
         d("refund_amount").as("refund_amount"),
         d("refund_reason_type").as("refund_reason_type"),
+        d("refund_reason_txt").as("refund_reason_txt"),
+        date_format(d("create_time").cast("timestamp"), "yyyy-MM-dd").as("date_id"),
         d("create_time").as("create_time"), col("ts"))
     val oiRefund = db.where(tbl("order_info", "update") &&
         d("order_status") === "1005" && o("order_status").isNotNull)
       .select(d("id").as("order_id"), d("province_id").as("province_id"))
     refundInfo.join(oiRefund, Seq("order_id"))
+      .join(broadcast(baseDic.select(col("dic_code"),
+        col("dic_name").as("refund_type_name"))),
+        col("refund_type") === col("dic_code")).drop("dic_code")
+      .join(broadcast(baseDic.select(col("dic_code"),
+        col("dic_name").as("refund_reason_type_name"))),
+        col("refund_reason_type") === col("dic_code")).drop("dic_code")
   }
 
-  /** DwdTradeRefundPaySuc (P5+J1, DwdTradeRefundPaySuc.java:54-127):
-    * refund payments done (refund_status 0702, order_status 1006);
-    * two-key join on (order_id, sku_id). */
-  def tradeRefundPaySuccess(db: DataFrame): DataFrame = {
-    val refundPay = db.where(tbl("refund_payment") && d("refund_status") === "0702")
+  /** DwdTradeRefundPaySuc (P5+J1+J4, DwdTradeRefundPaySuc.java:54-130):
+    * refund payments done — refund_payment updates (0702, old not null)
+    * ⋈ order_info updates (1006, old not null) ⋈ order_refund_info (NO
+    * type/status filter — the reference's is commented out, its
+    * refund_status is always null there) on (order_id, sku_id) ⋈ base_dic. */
+  def tradeRefundPaySuccess(db: DataFrame, baseDic: DataFrame): DataFrame = {
+    val refundPay = db.where(tbl("refund_payment", "update") &&
+        d("refund_status") === "0702" && o("refund_status").isNotNull)
       .select(d("id").as("id"), d("order_id").as("order_id"),
         d("sku_id").as("sku_id"), d("payment_type").as("payment_type"),
-        d("total_amount").as("total_amount"),
-        d("callback_time").as("callback_time"), col("ts"))
-    val refundInfo = db.where(tbl("order_refund_info", "update") &&
-        d("refund_status") === "0705" && o("refund_status").isNotNull)
+        date_format(d("callback_time").cast("timestamp"), "yyyy-MM-dd").as("date_id"),
+        d("callback_time").as("callback_time"),
+        d("total_amount").as("total_amount"), col("ts"))
+    val refundInfo = db.where(tbl("order_refund_info"))
       .select(d("order_id").as("order_id"), d("sku_id").as("sku_id"),
         d("refund_num").as("refund_num"))
     val oi = db.where(tbl("order_info", "update") &&
@@ -177,6 +192,9 @@ object GmallPipelines {
         d("province_id").as("province_id"))
     refundPay.join(oi, Seq("order_id"))
       .join(refundInfo, Seq("order_id", "sku_id"))
+      .join(broadcast(baseDic.select(col("dic_code"),
+        col("dic_name").as("payment_type_name"))),
+        col("payment_type") === col("dic_code")).drop("dic_code")
   }
 
   // ------------------------------------------------------- tool / misc ----
@@ -189,38 +207,43 @@ object GmallPipelines {
         date_format(d("get_time").cast("timestamp"), "yyyy-MM-dd").as("date_id"),
         d("get_time").as("get_time"), col("ts"))
 
-  /** DwdToolCouponOrder (DwdToolCouponOrder.java:61-64): coupon applied to
-    * an order — update with using_time newly set (1402). */
+  /** DwdToolCouponOrder (DwdToolCouponOrder.java:52-64): coupon applied to
+    * an order — update with coupon_status 1401→1402. */
   def couponOrder(db: DataFrame): DataFrame =
     db.where(tbl("coupon_use", "update") && d("coupon_status") === "1402" &&
         o("coupon_status") === "1401")
       .select(d("id").as("id"), d("coupon_id").as("coupon_id"),
         d("user_id").as("user_id"), d("order_id").as("order_id"),
+        date_format(d("using_time").cast("timestamp"), "yyyy-MM-dd").as("date_id"),
         d("using_time").as("using_time"), col("ts"))
 
-  /** DwdToolCouponPay (DwdToolCouponPay.java:54-56): coupon consumed at
-    * payment — used_time newly set. */
+  /** DwdToolCouponPay (DwdToolCouponPay.java:45-56): coupon consumed at
+    * payment. The reference filters ONLY `data['used_time'] is not null`
+    * (no old-map predicate) — an update that changes used_time
+    * non-null→non-null is emitted. */
   def couponPay(db: DataFrame): DataFrame =
-    db.where(tbl("coupon_use", "update") && o("used_time").isNull &&
-        d("used_time").isNotNull)
+    db.where(tbl("coupon_use", "update") && d("used_time").isNotNull)
       .select(d("id").as("id"), d("coupon_id").as("coupon_id"),
         d("user_id").as("user_id"), d("order_id").as("order_id"),
+        date_format(d("used_time").cast("timestamp"), "yyyy-MM-dd").as("date_id"),
         d("used_time").as("used_time"), col("ts"))
 
-  /** DwdInteractionFavorAdd (DwdInteractionFavorAdd.java:55-56): favor adds
-    * — inserts, or updates flipping is_cancel 1→0. */
+  /** DwdInteractionFavorAdd (DwdInteractionFavorAdd.java:54-56): favor adds
+    * — inserts, or any update with is_cancel='0' (the reference has NO
+    * old-map predicate; an is_cancel=0→0 touch re-emits). */
   def favorAdd(db: DataFrame): DataFrame =
     db.where(tbl("favor_info") && (col("type") === "insert" ||
-        (col("type") === "update" && d("is_cancel") === "0" && o("is_cancel") === "1")))
+        (col("type") === "update" && d("is_cancel") === "0")))
       .select(d("id").as("id"), d("user_id").as("user_id"),
         d("sku_id").as("sku_id"), d("create_time").as("create_time"), col("ts"))
 
-  /** DwdInteractionComment (DwdInteractionComment.java:66-87): comment
+  /** DwdInteractionComment (DwdInteractionComment.java:56-87): comment
     * inserts enriched with the appraise dictionary (J4 lookup join). */
   def comment(db: DataFrame, baseDic: DataFrame): DataFrame =
     db.where(tbl("comment_info", "insert"))
       .select(d("id").as("id"), d("user_id").as("user_id"),
-        d("sku_id").as("sku_id"), d("appraise").as("appraise"),
+        d("sku_id").as("sku_id"), d("order_id").as("order_id"),
+        d("create_time").as("create_time"), d("appraise").as("appraise"),
         d("comment_txt").as("comment_txt"), col("ts"))
       .join(broadcast(baseDic.select(col("dic_code"),
         col("dic_name").as("appraise_name"))),

@@ -113,10 +113,14 @@ object Envelopes {
   def parseDebeziumConfig(raw: DataFrame, jsonCol: String = "value"): DataFrame =
     parse(raw, jsonCol, debeziumConfigSchema)
 
-  /** A record is dirty iff the corrupt column captured anything — or, for
-    * log records, the envelope carries neither page nor start section
-    * (matches the reference treating unparseable records as dirty,
-    * BaseLogApp.java:36-52). */
+  /** A record is dirty iff the corrupt column captured anything — exactly
+    * the reference's rule (dirty = JSON parse failure and nothing else,
+    * BaseLogApp.java:42-47). A parseable log record lacking both `page` and
+    * `start` is NOT dirty; the reference routes it to the page stream
+    * (BaseLogApp.java:115-118, where it would NPE on page access), while
+    * [[graft.apps.GmallPipelines.baseLogSplit]] additionally requires a
+    * `page` section, so such records match no branch — the one deliberate
+    * divergence, chosen over crashing. */
   def isDirty: Column = col(Corrupt).isNotNull
 
   /** Split one parsed stream into (clean, dirty) without recomputing the

@@ -100,7 +100,12 @@ object Multimodal {
         else {
           val n = bytes.length
           val mean = bytes.map(b => (b & 0xff).toDouble).sum / n
-          val varr = bytes.map(b => math.pow((b & 0xff) - mean, 2)).sum / n
+          // (d * d), not math.pow(d, 2): pow's rounding is libm-specific,
+          // plain multiplication is the same IEEE op in any engine — keeps
+          // the feature oracle-replicable bit-for-bit
+          val varr = bytes.map { b =>
+            val d = (b & 0xff) - mean; d * d
+          }.sum / n
           Array(
             n.toFloat, mean.toFloat, math.sqrt(varr).toFloat,
             (bytes.head & 0xff).toFloat, (bytes.last & 0xff).toFloat,

@@ -30,21 +30,33 @@ object Sinks {
       .orderBy(col(orderCol).desc)
     val compacted = batch
       .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
-    val merged =
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) compacted
-      else {
-        val existing = spark.read.parquet(path)
-        existing.join(compacted.select(keyCols.map(col): _*), keyCols, "left_anti")
-          .unionByName(compacted)
-      }
-    val tmp = path + "_tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    // atomic-ish swap (single-writer micro-batch contract)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // existence check and swap go through the SAME Hadoop FileSystem the
+    // writes use — a java.nio check is wrong on any non-local URI
+    // (hdfs://, s3a://) and would silently overwrite the first batch
     val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dst)) {
+      compacted.write.mode("overwrite").parquet(path)
+      return
+    }
+    val existing = spark.read.parquet(path)
+    val merged = existing
+      .join(compacted.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .unionByName(compacted)
+    val tmp = new org.apache.hadoop.fs.Path(path + "_tmp")
+    val old = new org.apache.hadoop.fs.Path(path + "_old")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    // swap via rename-aside, not delete-then-rename: a crash mid-swap
+    // leaves the full store at `_old` (recoverable) instead of nothing
+    // (single-writer micro-batch contract)
+    fs.delete(old, true)
+    if (!fs.rename(dst, old))
+      throw new java.io.IOException(s"upsertByKey: cannot set aside $dst")
+    if (!fs.rename(tmp, dst)) {
+      fs.rename(old, dst) // restore
+      throw new java.io.IOException(s"upsertByKey: cannot publish $tmp")
+    }
+    fs.delete(old, true)
   }
 
   /** K5 — batch sink honoring declared field order (the reference maps bean

@@ -3,8 +3,8 @@ package graft.streaming
 import java.sql.Timestamp
 import java.time.Duration
 import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Streaming twins of the reference's keyed-state programs (SURVEY.md §2.5
   * A4/A5/A6, §2.6 W8), implemented with `flatMapGroupsWithState` — the
@@ -28,24 +28,39 @@ object StatefulOps {
       event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double, props: String)
 
+  /** Event time as MICROSECONDS since epoch. The events table is µs-precision
+    * and the batch forms + DuckDB oracles compare at µs (epoch_us); ordering
+    * or gap arithmetic on `Timestamp.getTime` (ms) would let two events in
+    * the same millisecond sort by id instead of true time, and a 30.0004 s
+    * gap compare as exactly 30 000 ms. */
+  private[streaming] def micros(ts: Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
   /** A4 — streaming daily UV dedup: first event per (user, day) passes.
     * Reference: app/dwd/DwdTrafficUniqueVisitorDetail.java:55-84
-    * (ValueState lastVisitDate + 1-day TTL). State = last seen date. */
+    * (ValueState lastVisitDate + 1-day TTL).
+    *
+    * State = the SET of days seen, not the max day: with max-day state an
+    * out-of-order event from a new-but-earlier day would be swallowed,
+    * while the reference emits on any `day != lastVisitDate` and the batch
+    * oracle keeps one row per (user, day). The set is bounded in
+    * production by the same 1-day TTL the reference uses (old days age
+    * out); size ≤ #days in the retention window per key.
+    */
   def dedupDaily(events: Dataset[Event]): Dataset[Event] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (_: Long, it: Iterator[Event], state: GroupState[String]) => {
-          // process in event-time order within the batch
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var last = state.getOption.getOrElse("")
+        (_: Long, it: Iterator[Event], state: GroupState[Seq[String]]) => {
+          // process in event-time order (µs) within the batch
+          val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var seen = state.getOption.getOrElse(Seq.empty).toSet
           val out = sorted.flatMap { e =>
             val day = e.ts.toLocalDateTime.toLocalDate.toString
-            if (day != last && day > last) { last = day; Some(e) }
-            else if (day != last && last == "") { last = day; Some(e) }
-            else None
+            if (seen.contains(day)) None
+            else { seen += day; Some(e) }
           }
-          if (last.nonEmpty) state.update(last)
+          if (seen.nonEmpty) state.update(seen.toSeq.sorted)
           out.iterator
         })
   }
@@ -58,20 +73,20 @@ object StatefulOps {
     * (spark.sql.streaming.stateStore.providerClass).
     */
   class DedupDailyProcessor(ttl: TTLConfig) extends StatefulProcessor[Long, Event, Event] {
-    @transient private var lastDate: ValueState[String] = _
+    @transient private var seenDays: ListState[String] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      lastDate = getHandle.getValueState[String]("lastDate", Encoders.STRING, ttl)
+      seenDays = getHandle.getListState[String]("seenDays", Encoders.STRING, ttl)
 
     override def handleInputRows(
         key: Long, rows: Iterator[Event], timerValues: TimerValues): Iterator[Event] = {
-      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-      var last = Option(lastDate.get()).getOrElse("")
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      var seen = seenDays.get().toSet
       val out = sorted.flatMap { e =>
         val day = e.ts.toLocalDateTime.toLocalDate.toString
-        if (day > last) { last = day; Some(e) } else None
+        if (seen.contains(day)) None
+        else { seen += day; seenDays.appendValue(day); Some(e) }
       }
-      if (last.nonEmpty) lastDate.update(last)
       out.iterator
     }
   }
@@ -101,7 +116,7 @@ object StatefulOps {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (_: Long, it: Iterator[Event], state: GroupState[String]) => {
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           var first = state.getOption.getOrElse("")
           val out = sorted.map { e =>
             val day = e.ts.toLocalDateTime.toLocalDate.toString
@@ -137,13 +152,13 @@ object StatefulOps {
             state.remove()
             Iterator.single(pending)
           } else {
-            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
             var pending = state.getOption
             val out = Seq.newBuilder[Event]
             sorted.foreach { e =>
               pending match {
                 case Some(p) =>
-                  if (e.ts.getTime - p.ts.getTime > horizonSec * 1000L) {
+                  if (micros(e.ts) - micros(p.ts) > horizonSec * 1000000L) {
                     out += p // silence observed within this batch
                     pending = if (isEntry(e)) Some(e) else None
                   } else if (isEntry(e)) {
@@ -159,7 +174,11 @@ object StatefulOps {
             pending match {
               case Some(p) =>
                 state.update(p)
-                state.setTimeoutTimestamp(p.ts.getTime + horizonSec * 1000L)
+                // timers are ms-grained; +1 ms guarantees the timer fires at
+                // or after the µs horizon (never early when p has sub-ms
+                // digits), so a non-bounce successor in the same final ms
+                // still cancels p before the timeout
+                state.setTimeoutTimestamp(p.ts.getTime + horizonSec * 1000L + 1L)
               case None => if (state.exists) state.remove()
             }
             out.result().iterator

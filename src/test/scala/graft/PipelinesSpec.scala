@@ -81,19 +81,20 @@ class PipelinesSpec extends SparkTestBase {
     assert(r.getString(4) === "user buy")  // dic lookup
   }
 
-  test("couponPay: used_time newly set (old null → new non-null)") {
+  test("couponPay: updates with used_time set (reference has no old-map predicate)") {
     val db = maxwell(
       ("coupon_use", "update", Map("id" -> "1", "coupon_id" -> "c", "user_id" -> "u",
         "order_id" -> "o", "used_time" -> "2022-01-01"), Map("used_time" -> null)),
       ("coupon_use", "update", Map("id" -> "2", "used_time" -> "2022-01-02"),
-        Map("coupon_status" -> "1401")))
-    // row 1: old.used_time explicit null → isNull true → kept
-    // row 2: used_time absent from old map → element_at null → kept
+        Map("coupon_status" -> "1401")),
+      ("coupon_use", "update", Map("id" -> "3", "coupon_status" -> "1402"), null),
+      ("coupon_use", "insert", Map("id" -> "4", "used_time" -> "2022-01-03"), null))
+    // rows 1-2 kept (used_time set); row 3 no used_time; row 4 not an update
     assert(GmallPipelines.couponPay(db).select("id").as[String].collect().sorted
       === Array("1", "2"))
   }
 
-  test("favorAdd: inserts and cancel-undo updates (is_cancel 1→0)") {
+  test("favorAdd: inserts and is_cancel='0' updates (reference has no old-map predicate)") {
     val db = maxwell(
       ("favor_info", "insert", Map("id" -> "1", "user_id" -> "u", "sku_id" -> "s",
         "create_time" -> "t"), null),
