@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.{Envelopes, Tables}
+import graft.core.{Envelopes, Tables, TopicDb}
 import graft.apps.GmallPipelines
 import graft.operators.{Dedup, EventOps, Multimodal, Relational, Similarity}
 import graft.functions.TextFunctions
@@ -178,30 +178,19 @@ object SparkEntry {
     // ------------------ envelope parse + pipeline plumbing -----------------
 
     // Maxwell CDC envelope → parse → type-filter → map-access projection →
-    // aggregate (S3/P1/P2/P3): JSON built deterministically from `orders`.
-    "q26_cdc_route" -> ((s, d) => {
-      // repartition before the (CPU-heavy) JSON round-trip: a single parquet
-      // file would otherwise pin serialize+parse to one task
-      val env = Tables.orders(s, d)
-        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
-        .select(to_json(struct(
-        lit("gmall").as("database"), lit("order_info").as("table"),
-        when(col("o_orderstatus") === "O", "insert")
-          .when(col("o_orderstatus") === "F", "delete")
-          .otherwise("update").as("type"),
-        col("o_orderkey").as("ts"),
-        map(
-          lit("id"), col("o_orderkey").cast("string"),
-          lit("status"), col("o_orderstatus"),
-          lit("total"), col("o_totalprice").cast("decimal(18,2)").cast("string"),
-          lit("priority"), col("o_orderpriority")).as("data"))).as("value"))
-      val (clean, _) = Envelopes.cleanDirty(Envelopes.parseMaxwell(env))
-      Envelopes.dataCols(Envelopes.cdcUpserts(clean), "id", "status", "total", "priority")
-        .groupBy(col("type"), col("priority"))
+    // aggregate (S3/P1/P2/P3) over the FULL synthesized topic_db stream
+    // (every business table, graft.core.TopicDb): per-(table, type) route
+    // counts + a lexicographic max over data['id'] + a ts checksum prove
+    // the parse, the delete filter (cart_info deletes vanish), and the
+    // map-access projection at once. The parse runs ONCE per session and
+    // is shared by every q4x pipeline gate (SURVEY §7.3 #4).
+    "q26_cdc_route" -> ((s, d) =>
+      Envelopes.cdcUpserts(TopicDb(s, d))
+        .groupBy(col("table"), col("type"))
         .agg(count(lit(1)).as("n_rows"),
-          sum(col("total").cast("decimal(18,2)")).cast("double").as("sum_total"))
-        .orderBy(col("type"), col("priority"))
-    }),
+          max(element_at(col("data"), "id")).as("max_id"),
+          sum(col("ts")).as("sum_ts"))
+        .orderBy(col("table"), col("type"))),
 
     // Behavior-log envelope → parse → 5-way split → explode (P1/P6/P7):
     // JSON built deterministically from `events`.
@@ -365,71 +354,18 @@ object SparkEntry {
     }),
 
     // DwdTradeOrderPreProcess end-to-end (the reference's most complex app:
-    // od ⋈ oi LEFT⋈ activity LEFT⋈ coupon ⋈ dic, J1/J2/J4) over a
-    // synthesized 4-table Maxwell CDC stream — all four views carved out of
-    // ONE envelope stream exactly like the reference's single topic_db.
-    "q39_dwd_order_pre" -> ((s, d) => {
-      val sp = s.conf.get("spark.sql.shuffle.partitions").toInt
-      val li = Tables.lineitem(s, d).repartition(sp)
-      val ord = Tables.orders(s, d).repartition(sp)
-      def env(table: String, typ: Column, ts: Column, data: Column, old: Column): Column =
-        to_json(struct(lit("gmall").as("database"), lit(table).as("table"),
-          typ.as("type"), ts.as("ts"), data.as("data"), old.as("old")))
-      val detail = li.select(env("order_detail", lit("insert"), col("l_orderkey"),
-        map(
-          lit("id"), concat(col("l_orderkey"), lit("-"), col("l_linenumber")),
-          lit("order_id"), col("l_orderkey").cast("string"),
-          lit("sku_id"), col("l_partkey").cast("string"),
-          lit("sku_name"), concat(lit("sku_"), col("l_partkey")),
-          lit("sku_num"), col("l_quantity").cast("int").cast("string"),
-          lit("create_time"), date_format(col("l_shipdate"), "yyyy-MM-dd"),
-          lit("source_id"), col("l_suppkey").cast("string"),
-          lit("source_type"), concat(lit("240"), (col("l_linenumber") % 2 + 1)),
-          lit("split_activity_amount"), lit("0.00"),
-          lit("split_coupon_amount"), lit("0.00"),
-          lit("split_total_amount"), col("l_extendedprice").cast("decimal(18,2)").cast("string")),
-        lit(null).cast("map<string,string>")).as("value"))
-      val info = ord.select(env("order_info",
-        when(col("o_orderstatus") === "O", "insert").otherwise("update"),
-        col("o_orderkey"),
-        map(
-          lit("id"), col("o_orderkey").cast("string"),
-          lit("user_id"), col("o_custkey").cast("string"),
-          lit("province_id"), (col("o_custkey") % 34).cast("string"),
-          lit("operate_time"), date_format(col("o_orderdate"), "yyyy-MM-dd"),
-          lit("order_status"), lit("1002")),
-        when(col("o_orderstatus") =!= "O", map(lit("order_status"), lit("1001")))).as("value"))
-      val activity = li.where(col("l_linenumber") % 3 === 0)
-        .select(env("order_detail_activity", lit("insert"), col("l_orderkey"),
-          map(
-            lit("order_detail_id"), concat(col("l_orderkey"), lit("-"), col("l_linenumber")),
-            lit("activity_id"), concat(lit("act_"), col("l_suppkey") % 5),
-            lit("activity_rule_id"), lit("r1")),
-          lit(null).cast("map<string,string>")).as("value"))
-      val coupon = li.where(col("l_partkey") % 4 === 0)
-        .select(env("order_detail_coupon", lit("insert"), col("l_orderkey"),
-          map(
-            lit("order_detail_id"), concat(col("l_orderkey"), lit("-"), col("l_linenumber")),
-            lit("coupon_id"), concat(lit("cpn_"), col("l_partkey") % 7)),
-          lit(null).cast("map<string,string>")).as("value"))
-      // persist + materialize the parsed stream eagerly: four views + the
-      // broadcast join sides would otherwise re-execute the JSON parse per
-      // branch — and broadcast-exchange subqueries run it single-task
-      // before the cache fills (SURVEY §7.3 #4)
-      val db = Envelopes.cleanDirty(Envelopes.parseMaxwell(
-        detail.unionByName(info).unionByName(activity).unionByName(coupon)))._1
-        .persist()
-      db.count()
-      import s.implicits._
-      val dic = Seq(("2401", "promo"), ("2402", "search")).toDF("dic_code", "dic_name")
-      GmallPipelines.tradeOrderPreProcess(db, dic)
+    // od ⋈ oi LEFT⋈ activity LEFT⋈ coupon ⋈ dic, J1/J2/J4) over the ONE
+    // shared topic_db stream — all four views carved out of the same
+    // persisted parse every other pipeline gate reads, exactly like the
+    // reference's apps all consuming one Kafka topic.
+    "q39_dwd_order_pre" -> ((s, d) =>
+      GmallPipelines.tradeOrderPreProcess(TopicDb(s, d), TopicDb.baseDic(s))
         .groupBy(col("op_type"), col("source_type_name"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("split_total_amount").cast("decimal(18,2)")).cast("double").as("sum_amount"),
           count(col("activity_id")).as("n_act"),
           count(col("coupon_id")).as("n_cpn"))
-        .orderBy(col("op_type"), col("source_type_name"))
-    }),
+        .orderBy(col("op_type"), col("source_type_name"))),
 
     // DWS keyword window end-to-end (the reference's flagship hybrid app,
     // SURVEY §3.3): behavior-log JSON → parse → search-hit filter →
@@ -512,35 +448,152 @@ object SparkEntry {
           col("cnt"))
         .orderBy(col("user_id"))),
 
-    // DwdTradeCartAdd end-to-end over a synthesized cart_info CDC stream
-    // (insert + quantity-delta update + delete filtering, P4/P5) built
-    // deterministically from lineitem.
-    "q36_dwd_cart" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
-      val qint = col("l_quantity").cast("int")
-      val env = li.select(to_json(struct(
-        lit("gmall").as("database"), lit("cart_info").as("table"),
-        when(col("l_returnflag") === "N", "insert")
-          .when(col("l_returnflag") === "A", "update")
-          .otherwise("delete").as("type"),
-        col("l_orderkey").as("ts"),
-        map(
-          lit("id"), concat(col("l_orderkey"), lit("-"), col("l_linenumber")),
-          lit("user_id"), col("l_suppkey").cast("string"),
-          lit("sku_id"), col("l_partkey").cast("string"),
-          lit("cart_price"), col("l_extendedprice").cast("decimal(18,2)").cast("string"),
-          lit("sku_num"), qint.cast("string"),
-          lit("sku_name"), concat(lit("sku_"), col("l_partkey")),
-          lit("create_time"), date_format(col("l_shipdate"), "yyyy-MM-dd")).as("data"),
-        when(col("l_returnflag") === "A",
-          map(lit("sku_num"), (qint - (col("l_linenumber") % 4 - 1)).cast("string")))
-          .as("old"))).as("value"))
-      val (clean, _) = Envelopes.cleanDirty(Envelopes.parseMaxwell(env))
-      GmallPipelines.tradeCartAdd(clean)
+    // DwdTradeCartAdd end-to-end over the shared topic_db cart_info stream
+    // (insert + quantity-delta update + delete filtering, P4/P5). The
+    // envelope scheme lives in graft.core.TopicDb (same as the old per-query
+    // synthesis, verbatim).
+    "q36_dwd_cart" -> ((s, d) =>
+      GmallPipelines.tradeCartAdd(TopicDb(s, d))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("sku_num").cast("int")).as("sum_num"),
-          sum(col("cart_price").cast("decimal(18,2)")).cast("double").as("sum_price"))
+          sum(col("cart_price").cast("decimal(18,2)")).cast("double").as("sum_price"))),
+
+    // ------- the remaining reference DWD apps, all over the ONE shared ----
+    // ------- persisted topic_db parse (graft.core.TopicDb)            ----
+
+    // DwdTradePayDetailSuc (DwdTradePayDetailSuc.java:23-34,94-98):
+    // successful payments ⋈ the pre-process wide table ⋈ dic.
+    "q41_dwd_pay_success" -> ((s, d) => {
+      val db = TopicDb(s, d); val dic = TopicDb.baseDic(s)
+      GmallPipelines.tradePaySuccess(db,
+          GmallPipelines.tradeOrderPreProcess(db, dic), dic)
+        .groupBy(col("payment_type_name"), col("source_type_name"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("split_total_amount").cast("decimal(18,2)")).cast("double").as("sum_amount"),
+          count(col("activity_id")).as("n_act"),
+          count(col("coupon_id")).as("n_cpn"))
+        .orderBy(col("payment_type_name"), col("source_type_name"))
+    }),
+
+    // DwdTradeCancelDetail (DwdTradeCancelDetail.java:65-92): cancelled
+    // orders filtered from the pre-process wide table.
+    "q42_dwd_cancel" -> ((s, d) => {
+      val db = TopicDb(s, d)
+      GmallPipelines.tradeCancel(
+          GmallPipelines.tradeOrderPreProcess(db, TopicDb.baseDic(s)))
+        .groupBy(col("source_type_name"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("split_total_amount").cast("decimal(18,2)")).cast("double").as("sum_amount"),
+          count(col("activity_id")).as("n_act"),
+          count(col("coupon_id")).as("n_cpn"))
+        .orderBy(col("source_type_name"))
+    }),
+
+    // DwdTradeOrderRefund (DwdTradeOrderRefund.java:53-114): refund
+    // requests ⋈ order_info(1005) ⋈ dic twice.
+    "q43_dwd_order_refund" -> ((s, d) =>
+      GmallPipelines.tradeOrderRefund(TopicDb(s, d), TopicDb.baseDic(s))
+        .groupBy(col("refund_type_name"), col("refund_reason_type_name"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("refund_amount").cast("decimal(18,2)")).cast("double").as("sum_amount"),
+          sum(col("refund_num").cast("int")).cast("long").as("sum_num"))
+        .orderBy(col("refund_type_name"), col("refund_reason_type_name"))),
+
+    // DwdTradeRefundPaySuc (DwdTradeRefundPaySuc.java:54-130): refund
+    // payments done — two-key (order_id, sku_id) join.
+    "q44_dwd_refund_pay_suc" -> ((s, d) =>
+      GmallPipelines.tradeRefundPaySuccess(TopicDb(s, d), TopicDb.baseDic(s))
+        .groupBy(col("payment_type_name"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("total_amount").cast("decimal(18,2)")).cast("double").as("sum_amount"),
+          sum(col("refund_num").cast("int")).cast("long").as("sum_num"))
+        .orderBy(col("payment_type_name"))),
+
+    // DwdToolCouponGet (DwdToolCouponGet.java:51-52).
+    "q45_dwd_coupon_get" -> ((s, d) =>
+      GmallPipelines.couponGet(TopicDb(s, d))
+        .groupBy(col("coupon_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_users"),
+          max(col("date_id")).as("max_date"))
+        .orderBy(col("coupon_id"))),
+
+    // DwdToolCouponOrder (DwdToolCouponOrder.java:52-64): 1401→1402.
+    "q46_dwd_coupon_order" -> ((s, d) =>
+      GmallPipelines.couponOrder(TopicDb(s, d))
+        .groupBy(col("coupon_id"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("ts")).as("sum_ts"))
+        .orderBy(col("coupon_id"))),
+
+    // DwdToolCouponPay (DwdToolCouponPay.java:45-56): used_time set.
+    "q47_dwd_coupon_pay" -> ((s, d) =>
+      GmallPipelines.couponPay(TopicDb(s, d))
+        .groupBy(col("coupon_id"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("ts")).as("sum_ts"))
+        .orderBy(col("coupon_id"))),
+
+    // DwdInteractionFavorAdd (DwdInteractionFavorAdd.java:54-56).
+    "q48_dwd_favor_add" -> ((s, d) =>
+      GmallPipelines.favorAdd(TopicDb(s, d))
+        .groupBy(col("create_time"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("create_time"))),
+
+    // DwdInteractionComment (DwdInteractionComment.java:56-87): appraise
+    // dictionary lookup join.
+    "q49_dwd_comment" -> ((s, d) =>
+      GmallPipelines.comment(TopicDb(s, d), TopicDb.baseDic(s))
+        .groupBy(col("appraise_name"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("order_id")).as("n_orders"))
+        .orderBy(col("appraise_name"))),
+
+    // DwdUserRegister (DwdUserRegister.java:54-55).
+    "q50_dwd_user_register" -> ((s, d) =>
+      GmallPipelines.userRegister(TopicDb(s, d))
+        .groupBy(col("date_id")).agg(count(lit(1)).as("n_rows"))
+        .orderBy(col("date_id"))),
+
+    // DimApp config router (J3/P8/P9, DimApp.java:178-187 +
+    // TableProcessFunction.java:169-324): broadcast-config routing +
+    // sink-column pruning over the shared CDC stream; the (sink_table,
+    // type) counts plus pruned-map width sum and max id prove both the
+    // route and the map_filter pruning.
+    "q51_dim_router" -> ((s, d) => {
+      import s.implicits._
+      val config = Seq(
+        ("user_info", "dim_user_info", "id,name"),
+        ("order_info", "dim_order_info", "id,user_id,total_amount,order_status"),
+        ("cart_info", "dim_cart_info", "id,sku_id,sku_num"),
+        ("comment_info", "dim_comment_info", "id,appraise"),
+      ).toDF("source_table", "sink_table", "sink_columns")
+      GmallPipelines.dimRouter(TopicDb(s, d), config)
+        .groupBy(col("sink_table"), col("type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(size(col("data"))).as("sum_cols"),
+          max(element_at(col("data"), "id")).as("max_id"))
+        .orderBy(col("sink_table"), col("type"))
+    }),
+
+    // A5 streaming twin (two seen-day states per user, the reference's
+    // two-ValueState pattern) driven through real micro-batches on RocksDB
+    // state, disordered feed like q28/q38; summed flags = q11's
+    // count-distinct oracle.
+    "q52_stream_dual_flag" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).as[StatefulOps.Event].collect().toSeq
+      val (h1, h2) = disorderedDayBatches(ev)
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try
+        StreamHarness.run(s, Seq(h1, h2))(ds =>
+          StatefulOps.dualFlagUv(ds, "view", "purchase").toDF())
+          .groupBy(col("_1").as("visit_date"))
+          .agg(sum(col("_2")).as("a_uv_ct"), sum(col("_3")).as("b_uv_ct"))
+          .orderBy(col("visit_date"))
+      finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }),
   )
 
@@ -615,6 +668,16 @@ object SparkEntry {
   /** Σ va.e[i]·vb.e[i] with the same fold order as VectorFunctions.dot. */
   private val dotSql =
     "list_reduce(list_transform(range(64), i -> CAST(va.e[i+1] AS DOUBLE) * CAST(vb.e[i+1] AS DOUBLE)), (p, q) -> p + q)"
+
+  /** Order wide-table CTEs mirroring TopicDb's order_detail / activity /
+    * coupon derivations ⋈'d by q41/q42: source_type '240'||(n%2+1) → dic
+    * name promo/search. */
+  private val preCte =
+    """det AS (SELECT l_orderkey AS k, l_linenumber AS n,
+      |  CAST(l_extendedprice AS DECIMAL(18,2)) AS amt,
+      |  CASE WHEN l_linenumber%2=0 THEN 'promo' ELSE 'search' END AS stn FROM lineitem),
+      |act AS (SELECT l_orderkey AS k, l_linenumber AS n FROM lineitem WHERE l_linenumber%3=0),
+      |cpn AS (SELECT l_orderkey AS k, l_linenumber AS n FROM lineitem WHERE l_partkey%4=0)""".stripMargin
 
   /** Fake media ingest+decode — mirrors Multimodal.ingestDocsAsMedia/decodeMeta. */
   private val mediaCte =
@@ -822,12 +885,58 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, round(score, 6) AS score, "rank" FROM ranked
          |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin,
 
+    // Replicates graft.core.TopicDb's per-table derivations (see its
+    // Scaladoc): one UNION branch per (table, type); deletes (cart R rows)
+    // are dropped by the Spark-side cdcUpserts filter, so no branch here.
     "q26_cdc_route" ->
-      """SELECT CASE WHEN o_orderstatus = 'O' THEN 'insert' ELSE 'update' END AS type,
-        | o_orderpriority AS priority, count(*) AS n_rows,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
-        |FROM orders WHERE o_orderstatus <> 'F'
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      """WITH li AS (SELECT *,
+        |  CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS lnid
+        | FROM lineitem)
+        |SELECT * FROM (
+        | SELECT 'order_info' AS "table",
+        |  CASE WHEN o_orderstatus='O' THEN 'insert' ELSE 'update' END AS type,
+        |  count(*) AS n_rows, max(CAST(o_orderkey AS VARCHAR)) AS max_id,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_ts
+        | FROM orders GROUP BY 2
+        | UNION ALL SELECT 'payment_info', 'update', count(*),
+        |  max(CAST(o_orderkey AS VARCHAR)), CAST(sum(o_orderkey) AS BIGINT)
+        | FROM orders WHERE o_orderkey%3=0 HAVING count(*) > 0
+        | UNION ALL SELECT 'coupon_use', 'insert', count(*),
+        |  max('cu' || CAST(o_orderkey AS VARCHAR)), CAST(sum(o_orderkey) AS BIGINT)
+        | FROM orders WHERE o_orderkey%4=0 HAVING count(*) > 0
+        | UNION ALL SELECT 'coupon_use', 'update', count(*),
+        |  max('cu' || CAST(o_orderkey AS VARCHAR)), CAST(sum(o_orderkey) AS BIGINT)
+        | FROM orders WHERE o_orderkey%4 IN (1,2) HAVING count(*) > 0
+        | UNION ALL SELECT 'user_info', 'insert', count(*),
+        |  max(CAST(c_custkey AS VARCHAR)), CAST(sum(c_custkey) AS BIGINT)
+        | FROM customer HAVING count(*) > 0
+        | UNION ALL SELECT 'order_detail', 'insert', count(*), max(lnid),
+        |  CAST(sum(l_orderkey) AS BIGINT) FROM li HAVING count(*) > 0
+        | UNION ALL SELECT 'order_detail_activity', 'insert', count(*),
+        |  CAST(NULL AS VARCHAR), CAST(sum(l_orderkey) AS BIGINT)
+        | FROM li WHERE l_linenumber%3=0 HAVING count(*) > 0
+        | UNION ALL SELECT 'order_detail_coupon', 'insert', count(*),
+        |  CAST(NULL AS VARCHAR), CAST(sum(l_orderkey) AS BIGINT)
+        | FROM li WHERE l_partkey%4=0 HAVING count(*) > 0
+        | UNION ALL SELECT 'cart_info', 'insert', count(*), max(lnid),
+        |  CAST(sum(l_orderkey) AS BIGINT) FROM li WHERE l_returnflag='N' HAVING count(*) > 0
+        | UNION ALL SELECT 'cart_info', 'update', count(*), max(lnid),
+        |  CAST(sum(l_orderkey) AS BIGINT) FROM li WHERE l_returnflag='A' HAVING count(*) > 0
+        | UNION ALL SELECT 'order_refund_info', 'insert', count(*), max(lnid || 'r'),
+        |  CAST(sum(l_orderkey) AS BIGINT) FROM li WHERE l_returnflag='R' HAVING count(*) > 0
+        | UNION ALL SELECT 'refund_payment', 'update', count(*), max(lnid || 'rp'),
+        |  CAST(sum(l_orderkey) AS BIGINT)
+        | FROM li WHERE l_returnflag='R' AND l_linenumber%2=0 HAVING count(*) > 0
+        | UNION ALL SELECT 'favor_info', 'insert', count(*), max('f' || lnid),
+        |  CAST(sum(l_orderkey) AS BIGINT)
+        | FROM li WHERE l_partkey%5=0 AND l_orderkey%2=0 HAVING count(*) > 0
+        | UNION ALL SELECT 'favor_info', 'update', count(*), max('f' || lnid),
+        |  CAST(sum(l_orderkey) AS BIGINT)
+        | FROM li WHERE l_partkey%5=0 AND l_orderkey%2=1 HAVING count(*) > 0
+        | UNION ALL SELECT 'comment_info', 'insert', count(*),
+        |  max('cm' || CAST(l_orderkey AS VARCHAR)), CAST(sum(l_orderkey) AS BIGINT)
+        | FROM li WHERE l_linenumber=1 AND l_partkey%2=0 HAVING count(*) > 0
+        |) ORDER BY 1, 2""".stripMargin,
 
     "q27_log_split" ->
       """SELECT 'display' AS branch, 2 * count(*) AS n_rows FROM events
@@ -972,5 +1081,115 @@ object SparkEntry {
          |FROM (SELECT media_id, text, n_bytes, n_frames,
          |  unnest(range(n_frames)) AS frame_no FROM vid)
          |ORDER BY media_id, frame_no""".stripMargin,
+
+    // ---- q41+ replicate graft.core.TopicDb's derivations (see its
+    // ---- Scaladoc) composed with the reference pipelines' filters/joins.
+
+    "q41_dwd_pay_success" ->
+      s"""WITH $preCte
+         |SELECT CASE WHEN o.o_orderkey%2=0 THEN 'alipay' ELSE 'wechat' END AS payment_type_name,
+         | d.stn AS source_type_name, count(*) AS n_rows,
+         | CAST(sum(d.amt) AS DOUBLE) AS sum_amount,
+         | count(a.k) AS n_act, count(c.k) AS n_cpn
+         |FROM det d JOIN orders o ON d.k=o.o_orderkey AND o.o_orderkey%3=0 AND o.o_orderkey%5<>0
+         |LEFT JOIN act a ON d.k=a.k AND d.n=a.n
+         |LEFT JOIN cpn c ON d.k=c.k AND d.n=c.n
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q42_dwd_cancel" ->
+      s"""WITH $preCte
+         |SELECT d.stn AS source_type_name, count(*) AS n_rows,
+         | CAST(sum(d.amt) AS DOUBLE) AS sum_amount,
+         | count(a.k) AS n_act, count(c.k) AS n_cpn
+         |FROM det d JOIN orders o ON d.k=o.o_orderkey AND o.o_orderstatus<>'O' AND o.o_orderkey%5=1
+         |LEFT JOIN act a ON d.k=a.k AND d.n=a.n
+         |LEFT JOIN cpn c ON d.k=c.k AND d.n=c.n
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q43_dwd_order_refund" ->
+      """SELECT CASE WHEN l_linenumber%2=0 THEN 'refund_full' ELSE 'refund_part' END AS refund_type_name,
+        | CASE WHEN l_partkey%2=0 THEN 'reason_quality' ELSE 'reason_other' END AS refund_reason_type_name,
+        | count(*) AS n_rows,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_amount,
+        | CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS sum_num
+        |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+        | AND o_orderstatus<>'O' AND o_orderkey%5=2
+        |WHERE l_returnflag='R'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q44_dwd_refund_pay_suc" ->
+      """WITH rp AS (SELECT l_orderkey AS k, l_partkey AS p,
+        |  CAST(l_extendedprice AS DECIMAL(18,2)) AS amt
+        | FROM lineitem
+        | WHERE l_returnflag='R' AND l_linenumber%2=0 AND l_partkey%3<>0 AND l_partkey%5<>4),
+        |ri AS (SELECT l_orderkey AS k, l_partkey AS p, CAST(l_quantity AS INT) AS rn
+        | FROM lineitem WHERE l_returnflag='R')
+        |SELECT CASE WHEN rp.p%2=0 THEN 'alipay' ELSE 'wechat' END AS payment_type_name,
+        | count(*) AS n_rows, CAST(sum(rp.amt) AS DOUBLE) AS sum_amount,
+        | CAST(sum(ri.rn) AS BIGINT) AS sum_num
+        |FROM rp JOIN orders o ON rp.k=o.o_orderkey AND o.o_orderstatus<>'O' AND o.o_orderkey%5=3
+        |JOIN ri ON rp.k=ri.k AND rp.p=ri.p
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q45_dwd_coupon_get" ->
+      """SELECT 'cpn_' || CAST(o_orderkey%7 AS VARCHAR) AS coupon_id,
+        | count(*) AS n_rows, count(DISTINCT o_custkey) AS n_users,
+        | max(strftime(o_orderdate, '%Y-%m-%d')) AS max_date
+        |FROM orders WHERE o_orderkey%4=0 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q46_dwd_coupon_order" ->
+      """SELECT 'cpn_' || CAST(o_orderkey%7 AS VARCHAR) AS coupon_id,
+        | count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS sum_ts
+        |FROM orders WHERE o_orderkey%8=1 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q47_dwd_coupon_pay" ->
+      """SELECT 'cpn_' || CAST(o_orderkey%7 AS VARCHAR) AS coupon_id,
+        | count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS sum_ts
+        |FROM orders WHERE o_orderkey%8=2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q48_dwd_favor_add" ->
+      """SELECT strftime(l_shipdate, '%Y-%m-%d') AS create_time,
+        | count(*) AS n_rows, count(DISTINCT l_suppkey) AS n_users
+        |FROM lineitem WHERE l_partkey%5=0 AND (l_orderkey%2=0 OR l_linenumber%2=0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q49_dwd_comment" ->
+      """SELECT CASE l_partkey%3 WHEN 0 THEN 'good' WHEN 1 THEN 'mid' ELSE 'bad' END AS appraise_name,
+        | count(*) AS n_rows, count(DISTINCT l_suppkey) AS n_users,
+        | count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem WHERE l_linenumber=1 AND l_partkey%2=0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q50_dwd_user_register" ->
+      """SELECT '2023-04-' || lpad(CAST(c_custkey%28+1 AS VARCHAR), 2, '0') AS date_id,
+        | count(*) AS n_rows
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q52_stream_dual_flag" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS visit_date,
+        | count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS a_uv_ct,
+        | count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS b_uv_ct
+        |FROM events WHERE event_type IN ('view', 'purchase')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q51_dim_router" ->
+      """SELECT * FROM (
+        | SELECT 'dim_user_info' AS sink_table, 'insert' AS type, count(*) AS n_rows,
+        |  CAST(count(*)*2 AS BIGINT) AS sum_cols, max(CAST(c_custkey AS VARCHAR)) AS max_id
+        | FROM customer HAVING count(*) > 0
+        | UNION ALL SELECT 'dim_order_info',
+        |  CASE WHEN o_orderstatus='O' THEN 'insert' ELSE 'update' END,
+        |  count(*), CAST(count(*)*4 AS BIGINT), max(CAST(o_orderkey AS VARCHAR))
+        | FROM orders GROUP BY 2
+        | UNION ALL SELECT 'dim_cart_info', 'insert', count(*), CAST(count(*)*3 AS BIGINT),
+        |  max(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR))
+        | FROM lineitem WHERE l_returnflag='N' HAVING count(*) > 0
+        | UNION ALL SELECT 'dim_cart_info', 'update', count(*), CAST(count(*)*3 AS BIGINT),
+        |  max(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR))
+        | FROM lineitem WHERE l_returnflag='A' HAVING count(*) > 0
+        | UNION ALL SELECT 'dim_comment_info', 'insert', count(*), CAST(count(*)*2 AS BIGINT),
+        |  max('cm' || CAST(l_orderkey AS VARCHAR))
+        | FROM lineitem WHERE l_linenumber=1 AND l_partkey%2=0 HAVING count(*) > 0
+        |) ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -1,18 +1,20 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorFunctions._
 
 /** Approximate-nearest-neighbor search over an `array<float>` embedding
   * column.
   *
   *  - [[bruteForceTopK]]: exact baseline — broadcast the (small) query set,
-  *    one codegen'd pass over the corpus, per-query top-k via window rank.
-  *    The corpus side never shuffles its vectors; only (query_id, doc_id,
-  *    score) triples move. Correct at any corpus size as long as the QUERY
-  *    set broadcasts.
+  *    one codegen'd pass over the corpus, per-query top-k via a bounded
+  *    k-heap [[TopKAggregator]] (map-side partial combine; only k rows per
+  *    (partition, query) shuffle — never the full pair stream). Correct at
+  *    any corpus size as long as the QUERY set broadcasts.
   *  - [[lshTopK]]: the scale path — random-hyperplane buckets on both sides;
   *    only same-bucket pairs are scored. Probing `nProbes` neighboring
   *    buckets (single-bit flips) trades recall for cost, the standard
@@ -21,6 +23,51 @@ import graft.functions.VectorFunctions._
   *    buckets — embedding-level near-duplicate detection for dedup.
   */
 object Similarity {
+
+  /** One scored candidate for [[TopKAggregator]]. */
+  case class Scored(score: Double, neighbor_id: Long)
+
+  /** Bounded per-query top-k: the aggregation buffer is a ≤k list sorted
+    * by (score desc, neighbor_id asc) — identical ordering to a
+    * `row_number` window — but it aggregates with map-side partial
+    * combine, so only k rows per (partition, query) ever shuffle instead
+    * of the whole |Q|×|C| scored-pair stream being shuffled AND sorted.
+    * At 100 TB the window plan is the bottleneck; this is O(pairs·k)
+    * compute with O(|Q|·k) shuffle bytes. */
+  class TopKAggregator(k: Int)
+      extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+    private def better(a: Scored, b: Scored): Boolean =
+      a.score > b.score || (a.score == b.score && a.neighbor_id < b.neighbor_id)
+    private def ins(buf: Seq[Scored], x: Scored): Seq[Scored] = {
+      if (buf.size >= k && better(buf.last, x)) buf
+      else {
+        val i = buf.indexWhere(e => better(x, e))
+        val merged =
+          if (i < 0) buf :+ x else (buf.take(i) :+ x) ++ buf.drop(i)
+        if (merged.size > k) merged.take(k) else merged
+      }
+    }
+    override def zero: Seq[Scored] = Seq.empty
+    override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] = ins(b, a)
+    override def merge(b1: Seq[Scored], b2: Seq[Scored]): Seq[Scored] =
+      b2.foldLeft(b1)(ins)
+    override def finish(r: Seq[Scored]): Seq[Scored] = r
+    override def bufferEncoder: Encoder[Seq[Scored]] = ExpressionEncoder[Seq[Scored]]()
+    override def outputEncoder: Encoder[Seq[Scored]] = ExpressionEncoder[Seq[Scored]]()
+  }
+
+  /** (query_id, neighbor_id, score) → per-query top-k with 1-based rank,
+    * via [[TopKAggregator]] (NO window over the full pair stream). */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new TopKAggregator(k), ExpressionEncoder[Scored]())
+    scored
+      .groupBy(col("query_id"))
+      .agg(topk(col("score"), col("neighbor_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.neighbor_id").as("neighbor_id"),
+        round(col("col.score"), 6).as("score"),
+        (col("pos") + 1).as("rank"))
+  }
 
   /** Exact top-k neighbors for each query vector. `queries` must be small
     * enough to broadcast (it is hinted); corpus is streamed. */
@@ -42,13 +89,9 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       norm(col(vecCol)).as("cn")).repartition(shufflePartitions)
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("score"), 6).as("score"),
-        col("rank"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("score"))
+    topKPerQuery(scored, k)
   }
 
   /** IVF/LSH-bucketed ANN: hyperplane-bucket both sides, score only bucket
@@ -81,11 +124,7 @@ object Similarity {
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("score"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(max(col("score")).as("score")) // dedup multi-probe collisions
-    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("score"), 6).as("score"),
-        col("rank"))
+    topKPerQuery(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold),

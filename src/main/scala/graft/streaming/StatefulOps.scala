@@ -108,6 +108,62 @@ object StatefulOps {
       .transformWithState(new DedupDailyProcessor(ttlConf), timeMode, OutputMode.Append())
   }
 
+  /** A5 — streaming dual-flag UV twin of
+    * [[graft.operators.EventOps.dualFlagUv]]: per user, TWO independent
+    * seen-day states (one per tracked event type) — the reference's
+    * two-ValueState-per-key pattern
+    * (app/dws/DwsTrafficPageViewWindow.java:67-115). Emits one
+    * (visit_date, a_flag, b_flag) 0/1 row at each user's first
+    * type-A/type-B event of a day; summing flags per day downstream equals
+    * the batch count-distinct (the q11 oracle). Seen-days SETS (not max
+    * day) so an out-of-order earlier day still counts — same fix as
+    * [[DedupDailyProcessor]]; in production both states carry the
+    * reference's 1-day TTL.
+    */
+  class DualFlagUvProcessor(typeA: String, typeB: String, ttl: TTLConfig)
+      extends StatefulProcessor[Long, Event, (String, Long, Long)] {
+    @transient private var seenA: ListState[String] = _
+    @transient private var seenB: ListState[String] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      seenA = getHandle.getListState[String]("seenA", Encoders.STRING, ttl)
+      seenB = getHandle.getListState[String]("seenB", Encoders.STRING, ttl)
+    }
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[(String, Long, Long)] = {
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      var sa = seenA.get().toSet
+      var sb = seenB.get().toSet
+      val out = Seq.newBuilder[(String, Long, Long)]
+      sorted.foreach { e =>
+        val day = e.ts.toLocalDateTime.toLocalDate.toString
+        if (e.event_type == typeA && !sa.contains(day)) {
+          sa += day; seenA.appendValue(day); out += ((day, 1L, 0L))
+        } else if (e.event_type == typeB && !sb.contains(day)) {
+          sb += day; seenB.appendValue(day); out += ((day, 0L, 1L))
+        }
+      }
+      out.result().iterator
+    }
+  }
+
+  /** [[DualFlagUvProcessor]] wired through transformWithState; see
+    * [[dedupDailyTws]] for the TTL/TimeMode coupling. */
+  def dualFlagUv(
+      events: Dataset[Event], typeA: String, typeB: String,
+      ttl: Option[Duration] = None): Dataset[(String, Long, Long)] = {
+    import events.sparkSession.implicits._
+    val (ttlConf, timeMode) = ttl match {
+      case Some(dur) => (TTLConfig(dur), TimeMode.ProcessingTime())
+      case None      => (TTLConfig.NONE, TimeMode.None())
+    }
+    events.groupByKey(_.user_id)
+      .transformWithState(new DualFlagUvProcessor(typeA, typeB, ttlConf),
+        timeMode, OutputMode.Append())
+  }
+
   /** A6 — streaming visitor-flag repair: is_new=1 only on the user's
     * first-ever day; revisits on later days are demoted.
     * Reference: app/dwd/BaseLogApp.java:59-91. Emits (event, fixedIsNew). */
