@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftshim.FunctionBridge
+import graft.functions.{TokenizeGenerator, VectorExpressions}
+
+/** SQL surface of the library's native expressions, as a standard
+  * `SparkSessionExtensions` entry point:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  *   SELECT word, count(*) FROM docs LATERAL VIEW graft_tokenize(text) t AS word ...
+  *   SELECT graft_cosine(a.embedding, b.embedding) ...
+  * }}}
+  *
+  * This is the deployment path the reference exposes through
+  * `createTemporarySystemFunction` (its KeywordUDTF registration,
+  * app/dws/DwsTrafficSourceKeywordPageViewWindow.java:116-121) — in Spark
+  * the extension injects the functions into every session built with the
+  * conf, making them usable from pure SQL without any Scala import.
+  * [[GraftExtensions.registerAll]] applies the same registrations to an
+  * already-running session (tests, spark-shell).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  private def arity(name: String, n: Int)(args: Seq[Expression]): Seq[Expression] = {
+    require(args.length == n, s"$name expects $n arguments, got ${args.length}")
+    args
+  }
+
+  /** (name, info, builder) for every SQL-exposed native expression. */
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot", info("graft_dot", "graft_dot(a, b) - double dot product of two float vectors"),
+      (a: Seq[Expression]) => { val x = arity("graft_dot", 2)(a)
+        VectorExpressions.DotProductF(x(0), x(1)) }),
+    ("graft_l2norm", info("graft_l2norm", "graft_l2norm(a) - L2 norm of a float vector"),
+      (a: Seq[Expression]) => { val x = arity("graft_l2norm", 1)(a)
+        VectorExpressions.L2NormF(x(0)) }),
+    ("graft_bucket64", info("graft_bucket64",
+      "graft_bucket64(v, nPlanes) - hyperplane LSH bucket of a 64-dim float vector"),
+      (a: Seq[Expression]) => { val x = arity("graft_bucket64", 2)(a)
+        val n = x(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_bucket64 nPlanes must be an int literal, got $other")
+        }
+        VectorExpressions.HyperplaneBucketF(x(0), 64, n) }),
+    ("graft_tokenize", info("graft_tokenize",
+      "graft_tokenize(text) - table function: one row per token (whitespace + CJK bigrams)"),
+      (a: Seq[Expression]) => { val x = arity("graft_tokenize", 1)(a)
+        TokenizeGenerator(x(0)) }),
+  )
+
+  /** Apply the same registrations to a live session (the extensions conf
+    * only takes effect at session build). */
+  def registerAll(spark: SparkSession): Unit =
+    functions.foreach { case (name, inf, builder) =>
+      FunctionBridge.register(spark, name, inf, builder)
+    }
+}

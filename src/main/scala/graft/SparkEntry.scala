@@ -175,6 +175,19 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF ANN scale path, oracle-gated: iterations=0 keeps the
+    // deterministic lowest-id seed centroids (pure nearest-seed
+    // partitioning) so DuckDB replicates assignment + probing bit-for-bit;
+    // the kmeans-trained variant (iterations>0) is recall-asserted in
+    // SimilaritySpec.
+    "q54_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") % 50 === 0), 10,
+          nCells = 16, nProbe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ------------------ envelope parse + pipeline plumbing -----------------
 
     // Maxwell CDC envelope → parse → type-filter → map-access projection →
@@ -577,6 +590,16 @@ object SparkEntry {
         .orderBy(col("sink_table"), col("type"))
     }),
 
+    // The SCALE path of q23: same-bucket candidate pairs only (16
+    // hyperplane-LSH buckets) — the plan you'd run at 100 TB. The oracle
+    // replicates the deterministic plane matrix bit-for-bit (inlined as
+    // DOUBLE[] literals), so candidate scores are exact-checked; recall vs
+    // the exact q23 pair set is asserted in SimilaritySpec (single-table
+    // LSH recall < 1 by construction).
+    "q53_embed_neardup_lsh" -> ((s, d) =>
+      Similarity.nearDupPairs(Tables.embeddings(s, d), 0.35, 64, nPlanes = 4)
+        .orderBy(col("a"), col("b"))),
+
     // A5 streaming twin (two seen-day states per user, the reference's
     // two-ValueState pattern) driven through real micro-batches on RocksDB
     // state, disordered feed like q28/q38; summed flags = q11's
@@ -668,6 +691,28 @@ object SparkEntry {
   /** Σ va.e[i]·vb.e[i] with the same fold order as VectorFunctions.dot. */
   private val dotSql =
     "list_reduce(list_transform(range(64), i -> CAST(va.e[i+1] AS DOUBLE) * CAST(vb.e[i+1] AS DOUBLE)), (p, q) -> p + q)"
+
+  /** Hyperplane matrix + per-vector LSH bucket for q53 — mirrors
+    * VectorExpressions.HyperplaneBucketF (4 planes × 64 dims): the plane
+    * components are the exact same planeComp doubles inlined as literals
+    * (Double.toString round-trips), the dot product folds left from 0.0 in
+    * index order, and bit p is set iff the dot is ≥ 0. */
+  private def lshBucketCte(nPlanes: Int, dim: Int): String = {
+    val rows = (0 until nPlanes).map { p =>
+      val w = (0 until dim)
+        .map(dd => graft.functions.VectorFunctions.planeComp(p, dd).toString)
+        .mkString("[", ", ", "]")
+      s"($p, $w::DOUBLE[])"
+    }.mkString(", ")
+    s"""planes AS (SELECT * FROM (VALUES $rows) t(p, w)),
+       |bkt AS (SELECT vec_id,
+       |  CAST(sum(CASE WHEN dp >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+       | FROM (SELECT v.vec_id, pl.p,
+       |   list_reduce(list_transform(range($dim),
+       |     i -> CAST(v.embedding[i+1] AS DOUBLE) * pl.w[i+1]), (a, b) -> a + b) AS dp
+       |  FROM embeddings v CROSS JOIN planes pl)
+       | GROUP BY vec_id)""".stripMargin
+  }
 
   /** Order wide-table CTEs mirroring TopicDb's order_detail / activity /
     * coupon derivations ⋈'d by q41/q42: source_type '240'||(n%2+1) → dic
@@ -1164,6 +1209,37 @@ object SparkEntry {
       """SELECT '2023-04-' || lpad(CAST(c_custkey%28+1 AS VARCHAR), 2, '0') AS date_id,
         | count(*) AS n_rows
         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // IVF with seed centroids: cell ranking uses dist = ‖c‖² − 2·x·c with
+    // the identical left-fold dots; ties break by cell id in both engines.
+    "q54_ann_ivf" ->
+      s"""WITH seeds AS (SELECT vec_id AS cell, embedding AS ce,
+         |  list_reduce(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)), (a, b) -> a + b) AS cn2
+         | FROM embeddings WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+         |dd AS (SELECT v.vec_id, s.cell,
+         |  s.cn2 - 2 * list_reduce(list_transform(range(64), i -> CAST(v.embedding[i+1] AS DOUBLE) * CAST(s.ce[i+1] AS DOUBLE)), (a, b) -> a + b) AS dist
+         | FROM embeddings v CROSS JOIN seeds s),
+         |assign AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM dd) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, cell FROM (
+         |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM dd WHERE vec_id % 50 = 0) WHERE rn <= 4),
+         |v AS (SELECT vec_id, embedding AS e, $nrmSql AS nrm FROM embeddings),
+         |scored AS (SELECT p.query_id, a.vec_id AS neighbor_id, $dotSql / (va.nrm * vb.nrm) AS score
+         | FROM probes p JOIN assign a ON p.cell = a.cell AND p.query_id <> a.vec_id
+         | JOIN v va ON va.vec_id = p.query_id JOIN v vb ON vb.vec_id = a.vec_id),
+         |ranked AS (SELECT query_id, neighbor_id, score,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS "rank" FROM scored)
+         |SELECT query_id, neighbor_id, round(score, 6) AS score, "rank" FROM ranked
+         |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin,
+
+    "q53_embed_neardup_lsh" ->
+      s"""WITH ${lshBucketCte(4, 64)},
+         |v AS (SELECT m.vec_id, m.embedding AS e, $nrmSql AS nrm, b.bucket
+         |  FROM embeddings m JOIN bkt b ON m.vec_id = b.vec_id)
+         |SELECT a, b, round(score, 6) AS score FROM (
+         | SELECT va.vec_id AS a, vb.vec_id AS b, $dotSql / (va.nrm * vb.nrm) AS score
+         | FROM v va JOIN v vb ON va.bucket = vb.bucket AND va.vec_id < vb.vec_id)
+         |WHERE score >= 0.35 ORDER BY a, b""".stripMargin,
 
     "q52_stream_dual_flag" ->
       """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS visit_date,

@@ -285,7 +285,7 @@ object GmallPipelines {
   def keywordHits(log: DataFrame): DataFrame =
     log.where(col("page.last_page_id") === "search" &&
         col("page.item_type") === "keyword" && col("page.item").isNotNull)
-      .select(explode(Tokenizer.tokenizeUdf(col("page.item"))).as("word"),
+      .select(Tokenizer.tokenizeGen(col("page.item")).as("word"),
         timestamp_millis(col("ts")).as("rt"))
 
   /** DwsTrafficVcChArIsNewPageViewWindow pre-aggregation encode (X7/A2,

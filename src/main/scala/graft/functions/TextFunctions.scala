@@ -124,4 +124,12 @@ object Tokenizer extends Serializable {
 
   import org.apache.spark.sql.functions.udf
   val tokenizeUdf = udf((s: String) => tokenize(s))
+
+  /** The same tokenizer as a native [[TokenizeGenerator]] lateral view —
+    * `select(tokenizeGen(col))` plans one GenerateExec emitting a `word`
+    * column, replacing udf→array→explode. */
+  def tokenizeGen(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      TokenizeGenerator(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(text)))
 }

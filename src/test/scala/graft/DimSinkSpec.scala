@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.streaming.{DimCache, DimSink}
+
+/** X2 lookup-cache TTL refresh + dynamic DIM sink-table management
+  * (TableProcessFunction.checkAndCreateTable analogue). */
+class DimSinkSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("DimCache re-reads the dim only after the TTL lapses (X2)") {
+    val dir = Files.createTempDirectory("graft_dim_").toString + "/dim"
+    Seq(("1101", "alipay")).toDF("code", "name").write.parquet(dir)
+    var now = 0L
+    val cache = new DimCache(() => spark.read.parquet(dir), ttlMillis = 3600L, clock = () => now)
+
+    assert(cache.get().count() === 1L)
+    assert(cache.loadCount === 1)
+
+    // dim mutates; within the TTL the cache must serve the stale snapshot
+    Seq(("1101", "alipay"), ("1102", "wechat")).toDF("code", "name")
+      .write.mode("overwrite").parquet(dir)
+    now = 3599L
+    assert(cache.get().count() === 1L, "refreshed before TTL lapsed")
+    assert(cache.loadCount === 1)
+
+    // TTL lapsed → next batch sees the new dim
+    now = 3600L
+    assert(cache.get().count() === 2L, "stale after TTL lapsed")
+    assert(cache.loadCount === 2)
+
+    // and the refreshed snapshot is cached again
+    now = 7100L
+    assert(cache.get().count() === 2L)
+    assert(cache.loadCount === 2)
+  }
+
+  test("DimSink creates sink tables on demand and upserts on the configured pk") {
+    val root = Files.createTempDirectory("graft_dimsink_").toString
+    val userCfg = DimSink.TableConfig("dim_user_info", Seq("id", "name"), "id")
+    val skuCfg = DimSink.TableConfig("dim_sku_info", Seq("id", "price"), "id")
+
+    def batch(rows: Seq[(String, Map[String, String], Long)]) =
+      rows.toDF("sink_table", "data", "ts")
+
+    // batch 1: only user rows — only the user table may exist afterwards
+    DimSink.processBatch(batch(Seq(
+      ("dim_user_info", Map("id" -> "u1", "name" -> "ann", "junk" -> "x"), 1L),
+      ("dim_user_info", Map("id" -> "u2", "name" -> "bob"), 1L))),
+      root, Seq(userCfg, skuCfg))
+    val users1 = spark.read.parquet(s"$root/dim_user_info")
+    assert(users1.schema.fieldNames.toSeq === Seq("id", "name", "ts"))
+    assert(users1.count() === 2L)
+    assert(!new java.io.File(s"$root/dim_sku_info").exists(),
+      "table created without any rows routed to it")
+
+    // batch 2: user UPDATE (same pk, later ts) + first sku row → dynamic
+    // table creation mid-stream, upsert replaces u1
+    DimSink.processBatch(batch(Seq(
+      ("dim_user_info", Map("id" -> "u1", "name" -> "ANN"), 2L),
+      ("dim_sku_info", Map("id" -> "s1", "price" -> "9.99"), 2L))),
+      root, Seq(userCfg, skuCfg))
+    val users2 = spark.read.parquet(s"$root/dim_user_info")
+      .select("id", "name").as[(String, String)].collect().toMap
+    assert(users2 === Map("u1" -> "ANN", "u2" -> "bob"))
+    val skus = spark.read.parquet(s"$root/dim_sku_info")
+    assert(skus.schema.fieldNames.toSeq === Seq("id", "price", "ts"))
+    assert(skus.select("id", "price").as[(String, String)].collect().toSeq ===
+      Seq(("s1", "9.99")))
+  }
+}

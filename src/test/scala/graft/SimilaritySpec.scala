@@ -77,6 +77,37 @@ class SimilaritySpec extends SparkTestBase {
     assert(bucketed === exact)
   }
 
+  test("ivfTopK with Lloyd iterations achieves useful recall vs brute force") {
+    val df = corpus.toDF("vec_id", "embedding")
+    val queries = df.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(df, queries, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(df, queries, 10, nCells = 8, nProbe = 3,
+        iterations = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall > 0.3, s"recall=$recall")
+    // probing 3 of 8 cells must not scan the whole corpus' worth of pairs
+    assert(ivf.size <= exact.size)
+  }
+
+  test("nearDupPairs LSH path (q53) is an exact-score subset of the exact path") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Similarity.nearDupPairs(emb, 0.35, 64, nPlanes = 0)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) => (a, b) -> s }.toMap
+    val lsh = Similarity.nearDupPairs(emb, 0.35, 64, nPlanes = 4)
+      .as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty, "bucketed path found no pairs at all")
+    lsh.foreach { case (a, b, s) =>
+      assert(exact.get((a, b)).contains(s), s"pair ($a,$b) score drift or not in exact set")
+    }
+    val recall = lsh.length.toDouble / exact.size
+    // single-table sign-LSH has recall < 1 by construction; it must still
+    // recover a useful fraction at 16 buckets
+    assert(recall > 0.2, s"recall=$recall")
+  }
+
   test("multimodal extractFeatures is deterministic and batch-shaped (stub decoder)") {
     val docs = Seq((1L, "hello world"), (2L, ""), (3L, "αβγ multi-byte"))
       .toDF("doc_id", "text")
