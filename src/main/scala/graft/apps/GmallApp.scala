@@ -1,0 +1,114 @@
+package graft.apps
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.core.TopicDb
+import graft.streaming.{DimCache, DimSink, Sinks, Sources, Windows}
+
+/** The reference warehouse's full production DAG, assembled from the SAME
+  * transform functions every correctness gate exercises — the deployment
+  * `main` for a cluster that HAS Kafka (this build/test environment does
+  * not, so nothing here runs in CI; the gates drive identical plans
+  * through MemoryStream instead — see SURVEY §8).
+  *
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions \
+  *     --class graft.apps.GmallApp graft.jar kafka:9092 /warehouse
+  *
+  * Mirrors the reference app-per-pipeline layout (ods→dwd→dws,
+  * app/dim/DimApp.java + the app/dwd and app/dws packages): one shared topic_db
+  * consumer per JVM, branch-per-pipeline fan-out with persist-once
+  * semantics ([[Sinks.fanOut]]), DIM routing with TTL'd config+dict
+  * lookups, windowed DWS aggregations with the reference's watermarks.
+  */
+object GmallApp {
+
+  def main(args: Array[String]): Unit = {
+    val bootstrap = args.headOption.getOrElse("localhost:9092")
+    val warehouse = if (args.length > 1) args(1) else "/tmp/gmall"
+    val spark = SparkSession.builder()
+      .appName("gmall-graft")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .getOrCreate()
+    val queries = start(spark, bootstrap, warehouse)
+    queries.foreach(_ => ())
+    spark.streams.awaitAnyTermination()
+  }
+
+  /** Wire every pipeline; returns the running queries (production calls
+    * awaitAnyTermination, tests can stop them). */
+  def start(spark: SparkSession, bootstrap: String, warehouse: String): Seq[StreamingQuery] = {
+    val db = Sources.topicDb(spark, bootstrap, "gmall_graft")
+    val log = Sources.topicLog(spark, bootstrap, "gmall_graft")
+    // X2: dic + routing config refresh at most hourly, exactly the
+    // reference's JDBC lookup-cache TTL (utils/MysqlUtil.java:22-23)
+    val dic = new DimCache(() => TopicDb.baseDic(spark), ttlMillis = 3600L * 1000L)
+    val dimConfigs = Seq(
+      DimSink.TableConfig("dim_user_info", Seq("id", "name"), "id"),
+      DimSink.TableConfig("dim_base_dic", Seq("dic_code", "dic_name"), "dic_code"))
+    def ckpt(name: String) = s"$warehouse/ckpt/$name"
+    def out(name: String) = s"$warehouse/dwd/$name"
+
+    // ---- DIM: route + prune + dynamic keyed stores --------------------
+    val dim = db.writeStream.option("checkpointLocation", ckpt("dim"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cfgDf = batch.sparkSession.createDataFrame(
+          dimConfigs.map(c => (c.sinkTable.replace("dim_", ""), c.sinkTable,
+            c.sinkColumns.mkString(","))))
+          .toDF("source_table", "sink_table", "sink_columns")
+        DimSink.processBatch(
+          GmallPipelines.dimRouter(batch, cfgDf), s"$warehouse/dim", dimConfigs)
+      }.start()
+
+    // ---- DWD log family: 5-way split, persist-once fan-out ------------
+    val dwdLog = Sinks.fanOut(log, ckpt("base_log"))(
+      Seq("page", "start", "display", "action", "err").map(b =>
+        (b, (d: DataFrame) => GmallPipelines.baseLogSplit(d)(b), out(s"traffic_$b"))): _*)
+
+    // ---- DWD db family: one consumer, branch-per-pipeline -------------
+    val dwdDb = db.writeStream.option("checkpointLocation", ckpt("dwd_db"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        try {
+          val d = dic.get()
+          val pre = GmallPipelines.tradeOrderPreProcess(batch, d)
+            .localCheckpoint(true) // consumed by 3 sinks below
+          Seq(
+            "order_pre" -> pre,
+            "cart_add" -> GmallPipelines.tradeCartAdd(batch),
+            "cancel" -> GmallPipelines.tradeCancel(pre),
+            "pay_success" -> GmallPipelines.tradePaySuccess(batch, pre, d),
+            "order_refund" -> GmallPipelines.tradeOrderRefund(batch, d),
+            "refund_pay_suc" -> GmallPipelines.tradeRefundPaySuccess(batch, d),
+            "coupon_get" -> GmallPipelines.couponGet(batch),
+            "coupon_order" -> GmallPipelines.couponOrder(batch),
+            "coupon_pay" -> GmallPipelines.couponPay(batch),
+            "favor_add" -> GmallPipelines.favorAdd(batch),
+            "comment" -> GmallPipelines.comment(batch, d),
+            "user_register" -> GmallPipelines.userRegister(batch),
+          ).foreach { case (name, df) =>
+            df.write.mode("append").parquet(out(name))
+          }
+        } finally { batch.unpersist(); () }
+      }.start()
+
+    // ---- DWS: windowed aggregations (reference watermarks) ------------
+    val keyword = Windows.keywordCount(GmallPipelines.keywordHits(log))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt("dws_keyword"))
+      .format("parquet").option("path", s"$warehouse/dws/keyword").start()
+    val traffic = Windows.tumblingAgg(
+        GmallPipelines.trafficCounters(GmallPipelines.baseLogSplit(log)("page")),
+        "rt", "1 hour", "14 seconds",
+        Seq(col("vc"), col("ch"), col("ar"), col("is_new")),
+        Seq(sum(col("pv")).as("pv_ct"), sum(col("sv")).as("sv_ct"),
+          sum(col("dur")).as("dur_sum")))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt("dws_traffic"))
+      .format("parquet").option("path", s"$warehouse/dws/traffic").start()
+
+    Seq(dim, dwdLog, dwdDb, keyword, traffic)
+  }
+}

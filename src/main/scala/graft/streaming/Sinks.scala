@@ -59,6 +59,59 @@ object Sinks {
     fs.delete(old, true)
   }
 
+  /** [[upsertByKey]] for stores too big to rewrite per batch: the store is
+    * hash-partitioned into `_bucket = pmod(hash(keys), nBuckets)` dirs and a
+    * micro-batch rewrites ONLY the buckets its keys touch — per-batch I/O is
+    * O(store/nBuckets · touched) instead of O(store), the partitioned-store
+    * step the round-1 review asked for on the way to a real Delta MERGE.
+    * Each touched bucket swaps via the same rename-aside protocol (crash
+    * leaves that bucket's full old content at `_old`, recoverable).
+    */
+  def upsertByKeyPartitioned(batch: DataFrame, keyCols: Seq[String],
+      orderCol: String, path: String, nBuckets: Int = 64): Unit = {
+    val spark = batch.sparkSession
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(orderCol).desc)
+    val compacted = batch
+      .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+      .withColumn("_bucket", pmod(hash(keyCols.map(col): _*), lit(nBuckets)))
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dst)) {
+      compacted.write.partitionBy("_bucket").mode("overwrite").parquet(path)
+      return
+    }
+    val touched = compacted.select(col("_bucket")).distinct()
+      .collect().map(_.getInt(0)).sorted // ≤ nBuckets values, driver-safe
+    val existing = spark.read.parquet(path)
+      .where(col("_bucket").isin(touched.map(Int.box): _*))
+    val merged = existing
+      .join(compacted.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .unionByName(compacted)
+    val tmp = new org.apache.hadoop.fs.Path(path + "_tmp")
+    merged.write.partitionBy("_bucket").mode("overwrite").parquet(tmp.toString)
+    // set-asides live OUTSIDE the store root: a crash must never leave a
+    // non-`_bucket=N` dir inside `path` where partition discovery would
+    // choke on it
+    val oldRoot = new org.apache.hadoop.fs.Path(path + "_old")
+    fs.mkdirs(oldRoot)
+    touched.foreach { b =>
+      val bNew = new org.apache.hadoop.fs.Path(s"$tmp/_bucket=$b")
+      val bDst = new org.apache.hadoop.fs.Path(s"$path/_bucket=$b")
+      val bOld = new org.apache.hadoop.fs.Path(s"$oldRoot/_bucket=$b")
+      fs.delete(bOld, true)
+      if (fs.exists(bDst) && !fs.rename(bDst, bOld))
+        throw new java.io.IOException(s"upsertByKeyPartitioned: cannot set aside $bDst")
+      if (!fs.rename(bNew, bDst)) {
+        fs.rename(bOld, bDst) // restore
+        throw new java.io.IOException(s"upsertByKeyPartitioned: cannot publish $bNew")
+      }
+      fs.delete(bOld, true)
+    }
+    fs.delete(tmp, true)
+    fs.delete(oldRoot, true)
+  }
+
   /** K5 — batch sink honoring declared field order (the reference maps bean
     * fields to JDBC `?`s by declaration order, utils/MyClickHouseUtil.java:
     * 97-118, skipping @TransientSink fields). Encoder schema order is the

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Envelopes
+
+/** Production source layer (SURVEY §2.1). Every reference app consumes one
+  * of three Kafka families (utils/MyKafkaUtil.java:23-45):
+  *
+  *  - S1/S2: a raw topic as a value-string stream,
+  *  - S3: the `topic_db` Maxwell CDC firehose,
+  *  - S4: the Debezium table_process config stream.
+  *
+  * The transforms downstream of these are the SAME functions the
+  * correctness gates drive through MemoryStream
+  * ([[StreamHarness]]/`SparkEntry` q28-q52) — this file is the thin
+  * `readStream` binding in front of them, so the tested logic and the
+  * production logic are one code path. (No broker exists in the build/test
+  * environment; see [[graft.apps.GmallApp]] for the full wiring.)
+  */
+object Sources {
+
+  /** S1/S2 — one Kafka topic as a streaming DataFrame with a single
+    * string `value` column (the shape every Envelopes parser takes). */
+  def kafkaValues(
+      spark: SparkSession,
+      bootstrap: String,
+      topic: String,
+      groupId: String,
+      startingOffsets: String = "earliest"): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("kafka.group.id", groupId)
+      .option("startingOffsets", startingOffsets)
+      .option("failOnDataLoss", "false")
+      .load()
+      .select(col("value").cast("string").as("value"))
+
+  /** S3 — the parsed, clean `topic_db` CDC stream (dirty rows routed out,
+    * exactly like the gate's [[graft.core.TopicDb]] synthesis). */
+  def topicDb(spark: SparkSession, bootstrap: String, groupId: String): DataFrame =
+    Envelopes.cleanDirty(Envelopes.parseMaxwell(
+      kafkaValues(spark, bootstrap, "topic_db", groupId)))._1
+
+  /** Behavior-log stream (`topic_log`), parsed and cleaned. */
+  def topicLog(spark: SparkSession, bootstrap: String, groupId: String): DataFrame =
+    Envelopes.cleanDirty(Envelopes.parseLog(
+      kafkaValues(spark, bootstrap, "topic_log", groupId)))._1
+
+  /** S4 — the Debezium config stream as (op, after.*) rows; the DIM app
+    * folds it into its broadcast config per micro-batch. */
+  def configStream(spark: SparkSession, bootstrap: String, groupId: String): DataFrame =
+    Envelopes.cleanDirty(Envelopes.parseDebeziumConfig(
+      kafkaValues(spark, bootstrap, "table_process_config", groupId)))._1
+      .select(col("op"), col("after.*"))
+}

@@ -23,6 +23,40 @@ class SinksSpec extends SparkTestBase {
     assert(s2 === Map("k1" -> "v1b", "k2" -> "v2new", "k3" -> "v3")) // upsert semantics
   }
 
+  test("upsertByKeyPartitioned merges like upsertByKey but rewrites only touched buckets") {
+    val dir = Files.createTempDirectory("graft_upsertp_").toString + "/store"
+    val b1 = (0 until 40).map(i => (s"k$i", 1L, s"v$i")).toDF("id", "ts", "payload")
+    Sinks.upsertByKeyPartitioned(b1, Seq("id"), "ts", dir, nBuckets = 4)
+    val s1 = spark.read.parquet(dir).select("id", "payload")
+      .as[(String, String)].collect().toMap
+    assert(s1.size === 40)
+
+    def bucketFiles(): Map[String, Set[String]] = {
+      val root = new java.io.File(dir)
+      root.listFiles().filter(_.getName.startsWith("_bucket=")).map { d =>
+        d.getName -> d.listFiles().map(f => f.getName + ":" + f.lastModified()).toSet
+      }.toMap
+    }
+    val before = bucketFiles()
+    assert(before.keySet.size > 1, "need >1 bucket for the untouched-bucket check")
+
+    // batch 2 touches exactly one key → exactly one bucket dir may change
+    val touchedBucket = spark.range(1)
+      .select(pmod(hash(lit("k1")), lit(4)).cast("int")).as[Int].head()
+    Sinks.upsertByKeyPartitioned(
+      Seq(("k1", 5L, "v1NEW")).toDF("id", "ts", "payload"), Seq("id"), "ts", dir, nBuckets = 4)
+    val s2 = spark.read.parquet(dir).select("id", "payload")
+      .as[(String, String)].collect().toMap
+    assert(s2.size === 40)
+    assert(s2("k1") === "v1NEW")
+    assert(s2("k2") === "v2")
+    val after = bucketFiles()
+    before.keySet.filterNot(_ == s"_bucket=$touchedBucket").foreach { b =>
+      assert(after(b) === before(b), s"untouched bucket $b was rewritten")
+    }
+    assert(after(s"_bucket=$touchedBucket") !== before(s"_bucket=$touchedBucket"))
+  }
+
   test("orderedBatchSink writes declared field order minus transient columns (K5)") {
     val dir = Files.createTempDirectory("graft_ordered_").toString + "/out"
     val ds = Seq(SinksSpec.Bean("s", "e", "w", 1L, "x")).toDS()
