@@ -167,7 +167,9 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // scale path: LSH-bucketed ANN (recall < 1 by design → rows-only check)
+    // scale path: multi-probe LSH-bucketed ANN. Recall < 1 vs q24 by
+    // design, but the bucketing itself is deterministic, so the oracle
+    // replicates planes + probes and the result is hash-exact.
     "q25_ann_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.lshTopK(emb, emb.where(col("vec_id") % 50 === 0), 10, 64)
@@ -1209,6 +1211,25 @@ object SparkEntry {
       """SELECT '2023-04-' || lpad(CAST(c_custkey%28+1 AS VARCHAR), 2, '0') AS date_id,
         | count(*) AS n_rows
         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Multi-probe LSH ANN, exact-checked: buckets from the same inlined
+    // plane matrix (12 planes), probe set = bucket XOR {0, 1<<b}; a
+    // (query, candidate) pair matches via exactly one probe, so DISTINCT
+    // collapses what Spark's groupBy-max dedup does.
+    "q25_ann_lsh" ->
+      s"""WITH ${lshBucketCte(12, 64)},
+         |v AS (SELECT vec_id, embedding AS e, $nrmSql AS nrm FROM embeddings),
+         |qp AS (SELECT b.vec_id AS query_id, xor(b.bucket, CAST(m.m AS BIGINT)) AS bucket
+         | FROM bkt b CROSS JOIN (VALUES ${(Seq(0L) ++ (0 until 12).map(1L << _)).map(m => s"($m)").mkString(", ")}) m(m)
+         | WHERE b.vec_id % 50 = 0),
+         |cand AS (SELECT DISTINCT qp.query_id, cb.vec_id AS neighbor_id
+         | FROM qp JOIN bkt cb ON cb.bucket = qp.bucket AND cb.vec_id <> qp.query_id),
+         |scored AS (SELECT c.query_id, c.neighbor_id, $dotSql / (va.nrm * vb.nrm) AS score
+         | FROM cand c JOIN v va ON va.vec_id = c.query_id JOIN v vb ON vb.vec_id = c.neighbor_id),
+         |ranked AS (SELECT query_id, neighbor_id, score,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS "rank" FROM scored)
+         |SELECT query_id, neighbor_id, round(score, 6) AS score, "rank" FROM ranked
+         |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin,
 
     // IVF with seed centroids: cell ranking uses dist = ‖c‖² − 2·x·c with
     // the identical left-fold dots; ties break by cell id in both engines.
