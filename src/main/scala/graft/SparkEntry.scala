@@ -147,6 +147,20 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(Tables.documents(s, d), threshold = 0.5)
         .orderBy(col("a"), col("b"))),
 
+    // multi-TABLE simhash (4 rotations × 16-bit prefixes): the recall fix
+    // for q20's single-table blind spot, oracle-exact because the
+    // rotations are pure bit arithmetic both engines replicate.
+    "q55_simhash_multi" -> ((s, d) =>
+      Dedup.simhashNearDupsMulti(Dedup.simhash(Tables.documents(s, d)))
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy(col("a"), col("b"))),
+
+    // hot-shingle-capped inverted index (df ≤ 100) + exact verification —
+    // the q21 skew knob under its own gate.
+    "q56_jaccard_capped" -> ((s, d) =>
+      Dedup.ngramJaccardPairsCapped(Tables.documents(s, d), maxDocFreq = 100)
+        .orderBy(col("a"), col("b"))),
+
     "q22_jaccard_verify" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.jaccardVerify(docs,
@@ -893,6 +907,38 @@ object SparkEntry {
          |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
          |pr AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
          |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT a, b, jaccard FROM (
+         | SELECT pr.a, pr.b,
+         |  round(CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE), 6) AS jaccard
+         | FROM pr JOIN sz sa ON pr.a = sa.doc_id JOIN sz sb ON pr.b = sb.doc_id)
+         |WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin,
+
+    "q55_simhash_multi" ->
+      s"""WITH $shCte,
+         |$simhashCte,
+         |rot AS (SELECT doc_id, simhash, t.t AS tbl,
+         |  CASE WHEN t.t = 0 THEN simhash
+         |  ELSE (simhash >> (60 - t.t * 15)) | ((simhash & ((CAST(1 AS BIGINT) << (60 - t.t * 15)) - 1)) << (t.t * 15))
+         |  END AS r
+         | FROM ssig CROSS JOIN (VALUES (0), (1), (2), (3)) t(t)),
+         |bkt AS (SELECT doc_id, simhash, tbl, r >> 44 AS bucket FROM rot),
+         |cand AS (SELECT DISTINCT l.doc_id AS a, r2.doc_id AS b, l.simhash AS sa, r2.simhash AS sb
+         | FROM bkt l JOIN bkt r2 ON l.tbl = r2.tbl AND l.bucket = r2.bucket AND l.doc_id < r2.doc_id)
+         |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 8
+         |ORDER BY a, b""".stripMargin,
+
+    "q56_jaccard_capped" ->
+      s"""WITH $shCte,
+         |dfreq AS (SELECT sh AS hsh FROM sh GROUP BY sh HAVING count(*) > 100),
+         |idx AS (SELECT doc_id, sh FROM sh WHERE sh NOT IN (SELECT hsh FROM dfreq)),
+         |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |pr AS (SELECT cand.a, cand.b, count(*) AS common
+         |  FROM cand JOIN sh x ON x.doc_id = cand.a
+         |  JOIN sh y ON y.doc_id = cand.b AND x.sh = y.sh
+         |  GROUP BY 1, 2)
          |SELECT a, b, jaccard FROM (
          | SELECT pr.a, pr.b,
          |  round(CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE), 6) AS jaccard

@@ -173,10 +173,10 @@ object Dedup {
         bits)).as("simhash"))
   }
 
-  /** Near-dup pairs by SimHash: bucket on the top `prefixBits` bits (docs
-    * differing only in low bits still collide via multiple rotations at
-    * scale; here one prefix table), then verify hamming distance ≤ maxDist
-    * with bit_count(xor). */
+  /** Near-dup pairs by SimHash: bucket on the top `prefixBits` bits (one
+    * prefix table — see [[simhashNearDupsMulti]] for the full-recall
+    * rotation form), then verify hamming distance ≤ maxDist with
+    * bit_count(xor). */
   def simhashNearDups(
       sigs: DataFrame,
       idCol: String = "doc_id",
@@ -190,5 +190,75 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
       .where(col("hamming") <= maxDist)
       .select(col("a"), col("b"), col("hamming"))
+  }
+
+  /** Multi-TABLE SimHash near-dups — the standard fix for the single
+    * prefix table's blind spot (a pair differing only inside the prefix
+    * never collides): bucket on the top `prefixBits` bits of `tables`
+    * ROTATIONS of the signature, so every pair within maxDist collides in
+    * at least one table unless its differing bits straddle every rotated
+    * prefix (for maxDist ≪ 60/tables the miss probability is negligible —
+    * the published SimHash dedup layout, Manku et al. WWW'07). Candidates
+    * are unioned across tables, deduped, then hamming-verified on the
+    * ORIGINAL signature. Cost: `tables` × the single-table join, still
+    * O(n·tables), never O(n²). */
+  def simhashNearDupsMulti(
+      sigs: DataFrame,
+      idCol: String = "doc_id",
+      prefixBits: Int = 16,
+      maxDist: Int = 8,
+      tables: Int = 4): DataFrame = {
+    val step = 60 / tables
+    val rots = (0 until tables).map { t =>
+      val k = t * step
+      if (k == 0) col("simhash")
+      else shiftright(col("simhash"), 60 - k)
+        // mask BEFORE the left shift so the value never exceeds 2^60
+        // (same bits as masking after; DuckDB's << overflow-checks)
+        .bitwiseOR(shiftleft(
+          col("simhash").bitwiseAND(lit((1L << (60 - k)) - 1)), k))
+    }
+    val rotated = sigs.select(col(idCol), col("simhash"),
+        posexplode(array(rots: _*)).as(Seq("tbl", "rot")))
+      .withColumn("bucket", shiftright(col("rot"), 60 - prefixBits))
+    val l = rotated.select(col(idCol).as("a"), col("tbl"), col("bucket"),
+      col("simhash").as("sa"))
+    val r = rotated.select(col(idCol).as("b"), col("tbl"), col("bucket"),
+      col("simhash").as("sb"))
+    l.join(r, Seq("tbl", "bucket"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), col("sa"), col("sb")).distinct()
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .where(col("hamming") <= maxDist)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
+  /** [[ngramJaccardPairs]] with the hot-shingle knob the round-1 review
+    * named: shingles appearing in more than `maxDocFreq` docs are dropped
+    * from the INDEX (candidate generation) — they generate O(df²) pair
+    * rows while carrying almost no similarity signal — and the surviving
+    * candidates are verified with EXACT Jaccard over the full shingle
+    * sets, so reported similarities are unchanged; only pairs whose every
+    * shared shingle is hot can be missed. The doc-freq side is a tiny
+    * aggregate broadcast as an anti-join. */
+  def ngramJaccardPairsCapped(
+      docs: DataFrame,
+      maxDocFreq: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleN: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = docs
+      .repartition(docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, col(idCol))
+      .select(col(idCol).as("id"),
+        explode(array_distinct(shingles(col(textCol), shingleN))).as("sh"))
+    val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDocFreq).select(col("sh"))
+    val idx = sh.join(broadcast(hot), Seq("sh"), "left_anti")
+    val cands = idx.select(col("id").as("a"), col("sh"))
+      .join(idx.select(col("id").as("b"), col("sh")), Seq("sh"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    jaccardVerify(docs, cands, idCol, textCol, shingleN, threshold)
   }
 }

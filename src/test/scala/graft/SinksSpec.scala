@@ -57,6 +57,30 @@ class SinksSpec extends SparkTestBase {
     assert(after(s"_bucket=$touchedBucket") !== before(s"_bucket=$touchedBucket"))
   }
 
+  test("appendSink is exactly-once across restarts (K2: checkpoint + idempotent epoch files)") {
+    val base = Files.createTempDirectory("graft_k2_").toString
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+    import org.apache.spark.sql.types._
+    val schema = new StructType().add("id", LongType).add("v", StringType)
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.json(src)
+    def runOnce(): Unit =
+      Sinks.appendSink(spark.readStream.schema(schema).json(src), ckpt, out)
+        .awaitTermination() // AvailableNow drains and stops
+    def ids(): Seq[Long] =
+      spark.read.parquet(out).select("id").as[Long].collect().toSeq.sorted
+
+    runOnce()
+    assert(ids() === Seq(1L, 2L))
+    // restart with the same checkpoint and unchanged input: the processed
+    // epochs must NOT replay
+    runOnce()
+    assert(ids() === Seq(1L, 2L), "restart duplicated committed epochs")
+    // new input after restart: only the delta lands
+    Seq((3L, "c")).toDF("id", "v").write.mode("append").json(src)
+    runOnce()
+    assert(ids() === Seq(1L, 2L, 3L))
+  }
+
   test("orderedBatchSink writes declared field order minus transient columns (K5)") {
     val dir = Files.createTempDirectory("graft_ordered_").toString + "/out"
     val ds = Seq(SinksSpec.Bean("s", "e", "w", 1L, "x")).toDS()
