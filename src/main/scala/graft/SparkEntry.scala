@@ -616,6 +616,41 @@ object SparkEntry {
       Similarity.nearDupPairs(Tables.embeddings(s, d), 0.35, 64, nPlanes = 4)
         .orderBy(col("a"), col("b"))),
 
+    // A6 streaming twin: visitor-flag repair through real micro-batches —
+    // first-seen-day ValueState demotes revisits, state carries across the
+    // batch boundary; time-ordered feed (the reference's operating
+    // assumption: days arrive in order, watermark bounds within-day
+    // disorder). Same oracle as q12.
+    "q57_stream_visitor_repair" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).as[StatefulOps.Event]
+        .collect().toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val (h1, h2) = ev.splitAt(ev.length / 2)
+      StreamHarness.run(s, Seq(h1, h2)) { ds =>
+        import ds.sparkSession.implicits._
+        StatefulOps.visitorRepair(ds)
+          .map { case (e, f) => (e.event_id, e.user_id, e.ts, f) }.toDF()
+      }
+        .select(col("_1").as("event_id"), col("_2").as("user_id"),
+          to_date(col("_3")).cast("string").as("visit_date"),
+          col("_4").as("is_new"))
+        .orderBy(col("event_id"))
+    }),
+
+    // X-family salted replicate-small join: row-identical to the plain
+    // inner join the oracle runs, but a hot key's probe work splits
+    // across salt buckets.
+    "q58_salted_join" -> ((s, d) => {
+      import s.implicits._
+      val dim = Seq(("view", "V"), ("click", "C"), ("purchase", "P"))
+        .toDF("event_type", "type_code")
+      graft.operators.Skew.saltedBroadcastableJoin(Tables.events(s, d), dim, "event_type")
+        .groupBy(col("event_type"), col("type_code"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(Relational.money(col("value"))).cast("double").as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // A5 streaming twin (two seen-day states per user, the reference's
     // two-ValueState pattern) driven through real micro-batches on RocksDB
     // state, disordered feed like q28/q38; summed flags = q11's
@@ -1307,6 +1342,20 @@ object SparkEntry {
          | SELECT va.vec_id AS a, vb.vec_id AS b, $dotSql / (va.nrm * vb.nrm) AS score
          | FROM v va JOIN v vb ON va.bucket = vb.bucket AND va.vec_id < vb.vec_id)
          |WHERE score >= 0.35 ORDER BY a, b""".stripMargin,
+
+    "q57_stream_visitor_repair" ->
+      """SELECT event_id, user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS visit_date,
+        | CASE WHEN CAST(ts AS DATE) = min(CAST(ts AS DATE)) OVER (PARTITION BY user_id)
+        |   THEN 1 ELSE 0 END AS is_new
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q58_salted_join" ->
+      """SELECT e.event_type, d.type_code, count(*) AS n_rows,
+        | CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e
+        |JOIN (VALUES ('view', 'V'), ('click', 'C'), ('purchase', 'P')) d(event_type, type_code)
+        | ON e.event_type = d.event_type
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
     "q52_stream_dual_flag" ->
       """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS visit_date,

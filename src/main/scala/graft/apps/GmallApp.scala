@@ -37,11 +37,20 @@ object GmallApp {
     spark.streams.awaitAnyTermination()
   }
 
-  /** Wire every pipeline; returns the running queries (production calls
-    * awaitAnyTermination, tests can stop them). */
-  def start(spark: SparkSession, bootstrap: String, warehouse: String): Seq[StreamingQuery] = {
-    val db = Sources.topicDb(spark, bootstrap, "gmall_graft")
-    val log = Sources.topicLog(spark, bootstrap, "gmall_graft")
+  /** Bind the Kafka sources and wire every pipeline. */
+  def start(spark: SparkSession, bootstrap: String, warehouse: String): Seq[StreamingQuery] =
+    wire(spark,
+      Sources.topicDb(spark, bootstrap, "gmall_graft"),
+      Sources.topicLog(spark, bootstrap, "gmall_graft"),
+      warehouse)
+
+  /** The full DAG over ANY parsed clean (db, log) streaming frames — the
+    * production path binds Kafka ([[start]]); GmallAppSpec drives the
+    * IDENTICAL wiring through MemoryStream and asserts the warehouse
+    * contents, so the deployment graph itself is executed in CI. Returns
+    * the running queries (production awaits, tests stop them). */
+  def wire(spark: SparkSession, db: DataFrame, log: DataFrame,
+      warehouse: String): Seq[StreamingQuery] = {
     // X2: dic + routing config refresh at most hourly, exactly the
     // reference's JDBC lookup-cache TTL (utils/MysqlUtil.java:22-23)
     val dic = new DimCache(() => TopicDb.baseDic(spark), ttlMillis = 3600L * 1000L)

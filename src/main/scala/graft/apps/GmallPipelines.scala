@@ -46,10 +46,12 @@ object GmallPipelines {
       .select(col("common"), col("page.page_id").as("page_id"), col("ts"),
         explode(col("displays")).as("display"))
       .select(col("common"), col("page_id"), col("ts"), col("display.*"))
+    // the action's OWN ts replaces the row ts, exactly like the reference
+    // (BaseLogApp.java:139 puts action.ts over the envelope ts)
     val action = page.where(col("actions").isNotNull)
-      .select(col("common"), col("page.page_id").as("page_id"), col("ts"),
+      .select(col("common"), col("page.page_id").as("page_id"),
         explode(col("actions")).as("action"))
-      .select(col("common"), col("page_id"), col("ts"), col("action.*"))
+      .select(col("common"), col("page_id"), col("action.*"))
     Map("page" -> page.select(col("common"), col("page"), col("ts")),
       "start" -> start, "display" -> display, "action" -> action,
       "err" -> err.select(col("common"), col("err"), col("ts")))
