@@ -204,6 +204,43 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // k-means cell assignment as a first-class clustering op (corpus
+    // bucketing / mixture analysis); seed centroids (iterations=0) are
+    // oracle-replicable, the trained variant is recall-spec'd via q54.
+    "q59_kmeans_cells" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.assignCells(emb, Similarity.kmeansCentroids(emb, 16, 0))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("vec_id")).as("sum_ids"))
+        .orderBy(col("cell"))
+    }),
+
+    // deterministic hash-gated stratified sampling (corpus mixture
+    // weights): membership is a pure function of doc_id — reproducible
+    // across runs/engines/retries, no RNG.
+    "q60_stratified_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Corpus.stratifiedSample(docs, col("doc_id"),
+          TextFunctions.langId(col("text")),
+          Map("en" -> 0.5, "cjk" -> 1.0, "unknown" -> 0.125))
+        .groupBy(TextFunctions.langId(col("text")).as("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("lang_pred"))
+    }),
+
+    // greedy contiguous sequence packing into 2048-token bins, windowed
+    // PER STRATUM (language) so packing parallelizes across strata.
+    "q61_pack_sequences" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Corpus.packSequences(docs, 2048,
+          TextFunctions.langId(col("text")), col("doc_id"),
+          TextFunctions.tokenCount(col("text")))
+        .groupBy(TextFunctions.langId(col("text")).as("lang_pred"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("lang_pred"), col("bin"))
+    }),
+
     // ------------------ envelope parse + pipeline plumbing -----------------
 
     // Maxwell CDC envelope → parse → type-filter → map-access projection →
@@ -769,6 +806,19 @@ object SparkEntry {
        | GROUP BY vec_id)""".stripMargin
   }
 
+  /** Seed-centroid IVF assignment CTEs shared by q54/q59 — mirrors
+    * Similarity.kmeansCentroids(iterations = 0) + assignCells: 16
+    * lowest-id seeds, dist = ‖c‖² − 2·x·c, argmin ties by cell id. */
+  private val ivfAssignCte =
+    """seeds AS (SELECT vec_id AS cell, embedding AS ce,
+      |  list_reduce(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)), (a, b) -> a + b) AS cn2
+      | FROM embeddings WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+      |dd AS (SELECT v.vec_id, s.cell,
+      |  s.cn2 - 2 * list_reduce(list_transform(range(64), i -> CAST(v.embedding[i+1] AS DOUBLE) * CAST(s.ce[i+1] AS DOUBLE)), (a, b) -> a + b) AS dist
+      | FROM embeddings v CROSS JOIN seeds s),
+      |assign AS (SELECT vec_id, cell FROM (
+      |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM dd) WHERE rn = 1)""".stripMargin
+
   /** Order wide-table CTEs mirroring TopicDb's order_detail / activity /
     * coupon derivations ⋈'d by q41/q42: source_type '240'||(n%2+1) → dic
     * name promo/search. */
@@ -1319,14 +1369,7 @@ object SparkEntry {
     // IVF with seed centroids: cell ranking uses dist = ‖c‖² − 2·x·c with
     // the identical left-fold dots; ties break by cell id in both engines.
     "q54_ann_ivf" ->
-      s"""WITH seeds AS (SELECT vec_id AS cell, embedding AS ce,
-         |  list_reduce(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)), (a, b) -> a + b) AS cn2
-         | FROM embeddings WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
-         |dd AS (SELECT v.vec_id, s.cell,
-         |  s.cn2 - 2 * list_reduce(list_transform(range(64), i -> CAST(v.embedding[i+1] AS DOUBLE) * CAST(s.ce[i+1] AS DOUBLE)), (a, b) -> a + b) AS dist
-         | FROM embeddings v CROSS JOIN seeds s),
-         |assign AS (SELECT vec_id, cell FROM (
-         |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM dd) WHERE rn = 1),
+      s"""WITH $ivfAssignCte,
          |probes AS (SELECT vec_id AS query_id, cell FROM (
          |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM dd WHERE vec_id % 50 = 0) WHERE rn <= 4),
          |v AS (SELECT vec_id, embedding AS e, $nrmSql AS nrm FROM embeddings),
@@ -1346,6 +1389,35 @@ object SparkEntry {
          | SELECT va.vec_id AS a, vb.vec_id AS b, $dotSql / (va.nrm * vb.nrm) AS score
          | FROM v va JOIN v vb ON va.bucket = vb.bucket AND va.vec_id < vb.vec_id)
          |WHERE score >= 0.35 ORDER BY a, b""".stripMargin,
+
+    "q59_kmeans_cells" ->
+      s"""WITH $ivfAssignCte
+         |SELECT cell, count(*) AS n_vecs, CAST(sum(vec_id) AS BIGINT) AS sum_ids
+         |FROM assign GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q60_stratified_sample" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |sr AS (SELECT doc_id, $stopRawSql AS stop_raw, $asciiRawSql AS ascii_raw FROM t),
+         |l AS (SELECT doc_id, $langSql AS lang_pred FROM sr),
+         |f AS (SELECT doc_id, lang_pred,
+         |  CASE lang_pred WHEN 'en' THEN 0.5 WHEN 'cjk' THEN 1.0 ELSE 0.125 END AS frac
+         | FROM l)
+         |SELECT lang_pred, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM f
+         |WHERE ${hexLongSql("CAST(doc_id AS VARCHAR)")} % 1000000 < CAST(frac * 1000000 AS BIGINT)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q61_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |sr AS (SELECT doc_id, len(toks) AS ntok,
+         |  $stopRawSql AS stop_raw, $asciiRawSql AS ascii_raw FROM t),
+         |l AS (SELECT doc_id, ntok, $langSql AS lang_pred FROM sr),
+         |w AS (SELECT doc_id, lang_pred, ntok,
+         |  sum(ntok) OVER (PARTITION BY lang_pred ORDER BY doc_id) AS cum FROM l)
+         |SELECT lang_pred, CAST(floor((cum - ntok) / 2048.0) AS BIGINT) AS bin,
+         | count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS sum_tokens,
+         | max(doc_id) AS max_doc
+         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q57_stream_visitor_repair" ->
       """SELECT event_id, user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS visit_date,

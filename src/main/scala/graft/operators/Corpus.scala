@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-composition operators for training-data pipelines: deterministic
+  * sampling (data mixing) and sequence packing. Both are pure declarative
+  * plans — no RNG, no driver loops — so corpus builds are REPRODUCIBLE
+  * (the same inputs always yield the same corpus, resumable after
+  * failure) and oracle-checkable.
+  */
+object Corpus {
+
+  /** Deterministic stratified sampling — the "mixture weights" step of a
+    * corpus build: keep a row iff md5(id) mod 10⁶ < fraction(stratum)·10⁶.
+    * Hash-gated, not RNG-gated: membership is a pure function of the row
+    * id, stable across runs, engines, partitionings, and retries. One
+    * narrow filter pushed at the scan — no shuffle, any scale. */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: Column,
+      stratumCol: Column,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0): DataFrame = {
+    val frac = fractions.foldLeft(lit(defaultFraction)) {
+      case (acc, (stratum, f)) => when(stratumCol === stratum, lit(f)).otherwise(acc)
+    }
+    df.where(Dedup.md5Long(idCol.cast("string")) % 1000000L
+      < (frac * 1000000L).cast("long"))
+  }
+
+  /** Greedy contiguous sequence packing — assign documents to fixed-token
+    * bins for training-batch assembly: per stratum, in id order, a doc
+    * starts in the bin its cumulative-token offset falls in
+    * (`bin = ⌊(cumsum − tokens) / capacity⌋`). The window is PER STRATUM
+    * (language, source, shard), so packing parallelizes across strata
+    * instead of one global sort — at 100 TB the stratum column is the
+    * shard key and each shard packs independently. */
+  def packSequences(
+      docs: DataFrame,
+      capacity: Int,
+      stratumCol: Column,
+      idCol: Column,
+      tokenCountCol: Column): DataFrame = {
+    val w = Window.partitionBy(stratumCol).orderBy(idCol)
+    docs
+      .withColumn("_tok", tokenCountCol.cast("long"))
+      .withColumn("_cum", sum(col("_tok")).over(w))
+      .withColumn("bin", floor((col("_cum") - col("_tok")) / lit(capacity.toDouble)))
+      .drop("_cum")
+      .withColumnRenamed("_tok", "n_tokens")
+  }
+}

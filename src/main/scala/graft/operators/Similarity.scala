@@ -127,16 +127,53 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Trained k-means centroids as (cell, ce, cn2): deterministic lowest-id
+    * seeding, `iterations` Lloyd rounds of DataFrame-only math (see
+    * [[ivfTopK]]). cn2 = ‖c‖² precomputed for the dist ranking. */
+  def kmeansCentroids(
+      vecs: DataFrame,
+      nCells: Int,
+      iterations: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    var cents = vecs.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).cast("long").as("cell"), col(vecCol).as("ce"))
+      .withColumn("cn2", dot(col("ce"), col("ce")))
+    for (_ <- 0 until iterations) {
+      val a = assignCells(vecs, cents, idCol, vecCol)
+      cents = vecs.join(a, idCol)
+        .select(col("cell"), posexplode(col(vecCol)))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m").cast("float")).as("ce"))
+        .withColumn("cn2", dot(col("ce"), col("ce")))
+    }
+    cents
+  }
+
+  /** Nearest-centroid assignment (id → cell): broadcast the centroids,
+    * argmin of ‖c‖² − 2·x·c (rank-equal to true L2; ties by cell id). One
+    * narrow pass — the clustering building block for IVF search, corpus
+    * bucketing, and mixture analysis over embedding columns. */
+  def assignCells(
+      vecs: DataFrame,
+      cents: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("dist", col("cn2") - lit(2.0) * dot(col(vecCol), col("ce")))
+      .groupBy(col(idCol))
+      .agg(min_by(col("cell"), struct(col("dist"), col("cell"))).as("cell"))
+
   /** IVF ANN — the other classic scale path next to [[lshTopK]]: coarse-
-    * quantize the corpus into `nCells` Voronoi cells, search only each
-    * query's `nProbe` nearest cells.
+    * quantize the corpus into `nCells` Voronoi cells
+    * ([[kmeansCentroids]] + [[assignCells]]), search only each query's
+    * `nProbe` nearest cells.
     *
-    *  - Seeding is deterministic (lowest `nCells` ids), Lloyd iterations
-    *    are plain DataFrame aggregations (assign = broadcast-centroid
-    *    argmin via `min_by`; update = posexplode + per-(cell, dim) avg) —
-    *    no driver-side math, trains distributed at any corpus size (at
-    *    100 TB you train on a sampled fraction; the assign pass is the
-    *    same plan either way).
+    *  - Lloyd iterations are plain DataFrame aggregations — no driver-side
+    *    math, trains distributed at any corpus size (at 100 TB you train
+    *    on a sampled fraction; the assign pass is the same plan either way).
     *  - `iterations = 0` keeps the seed vectors as centroids — pure
     *    nearest-seed partitioning, bit-replicable in the DuckDB oracle
     *    (gate q54); the spec runs `iterations = 2` and asserts recall.
@@ -155,28 +192,11 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val shufflePartitions =
       corpus.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    // centroid frame: (cell, ce, cn2); dist(x, c) = ‖c‖² − 2·x·c ranks
-    // cells identically to true L2 (‖x‖² is constant per row)
-    var cents = corpus.orderBy(col(idCol)).limit(nCells)
-      .select(col(idCol).cast("long").as("cell"), col(vecCol).as("ce"))
-      .withColumn("cn2", dot(col("ce"), col("ce")))
+    val cents = kmeansCentroids(corpus, nCells, iterations, idCol, vecCol)
     def dists(df: DataFrame): DataFrame =
       df.crossJoin(broadcast(cents))
         .withColumn("dist", col("cn2") - lit(2.0) * dot(col(vecCol), col("ce")))
-    def assign(df: DataFrame): DataFrame =
-      dists(df).groupBy(col(idCol))
-        .agg(min_by(col("cell"), struct(col("dist"), col("cell"))).as("cell"))
-    for (_ <- 0 until iterations) {
-      val a = assign(corpus)
-      cents = corpus.join(a, idCol)
-        .select(col("cell"), posexplode(col(vecCol)))
-        .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
-        .groupBy(col("cell"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m").cast("float")).as("ce"))
-        .withColumn("cn2", dot(col("ce"), col("ce")))
-    }
-    val corpusCells = corpus.join(assign(corpus), idCol)
+    val corpusCells = corpus.join(assignCells(corpus, cents, idCol, vecCol), idCol)
       .select(col(idCol).as("neighbor_id"), col("cell"),
         col(vecCol).as("cv"), norm(col(vecCol)).as("cn"))
       .repartition(shufflePartitions, col("cell"))
