@@ -31,6 +31,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // pin the JVM default zone too: driver-side java.time/Timestamp paths
+  // must bucket days identically on any host (StatefulOps.dayOf is
+  // zone-explicit regardless; this is belt-and-braces)
+  "-Duser.timezone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   // hundreds of janino-generated classes across 30+ queries overflow the
   // default 240m code cache → sweeper/deopt churn and erratic stalls

@@ -35,7 +35,8 @@ object SparkEntry {
     * internally scrambled by a deterministic id hash. */
   private def disorderedDayBatches(
       ev: Seq[StatefulOps.Event]): (Seq[StatefulOps.Event], Seq[StatefulOps.Event]) = {
-    val (odd, even) = ev.partition(_.ts.toLocalDateTime.getDayOfMonth % 2 == 1)
+    val (odd, even) = ev.partition( // UTC day parity (not JVM-default-zone)
+      _.ts.toInstant.atZone(java.time.ZoneOffset.UTC).getDayOfMonth % 2 == 1)
     def scrambled(b: Seq[StatefulOps.Event]) =
       b.sortBy(e => e.event_id * 0x9E3779B97F4A7C15L)
     (scrambled(even), scrambled(odd))
@@ -1400,11 +1401,11 @@ object SparkEntry {
          |sr AS (SELECT doc_id, $stopRawSql AS stop_raw, $asciiRawSql AS ascii_raw FROM t),
          |l AS (SELECT doc_id, $langSql AS lang_pred FROM sr),
          |f AS (SELECT doc_id, lang_pred,
-         |  CASE lang_pred WHEN 'en' THEN 0.5 WHEN 'cjk' THEN 1.0 ELSE 0.125 END AS frac
+         |  CASE lang_pred WHEN 'en' THEN 500000 WHEN 'cjk' THEN 1000000 ELSE 125000 END AS ppm
          | FROM l)
          |SELECT lang_pred, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
          |FROM f
-         |WHERE ${hexLongSql("CAST(doc_id AS VARCHAR)")} % 1000000 < CAST(frac * 1000000 AS BIGINT)
+         |WHERE ${hexLongSql("CAST(doc_id AS VARCHAR)")} % 1000000 < ppm
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q61_pack_sequences" ->

@@ -37,20 +37,33 @@ object GmallApp {
     spark.streams.awaitAnyTermination()
   }
 
-  /** Bind the Kafka sources and wire every pipeline. */
+  /** Bind the Kafka sources and wire every pipeline. Each query gets its
+    * OWN consumer (fresh readStream per factory call) — the reference's
+    * one-consumer-group-per-app layout; sharing one source instance across
+    * queries also breaks multi-scan watermark accounting. */
   def start(spark: SparkSession, bootstrap: String, warehouse: String): Seq[StreamingQuery] =
     wire(spark,
-      Sources.topicDb(spark, bootstrap, "gmall_graft"),
-      Sources.topicLog(spark, bootstrap, "gmall_graft"),
+      () => Sources.topicDb(spark, bootstrap, "gmall_graft"),
+      () => Sources.topicLog(spark, bootstrap, "gmall_graft"),
       warehouse)
 
   /** The full DAG over ANY parsed clean (db, log) streaming frames — the
     * production path binds Kafka ([[start]]); GmallAppSpec drives the
-    * IDENTICAL wiring through MemoryStream and asserts the warehouse
-    * contents, so the deployment graph itself is executed in CI. Returns
-    * the running queries (production awaits, tests stop them). */
-  def wire(spark: SparkSession, db: DataFrame, log: DataFrame,
-      warehouse: String): Seq[StreamingQuery] = {
+    * IDENTICAL wiring through MemoryStream (with CDC rows deliberately
+    * split across micro-batches) and asserts the warehouse contents, so
+    * the deployment graph itself is executed in CI. Returns the running
+    * queries (production awaits, tests stop them).
+    *
+    * The trade family runs as watermarked stream-stream interval joins
+    * (`GmallPipelines.*Stream`, one query per app exactly like the
+    * reference's one-Flink-job-per-app layout — each re-consumes the
+    * topic): an order's detail/info/payment rows may arrive in DIFFERENT
+    * micro-batches and still join, with state bounded by `joinTtlSec`
+    * (reference: 905 s / ±15 min). The stateless row-filter pipelines run
+    * per-batch with EPOCH-IDEMPOTENT writes (each epoch overwrites its own
+    * `epoch=N` dir, so a replayed micro-batch cannot duplicate rows). */
+  def wire(spark: SparkSession, dbSource: () => DataFrame, logSource: () => DataFrame,
+      warehouse: String, joinTtlSec: Long = 900L): Seq[StreamingQuery] = {
     // X2: dic + routing config refresh at most hourly, exactly the
     // reference's JDBC lookup-cache TTL (utils/MysqlUtil.java:22-23)
     val dic = new DimCache(() => TopicDb.baseDic(spark), ttlMillis = 3600L * 1000L)
@@ -61,7 +74,7 @@ object GmallApp {
     def out(name: String) = s"$warehouse/dwd/$name"
 
     // ---- DIM: route + prune + dynamic keyed stores --------------------
-    val dim = db.writeStream.option("checkpointLocation", ckpt("dim"))
+    val dim = dbSource().writeStream.option("checkpointLocation", ckpt("dim"))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val cfgDf = batch.sparkSession.createDataFrame(
           dimConfigs.map(c => (c.sinkTable.replace("dim_", ""), c.sinkTable,
@@ -72,25 +85,19 @@ object GmallApp {
       }.start()
 
     // ---- DWD log family: 5-way split, persist-once fan-out ------------
-    val dwdLog = Sinks.fanOut(log, ckpt("base_log"))(
+    val dwdLog = Sinks.fanOut(logSource(), ckpt("base_log"))(
       Seq("page", "start", "display", "action", "err").map(b =>
         (b, (d: DataFrame) => GmallPipelines.baseLogSplit(d)(b), out(s"traffic_$b"))): _*)
 
-    // ---- DWD db family: one consumer, branch-per-pipeline -------------
-    val dwdDb = db.writeStream.option("checkpointLocation", ckpt("dwd_db"))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+    // ---- DWD db, stateless family: per-row filters where the batch
+    // ---- boundary is irrelevant; every epoch overwrites its own dir ----
+    val dwdStateless = dbSource().writeStream.option("checkpointLocation", ckpt("dwd_db"))
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
         batch.persist()
         try {
           val d = dic.get()
-          val pre = GmallPipelines.tradeOrderPreProcess(batch, d)
-            .localCheckpoint(true) // consumed by 3 sinks below
           Seq(
-            "order_pre" -> pre,
             "cart_add" -> GmallPipelines.tradeCartAdd(batch),
-            "cancel" -> GmallPipelines.tradeCancel(pre),
-            "pay_success" -> GmallPipelines.tradePaySuccess(batch, pre, d),
-            "order_refund" -> GmallPipelines.tradeOrderRefund(batch, d),
-            "refund_pay_suc" -> GmallPipelines.tradeRefundPaySuccess(batch, d),
             "coupon_get" -> GmallPipelines.couponGet(batch),
             "coupon_order" -> GmallPipelines.couponOrder(batch),
             "coupon_pay" -> GmallPipelines.couponPay(batch),
@@ -98,18 +105,42 @@ object GmallApp {
             "comment" -> GmallPipelines.comment(batch, d),
             "user_register" -> GmallPipelines.userRegister(batch),
           ).foreach { case (name, df) =>
-            df.write.mode("append").parquet(out(name))
+            df.write.mode("overwrite").parquet(s"${out(name)}/epoch=$epochId")
           }
         } finally { batch.unpersist(); () }
       }.start()
 
+    // ---- DWD db, trade family: cross-batch stream-stream joins --------
+    val dicStatic = TopicDb.baseDic(spark)
+    val pre = GmallPipelines.tradeOrderPreProcessStream(dbSource(), dicStatic, joinTtlSec)
+    val orderPreQ = pre.writeStream
+      .option("checkpointLocation", ckpt("order_pre"))
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        batch.persist()
+        try {
+          batch.write.mode("overwrite").parquet(s"${out("order_pre")}/epoch=$epochId")
+          GmallPipelines.tradeCancel(batch)
+            .write.mode("overwrite").parquet(s"${out("cancel")}/epoch=$epochId")
+        } finally { batch.unpersist(); () }
+      }.start()
+    def tradeQ(name: String, df: DataFrame): StreamingQuery =
+      df.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt(name))
+        .format("parquet").option("path", out(name)).start()
+    val payQ = tradeQ("pay_success",
+      GmallPipelines.tradePaySuccessStream(dbSource(), dicStatic, joinTtlSec))
+    val refundQ = tradeQ("order_refund",
+      GmallPipelines.tradeOrderRefundStream(dbSource(), dicStatic, joinTtlSec))
+    val refundPayQ = tradeQ("refund_pay_suc",
+      GmallPipelines.tradeRefundPaySuccessStream(dbSource(), dicStatic, joinTtlSec))
+
     // ---- DWS: windowed aggregations (reference watermarks) ------------
-    val keyword = Windows.keywordCount(GmallPipelines.keywordHits(log))
+    val keyword = Windows.keywordCount(GmallPipelines.keywordHits(logSource()))
       .writeStream.outputMode("append")
       .option("checkpointLocation", ckpt("dws_keyword"))
       .format("parquet").option("path", s"$warehouse/dws/keyword").start()
     val traffic = Windows.tumblingAgg(
-        GmallPipelines.trafficCounters(GmallPipelines.baseLogSplit(log)("page")),
+        GmallPipelines.trafficCounters(GmallPipelines.baseLogSplit(logSource())("page")),
         "rt", "1 hour", "14 seconds",
         Seq(col("vc"), col("ch"), col("ar"), col("is_new")),
         Seq(sum(col("pv")).as("pv_ct"), sum(col("sv")).as("sv_ct"),
@@ -118,6 +149,7 @@ object GmallApp {
       .option("checkpointLocation", ckpt("dws_traffic"))
       .format("parquet").option("path", s"$warehouse/dws/traffic").start()
 
-    Seq(dim, dwdLog, dwdDb, keyword, traffic)
+    Seq(dim, dwdLog, dwdStateless, orderPreQ, payQ, refundQ, refundPayQ,
+      keyword, traffic)
   }
 }

@@ -199,6 +199,186 @@ object GmallPipelines {
         col("payment_type") === col("dic_code")).drop("dic_code")
   }
 
+  // --------------------------- streaming (cross-batch) trade joins --------
+  //
+  // The batch forms above join within one DataFrame; on an unbounded
+  // stream the constituent CDC rows of one order arrive in DIFFERENT
+  // micro-batches, so the production DAG uses these watermarked
+  // stream-stream interval joins instead — state bounded by `ttlSec`
+  // exactly like the reference's per-join TTLs
+  // (DwdTradeOrderPreProcess.java setStateRetentionTime ±15 min,
+  // DwdTradePayDetailSuc.java:94-98 905 s). Every side carves its
+  // event-time column from the Maxwell `ts` (epoch seconds) and the join
+  // conditions carry the ±ttl bound so Spark can evict state.
+
+  private def bound(l: Column, r: Column, ttlSec: Long): Column =
+    r >= l - expr(s"INTERVAL $ttlSec SECONDS") &&
+      r <= l + expr(s"INTERVAL $ttlSec SECONDS")
+
+  /** Maxwell `ts` (epoch seconds) as the event-time column. Shifted +1 s
+    * uniformly: a row at exactly epoch 0 sits ON Spark's initial watermark
+    * and is dropped as late; the shift is identical on every side so all
+    * relative join bounds are preserved. */
+  private def evTime(ts: Column): Column = timestamp_seconds(ts + 1)
+
+  /** [[tradeOrderPreProcess]] as stream-stream joins (J1/J2 on a stream):
+    * od ⋈ oi inner, LEFT⋈ activity, LEFT⋈ coupon, ⋈ dic (stream-static
+    * broadcast). Unmatched left rows emit once the watermark passes their
+    * window — drive a far-future row through every side to flush tails in
+    * bounded runs. */
+  def tradeOrderPreProcessStream(db: DataFrame, baseDic: DataFrame, ttlSec: Long): DataFrame = {
+    val wm = s"$ttlSec seconds"
+    val od = orderDetail(db)
+      .withColumn("odt", evTime(col("ts"))).withWatermark("odt", wm)
+    val oi = orderInfo(db)
+      .withColumnRenamed("id", "oi_order_id").withColumnRenamed("ts", "oi_ts")
+      .withColumn("oit", evTime(col("oi_ts"))).withWatermark("oit", wm)
+    val act = db.where(tbl("order_detail_activity", "insert"))
+      .select(d("order_detail_id").as("act_od_id"),
+        d("activity_id").as("activity_id"),
+        d("activity_rule_id").as("activity_rule_id"),
+        evTime(col("ts")).as("actt"))
+      .withWatermark("actt", wm)
+    val cou = db.where(tbl("order_detail_coupon", "insert"))
+      .select(d("order_detail_id").as("cou_od_id"),
+        d("coupon_id").as("coupon_id"),
+        evTime(col("ts")).as("cout"))
+      .withWatermark("cout", wm)
+    od.join(oi, col("order_id") === col("oi_order_id") &&
+        bound(col("odt"), col("oit"), ttlSec))
+      // `odt` stays THE event-time column: a stream may carry only one
+      // watermarked column into the next stateful operator
+      .drop("oi_order_id", "oit")
+      .join(act, col("id") === col("act_od_id") &&
+        bound(col("odt"), col("actt"), ttlSec), "left")
+      .drop("act_od_id", "actt")
+      .join(cou, col("id") === col("cou_od_id") &&
+        bound(col("odt"), col("cout"), ttlSec), "left")
+      .drop("cou_od_id", "cout")
+      .join(broadcast(baseDic.select(col("dic_code"), col("dic_name").as("source_type_name"))),
+        col("source_type") === col("dic_code"), "left")
+      .drop("dic_code")
+  }
+
+  /** [[tradePaySuccess]] on streams: payment_info(1602) ⋈ order_detail ⋈
+    * order_info within ±ttl (reference: 905 s + 15 min TTLs), then LEFT
+    * activity/coupon, then dics. Rebuilt from the primitive views rather
+    * than consuming [[tradeOrderPreProcessStream]]'s output — the
+    * reference does chain through the dwd_order_pre TOPIC, but an
+    * in-query chain would feed the pre-process left-join TAILS (which
+    * only emit when the watermark advances) into a downstream join whose
+    * state that same watermark just evicted. Inner joins first (emit
+    * inline), left joins LAST (their watermark-flushed tails go straight
+    * to the sink) is the stable shape; each app re-consuming the topic is
+    * exactly the reference's layout anyway. */
+  def tradePaySuccessStream(db: DataFrame, baseDic: DataFrame, ttlSec: Long): DataFrame = {
+    val wm = s"$ttlSec seconds"
+    val pay = db.where(tbl("payment_info", "update") && d("payment_status") === "1602")
+      .select(d("user_id").as("pay_user_id"), d("order_id").as("pay_order_id"),
+        d("payment_type").as("payment_type"),
+        d("callback_time").as("callback_time"), col("ts").as("pay_ts"))
+      .withColumn("pt", evTime(col("pay_ts"))).withWatermark("pt", wm)
+    val od = orderDetail(db)
+      .withColumn("odt", evTime(col("ts"))).withWatermark("odt", wm)
+    val oi = orderInfo(db)
+      .withColumnRenamed("id", "oi_order_id").withColumnRenamed("ts", "oi_ts")
+      .withColumn("oit", evTime(col("oi_ts"))).withWatermark("oit", wm)
+    val act = db.where(tbl("order_detail_activity", "insert"))
+      .select(d("order_detail_id").as("act_od_id"),
+        d("activity_id").as("activity_id"),
+        d("activity_rule_id").as("activity_rule_id"),
+        evTime(col("ts")).as("actt"))
+      .withWatermark("actt", wm)
+    val cou = db.where(tbl("order_detail_coupon", "insert"))
+      .select(d("order_detail_id").as("cou_od_id"),
+        d("coupon_id").as("coupon_id"),
+        evTime(col("ts")).as("cout"))
+      .withWatermark("cout", wm)
+    pay.join(od, col("pay_order_id") === col("order_id") &&
+        bound(col("pt"), col("odt"), ttlSec))
+      .drop("pay_order_id", "odt") // `pt` stays the one event-time column
+      .join(oi, col("order_id") === col("oi_order_id") &&
+        bound(col("pt"), col("oit"), ttlSec))
+      .drop("oi_order_id", "oit")
+      .join(act, col("id") === col("act_od_id") &&
+        bound(col("pt"), col("actt"), ttlSec), "left")
+      .drop("act_od_id", "actt")
+      .join(cou, col("id") === col("cou_od_id") &&
+        bound(col("pt"), col("cout"), ttlSec), "left")
+      .drop("cou_od_id", "cout")
+      .join(broadcast(baseDic.select(col("dic_code"),
+        col("dic_name").as("payment_type_name"))),
+        col("payment_type") === col("dic_code"), "left")
+      .drop("dic_code")
+      .join(broadcast(baseDic.select(col("dic_code"),
+        col("dic_name").as("source_type_name"))),
+        col("source_type") === col("dic_code"), "left")
+      .drop("dic_code")
+  }
+
+  /** [[tradeOrderRefund]] on streams: refund requests ⋈ order_info(1005)
+    * within ±ttl, dics broadcast. */
+  def tradeOrderRefundStream(db: DataFrame, baseDic: DataFrame, ttlSec: Long): DataFrame = {
+    val wm = s"$ttlSec seconds"
+    val refundInfo = db.where(tbl("order_refund_info", "insert"))
+      .select(d("id").as("id"), d("user_id").as("user_id"),
+        d("order_id").as("order_id"), d("sku_id").as("sku_id"),
+        d("refund_type").as("refund_type"), d("refund_num").as("refund_num"),
+        d("refund_amount").as("refund_amount"),
+        d("refund_reason_type").as("refund_reason_type"),
+        d("refund_reason_txt").as("refund_reason_txt"),
+        d("create_time").as("create_time"), col("ts"))
+      .withColumn("rit", evTime(col("ts"))).withWatermark("rit", wm)
+    val oiRefund = db.where(tbl("order_info", "update") &&
+        d("order_status") === "1005" && o("order_status").isNotNull)
+      .select(d("id").as("oi_order_id"), d("province_id").as("province_id"),
+        evTime(col("ts")).as("oit"))
+      .withWatermark("oit", wm)
+    refundInfo.join(oiRefund, col("order_id") === col("oi_order_id") &&
+        bound(col("rit"), col("oit"), ttlSec))
+      .drop("oi_order_id", "oit")
+      .join(broadcast(baseDic.select(col("dic_code"),
+        col("dic_name").as("refund_type_name"))),
+        col("refund_type") === col("dic_code")).drop("dic_code")
+      .join(broadcast(baseDic.select(col("dic_code"),
+        col("dic_name").as("refund_reason_type_name"))),
+        col("refund_reason_type") === col("dic_code")).drop("dic_code")
+  }
+
+  /** [[tradeRefundPaySuccess]] on streams: refund_payment(0702) ⋈
+    * order_info(1006) ⋈ order_refund_info on (order_id, sku_id), all
+    * within ±ttl. */
+  def tradeRefundPaySuccessStream(db: DataFrame, baseDic: DataFrame, ttlSec: Long): DataFrame = {
+    val wm = s"$ttlSec seconds"
+    val refundPay = db.where(tbl("refund_payment", "update") &&
+        d("refund_status") === "0702" && o("refund_status").isNotNull)
+      .select(d("id").as("id"), d("order_id").as("order_id"),
+        d("sku_id").as("sku_id"), d("payment_type").as("payment_type"),
+        d("callback_time").as("callback_time"),
+        d("total_amount").as("total_amount"), col("ts"))
+      .withColumn("rpt", evTime(col("ts"))).withWatermark("rpt", wm)
+    val oi = db.where(tbl("order_info", "update") &&
+        d("order_status") === "1006" && o("order_status").isNotNull)
+      .select(d("id").as("oi_order_id"), d("user_id").as("user_id"),
+        d("province_id").as("province_id"),
+        evTime(col("ts")).as("oit"))
+      .withWatermark("oit", wm)
+    val refundInfo = db.where(tbl("order_refund_info"))
+      .select(d("order_id").as("ri_order_id"), d("sku_id").as("ri_sku_id"),
+        d("refund_num").as("refund_num"),
+        evTime(col("ts")).as("rit"))
+      .withWatermark("rit", wm)
+    refundPay.join(oi, col("order_id") === col("oi_order_id") &&
+        bound(col("rpt"), col("oit"), ttlSec))
+      .drop("oi_order_id", "oit")
+      .join(refundInfo, col("order_id") === col("ri_order_id") &&
+        col("sku_id") === col("ri_sku_id") && bound(col("rpt"), col("rit"), ttlSec))
+      .drop("ri_order_id", "ri_sku_id", "rit")
+      .join(broadcast(baseDic.select(col("dic_code"),
+        col("dic_name").as("payment_type_name"))),
+        col("payment_type") === col("dic_code")).drop("dic_code")
+  }
+
   // ------------------------------------------------------- tool / misc ----
 
   /** DwdToolCouponGet (DwdToolCouponGet.java:51-52): coupon grants. */

@@ -54,16 +54,26 @@ object TopicDb {
     ).toDF("dic_code", "dic_name")
   }
 
-  private val cache = TrieMap.empty[String, DataFrame]
+  // cache key: identityHashCode can collide after GC reuses addresses, so
+  // each entry also pins the owning session and is revalidated with `eq`
+  // on hit — a colliding or stale entry (stopped session) is rebuilt, never
+  // served (classic SparkSession has no sessionUUID to key by)
+  private val cache = TrieMap.empty[String, (SparkSession, DataFrame)]
 
   /** The parsed, clean, persisted topic_db stream for a scale-factor dir. */
-  def apply(spark: SparkSession, sfDir: String): DataFrame =
-    cache.getOrElseUpdate(System.identityHashCode(spark) + "|" + sfDir, {
-      val db = Envelopes.cleanDirty(Envelopes.parseMaxwell(raw(spark, sfDir)))._1
-        .persist()
-      db.count() // materialize eagerly: broadcast-side subplans must read
-      db         // the cache, not re-run the parse single-task (§7.3 #4)
-    })
+  def apply(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = System.identityHashCode(spark) + "|" + sfDir
+    cache.get(key) match {
+      case Some((owner, df)) if owner eq spark => df
+      case _ =>
+        val db = Envelopes.cleanDirty(Envelopes.parseMaxwell(raw(spark, sfDir)))._1
+          .persist()
+        db.count() // materialize eagerly: broadcast-side subplans must read
+        // the cache, not re-run the parse single-task (§7.3 #4)
+        cache.put(key, (spark, db))
+        db
+    }
+  }
 
   /** The unparsed envelope stream (one `value` JSON string column). */
   def raw(spark: SparkSession, sfDir: String): DataFrame = {

@@ -23,11 +23,15 @@ object Corpus {
       stratumCol: Column,
       fractions: Map[String, Double],
       defaultFraction: Double = 0.0): DataFrame = {
-    val frac = fractions.foldLeft(lit(defaultFraction)) {
-      case (acc, (stratum, f)) => when(stratumCol === stratum, lit(f)).otherwise(acc)
+    // thresholds become exact LONG literals driver-side: a runtime
+    // `(frac * 1e6).cast(long)` would TRUNCATE (e.g. 0.7 → 699999) while
+    // engines that round (DuckDB CAST) say 700000 — the plan must carry
+    // one unambiguous integer per stratum
+    def ppm(f: Double): Long = math.round(f * 1000000L)
+    val threshold = fractions.foldLeft(lit(ppm(defaultFraction))) {
+      case (acc, (stratum, f)) => when(stratumCol === stratum, lit(ppm(f))).otherwise(acc)
     }
-    df.where(Dedup.md5Long(idCol.cast("string")) % 1000000L
-      < (frac * 1000000L).cast("long"))
+    df.where(Dedup.md5Long(idCol.cast("string")) % 1000000L < threshold)
   }
 
   /** Greedy contiguous sequence packing — assign documents to fixed-token

@@ -36,8 +36,15 @@ object Similarity {
     * compute with O(|Q|·k) shuffle bytes. */
   class TopKAggregator(k: Int)
       extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
-    private def better(a: Scored, b: Scored): Boolean =
-      a.score > b.score || (a.score == b.score && a.neighbor_id < b.neighbor_id)
+    // Double.compare, not `>`: a NaN score (degenerate zero-norm vector)
+    // must rank FIRST like the row_number window this replaces — Spark's
+    // and DuckDB's sort orders both treat NaN as the largest double, while
+    // `a.score > b.score` is false for every NaN comparison and would
+    // silently drop the candidate instead
+    private def better(a: Scored, b: Scored): Boolean = {
+      val c = java.lang.Double.compare(a.score, b.score)
+      c > 0 || (c == 0 && a.neighbor_id < b.neighbor_id)
+    }
     private def ins(buf: Seq[Scored], x: Scored): Seq[Scored] = {
       if (buf.size >= k && better(buf.last, x)) buf
       else {

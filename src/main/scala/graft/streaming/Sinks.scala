@@ -35,6 +35,12 @@ object Sinks {
     // (hdfs://, s3a://) and would silently overwrite the first batch
     val dst = new org.apache.hadoop.fs.Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(path + "_old")
+    // crash recovery FIRST: a previous run that died between set-aside and
+    // publish left the only full copy at `_old` and no `dst` — restore it
+    // before the `!exists(dst)` check below could mistake the store for
+    // fresh and truncate it to one batch
+    if (!fs.exists(dst) && fs.exists(old)) fs.rename(old, dst)
     if (!fs.exists(dst)) {
       compacted.write.mode("overwrite").parquet(path)
       return
@@ -44,11 +50,10 @@ object Sinks {
       .join(compacted.select(keyCols.map(col): _*), keyCols, "left_anti")
       .unionByName(compacted)
     val tmp = new org.apache.hadoop.fs.Path(path + "_tmp")
-    val old = new org.apache.hadoop.fs.Path(path + "_old")
     merged.write.mode("overwrite").parquet(tmp.toString)
-    // swap via rename-aside, not delete-then-rename: a crash mid-swap
-    // leaves the full store at `_old` (recoverable) instead of nothing
-    // (single-writer micro-batch contract)
+    // swap via rename-aside (single-writer micro-batch contract): every
+    // crash window leaves either `dst` or `_old` holding the full store,
+    // and the recovery above replays an interrupted swap
     fs.delete(old, true)
     if (!fs.rename(dst, old))
       throw new java.io.IOException(s"upsertByKey: cannot set aside $dst")
@@ -75,41 +80,55 @@ object Sinks {
     val compacted = batch
       .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
       .withColumn("_bucket", pmod(hash(keyCols.map(col): _*), lit(nBuckets)))
-    val dst = new org.apache.hadoop.fs.Path(path)
-    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dst)) {
-      compacted.write.partitionBy("_bucket").mode("overwrite").parquet(path)
-      return
-    }
-    val touched = compacted.select(col("_bucket")).distinct()
-      .collect().map(_.getInt(0)).sorted // ≤ nBuckets values, driver-safe
-    val existing = spark.read.parquet(path)
-      .where(col("_bucket").isin(touched.map(Int.box): _*))
-    val merged = existing
-      .join(compacted.select(keyCols.map(col): _*), keyCols, "left_anti")
-      .unionByName(compacted)
-    val tmp = new org.apache.hadoop.fs.Path(path + "_tmp")
-    merged.write.partitionBy("_bucket").mode("overwrite").parquet(tmp.toString)
-    // set-asides live OUTSIDE the store root: a crash must never leave a
-    // non-`_bucket=N` dir inside `path` where partition discovery would
-    // choke on it
-    val oldRoot = new org.apache.hadoop.fs.Path(path + "_old")
-    fs.mkdirs(oldRoot)
-    touched.foreach { b =>
-      val bNew = new org.apache.hadoop.fs.Path(s"$tmp/_bucket=$b")
-      val bDst = new org.apache.hadoop.fs.Path(s"$path/_bucket=$b")
-      val bOld = new org.apache.hadoop.fs.Path(s"$oldRoot/_bucket=$b")
-      fs.delete(bOld, true)
-      if (fs.exists(bDst) && !fs.rename(bDst, bOld))
-        throw new java.io.IOException(s"upsertByKeyPartitioned: cannot set aside $bDst")
-      if (!fs.rename(bNew, bDst)) {
-        fs.rename(bOld, bDst) // restore
-        throw new java.io.IOException(s"upsertByKeyPartitioned: cannot publish $bNew")
+      .persist() // consumed twice: touched-bucket collect + the merge write
+    try {
+      val dst = new org.apache.hadoop.fs.Path(path)
+      val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // crash recovery FIRST: restore any bucket whose previous swap died
+      // between set-aside and publish (bDst missing, set-aside present) —
+      // including buckets the CURRENT batch does not touch
+      val oldRoot = new org.apache.hadoop.fs.Path(path + "_old")
+      if (fs.exists(oldRoot)) {
+        fs.listStatus(oldRoot).foreach { st =>
+          val bDst = new org.apache.hadoop.fs.Path(s"$path/${st.getPath.getName}")
+          if (!fs.exists(bDst)) fs.rename(st.getPath, bDst)
+        }
+        fs.delete(oldRoot, true) // remaining set-asides were completed swaps
       }
-      fs.delete(bOld, true)
-    }
-    fs.delete(tmp, true)
-    fs.delete(oldRoot, true)
+      if (!fs.exists(dst)) {
+        compacted.write.partitionBy("_bucket").mode("overwrite").parquet(path)
+        return
+      }
+      val touched = compacted.select(col("_bucket")).distinct()
+        .collect().map(_.getInt(0)).sorted // ≤ nBuckets values, driver-safe
+      val existing = spark.read.parquet(path)
+        .where(col("_bucket").isin(touched.map(Int.box): _*))
+      val merged = existing
+        .join(compacted.select(keyCols.map(col): _*), keyCols, "left_anti")
+        .unionByName(compacted)
+      val tmp = new org.apache.hadoop.fs.Path(path + "_tmp")
+      merged.write.partitionBy("_bucket").mode("overwrite").parquet(tmp.toString)
+      // per-bucket rename-aside swap; set-asides live OUTSIDE the store
+      // root (a leftover non-`_bucket=N` dir inside `path` would poison
+      // partition discovery), and every crash window leaves each bucket's
+      // full content at either its dst or its set-aside for the recovery
+      // scan above
+      fs.mkdirs(oldRoot)
+      touched.foreach { b =>
+        val bNew = new org.apache.hadoop.fs.Path(s"$tmp/_bucket=$b")
+        val bDst = new org.apache.hadoop.fs.Path(s"$path/_bucket=$b")
+        val bOld = new org.apache.hadoop.fs.Path(s"$oldRoot/_bucket=$b")
+        if (fs.exists(bDst) && !fs.rename(bDst, bOld))
+          throw new java.io.IOException(s"upsertByKeyPartitioned: cannot set aside $bDst")
+        if (!fs.rename(bNew, bDst)) {
+          fs.rename(bOld, bDst) // restore
+          throw new java.io.IOException(s"upsertByKeyPartitioned: cannot publish $bNew")
+        }
+        fs.delete(bOld, true)
+      }
+      fs.delete(tmp, true)
+      fs.delete(oldRoot, true)
+    } finally { compacted.unpersist(); () }
   }
 
   /** K5 — batch sink honoring declared field order (the reference maps bean
@@ -126,15 +145,18 @@ object Sinks {
   /** P7 multi-sink fan-out: run one streaming query whose every micro-batch
     * is persisted once and written to N sinks — the Spark replacement for
     * Flink side outputs (SURVEY §7.3 #4: N independent queries would
-    * re-execute the source N times). */
+    * re-execute the source N times). Each epoch overwrites its own
+    * `epoch=N` subdir per sink, so a replayed micro-batch (or a crash
+    * mid-fan-out) re-writes the same dirs instead of appending duplicates
+    * — exactly-once per (sink, epoch). */
   def fanOut(df: DataFrame, checkpoint: String)(
       sinks: (String, DataFrame => DataFrame, String)*): StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
         batch.persist()
         try sinks.foreach { case (_, transform, path) =>
-          transform(batch).write.mode("append").parquet(path)
+          transform(batch).write.mode("overwrite").parquet(s"$path/epoch=$epochId")
         } finally batch.unpersist()
         ()
       }

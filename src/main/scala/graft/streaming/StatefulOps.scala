@@ -36,6 +36,15 @@ object StatefulOps {
   private[streaming] def micros(ts: Timestamp): Long =
     ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
 
+  /** Day bucket of an event, in an EXPLICIT zone (UTC — the session zone
+    * every entry point pins). `Timestamp.toLocalDateTime` would use the
+    * JVM default zone: on a non-UTC host the processors would bucket days
+    * differently than the `to_date` projections and DuckDB oracles they
+    * are gated against (the exact drift [[graft.core.DateUtil]] exists to
+    * prevent). */
+  private[streaming] def dayOf(ts: Timestamp): String =
+    ts.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+
   /** A4 — streaming daily UV dedup: first event per (user, day) passes.
     * Reference: app/dwd/DwdTrafficUniqueVisitorDetail.java:55-84
     * (ValueState lastVisitDate + 1-day TTL).
@@ -56,7 +65,7 @@ object StatefulOps {
           val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           var seen = state.getOption.getOrElse(Seq.empty).toSet
           val out = sorted.flatMap { e =>
-            val day = e.ts.toLocalDateTime.toLocalDate.toString
+            val day = dayOf(e.ts)
             if (seen.contains(day)) None
             else { seen += day; Some(e) }
           }
@@ -83,7 +92,7 @@ object StatefulOps {
       val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
       var seen = seenDays.get().toSet
       val out = sorted.flatMap { e =>
-        val day = e.ts.toLocalDateTime.toLocalDate.toString
+        val day = dayOf(e.ts)
         if (seen.contains(day)) None
         else { seen += day; seenDays.appendValue(day); Some(e) }
       }
@@ -138,7 +147,7 @@ object StatefulOps {
       var sb = seenB.get().toSet
       val out = Seq.newBuilder[(String, Long, Long)]
       sorted.foreach { e =>
-        val day = e.ts.toLocalDateTime.toLocalDate.toString
+        val day = dayOf(e.ts)
         if (e.event_type == typeA && !sa.contains(day)) {
           sa += day; seenA.appendValue(day); out += ((day, 1L, 0L))
         } else if (e.event_type == typeB && !sb.contains(day)) {
@@ -175,7 +184,7 @@ object StatefulOps {
           val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           var first = state.getOption.getOrElse("")
           val out = sorted.map { e =>
-            val day = e.ts.toLocalDateTime.toLocalDate.toString
+            val day = dayOf(e.ts)
             if (first == "") { first = day; (e, 1) }
             else (e, if (day == first) 1 else 0)
           }

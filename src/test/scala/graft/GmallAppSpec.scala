@@ -7,26 +7,51 @@ import graft.core.{Envelopes, TopicDb}
 
 /** Executes the PRODUCTION DAG (GmallApp.wire — the exact graph `start`
   * deploys against Kafka) end-to-end through MemoryStream: DIM routing
-  * with dynamic table creation, the 12-branch DWD fan-out, the log
-  * 5-way split, and both DWS windows, all as real streaming queries
-  * writing a real warehouse directory. */
+  * with dynamic table creation, the stateless DWD fan-outs, the TRADE
+  * family as cross-batch stream-stream interval joins, the log 5-way
+  * split, and both DWS windows, all as real streaming queries writing a
+  * real warehouse directory.
+  *
+  * The CDC feed is deliberately SPLIT across two micro-batches by a
+  * deterministic hash, so an order's detail/info/payment/refund rows
+  * usually arrive in different batches — the trade outputs must still
+  * match the batch pipelines exactly (the joins carry state across the
+  * boundary); a far-future sentinel per joined table then advances every
+  * watermark to flush the left-join tails. */
 class GmallAppSpec extends SparkTestBase {
   import spark.implicits._
 
   private val sf = "/root/testdata/sf0.001"
 
-  test("GmallApp.wire runs the full warehouse DAG over MemoryStream feeds") {
+  private def sentinel(table: String, typ: String, data: String, old: String = "null") =
+    s"""{"database":"gmall","table":"$table","type":"$typ","ts":4000000000,"data":$data,"old":$old}"""
+
+  test("GmallApp.wire runs the full warehouse DAG with cross-batch trade joins") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val wh = Files.createTempDirectory("graft_app_").toString
-    val dbIn = MemoryStream[String]
-    val logIn = MemoryStream[String]
-    val db = Envelopes.cleanDirty(Envelopes.parseMaxwell(dbIn.toDS().toDF()))._1
-    val log = Envelopes.cleanDirty(Envelopes.parseLog(logIn.toDS().toDF()))._1
+    // one MemoryStream per factory call = one consumer per app, exactly
+    // like the production Kafka binding; every stream gets every record
+    val dbIns = scala.collection.mutable.ArrayBuffer.empty[MemoryStream[String]]
+    val logIns = scala.collection.mutable.ArrayBuffer.empty[MemoryStream[String]]
+    def dbSource() = {
+      val s = MemoryStream[String]; dbIns += s
+      Envelopes.cleanDirty(Envelopes.parseMaxwell(s.toDS().toDF()))._1
+    }
+    def logSource() = {
+      val s = MemoryStream[String]; logIns += s
+      Envelopes.cleanDirty(Envelopes.parseLog(s.toDS().toDF()))._1
+    }
 
-    val queries = GmallApp.wire(spark, db, log, wh)
+    // join TTL covers the whole synthetic key range (Maxwell ts = order
+    // key here), so nothing is late until the 4e9 sentinels flush
+    val queries = GmallApp.wire(spark, dbSource _, logSource _, wh,
+      joinTtlSec = 10000000L)
+    def dbAdd(rows: Seq[String]): Unit = dbIns.foreach(_.addData(rows))
+    def logAdd(rows: Seq[String]): Unit = logIns.foreach(_.addData(rows))
     try {
-      // ---- feed: the synthesized topic_db firehose + a few log events --
       val envelopes = TopicDb.raw(spark, sf).as[String].collect().toSeq
+      // deterministic split: constituent rows of one order straddle batches
+      val (b1, b2) = envelopes.partition(e => math.abs(e.hashCode) % 2 == 0)
       def pageRow(ts: Long, mid: String, item: String) =
         s"""{"common":{"mid":"$mid","vc":"v1","ch":"app","ar":"1","is_new":"0"},""" +
           s""""page":{"page_id":"good_list","last_page_id":"search","item":"$item","item_type":"keyword","during_time":1000},"ts":$ts}"""
@@ -35,11 +60,42 @@ class GmallAppSpec extends SparkTestBase {
         pageRow(2000L, "m2", "hello spark"),
         """{"common":{"mid":"m3","vc":"v1","ch":"app","ar":"1","is_new":"1"},"start":{"entry":"icon"},"ts":3000}""",
         """{"common":{"mid":"m1","vc":"v1","ch":"app","ar":"1","is_new":"0"},"err":{"error_code":1,"msg":"boom"},"page":{"page_id":"home","during_time":5},"ts":4000}""")
-      dbIn.addData(envelopes)
-      logIn.addData(logs)
+
+      dbAdd(b1)
+      logAdd(logs)
       queries.foreach(_.processAllAvailable())
-      // watermark-flush the DWS windows with a far-future sentinel
-      logIn.addData(Seq(pageRow(4102444800000L, "zz", "zzflush")))
+      dbAdd(b2)
+      queries.foreach(_.processAllAvailable())
+      // flush: one far-future row through EVERY watermarked side (ids join
+      // nothing), plus the DWS window sentinel
+      dbAdd(Seq(
+        sentinel("order_detail", "insert",
+          """{"id":"zzod","order_id":"zzo1","sku_id":"1","sku_num":"1","source_type":"2401","split_total_amount":"0.00"}"""),
+        sentinel("order_info", "update",
+          """{"id":"zzo2","order_status":"1005","province_id":"1"}""",
+          """{"order_status":"1001"}"""),
+        sentinel("order_info", "update",
+          """{"id":"zzo3","order_status":"1006","user_id":"1","province_id":"1"}""",
+          """{"order_status":"1001"}"""),
+        sentinel("order_detail_activity", "insert",
+          """{"order_detail_id":"zzact","activity_id":"a","activity_rule_id":"r"}"""),
+        sentinel("order_detail_coupon", "insert",
+          """{"order_detail_id":"zzcou","coupon_id":"c"}"""),
+        sentinel("payment_info", "update",
+          """{"user_id":"1","order_id":"zzpay","payment_type":"1101","payment_status":"1602","callback_time":"x","total_amount":"1"}""",
+          """{"payment_status":"1601"}"""),
+        sentinel("order_refund_info", "insert",
+          """{"id":"zzri","user_id":"1","order_id":"zzro","sku_id":"1","refund_type":"1501","refund_num":"1","refund_amount":"1","refund_reason_type":"1301","refund_reason_txt":"t","create_time":"x"}"""),
+        sentinel("refund_payment", "update",
+          """{"id":"zzrp","order_id":"zzrpo","sku_id":"1","payment_type":"1101","refund_status":"0702","callback_time":"x","total_amount":"1"}""",
+          """{"refund_status":"0701"}""")))
+      logAdd(Seq(pageRow(4102444800000L, "zz", "zzflush")))
+      queries.foreach(_.processAllAvailable())
+      // one more (inert) micro-batch: the left-join tails emit in the
+      // watermark-advanced batch AFTER the sentinels' batch, and
+      // processAllAvailable can return between the two
+      dbAdd(Seq("""{"database":"gmall","table":"zz_inert","type":"insert","ts":4000000001,"data":{},"old":null}"""))
+      queries.foreach(_.processAllAvailable())
       queries.foreach(_.processAllAvailable())
 
       // ---- DIM: routed, pruned, dynamically-created keyed store --------
@@ -47,22 +103,30 @@ class GmallAppSpec extends SparkTestBase {
       assert(dimUsers.schema.fieldNames.toSeq === Seq("id", "name", "ts"))
       assert(dimUsers.count() === Tables.customer(spark, sf).count())
 
-      // ---- DWD db family: matches the batch pipeline bit-for-bit ------
-      val cartStreamed = spark.read.parquet(s"$wh/dwd/cart_add")
-      val cartBatch = GmallPipelines.tradeCartAdd(TopicDb(spark, sf))
-      assert(cartStreamed.count() === cartBatch.count())
-      assert(spark.read.parquet(s"$wh/dwd/user_register").count() ===
-        Tables.customer(spark, sf).count())
-      assert(spark.read.parquet(s"$wh/dwd/order_pre").count() ===
-        GmallPipelines.tradeOrderPreProcess(
-          TopicDb(spark, sf), TopicDb.baseDic(spark)).count())
-      assert(spark.read.parquet(s"$wh/dwd/pay_success").count() > 0)
-      assert(spark.read.parquet(s"$wh/dwd/comment").count() > 0)
+      // ---- DWD trade family: cross-batch joins == batch pipelines ------
+      val dbBatch = TopicDb(spark, sf)
+      val dicB = TopicDb.baseDic(spark)
+      val preBatch = GmallPipelines.tradeOrderPreProcess(dbBatch, dicB)
+        .localCheckpoint(true)
+      def streamed(name: String): Long = spark.read.parquet(s"$wh/dwd/$name").count()
+      assert(streamed("order_pre") === preBatch.count())
+      assert(streamed("cancel") === GmallPipelines.tradeCancel(preBatch).count())
+      assert(streamed("pay_success") ===
+        GmallPipelines.tradePaySuccess(dbBatch, preBatch, dicB).count())
+      assert(streamed("order_refund") ===
+        GmallPipelines.tradeOrderRefund(dbBatch, dicB).count())
+      assert(streamed("refund_pay_suc") ===
+        GmallPipelines.tradeRefundPaySuccess(dbBatch, dicB).count())
+
+      // ---- DWD stateless family --------------------------------------
+      assert(streamed("cart_add") === GmallPipelines.tradeCartAdd(dbBatch).count())
+      assert(streamed("user_register") === Tables.customer(spark, sf).count())
+      assert(streamed("comment") === GmallPipelines.comment(dbBatch, dicB).count())
 
       // ---- DWD log family: 5-way split branches ------------------------
-      assert(spark.read.parquet(s"$wh/dwd/traffic_page").count() === 4L) // 3 pages + sentinel
-      assert(spark.read.parquet(s"$wh/dwd/traffic_start").count() === 1L)
-      assert(spark.read.parquet(s"$wh/dwd/traffic_err").count() === 1L)
+      assert(streamed("traffic_page") === 4L) // 3 pages + sentinel
+      assert(streamed("traffic_start") === 1L)
+      assert(streamed("traffic_err") === 1L)
 
       // ---- DWS: windows flushed by the sentinel's watermark ------------
       val kw = spark.read.parquet(s"$wh/dws/keyword")
