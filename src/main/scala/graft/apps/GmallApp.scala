@@ -45,7 +45,10 @@ object GmallApp {
     wire(spark,
       () => Sources.topicDb(spark, bootstrap, "gmall_graft"),
       () => Sources.topicLog(spark, bootstrap, "gmall_graft"),
-      warehouse)
+      warehouse) :+
+      configQuery(spark,
+        Sources.configStream(spark, bootstrap, "gmall_graft"),
+        warehouse, s"$warehouse/ckpt/config")
 
   /** The full DAG over ANY parsed clean (db, log) streaming frames — the
     * production path binds Kafka ([[start]]); GmallAppSpec drives the
@@ -73,16 +76,9 @@ object GmallApp {
     def ckpt(name: String) = s"$warehouse/ckpt/$name"
     def out(name: String) = s"$warehouse/dwd/$name"
 
-    // ---- DIM: route + prune + dynamic keyed stores --------------------
-    val dim = dbSource().writeStream.option("checkpointLocation", ckpt("dim"))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val cfgDf = batch.sparkSession.createDataFrame(
-          dimConfigs.map(c => (c.sinkTable.replace("dim_", ""), c.sinkTable,
-            c.sinkColumns.mkString(","))))
-          .toDF("source_table", "sink_table", "sink_columns")
-        DimSink.processBatch(
-          GmallPipelines.dimRouter(batch, cfgDf), s"$warehouse/dim", dimConfigs)
-      }.start()
+    // ---- DIM: route + prune + dynamic keyed stores; the routing table
+    // ---- itself refreshes from the config store every micro-batch ------
+    val dim = dimQuery(spark, dbSource(), warehouse, dimConfigs, ckpt("dim"))
 
     // ---- DWD log family: 5-way split, persist-once fan-out ------------
     val dwdLog = Sinks.fanOut(logSource(), ckpt("base_log"))(
@@ -152,4 +148,51 @@ object GmallApp {
     Seq(dim, dwdLog, dwdStateless, orderPreQ, payQ, refundQ, refundPayQ,
       keyword, traffic)
   }
+
+  /** Path of the dynamic routing table under a warehouse root. */
+  def configStore(warehouse: String): String = s"$warehouse/config/table_process"
+
+  /** S4/U3 — the Debezium `table_process` config stream folded into the
+    * routing table: `c`/`u`/`r` ops upsert by source_table, last-write-wins
+    * on ts_ms. The DIM query re-reads the store per micro-batch — the
+    * Spark analogue of the reference's broadcast-state config refresh
+    * (app/func/TableProcessFunction.java:169-213 processBroadcastElement).
+    * Input shape: [[graft.streaming.Sources.configStream]]. */
+  def configQuery(spark: SparkSession, cfg: DataFrame, warehouse: String,
+      checkpoint: String): StreamingQuery =
+    cfg.writeStream.option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Sinks.upsertByKey(
+          batch.where(col("op").isin("c", "u", "r"))
+            .select(col("source_table"), col("sink_table"),
+              col("sink_columns"), col("sink_pk"), col("ts_ms")),
+          Seq("source_table"), "ts_ms", configStore(warehouse))
+      }.start()
+
+  /** The DIM routing query: per micro-batch, merge the DYNAMIC routing
+    * table (written by [[configQuery]], absent until the first config row)
+    * with the static bootstrap configs, route + prune the CDC batch, and
+    * upsert each table's keyed store (created on first sight —
+    * checkAndCreateTable). A config row added mid-stream takes effect from
+    * the NEXT micro-batch, exactly like the reference's broadcast state. */
+  def dimQuery(spark: SparkSession, db: DataFrame, warehouse: String,
+      static: Seq[DimSink.TableConfig], checkpoint: String): StreamingQuery =
+    db.writeStream.option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val dynamic: Seq[(String, DimSink.TableConfig)] =
+          try s.read.parquet(configStore(warehouse)).collect().toSeq.map { r =>
+            r.getAs[String]("source_table") -> DimSink.TableConfig(
+              r.getAs[String]("sink_table"),
+              r.getAs[String]("sink_columns").split(",").toSeq,
+              r.getAs[String]("sink_pk"))
+          } catch { case _: org.apache.spark.sql.AnalysisException => Seq.empty }
+        val all = (static.map(c => c.sinkTable.replace("dim_", "") -> c) ++ dynamic)
+          .toMap // dynamic overrides static per source_table
+        val cfgDf = s.createDataFrame(
+          all.toSeq.map { case (src, c) => (src, c.sinkTable, c.sinkColumns.mkString(",")) })
+          .toDF("source_table", "sink_table", "sink_columns")
+        DimSink.processBatch(
+          GmallPipelines.dimRouter(batch, cfgDf), s"$warehouse/dim", all.values.toSeq)
+      }.start()
 }

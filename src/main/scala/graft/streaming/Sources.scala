@@ -48,10 +48,11 @@ object Sources {
     Envelopes.cleanDirty(Envelopes.parseLog(
       kafkaValues(spark, bootstrap, "topic_log", groupId)))._1
 
-  /** S4 — the Debezium config stream as (op, after.*) rows; the DIM app
-    * folds it into its broadcast config per micro-batch. */
+  /** S4 — the Debezium config stream as (op, ts_ms, after.*) rows; the
+    * DIM app folds it into its routing table per micro-batch
+    * ([[graft.apps.GmallApp.configQuery]]). */
   def configStream(spark: SparkSession, bootstrap: String, groupId: String): DataFrame =
     Envelopes.cleanDirty(Envelopes.parseDebeziumConfig(
       kafkaValues(spark, bootstrap, "table_process_config", groupId)))._1
-      .select(col("op"), col("after.*"))
+      .select(col("op"), col("ts_ms"), col("after.*"))
 }

@@ -135,5 +135,38 @@ class GmallAppSpec extends SparkTestBase {
     } finally queries.foreach(_.stop())
   }
 
+  test("dim routing config is DYNAMIC: a Debezium config row takes effect next batch (S4/U3)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val wh = Files.createTempDirectory("graft_dyncfg_").toString
+    val dbIn = MemoryStream[String]
+    val cfgIn = MemoryStream[String]
+    val db = Envelopes.cleanDirty(Envelopes.parseMaxwell(dbIn.toDS().toDF()))._1
+    val cfg = Envelopes.cleanDirty(Envelopes.parseDebeziumConfig(cfgIn.toDS().toDF()))._1
+      .select(col("op"), col("ts_ms"), col("after.*"))
+    val dimQ = GmallApp.dimQuery(spark, db, wh, Seq.empty, s"$wh/ckpt/dim")
+    val cfgQ = GmallApp.configQuery(spark, cfg, wh, s"$wh/ckpt/cfg")
+    try {
+      def commentEnv(i: Int) =
+        s"""{"database":"gmall","table":"comment_info","type":"insert","ts":$i,""" +
+          s""""data":{"id":"cm$i","appraise":"1201","comment_txt":"x"},"old":null}"""
+      // batch 1: comment rows BEFORE any config → nothing routed
+      dbIn.addData(Seq(commentEnv(1), commentEnv(2)))
+      dimQ.processAllAvailable()
+      assert(!new java.io.File(s"$wh/dim/dim_comment_info").exists(),
+        "routed without any config")
+      // the config row arrives (Debezium create op)
+      cfgIn.addData(Seq(
+        """{"op":"c","ts_ms":10,"after":{"source_table":"comment_info","sink_table":"dim_comment_info","sink_columns":"id,appraise","sink_pk":"id"}}"""))
+      cfgQ.processAllAvailable()
+      // batch 2: rows route from the NEXT micro-batch on
+      dbIn.addData(Seq(commentEnv(3), commentEnv(4)))
+      dimQ.processAllAvailable()
+      val routed = spark.read.parquet(s"$wh/dim/dim_comment_info")
+      assert(routed.schema.fieldNames.toSeq === Seq("id", "appraise", "ts"))
+      assert(routed.select("id").as[String].collect().toSet === Set("cm3", "cm4"))
+    } finally { dimQ.stop(); cfgQ.stop() }
+  }
+
   private def Tables = graft.core.Tables
 }
