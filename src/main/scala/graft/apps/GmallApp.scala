@@ -152,21 +152,49 @@ object GmallApp {
   /** Path of the dynamic routing table under a warehouse root. */
   def configStore(warehouse: String): String = s"$warehouse/config/table_process"
 
+  /** Serializes config-store WRITES ([[configQuery]]'s rename-aside swap,
+    * which briefly leaves the path absent) against per-batch READS
+    * ([[dimQuery]]) within the driver JVM — the two queries run
+    * concurrently in production. A cross-JVM split deployment would need
+    * the store on a rename-atomic FS and tolerates one batch of
+    * staleness. */
+  private val configLock = new Object
+
   /** S4/U3 — the Debezium `table_process` config stream folded into the
-    * routing table: `c`/`u`/`r` ops upsert by source_table, last-write-wins
-    * on ts_ms. The DIM query re-reads the store per micro-batch — the
-    * Spark analogue of the reference's broadcast-state config refresh
-    * (app/func/TableProcessFunction.java:169-213 processBroadcastElement).
-    * Input shape: [[graft.streaming.Sources.configStream]]. */
+    * routing table: `c`/`u`/`r` ops upsert by source_table (last-write-wins
+    * on ts_ms), `d` ops DELETE the entry (decommissioning a dim table must
+    * stop its routing, exactly like removing the reference's broadcast
+    * state, TableProcessFunction.java:169-213). Null sink_pk defaults to
+    * "id" (the reference's defaultSinkPk); rows missing their routing
+    * fields are dropped at this boundary so a malformed config row can
+    * never poison the DIM query. Input shape:
+    * [[graft.streaming.Sources.configStream]]. */
   def configQuery(spark: SparkSession, cfg: DataFrame, warehouse: String,
       checkpoint: String): StreamingQuery =
     cfg.writeStream.option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        Sinks.upsertByKey(
-          batch.where(col("op").isin("c", "u", "r"))
-            .select(col("source_table"), col("sink_table"),
-              col("sink_columns"), col("sink_pk"), col("ts_ms")),
-          Seq("source_table"), "ts_ms", configStore(warehouse))
+        val valid = batch.where(col("source_table").isNotNull &&
+            (col("op") === "d" ||
+              (col("op").isin("c", "u", "r") &&
+                col("sink_table").isNotNull && col("sink_columns").isNotNull)))
+          .select(col("op"), col("source_table"), col("sink_table"),
+            col("sink_columns"), coalesce(col("sink_pk"), lit("id")).as("sink_pk"),
+            col("ts_ms"))
+          .localCheckpoint(true) // tiny; consumed three times below
+        if (!valid.isEmpty) {
+          // the LAST op per source_table within the batch decides its fate
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("source_table")).orderBy(col("ts_ms").desc)
+          val last = valid.withColumn("_rn",
+              org.apache.spark.sql.functions.row_number().over(w))
+            .where(col("_rn") === 1).drop("_rn")
+          configLock.synchronized {
+            Sinks.upsertByKey(last.where(col("op") =!= "d").drop("op"),
+              Seq("source_table"), "ts_ms", configStore(warehouse),
+              deleteKeys = Some(last.where(col("op") === "d")
+                .select(col("source_table"))))
+          }
+        }
       }.start()
 
   /** The DIM routing query: per micro-batch, merge the DYNAMIC routing
@@ -180,13 +208,16 @@ object GmallApp {
     db.writeStream.option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
-        val dynamic: Seq[(String, DimSink.TableConfig)] =
+        val dynamic: Seq[(String, DimSink.TableConfig)] = configLock.synchronized {
           try s.read.parquet(configStore(warehouse)).collect().toSeq.map { r =>
             r.getAs[String]("source_table") -> DimSink.TableConfig(
               r.getAs[String]("sink_table"),
               r.getAs[String]("sink_columns").split(",").toSeq,
               r.getAs[String]("sink_pk"))
-          } catch { case _: org.apache.spark.sql.AnalysisException => Seq.empty }
+          } catch { // store not created yet (no config row ever seen)
+            case _: org.apache.spark.sql.AnalysisException => Seq.empty
+          }
+        }
         val all = (static.map(c => c.sinkTable.replace("dim_", "") -> c) ++ dynamic)
           .toMap // dynamic overrides static per source_table
         val cfgDf = s.createDataFrame(

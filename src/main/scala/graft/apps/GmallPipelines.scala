@@ -170,6 +170,7 @@ object GmallPipelines {
       .join(broadcast(baseDic.select(col("dic_code"),
         col("dic_name").as("refund_reason_type_name"))),
         col("refund_reason_type") === col("dic_code")).drop("dic_code")
+      .drop("rit") // internal event-time column
   }
 
   /** DwdTradeRefundPaySuc (P5+J1+J4, DwdTradeRefundPaySuc.java:54-130):
@@ -258,6 +259,7 @@ object GmallPipelines {
       .join(broadcast(baseDic.select(col("dic_code"), col("dic_name").as("source_type_name"))),
         col("source_type") === col("dic_code"), "left")
       .drop("dic_code")
+      .drop("odt") // internal event-time column, not part of the contract
   }
 
   /** [[tradePaySuccess]] on streams: payment_info(1602) ⋈ order_detail ⋈
@@ -314,6 +316,7 @@ object GmallPipelines {
         col("dic_name").as("source_type_name"))),
         col("source_type") === col("dic_code"), "left")
       .drop("dic_code")
+      .drop("pt") // internal event-time column
   }
 
   /** [[tradeOrderRefund]] on streams: refund requests ⋈ order_info(1005)
@@ -327,6 +330,9 @@ object GmallPipelines {
         d("refund_amount").as("refund_amount"),
         d("refund_reason_type").as("refund_reason_type"),
         d("refund_reason_txt").as("refund_reason_txt"),
+        // try_to_timestamp: a malformed date must yield NULL, not kill the
+        // stream (ANSI casts throw)
+        date_format(try_to_timestamp(d("create_time")), "yyyy-MM-dd").as("date_id"),
         d("create_time").as("create_time"), col("ts"))
       .withColumn("rit", evTime(col("ts"))).withWatermark("rit", wm)
     val oiRefund = db.where(tbl("order_info", "update") &&
@@ -343,6 +349,7 @@ object GmallPipelines {
       .join(broadcast(baseDic.select(col("dic_code"),
         col("dic_name").as("refund_reason_type_name"))),
         col("refund_reason_type") === col("dic_code")).drop("dic_code")
+      .drop("rit") // internal event-time column
   }
 
   /** [[tradeRefundPaySuccess]] on streams: refund_payment(0702) ⋈
@@ -354,6 +361,7 @@ object GmallPipelines {
         d("refund_status") === "0702" && o("refund_status").isNotNull)
       .select(d("id").as("id"), d("order_id").as("order_id"),
         d("sku_id").as("sku_id"), d("payment_type").as("payment_type"),
+        date_format(try_to_timestamp(d("callback_time")), "yyyy-MM-dd").as("date_id"),
         d("callback_time").as("callback_time"),
         d("total_amount").as("total_amount"), col("ts"))
       .withColumn("rpt", evTime(col("ts"))).withWatermark("rpt", wm)
@@ -377,6 +385,7 @@ object GmallPipelines {
       .join(broadcast(baseDic.select(col("dic_code"),
         col("dic_name").as("payment_type_name"))),
         col("payment_type") === col("dic_code")).drop("dic_code")
+      .drop("rpt") // internal event-time column
   }
 
   // ------------------------------------------------------- tool / misc ----

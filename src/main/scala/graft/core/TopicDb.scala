@@ -60,18 +60,29 @@ object TopicDb {
   // served (classic SparkSession has no sessionUUID to key by)
   private val cache = TrieMap.empty[String, (SparkSession, DataFrame)]
 
-  /** The parsed, clean, persisted topic_db stream for a scale-factor dir. */
+  /** The parsed, clean, persisted topic_db stream for a scale-factor dir.
+    * Builds are synchronized (they're rare and expensive — two concurrent
+    * losers would each leak a persisted copy) and a replaced entry is
+    * unpersisted. */
   def apply(spark: SparkSession, sfDir: String): DataFrame = {
     val key = System.identityHashCode(spark) + "|" + sfDir
     cache.get(key) match {
       case Some((owner, df)) if owner eq spark => df
-      case _ =>
-        val db = Envelopes.cleanDirty(Envelopes.parseMaxwell(raw(spark, sfDir)))._1
-          .persist()
-        db.count() // materialize eagerly: broadcast-side subplans must read
-        // the cache, not re-run the parse single-task (§7.3 #4)
-        cache.put(key, (spark, db))
-        db
+      case _ => synchronized {
+        cache.get(key) match {
+          case Some((owner, df)) if owner eq spark => df
+          case stale =>
+            val db = Envelopes.cleanDirty(Envelopes.parseMaxwell(raw(spark, sfDir)))._1
+              .persist()
+            db.count() // materialize eagerly: broadcast-side subplans must
+            // read the cache, not re-run the parse single-task (§7.3 #4)
+            stale.foreach { case (owner, old) =>
+              if (owner eq spark) old.unpersist() // dead-session plans can't
+            } // be touched; their blocks died with the session
+            cache.put(key, (spark, db))
+            db
+        }
+      }
     }
   }
 

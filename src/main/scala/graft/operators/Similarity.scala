@@ -36,14 +36,14 @@ object Similarity {
     * compute with O(|Q|·k) shuffle bytes. */
   class TopKAggregator(k: Int)
       extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
-    // Double.compare, not `>`: a NaN score (degenerate zero-norm vector)
-    // must rank FIRST like the row_number window this replaces — Spark's
-    // and DuckDB's sort orders both treat NaN as the largest double, while
-    // `a.score > b.score` is false for every NaN comparison and would
-    // silently drop the candidate instead
+    // Mirror the SQL ORDER BY total order exactly: NaN ranks largest
+    // (plain `>` would silently drop NaN candidates), -0.0 TIES 0.0
+    // (Double.compare alone would rank them), equal scores tie-break by
+    // id. a.score == b.score is true for ±0.0 and false for NaN, so:
     private def better(a: Scored, b: Scored): Boolean = {
       val c = java.lang.Double.compare(a.score, b.score)
-      c > 0 || (c == 0 && a.neighbor_id < b.neighbor_id)
+      if (c != 0 && !(a.score == b.score)) c > 0
+      else a.neighbor_id < b.neighbor_id
     }
     private def ins(buf: Seq[Scored], x: Scored): Seq[Scored] = {
       if (buf.size >= k && better(buf.last, x)) buf

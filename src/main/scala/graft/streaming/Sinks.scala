@@ -24,7 +24,7 @@ object Sinks {
     * scale becomes a Delta MERGE on the same keys (same plan shape).
     */
   def upsertByKey(batch: DataFrame, keyCols: Seq[String], orderCol: String,
-      path: String): Unit = {
+      path: String, deleteKeys: Option[DataFrame] = None): Unit = {
     val spark = batch.sparkSession
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(orderCol).desc)
@@ -39,15 +39,24 @@ object Sinks {
     // crash recovery FIRST: a previous run that died between set-aside and
     // publish left the only full copy at `_old` and no `dst` — restore it
     // before the `!exists(dst)` check below could mistake the store for
-    // fresh and truncate it to one batch
-    if (!fs.exists(dst) && fs.exists(old)) fs.rename(old, dst)
+    // fresh and truncate it to one batch. A failed restore must ABORT
+    // (the set-aside is the only copy).
+    if (!fs.exists(dst) && fs.exists(old) && !fs.rename(old, dst))
+      throw new java.io.IOException(s"upsertByKey: cannot restore $old")
     if (!fs.exists(dst)) {
       compacted.write.mode("overwrite").parquet(path)
       return
     }
     val existing = spark.read.parquet(path)
+    // retired keys: rows upserted this batch (replaced) or explicitly
+    // deleted (changelog `d` ops — the upsert-Kafka tombstone analogue)
+    val retired = deleteKeys match {
+      case Some(dk) => compacted.select(keyCols.map(col): _*)
+        .unionByName(dk.select(keyCols.map(col): _*))
+      case None => compacted.select(keyCols.map(col): _*)
+    }
     val merged = existing
-      .join(compacted.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .join(retired, keyCols, "left_anti")
       .unionByName(compacted)
     val tmp = new org.apache.hadoop.fs.Path(path + "_tmp")
     merged.write.mode("overwrite").parquet(tmp.toString)
@@ -91,7 +100,11 @@ object Sinks {
       if (fs.exists(oldRoot)) {
         fs.listStatus(oldRoot).foreach { st =>
           val bDst = new org.apache.hadoop.fs.Path(s"$path/${st.getPath.getName}")
-          if (!fs.exists(bDst)) fs.rename(st.getPath, bDst)
+          // a failed restore must ABORT: the set-aside is that bucket's
+          // only copy, and the delete below would erase it
+          if (!fs.exists(bDst) && !fs.rename(st.getPath, bDst))
+            throw new java.io.IOException(
+              s"upsertByKeyPartitioned: cannot restore ${st.getPath}")
         }
         fs.delete(oldRoot, true) // remaining set-asides were completed swaps
       }

@@ -48,11 +48,20 @@ object Sources {
     Envelopes.cleanDirty(Envelopes.parseLog(
       kafkaValues(spark, bootstrap, "topic_log", groupId)))._1
 
-  /** S4 — the Debezium config stream as (op, ts_ms, after.*) rows; the
-    * DIM app folds it into its routing table per micro-batch
-    * ([[graft.apps.GmallApp.configQuery]]). */
+  /** Debezium config rows projected to a flat (op, ts_ms, fields…) shape.
+    * A delete op carries its row in `before` (after is null), so the key
+    * coalesces across both sides. */
+  def projectConfig(clean: DataFrame): DataFrame =
+    clean.select(col("op"), col("ts_ms"),
+      coalesce(col("after.source_table"), col("before.source_table")).as("source_table"),
+      col("after.sink_table").as("sink_table"),
+      col("after.sink_columns").as("sink_columns"),
+      col("after.sink_pk").as("sink_pk"),
+      col("after.sink_extend").as("sink_extend"))
+
+  /** S4 — the Debezium config stream; the DIM app folds it into its
+    * routing table per micro-batch ([[graft.apps.GmallApp.configQuery]]). */
   def configStream(spark: SparkSession, bootstrap: String, groupId: String): DataFrame =
-    Envelopes.cleanDirty(Envelopes.parseDebeziumConfig(
-      kafkaValues(spark, bootstrap, "table_process_config", groupId)))._1
-      .select(col("op"), col("ts_ms"), col("after.*"))
+    projectConfig(Envelopes.cleanDirty(Envelopes.parseDebeziumConfig(
+      kafkaValues(spark, bootstrap, "table_process_config", groupId)))._1)
 }

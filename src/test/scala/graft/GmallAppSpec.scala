@@ -82,12 +82,12 @@ class GmallAppSpec extends SparkTestBase {
         sentinel("order_detail_coupon", "insert",
           """{"order_detail_id":"zzcou","coupon_id":"c"}"""),
         sentinel("payment_info", "update",
-          """{"user_id":"1","order_id":"zzpay","payment_type":"1101","payment_status":"1602","callback_time":"x","total_amount":"1"}""",
+          """{"user_id":"1","order_id":"zzpay","payment_type":"1101","payment_status":"1602","callback_time":"2096-01-01 00:00:00","total_amount":"1"}""",
           """{"payment_status":"1601"}"""),
         sentinel("order_refund_info", "insert",
-          """{"id":"zzri","user_id":"1","order_id":"zzro","sku_id":"1","refund_type":"1501","refund_num":"1","refund_amount":"1","refund_reason_type":"1301","refund_reason_txt":"t","create_time":"x"}"""),
+          """{"id":"zzri","user_id":"1","order_id":"zzro","sku_id":"1","refund_type":"1501","refund_num":"1","refund_amount":"1","refund_reason_type":"1301","refund_reason_txt":"t","create_time":"2096-01-01"}"""),
         sentinel("refund_payment", "update",
-          """{"id":"zzrp","order_id":"zzrpo","sku_id":"1","payment_type":"1101","refund_status":"0702","callback_time":"x","total_amount":"1"}""",
+          """{"id":"zzrp","order_id":"zzrpo","sku_id":"1","payment_type":"1101","refund_status":"0702","callback_time":"2096-01-01 00:00:00","total_amount":"1"}""",
           """{"refund_status":"0701"}""")))
       logAdd(Seq(pageRow(4102444800000L, "zz", "zzflush")))
       queries.foreach(_.processAllAvailable())
@@ -142,8 +142,8 @@ class GmallAppSpec extends SparkTestBase {
     val dbIn = MemoryStream[String]
     val cfgIn = MemoryStream[String]
     val db = Envelopes.cleanDirty(Envelopes.parseMaxwell(dbIn.toDS().toDF()))._1
-    val cfg = Envelopes.cleanDirty(Envelopes.parseDebeziumConfig(cfgIn.toDS().toDF()))._1
-      .select(col("op"), col("ts_ms"), col("after.*"))
+    val cfg = graft.streaming.Sources.projectConfig(
+      Envelopes.cleanDirty(Envelopes.parseDebeziumConfig(cfgIn.toDS().toDF()))._1)
     val dimQ = GmallApp.dimQuery(spark, db, wh, Seq.empty, s"$wh/ckpt/dim")
     val cfgQ = GmallApp.configQuery(spark, cfg, wh, s"$wh/ckpt/cfg")
     try {
@@ -155,9 +155,11 @@ class GmallAppSpec extends SparkTestBase {
       dimQ.processAllAvailable()
       assert(!new java.io.File(s"$wh/dim/dim_comment_info").exists(),
         "routed without any config")
-      // the config row arrives (Debezium create op)
+      // the config row arrives (Debezium create op; null sink_pk must
+      // default to "id" and a malformed row must be ignored, not poison)
       cfgIn.addData(Seq(
-        """{"op":"c","ts_ms":10,"after":{"source_table":"comment_info","sink_table":"dim_comment_info","sink_columns":"id,appraise","sink_pk":"id"}}"""))
+        """{"op":"c","ts_ms":10,"after":{"source_table":"comment_info","sink_table":"dim_comment_info","sink_columns":"id,appraise"}}""",
+        """{"op":"c","ts_ms":11,"after":{"source_table":"broken_no_sink"}}"""))
       cfgQ.processAllAvailable()
       // batch 2: rows route from the NEXT micro-batch on
       dbIn.addData(Seq(commentEnv(3), commentEnv(4)))
@@ -165,6 +167,16 @@ class GmallAppSpec extends SparkTestBase {
       val routed = spark.read.parquet(s"$wh/dim/dim_comment_info")
       assert(routed.schema.fieldNames.toSeq === Seq("id", "appraise", "ts"))
       assert(routed.select("id").as[String].collect().toSet === Set("cm3", "cm4"))
+      // the config row is DELETED (Debezium d op: row in `before`) →
+      // routing stops; already-routed rows stay
+      cfgIn.addData(Seq(
+        """{"op":"d","ts_ms":20,"before":{"source_table":"comment_info","sink_table":"dim_comment_info","sink_columns":"id,appraise"},"after":null}"""))
+      cfgQ.processAllAvailable()
+      dbIn.addData(Seq(commentEnv(5)))
+      dimQ.processAllAvailable()
+      assert(spark.read.parquet(s"$wh/dim/dim_comment_info")
+        .select("id").as[String].collect().toSet === Set("cm3", "cm4"),
+        "routing continued after the config row was deleted")
     } finally { dimQ.stop(); cfgQ.stop() }
   }
 
