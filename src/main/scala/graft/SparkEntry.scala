@@ -693,6 +693,60 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // DwsUserUserRegisterWindow (DwsUserUserRegisterWindow.java:60-79):
+    // user_info inserts → 10 s tumbling register count, run as a REAL
+    // append-mode streaming window (sentinel-flushed tail like q34).
+    "q62_dws_register_window" -> ((s, d) => {
+      import s.implicits._
+      val regs = Tables.customer(s, d).select(col("c_custkey")).as[Long]
+        .collect().toSeq.sorted
+        .map(c => StatefulOps.Event(c, new Timestamp((c + 1) * 1000L), c, "register", 0.0, "{}"))
+      val sentinel = StatefulOps.Event(
+        -1L, new Timestamp((regs.map(_.event_id).max + 100000L) * 1000L), -1L, "flush", 0.0, "{}")
+      val batches = regs.grouped(math.max(1, regs.size / 2)).toSeq :+ Seq(sentinel)
+      StreamHarness.run(s, batches) { ds =>
+        graft.streaming.Windows.tumblingAgg(ds.toDF(), "ts", "10 seconds", "2 seconds",
+          Seq(col("event_type")), Seq(count(lit(1)).as("register_ct")))
+      }.where(col("event_type") =!= "flush")
+        .select(col("stt"), col("edt"), col("register_ct"))
+        .orderBy(col("stt"))
+    }),
+
+    // DwsTradeCartAddUuWindow (DwsTradeCartAddUuWindow.java:60-106): cart
+    // adds → per-user first-of-day dedup state (A4) → 10 s tumbling UU
+    // count — the dedup and the window CHAINED in one streaming query.
+    // Users are split across micro-batches by hash (a user's rows stay
+    // together; the A4 state is arrival-order per user, as in q28).
+    "q63_dws_cart_uu" -> ((s, d) => {
+      import s.implicits._
+      val ev = GmallPipelines.tradeCartAdd(TopicDb(s, d))
+        .select(col("ts").as("k"),
+          split(col("id"), "-").getItem(1).cast("long").as("n"),
+          col("user_id").cast("long").as("u"))
+        .collect().toSeq
+        .map(r => StatefulOps.Event(
+          r.getAs[Long]("k") * 8 + r.getAs[Long]("n"),
+          new Timestamp((r.getAs[Long]("k") + 1) * 1000L),
+          r.getAs[Long]("u"), "cart", 0.0, "{}"))
+      val (h1, h2) = ev.partition(e => (e.user_id * 0x9E3779B97F4A7C15L) % 2 == 0)
+      def scrambled(b: Seq[StatefulOps.Event]) = b.sortBy(_.event_id * 0x61C88647L)
+      // the two user-batches are NOT time-ordered relative to each other,
+      // so the watermark delay must span the whole key range (otherwise
+      // batch-2 windows below batch-1's watermark drop as late); the
+      // sentinel then sits beyond delay + every window
+      val sentinel = StatefulOps.Event(
+        -1L, new Timestamp((ev.map(_.ts.getTime / 1000L).max + 2000000L) * 1000L),
+        -1L, "flush", 0.0, "{}")
+      val batches = Seq(scrambled(h1), scrambled(h2), Seq(sentinel))
+      StreamHarness.run(s, batches) { ds =>
+        graft.streaming.Windows.tumblingAgg(
+          StatefulOps.dedupDaily(ds).toDF(), "ts", "10 seconds", "1000000 seconds",
+          Seq(col("event_type")), Seq(count(lit(1)).as("uu_ct")))
+      }.where(col("event_type") =!= "flush")
+        .select(col("stt"), col("edt"), col("uu_ct"))
+        .orderBy(col("stt"))
+    }),
+
     // A5 streaming twin (two seen-day states per user, the reference's
     // two-ValueState pattern) driven through real micro-batches on RocksDB
     // state, disordered feed like q28/q38; summed flags = q11's
@@ -1395,6 +1449,25 @@ object SparkEntry {
       s"""WITH $ivfAssignCte
          |SELECT cell, count(*) AS n_vecs, CAST(sum(vec_id) AS BIGINT) AS sum_ids
          |FROM assign GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q62_dws_register_window" ->
+      """SELECT strftime(make_timestamp((c_custkey+1)//10*10*1000000), '%Y-%m-%d %H:%M:%S') AS stt,
+        | strftime(make_timestamp(((c_custkey+1)//10*10+10)*1000000), '%Y-%m-%d %H:%M:%S') AS edt,
+        | count(*) AS register_ct
+        |FROM customer GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    // first cart-add per user (all rows share one 1970 day at this ts
+    // scheme, so first-of-day = first overall): min (ts=k, id=k*8+n)
+    // ordering collapses to min(k*8+n) since k dominates
+    "q63_dws_cart_uu" ->
+      """WITH cart AS (SELECT l_orderkey AS k, l_linenumber AS n, l_suppkey AS u
+        | FROM lineitem
+        | WHERE l_returnflag='N' OR (l_returnflag='A' AND (l_linenumber%4) IN (2, 3))),
+        |firsts AS (SELECT u, min(k*8+n) AS fid FROM cart GROUP BY u)
+        |SELECT strftime(make_timestamp(((fid//8)+1)//10*10*1000000), '%Y-%m-%d %H:%M:%S') AS stt,
+        | strftime(make_timestamp((((fid//8)+1)//10*10+10)*1000000), '%Y-%m-%d %H:%M:%S') AS edt,
+        | count(*) AS uu_ct
+        |FROM firsts GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
     "q60_stratified_sample" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
