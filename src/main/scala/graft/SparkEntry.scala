@@ -747,6 +747,32 @@ object SparkEntry {
         .orderBy(col("stt"))
     }),
 
+    // DwsTradePaymentSucWindow (DwsTradePaymentSucWindow.java:64-108):
+    // successful payments → per-user first-of-day state → 10 s tumbling
+    // payment-UU count, dedup chained into the window like q63.
+    "q64_dws_pay_suc_uu" -> ((s, d) => {
+      import s.implicits._
+      val ev = TopicDb(s, d).where(col("table") === "payment_info" &&
+          element_at(col("data"), "payment_status") === "1602")
+        .select(col("ts"), element_at(col("data"), "user_id").cast("long").as("u"))
+        .collect().toSeq
+        .map(r => StatefulOps.Event(
+          r.getLong(0), new Timestamp((r.getLong(0) + 1) * 1000L),
+          r.getLong(1), "pay", 0.0, "{}"))
+      val (h1, h2) = ev.partition(e => (e.user_id * 0x9E3779B97F4A7C15L) % 2 == 0)
+      def scrambled(b: Seq[StatefulOps.Event]) = b.sortBy(_.event_id * 0x61C88647L)
+      val sentinel = StatefulOps.Event(
+        -1L, new Timestamp((ev.map(_.ts.getTime / 1000L).max + 2000000L) * 1000L),
+        -1L, "flush", 0.0, "{}")
+      StreamHarness.run(s, Seq(scrambled(h1), scrambled(h2), Seq(sentinel))) { ds =>
+        graft.streaming.Windows.tumblingAgg(
+          StatefulOps.dedupDaily(ds).toDF(), "ts", "10 seconds", "1000000 seconds",
+          Seq(col("event_type")), Seq(count(lit(1)).as("uu_ct")))
+      }.where(col("event_type") =!= "flush")
+        .select(col("stt"), col("edt"), col("uu_ct"))
+        .orderBy(col("stt"))
+    }),
+
     // A5 streaming twin (two seen-day states per user, the reference's
     // two-ValueState pattern) driven through real micro-batches on RocksDB
     // state, disordered feed like q28/q38; summed flags = q11's
@@ -1455,6 +1481,18 @@ object SparkEntry {
         | strftime(make_timestamp(((c_custkey+1)//10*10+10)*1000000), '%Y-%m-%d %H:%M:%S') AS edt,
         | count(*) AS register_ct
         |FROM customer GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    // first successful payment per user: TopicDb payment = orders with
+    // k%3=0 ∧ k%5≠0 (see its Scaladoc); one 1970 day → first-of-day =
+    // min k per user
+    "q64_dws_pay_suc_uu" ->
+      """WITH pay AS (SELECT o_orderkey AS k, o_custkey AS u FROM orders
+        | WHERE o_orderkey%3=0 AND o_orderkey%5<>0),
+        |firsts AS (SELECT u, min(k) AS fk FROM pay GROUP BY u)
+        |SELECT strftime(make_timestamp((fk+1)//10*10*1000000), '%Y-%m-%d %H:%M:%S') AS stt,
+        | strftime(make_timestamp(((fk+1)//10*10+10)*1000000), '%Y-%m-%d %H:%M:%S') AS edt,
+        | count(*) AS uu_ct
+        |FROM firsts GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
     // first cart-add per user (all rows share one 1970 day at this ts
     // scheme, so first-of-day = first overall): min (ts=k, id=k*8+n)
