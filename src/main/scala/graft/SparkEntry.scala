@@ -773,6 +773,31 @@ object SparkEntry {
         .orderBy(col("stt"))
     }),
 
+    // DwsTradeOrderWindow (DwsTradeOrderWindow.java:93-121): purchases →
+    // per-user (first-of-day, first-ever) state pair → hourly window with
+    // order-UU and NEW-order-user counts, dedup+flags chained into the
+    // window over the real multi-day events table; time-ordered feed
+    // (first-ever is arrival-order state, the reference's assumption).
+    "q65_dws_order_window" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).where(col("event_type") === "purchase")
+        .as[StatefulOps.Event].collect().toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val (h1, h2) = ev.splitAt(ev.length / 2)
+      val sentinel = StatefulOps.Event(
+        -1L, new Timestamp(ev.map(_.ts.getTime).max + 7200L * 1000L), -1L, "flush", 0.0, "{}")
+      StreamHarness.run(s, Seq(h1, h2, Seq(sentinel))) { ds =>
+        import ds.sparkSession.implicits._
+        val flagged = StatefulOps.dedupDailyFlags(ds)
+          .map { case (e, isNew) => (e.ts, e.event_type, isNew.toLong) }
+          .toDF("ts", "event_type", "is_new")
+        graft.streaming.Windows.tumblingAgg(flagged, "ts", "1 hour", "10 seconds",
+          Seq(col("event_type")),
+          Seq(count(lit(1)).as("uu_ct"), sum(col("is_new")).as("new_ct")))
+      }.where(col("event_type") =!= "flush")
+        .select(col("stt"), col("edt"), col("uu_ct"), col("new_ct"))
+        .orderBy(col("stt"))
+    }),
+
     // A5 streaming twin (two seen-day states per user, the reference's
     // two-ValueState pattern) driven through real micro-batches on RocksDB
     // state, disordered feed like q28/q38; summed flags = q11's
@@ -1481,6 +1506,19 @@ object SparkEntry {
         | strftime(make_timestamp(((c_custkey+1)//10*10+10)*1000000), '%Y-%m-%d %H:%M:%S') AS edt,
         | count(*) AS register_ct
         |FROM customer GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    // hourly windows of each user's first purchase per day; new_ct counts
+    // the users whose first-EVER purchase falls in the window
+    "q65_dws_order_window" ->
+      """WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        |fd AS (SELECT user_id, CAST(ts AS DATE) AS d, min(ts) AS fts FROM p GROUP BY 1, 2),
+        |fe AS (SELECT user_id, min(ts) AS ets FROM p GROUP BY 1)
+        |SELECT strftime(date_trunc('hour', fts), '%Y-%m-%d %H:%M:%S') AS stt,
+        | strftime(date_trunc('hour', fts) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS edt,
+        | count(*) AS uu_ct,
+        | CAST(sum(CASE WHEN fts = ets THEN 1 ELSE 0 END) AS BIGINT) AS new_ct
+        |FROM fd JOIN fe USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
     // first successful payment per user: TopicDb payment = orders with
     // k%3=0 ∧ k%5≠0 (see its Scaladoc); one 1970 day → first-of-day =

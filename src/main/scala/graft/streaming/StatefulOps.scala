@@ -173,6 +173,34 @@ object StatefulOps {
         timeMode, OutputMode.Append())
   }
 
+  /** A4+A5 combined — first-of-day dedup that ALSO flags the user's
+    * first-EVER event (the DwsTradeOrderWindow per-user state pair,
+    * DwsTradeOrderWindow.java:93-121: orderUniqueUser from day change,
+    * orderNewUser from empty lastOrderDt). Emits (event, isNew 0/1) at
+    * each (user, day) first; isNew=1 on the first emitted day (arrival
+    * order — feed day-ordered input, the reference's operating
+    * assumption). */
+  def dedupDailyFlags(events: Dataset[Event]): Dataset[(Event, Int)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, it: Iterator[Event], state: GroupState[Seq[String]]) => {
+          val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var seen = state.getOption.getOrElse(Seq.empty).toSet
+          val out = sorted.flatMap { e =>
+            val day = dayOf(e.ts)
+            if (seen.contains(day)) None
+            else {
+              val isNew = if (seen.isEmpty) 1 else 0
+              seen += day
+              Some((e, isNew))
+            }
+          }
+          if (seen.nonEmpty) state.update(seen.toSeq.sorted)
+          out.iterator
+        })
+  }
+
   /** A6 — streaming visitor-flag repair: is_new=1 only on the user's
     * first-ever day; revisits on later days are demoted.
     * Reference: app/dwd/BaseLogApp.java:59-91. Emits (event, fixedIsNew). */
