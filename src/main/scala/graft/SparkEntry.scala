@@ -773,6 +773,37 @@ object SparkEntry {
         .orderBy(col("stt"))
     }),
 
+    // DwsTradeSkuOrderWindow (DwsTradeSkuOrderWindow.java:95-150, the
+    // reference's heaviest DWS app): order_detail stream → sku-keyed 10 s
+    // tumbling windows summing order count / quantity / amount (X7 reduce
+    // shape), run as a real append-mode streaming window.
+    "q66_dws_sku_order_window" -> ((s, d) => {
+      import s.implicits._
+      // ⅛ key sample: the window-state machinery is the thing under test,
+      // not the driver-side MemoryStream feed volume (oracle mirrors)
+      val rows = GmallPipelines.orderDetail(TopicDb(s, d))
+        .where(col("ts") % 8 === 0)
+        .select(col("ts"), col("sku_id"), col("sku_num").cast("long"),
+          col("split_total_amount"))
+        .as[(Long, String, Long, String)].collect().toSeq
+        .sortBy(_._1)
+        .map { case (k, sku, num, amt) =>
+          (new Timestamp((k + 1) * 1000L), sku, num, amt) }
+      val sentinel = (new Timestamp(rows.map(_._1.getTime).max + 7200L * 1000L),
+        "zz", 0L, "0.00")
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      StreamHarness.run(s, Seq(h1, h2, Seq(sentinel))) { ds =>
+        graft.streaming.Windows.tumblingAgg(
+          ds.toDF("ts", "sku_id", "num", "amt"), "ts", "10 seconds", "10 seconds",
+          Seq(col("sku_id")),
+          Seq(count(lit(1)).as("order_ct"), sum(col("num")).as("sku_num_sum"),
+            sum(col("amt").cast("decimal(18,2)")).cast("double").as("amount_sum")))
+      }.where(col("sku_id") =!= "zz")
+        .select(col("stt"), col("edt"), col("sku_id"), col("order_ct"),
+          col("sku_num_sum"), col("amount_sum"))
+        .orderBy(col("stt"), col("sku_id"))
+    }),
+
     // DwsTradeOrderWindow (DwsTradeOrderWindow.java:93-121): purchases →
     // per-user (first-of-day, first-ever) state pair → hourly window with
     // order-UU and NEW-order-user counts, dedup+flags chained into the
@@ -1506,6 +1537,17 @@ object SparkEntry {
         | strftime(make_timestamp(((c_custkey+1)//10*10+10)*1000000), '%Y-%m-%d %H:%M:%S') AS edt,
         | count(*) AS register_ct
         |FROM customer GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    // TopicDb order_detail = one row per lineitem (ts=k, sku=partkey,
+    // num=qty, amount=extendedprice 2-dec)
+    "q66_dws_sku_order_window" ->
+      """SELECT strftime(make_timestamp((l_orderkey+1)//10*10*1000000), '%Y-%m-%d %H:%M:%S') AS stt,
+        | strftime(make_timestamp(((l_orderkey+1)//10*10+10)*1000000), '%Y-%m-%d %H:%M:%S') AS edt,
+        | CAST(l_partkey AS VARCHAR) AS sku_id, count(*) AS order_ct,
+        | CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS sku_num_sum,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS amount_sum
+        |FROM lineitem WHERE l_orderkey % 8 = 0
+        |GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
 
     // hourly windows of each user's first purchase per day; new_ct counts
     // the users whose first-EVER purchase falls in the window
