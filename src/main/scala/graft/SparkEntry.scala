@@ -731,16 +731,19 @@ object SparkEntry {
       val (h1, h2) = ev.partition(e => (e.user_id * 0x9E3779B97F4A7C15L) % 2 == 0)
       def scrambled(b: Seq[StatefulOps.Event]) = b.sortBy(_.event_id * 0x61C88647L)
       // the two user-batches are NOT time-ordered relative to each other,
-      // so the watermark delay must span the whole key range (otherwise
-      // batch-2 windows below batch-1's watermark drop as late); the
-      // sentinel then sits beyond delay + every window
+      // so the watermark delay must span the whole OBSERVED key range
+      // (otherwise batch-2 windows below batch-1's watermark drop as
+      // late) — derived from the data, not a constant, so the gate holds
+      // at every SF; the sentinel then sits beyond delay + every window
+      val maxSec = ev.map(_.ts.getTime / 1000L).max
+      val delaySec = maxSec + 10L
       val sentinel = StatefulOps.Event(
-        -1L, new Timestamp((ev.map(_.ts.getTime / 1000L).max + 2000000L) * 1000L),
+        -1L, new Timestamp((maxSec + delaySec + 20L) * 1000L),
         -1L, "flush", 0.0, "{}")
       val batches = Seq(scrambled(h1), scrambled(h2), Seq(sentinel))
       StreamHarness.run(s, batches) { ds =>
         graft.streaming.Windows.tumblingAgg(
-          StatefulOps.dedupDaily(ds).toDF(), "ts", "10 seconds", "1000000 seconds",
+          StatefulOps.dedupDaily(ds).toDF(), "ts", "10 seconds", s"$delaySec seconds",
           Seq(col("event_type")), Seq(count(lit(1)).as("uu_ct")))
       }.where(col("event_type") =!= "flush")
         .select(col("stt"), col("edt"), col("uu_ct"))
@@ -761,12 +764,16 @@ object SparkEntry {
           r.getLong(1), "pay", 0.0, "{}"))
       val (h1, h2) = ev.partition(e => (e.user_id * 0x9E3779B97F4A7C15L) % 2 == 0)
       def scrambled(b: Seq[StatefulOps.Event]) = b.sortBy(_.event_id * 0x61C88647L)
+      // delay spans the observed key range (see q63) so the gate holds at
+      // every SF, not just where all keys fit one watermark window
+      val maxSec = ev.map(_.ts.getTime / 1000L).max
+      val delaySec = maxSec + 10L
       val sentinel = StatefulOps.Event(
-        -1L, new Timestamp((ev.map(_.ts.getTime / 1000L).max + 2000000L) * 1000L),
+        -1L, new Timestamp((maxSec + delaySec + 20L) * 1000L),
         -1L, "flush", 0.0, "{}")
       StreamHarness.run(s, Seq(scrambled(h1), scrambled(h2), Seq(sentinel))) { ds =>
         graft.streaming.Windows.tumblingAgg(
-          StatefulOps.dedupDaily(ds).toDF(), "ts", "10 seconds", "1000000 seconds",
+          StatefulOps.dedupDaily(ds).toDF(), "ts", "10 seconds", s"$delaySec seconds",
           Seq(col("event_type")), Seq(count(lit(1)).as("uu_ct")))
       }.where(col("event_type") =!= "flush")
         .select(col("stt"), col("edt"), col("uu_ct"))
@@ -1562,26 +1569,28 @@ object SparkEntry {
         |FROM fd JOIN fe USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
-    // first successful payment per user: TopicDb payment = orders with
-    // k%3=0 ∧ k%5≠0 (see its Scaladoc); one 1970 day → first-of-day =
-    // min k per user
+    // first successful payment per (user, DAY): TopicDb payment = orders
+    // with k%3=0 ∧ k%5≠0 (see its Scaladoc); event time is (k+1) s, so the
+    // day bucket is (k+1)//86400 — day-aware so the oracle stays exact at
+    // any SF (keys span multiple 1970 days from sf0.1 up)
     "q64_dws_pay_suc_uu" ->
       """WITH pay AS (SELECT o_orderkey AS k, o_custkey AS u FROM orders
         | WHERE o_orderkey%3=0 AND o_orderkey%5<>0),
-        |firsts AS (SELECT u, min(k) AS fk FROM pay GROUP BY u)
+        |firsts AS (SELECT u, min(k) AS fk FROM pay GROUP BY u, (k+1)//86400)
         |SELECT strftime(make_timestamp((fk+1)//10*10*1000000), '%Y-%m-%d %H:%M:%S') AS stt,
         | strftime(make_timestamp(((fk+1)//10*10+10)*1000000), '%Y-%m-%d %H:%M:%S') AS edt,
         | count(*) AS uu_ct
         |FROM firsts GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
-    // first cart-add per user (all rows share one 1970 day at this ts
-    // scheme, so first-of-day = first overall): min (ts=k, id=k*8+n)
-    // ordering collapses to min(k*8+n) since k dominates
+    // first cart-add per (user, DAY): event time is (k+1) s, id = k*8+n;
+    // within a day min (ts, id) ordering collapses to min(k*8+n) since k
+    // dominates (n ≤ 7); day bucket (k+1)//86400 keeps the oracle exact
+    // when keys span multiple 1970 days (sf0.1+)
     "q63_dws_cart_uu" ->
       """WITH cart AS (SELECT l_orderkey AS k, l_linenumber AS n, l_suppkey AS u
         | FROM lineitem
         | WHERE l_returnflag='N' OR (l_returnflag='A' AND (l_linenumber%4) IN (2, 3))),
-        |firsts AS (SELECT u, min(k*8+n) AS fid FROM cart GROUP BY u)
+        |firsts AS (SELECT u, min(k*8+n) AS fid FROM cart GROUP BY u, (k+1)//86400)
         |SELECT strftime(make_timestamp(((fid//8)+1)//10*10*1000000), '%Y-%m-%d %H:%M:%S') AS stt,
         | strftime(make_timestamp((((fid//8)+1)//10*10+10)*1000000), '%Y-%m-%d %H:%M:%S') AS edt,
         | count(*) AS uu_ct

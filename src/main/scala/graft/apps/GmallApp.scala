@@ -209,13 +209,19 @@ object GmallApp {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
         val dynamic: Seq[(String, DimSink.TableConfig)] = configLock.synchronized {
-          try s.read.parquet(configStore(warehouse)).collect().toSeq.map { r =>
+          // probe existence through the Hadoop FS (as Sinks.upsertByKey
+          // does) instead of catching AnalysisException: "store never
+          // created" is the only legitimate fallback to static routing —
+          // a corrupt or partially-written store must FAIL the batch, not
+          // silently disable dynamic DIM routing
+          val dir = new org.apache.hadoop.fs.Path(configStore(warehouse))
+          val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (!fs.exists(dir)) Seq.empty
+          else s.read.parquet(dir.toString).collect().toSeq.map { r =>
             r.getAs[String]("source_table") -> DimSink.TableConfig(
               r.getAs[String]("sink_table"),
               r.getAs[String]("sink_columns").split(",").toSeq,
               r.getAs[String]("sink_pk"))
-          } catch { // store not created yet (no config row ever seen)
-            case _: org.apache.spark.sql.AnalysisException => Seq.empty
           }
         }
         val all = (static.map(c => c.sinkTable.replace("dim_", "") -> c) ++ dynamic)

@@ -236,11 +236,18 @@ object Dedup {
   /** [[ngramJaccardPairs]] with the hot-shingle knob the round-1 review
     * named: shingles appearing in more than `maxDocFreq` docs are dropped
     * from the INDEX (candidate generation) — they generate O(df²) pair
-    * rows while carrying almost no similarity signal — and the surviving
-    * candidates are verified with EXACT Jaccard over the full shingle
-    * sets, so reported similarities are unchanged; only pairs whose every
-    * shared shingle is hot can be missed. The doc-freq side is a tiny
-    * aggregate broadcast as an anti-join. */
+    * rows while carrying almost no similarity signal — yet reported
+    * similarities are EXACT Jaccard over the full shingle sets; only pairs
+    * whose every shared shingle is hot can be missed.
+    *
+    * The exact verification never ships shingle ARRAYS through a join
+    * (an earlier form did — at 1M+ candidates that is a multi-GB shuffle
+    * of fat rows): |A∩B| is assembled from slim (a, b) count rows as
+    * cold-common (a group-by over the capped index self-join) plus a
+    * hot-common correction (candidates joined against the hot postings of
+    * each side — O(candidates × hot-shingles-per-doc), and the hot LIST is
+    * small by construction even when each hot shingle's posting list is
+    * huge). The doc-freq side is a tiny aggregate broadcast both ways. */
   def ngramJaccardPairsCapped(
       docs: DataFrame,
       maxDocFreq: Int,
@@ -255,10 +262,27 @@ object Dedup {
     val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .where(col("df") > maxDocFreq).select(col("sh"))
     val idx = sh.join(broadcast(hot), Seq("sh"), "left_anti")
-    val cands = idx.select(col("id").as("a"), col("sh"))
+    // shared cold shingles per pair — doubles as the candidate set
+    val coldCommon = idx.select(col("id").as("a"), col("sh"))
       .join(idx.select(col("id").as("b"), col("sh")), Seq("sh"))
       .where(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
-    jaccardVerify(docs, cands, idCol, textCol, shingleN, threshold)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cold"))
+    // shared HOT shingles per candidate pair (completes |A∩B| exactly)
+    val hotPost = sh.join(broadcast(hot), Seq("sh"), "left_semi")
+    val hotCommon = coldCommon.select(col("a"), col("b"))
+      .join(hotPost.select(col("id").as("a"), col("sh")), Seq("a"))
+      .join(hotPost.select(col("id").as("b"), col("sh")), Seq("b", "sh"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("hotc"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    coldCommon
+      .join(hotCommon, Seq("a", "b"), "left")
+      .withColumn("common", col("cold") + coalesce(col("hotc"), lit(0L)))
+      .join(sizes.select(col("id").as("a"), col("sz").as("sza")), Seq("a"))
+      .join(sizes.select(col("id").as("b"), col("sz").as("szb")), Seq("b"))
+      .withColumn("jaccard",
+        round(col("common").cast("double")
+          / (col("sza") + col("szb") - col("common")).cast("double"), 6))
+      .where(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
   }
 }

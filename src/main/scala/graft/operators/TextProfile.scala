@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TextFunctions._
+
+/** Per-document profiling operators a training-data pipeline runs between
+  * ingest and dedup: PII redaction, intra-document repetition scoring
+  * (the C4/Gopher-style quality signals), and TF-IDF term extraction.
+  *
+  * Everything is built from native `org.apache.spark.sql.functions`
+  * (codegen'd, no UDFs) and every regex is written in the common
+  * Java-regex/RE2 subset so the DuckDB oracles replicate it verbatim.
+  *
+  * Scale notes per operator are on each method; none of them shuffles
+  * anything wider than (doc_id, term)-grain rows, and the only joins are
+  * aggregate-to-aggregate on the document key or a broadcast of one
+  * global count.
+  */
+object TextProfile {
+
+  /** Email pattern (common Java/RE2 subset — no backrefs, no lookaround). */
+  val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** IPv4 pattern; `\b` is an ASCII word boundary in both engines. */
+  val Ipv4Re: String = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** Redact PII in-place: emails first, then IPv4 literals on the
+    * email-redacted text (a fixed order makes the composition
+    * deterministic and mirrorable). Narrow, codegen'd, zero shuffle. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), Ipv4Re, "<IP>")
+
+  /** Per-doc PII profile: counts of each PII class plus the md5
+    * fingerprint of the redacted text (what a privacy audit stores in
+    * place of the raw text). IP count is taken AFTER email redaction —
+    * same order as [[redactPii]] so count + fingerprint agree.
+    *
+    * Scale: pure per-row projection — no shuffle at all; at 100 TB this
+    * runs at scan speed and the regexes stay inside whole-stage codegen.
+    */
+  def piiProfile(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val emailRedacted = regexp_replace(t, EmailRe, "<EMAIL>")
+    docs.select(
+      col(idCol),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_email"),
+      size(regexp_extract_all(emailRedacted, lit(Ipv4Re), lit(0))).cast("long").as("n_ip"),
+      md5(regexp_replace(emailRedacted, Ipv4Re, "<IP>")).as("redacted_fp"))
+  }
+
+  /** Intra-document repetition (the Gopher/C4 quality rules): fraction of
+    * duplicated word 3-grams (1 − distinct/total) and the share of the
+    * most frequent word 2-gram. High values flag boilerplate/spam docs
+    * that length or stopword ratios miss.
+    *
+    * Scale: the n-gram explode is doc-local; both aggregations group by
+    * doc_id — one shuffle each at (doc, gram) grain, partial aggregation
+    * map-side. No joins except the final per-doc merge.
+    */
+  def repetitionProfile(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val g3 = docs.select(col(idCol), explode(shingles(col(textCol), 3)).as("sh"))
+    val d3 = g3.groupBy(col(idCol)).agg(
+      round(lit(1.0) - count_distinct(col("sh")).cast("double")
+        / count(lit(1)).cast("double"), 6).as("dup_3gram_frac"))
+    val c2 = docs.select(col(idCol), explode(shingles(col(textCol), 2)).as("sh"))
+      .groupBy(col(idCol), col("sh")).agg(count(lit(1)).as("c"))
+    val t2 = c2.groupBy(col(idCol)).agg(
+      round(max(col("c")).cast("double") / sum(col("c")).cast("double"), 6)
+        .as("top_2gram_frac"))
+    d3.join(t2, Seq(idCol))
+  }
+
+  /** TF-IDF top-k terms per document: tf = in-doc term count, idf =
+    * ln((N+1)/(df+1)) + 1 (smoothed), rank by (score desc, term asc).
+    *
+    * Scale: tf is one (doc, term) shuffle with map-side combine; df is an
+    * aggregate OF that aggregate (term grain); N is a broadcast scalar.
+    * The ranking window partitions by doc_id — bounded per-doc work, never
+    * a global sort. The tf→df join shuffles on term; a skewed hot term
+    * costs one fat reduce task at worst (df rows are one per term).
+    */
+  def tfIdfTopK(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") *
+          (log((col("n_docs").cast("double") + 1.0) / (col("df").cast("double") + 1.0))
+            + 1.0))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("term"), round(col("score"), 6).as("score"), col("rank"))
+  }
+}

@@ -22,6 +22,13 @@ class DimCache(
     clock: () => Long = () => System.currentTimeMillis()) {
 
   @volatile private var cached: (Long, DataFrame) = _
+  // previous generation, kept alive for ONE swap: a concurrent caller that
+  // grabbed the old reference just before a refresh may still be computing
+  // a batch against it, and unpersisting a localCheckpoint'd frame mid-read
+  // would fail that batch (the lineage was truncated — nothing to recompute
+  // from). Deferring the unpersist by one generation gives such readers a
+  // full TTL interval to finish.
+  private var retiring: DataFrame = _
   @volatile private var loads = 0
 
   /** Number of times the loader has actually run (observability + spec). */
@@ -37,7 +44,8 @@ class DimCache(
         // overwrite of the dim path can neither corrupt a half-read batch
         // nor silently early-refresh it via catalog cache invalidation
         val df = loader().localCheckpoint(true)
-        if (c2 != null) c2._2.unpersist()
+        if (retiring != null) retiring.unpersist()
+        retiring = if (c2 != null) c2._2 else null
         cached = (clock(), df)
         loads += 1
       }

@@ -161,8 +161,21 @@ object Sinks {
     * re-execute the source N times). Each epoch overwrites its own
     * `epoch=N` subdir per sink, so a replayed micro-batch (or a crash
     * mid-fan-out) re-writes the same dirs instead of appending duplicates
-    * — exactly-once per (sink, epoch). */
-  def fanOut(df: DataFrame, checkpoint: String)(
+    * — exactly-once per (sink, epoch).
+    *
+    * READER CONTRACT: each sink path is an epoch-partitioned store
+    * (`path/epoch=N`, partition column `epoch`) — the analogue of a Kafka
+    * topic, where `epoch` plays the offset. Like a topic it needs
+    * RETENTION at production cadence or the epoch dirs accumulate without
+    * bound: pass `retainEpochs = Some(n)` to drop epochs older than
+    * `current − n` once their consumers are past them (the Kafka
+    * `retention.ms` analogue; deletion is idempotent and crash-safe —
+    * a replayed batch only ever rewrites epochs inside the retained
+    * window). Sinks needing the full compacted history instead of a
+    * retention window are keyed stores — route them through
+    * [[upsertByKeyPartitioned]], which rewrites only touched buckets.
+    * The default `None` (keep everything) is for bounded test/gate runs. */
+  def fanOut(df: DataFrame, checkpoint: String, retainEpochs: Option[Int] = None)(
       sinks: (String, DataFrame => DataFrame, String)*): StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpoint)
@@ -170,6 +183,16 @@ object Sinks {
         batch.persist()
         try sinks.foreach { case (_, transform, path) =>
           transform(batch).write.mode("overwrite").parquet(s"$path/epoch=$epochId")
+          retainEpochs.foreach { keep =>
+            val root = new org.apache.hadoop.fs.Path(path)
+            val fs = root.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+            if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+              val name = st.getPath.getName
+              if (name.startsWith("epoch=") &&
+                  name.drop(6).toLongOption.exists(_ < epochId - keep))
+                fs.delete(st.getPath, true)
+            }
+          }
         } finally batch.unpersist()
         ()
       }

@@ -46,4 +46,35 @@ object Windows {
       Seq(col("vc"), col("ch"), col("ar"), col("is_new")),
       Seq(sum(col("pv")).as("pv_ct"), sum(col("sv")).as("sv_ct"),
         sum(col("dur")).as("dur_sum")))
+
+  /** SESSION-window aggregation — a window type the reference never uses
+    * (SURVEY §2.6: "no sliding or session windows") but every
+    * sessionization workload needs: events of one key closer than
+    * `gapDur` merge into one session [first_ts, last_ts + gap). Native
+    * `session_window` — incremental state-store merging in streaming,
+    * plain aggregation in batch; bounds emitted as stt/edt strings like
+    * every DWS bean.
+    *
+    * Session-assignment semantics (mirrored by the DuckDB oracle's
+    * gaps-and-islands form): a new session starts exactly when
+    * `ts_next − ts_prev ≥ gap` (Spark's session end is exclusive).
+    *
+    * Scale: one shuffle on the session keys; per-key sessions merge
+    * locally in the state store (streaming) or in the sort-based session
+    * assignment (batch) — no global sort, skew bounded by the hottest
+    * key's event count. */
+  def sessionAgg(
+      df: DataFrame,
+      tsCol: String,
+      gapDur: String,
+      watermarkDelay: String,
+      keys: Seq[Column],
+      aggs: Seq[Column]): DataFrame = {
+    val wm = if (df.isStreaming) df.withWatermark(tsCol, watermarkDelay) else df
+    wm.groupBy(session_window(col(tsCol), gapDur) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("stt", date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss"))
+      .withColumn("edt", date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss"))
+      .drop("session_window")
+  }
 }
