@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Envelopes, Tables, TopicDb}
 import graft.apps.GmallPipelines
-import graft.operators.{Dedup, EventOps, Multimodal, Relational, Similarity}
+import graft.operators.{Dedup, EventOps, Multimodal, Relational, Similarity, TextProfile}
 import graft.functions.TextFunctions
 import graft.streaming.{StatefulOps, StreamHarness}
 
@@ -854,6 +854,84 @@ object SparkEntry {
           .orderBy(col("visit_date"))
       finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }),
+
+    // ------------- per-doc profiling / sessionization (round 3) ------------
+
+    // PII redaction over deterministically PII-augmented text (the raw
+    // corpus carries no PII; the augmentation is mirrored verbatim in the
+    // oracle, so the thing under test is the redaction itself).
+    "q67_pii_redact" -> ((s, d) => {
+      val aug = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@mail.example.com or 10."),
+        pmod(col("doc_id"), lit(200)).cast("string"), lit(".0."),
+        pmod(col("doc_id"), lit(256)).cast("string"), lit(" now"))
+      TextProfile.piiProfile(
+          Tables.documents(s, d).select(col("doc_id"), aug.as("text")))
+        .orderBy(col("doc_id"))
+    }),
+
+    // C4/Gopher-style intra-document repetition quality signals.
+    "q68_repetition" -> ((s, d) =>
+      TextProfile.repetitionProfile(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+
+    // TF-IDF top-3 terms per document (smoothed idf, lexicographic ties).
+    "q69_tfidf" -> ((s, d) =>
+      TextProfile.tfIdfTopK(Tables.documents(s, d), 3)
+        .orderBy(col("doc_id"), col("rank"))),
+
+    // SESSION windows (beyond the reference's window surface): per-user
+    // 4 h-gap sessions over the real multi-day events table, batch form.
+    "q70_session_window" -> ((s, d) =>
+      graft.streaming.Windows.sessionAgg(Tables.events(s, d), "ts",
+          "4 hours", "2 seconds",
+          Seq(col("user_id")), Seq(count(lit(1)).as("n_events")))
+        .select(col("user_id"), col("stt"), col("edt"), col("n_events"))
+        .orderBy(col("user_id"), col("stt"))),
+
+    // Streaming twin of q70: the same session_window plan run as real
+    // micro-batches — sessions spanning the batch split must MERGE in the
+    // state store; the flush sentinel (max ts + gap + margin) advances the
+    // watermark past every session end so append mode emits them all.
+    "q71_stream_session" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).as[StatefulOps.Event].collect().toSeq
+        .sortBy(e => (e.ts.getTime, e.event_id))
+      val (h1, h2) = ev.splitAt(ev.length / 2)
+      val sentinel = StatefulOps.Event(-1L,
+        new Timestamp(ev.map(_.ts.getTime).max + 5L * 3600L * 1000L),
+        -1L, "flush", 0.0, "{}")
+      StreamHarness.run(s, Seq(h1, h2, Seq(sentinel))) { ds =>
+        graft.streaming.Windows.sessionAgg(ds.toDF(), "ts", "4 hours",
+          "2 seconds", Seq(col("user_id")), Seq(count(lit(1)).as("n_events")))
+      }.where(col("user_id") =!= -1L)
+        .select(col("user_id"), col("stt"), col("edt"), col("n_events"))
+        .orderBy(col("user_id"), col("stt"))
+    }),
+
+    // HOPPING windows (1 h / 30 min): each event lands in exactly two
+    // overlapping windows — the window-family completion next to tumbling
+    // (q34/q37) and session (q70/q71).
+    "q72_sliding_window" -> ((s, d) =>
+      graft.streaming.Windows.slidingAgg(Tables.events(s, d), "ts",
+          "1 hour", "30 minutes", "2 seconds",
+          Seq(col("event_type")),
+          Seq(count(lit(1)).as("n_events"),
+            count_distinct(col("user_id")).as("n_users")))
+        .select(col("stt"), col("edt"), col("event_type"),
+          col("n_events"), col("n_users"))
+        .orderBy(col("stt"), col("event_type"))),
+
+    // Bloom-prefiltered incremental dedup: store = fingerprints of docs
+    // 0..249, batch = the rest; the bloom screen is an optimization the
+    // oracle can't see — output is exact not-in-store firsts.
+    "q73_bloom_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val store = docs.where(col("doc_id") < 250)
+        .select(TextFunctions.fingerprint(col("text")).as("fp")).distinct()
+      Dedup.incrementalDedup(docs.where(col("doc_id") >= 250), store)
+        .select(col("doc_id"), col("fp")).orderBy(col("doc_id"))
+    }),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -887,6 +965,11 @@ object SparkEntry {
   private val sh3Sql =
     "CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')] " +
       "ELSE list_transform(range(0, len(w) - 2), i -> concat_ws(' ', w[i+1], w[i+2], w[i+3])) END"
+
+  /** Word 2-gram shingles over token list `w` — mirrors TextFunctions.shingles(n=2). */
+  private val sh2Sql =
+    "CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')] " +
+      "ELSE list_transform(range(0, len(w) - 1), i -> concat_ws(' ', w[i+1], w[i+2])) END"
 
   /** Distinct (doc_id, shingle) rows. */
   private val shCte =
@@ -1660,5 +1743,97 @@ object SparkEntry {
         |  max('cm' || CAST(l_orderkey AS VARCHAR))
         | FROM lineitem WHERE l_linenumber=1 AND l_partkey%2=0 HAVING count(*) > 0
         |) ORDER BY 1, 2""".stripMargin,
+
+    // ------------- per-doc profiling / sessionization (round 3) ------------
+
+    "q67_pii_redact" ->
+      s"""WITH a AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |  || '@mail.example.com or 10.' || CAST(doc_id % 200 AS VARCHAR)
+         |  || '.0.' || CAST(doc_id % 256 AS VARCHAR) || ' now' AS text FROM documents),
+         |e AS (SELECT doc_id,
+         |  regexp_replace(text, '${TextProfile.EmailRe}', '<EMAIL>', 'g') AS t1,
+         |  len(regexp_extract_all(text, '${TextProfile.EmailRe}')) AS n_email FROM a)
+         |SELECT doc_id, CAST(n_email AS BIGINT) AS n_email,
+         | CAST(len(regexp_extract_all(t1, '${TextProfile.Ipv4Re}')) AS BIGINT) AS n_ip,
+         | md5(regexp_replace(t1, '${TextProfile.Ipv4Re}', '<IP>', 'g')) AS redacted_fp
+         |FROM e ORDER BY doc_id""".stripMargin,
+
+    "q68_repetition" ->
+      s"""WITH toks2 AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |g3 AS (SELECT doc_id, unnest($sh3Sql) AS sh FROM toks2),
+         |d3 AS (SELECT doc_id,
+         |  round(1.0 - CAST(count(DISTINCT sh) AS DOUBLE) / count(*), 6) AS dup_3gram_frac
+         | FROM g3 GROUP BY 1),
+         |g2 AS (SELECT doc_id, unnest($sh2Sql) AS sh FROM toks2),
+         |c2 AS (SELECT doc_id, sh, count(*) AS c FROM g2 GROUP BY 1, 2),
+         |t2 AS (SELECT doc_id,
+         |  round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_2gram_frac
+         | FROM c2 GROUP BY 1)
+         |SELECT doc_id, dup_3gram_frac, top_2gram_frac
+         |FROM d3 JOIN t2 USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q69_tfidf" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |sc AS (SELECT doc_id, term, CAST(tf AS DOUBLE) *
+         |   (ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) + 1.0) AS score
+         | FROM tf JOIN df USING (term) CROSS JOIN n),
+         |r AS (SELECT doc_id, term, score,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM sc)
+         |SELECT doc_id, term, round(score, 6) AS score, rank
+         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // gaps-and-islands twin of Spark's session_window: a session breaks
+    // only when the µs gap STRICTLY exceeds the 4 h gap duration — Spark
+    // merges touching windows (an event at exactly prev_ts + gap joins
+    // the session; verified empirically in TextProfileSpec)
+    "q70_session_window" ->
+      """WITH g AS (SELECT user_id, ts,
+        |  event_id,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 14400000000 THEN 1 ELSE 0 END AS brk
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, sum(brk) OVER
+        |  (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS stt,
+        | strftime(max(ts) + INTERVAL 4 HOUR, '%Y-%m-%d %H:%M:%S') AS edt,
+        | count(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, stt""".stripMargin,
+
+    "q71_stream_session" ->
+      """WITH g AS (SELECT user_id, ts,
+        |  event_id,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 14400000000 THEN 1 ELSE 0 END AS brk
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, sum(brk) OVER
+        |  (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS stt,
+        | strftime(max(ts) + INTERVAL 4 HOUR, '%Y-%m-%d %H:%M:%S') AS edt,
+        | count(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, stt""".stripMargin,
+
+    // each event belongs to the two 1 h windows whose 30 min-aligned
+    // starts are floor(ts/30min) and that minus one slide — Spark's
+    // epoch-aligned hopping-window assignment
+    "q72_sliding_window" ->
+      """WITH g AS (SELECT event_type, user_id,
+        |  (epoch_us(ts) // 1800000000 - i.i) * 1800000000 AS ws
+        | FROM events CROSS JOIN (VALUES (0), (1)) i(i))
+        |SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS stt,
+        | strftime(make_timestamp(ws + 3600000000), '%Y-%m-%d %H:%M:%S') AS edt,
+        | event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users
+        |FROM g GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
+
+    "q73_bloom_dedup" ->
+      s"""WITH store AS (SELECT DISTINCT md5($normalizedSql) AS fp
+         |  FROM documents WHERE doc_id < 250),
+         |b AS (SELECT doc_id, md5($normalizedSql) AS fp
+         |  FROM documents WHERE doc_id >= 250),
+         |firsts AS (SELECT fp, min(doc_id) AS doc_id FROM b GROUP BY fp)
+         |SELECT doc_id, fp FROM firsts
+         |WHERE fp NOT IN (SELECT fp FROM store) ORDER BY doc_id""".stripMargin,
   )
 }

@@ -47,6 +47,28 @@ object Windows {
       Seq(sum(col("pv")).as("pv_ct"), sum(col("sv")).as("sv_ct"),
         sum(col("dur")).as("dur_sum")))
 
+  /** HOPPING (sliding) event-time aggregation — completes the window
+    * family (the reference uses only tumbling windows; sliding = tumbles
+    * overlapping every `slideDur`). Each event lands in
+    * windowDur/slideDur windows; the state-store aggregation stays
+    * incremental, state size scales by the same factor. Works on batch
+    * and streaming input like [[tumblingAgg]]. */
+  def slidingAgg(
+      df: DataFrame,
+      tsCol: String,
+      windowDur: String,
+      slideDur: String,
+      watermarkDelay: String,
+      keys: Seq[Column],
+      aggs: Seq[Column]): DataFrame = {
+    val wm = if (df.isStreaming) df.withWatermark(tsCol, watermarkDelay) else df
+    wm.groupBy(window(col(tsCol), windowDur, slideDur) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("stt", date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss"))
+      .withColumn("edt", date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss"))
+      .drop("window")
+  }
+
   /** SESSION-window aggregation — a window type the reference never uses
     * (SURVEY §2.6: "no sliding or session windows") but every
     * sessionization workload needs: events of one key closer than
@@ -56,8 +78,10 @@ object Windows {
     * every DWS bean.
     *
     * Session-assignment semantics (mirrored by the DuckDB oracle's
-    * gaps-and-islands form): a new session starts exactly when
-    * `ts_next − ts_prev ≥ gap` (Spark's session end is exclusive).
+    * gaps-and-islands form): a new session starts only when
+    * `ts_next − ts_prev > gap` STRICTLY — Spark merges touching windows,
+    * so an event at exactly `ts_prev + gap` still joins the session
+    * (pinned by TextProfileSpec).
     *
     * Scale: one shuffle on the session keys; per-key sessions merge
     * locally in the state store (streaming) or in the sort-based session

@@ -46,4 +46,27 @@ class PlanSpec extends SparkTestBase {
       Tables.events(spark, sf), Seq(col("user_id")), Relational.money(col("value"))))
     assert(!p.contains("SinglePartition"), "salted agg must never funnel to one partition")
   }
+
+  test("PII profile is a pure projection: no exchange, stays in one codegen stage") {
+    val p = plan(graft.operators.TextProfile.piiProfile(Tables.documents(spark, sf)))
+    assert(!p.contains("Exchange"), "per-row redaction must not shuffle")
+    // codegen'd stages print as "*(n)" in executedPlan.toString
+    assert(p.contains("*(1)"), "regex projection should be codegen'd:\n" + p)
+  }
+
+  test("capped jaccard verifies from slim count rows, never shingle arrays") {
+    val p = plan(graft.operators.Dedup.ngramJaccardPairsCapped(
+      Tables.documents(spark, sf), maxDocFreq = 100))
+    assert(!p.contains("array_intersect"),
+      "exact |A∩B| must come from cold+hot counts, not array joins")
+  }
+
+  test("tf-idf broadcasts the corpus-size scalar and ranks per-doc only") {
+    val p = plan(graft.operators.TextProfile.tfIdfTopK(Tables.documents(spark, sf), 3))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "N must be a broadcast scalar, not a shuffled join side")
+    // the ranking window partitions by doc_id — never a global (empty) partition
+    assert(!p.contains("Window [") || !p.contains("windowspecdefinition()"),
+      "ranking window must be doc-partitioned")
+  }
 }
