@@ -932,6 +932,47 @@ object SparkEntry {
       Dedup.incrementalDedup(docs.where(col("doc_id") >= 250), store)
         .select(col("doc_id"), col("fp")).orderBy(col("doc_id"))
     }),
+
+    // EXACT percentiles (sort-based, linear interpolation) per group —
+    // the latency/size-distribution profile every corpus audit needs;
+    // Spark `percentile` and DuckDB `quantile_cont` share the
+    // rank = p·(n−1) interpolation definition.
+    "q74_percentile" -> ((s, d) =>
+      Tables.events(s, d).groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"),
+          round(expr("percentile(value, 0.99)"), 6).as("p99"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))),
+
+    // ROLLUP subtotal hierarchy (reference has no grouping sets at all):
+    // per (status, priority) + per status + grand total in one pass.
+    "q75_rollup" -> ((s, d) =>
+      Tables.orders(s, d)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
+    // Dedup GROUP resolution: q20's simhash near-dup pairs collapsed into
+    // connected components (min-label propagation); comp = canonical
+    // (minimum) doc id per near-dup group.
+    "q76_dedup_groups" -> ((s, d) =>
+      Dedup.connectedComponents(
+          Dedup.simhashNearDups(Dedup.simhash(Tables.documents(s, d))))
+        .orderBy(col("id"))),
+
+    // Decontamination: per candidate doc (id ≥ 50), the fraction of its
+    // distinct 3-gram shingles that occur anywhere in the benchmark set
+    // (id < 50) — the train/test-leakage audit.
+    "q77_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationProfile(
+          docs.where(col("doc_id") >= 50), docs.where(col("doc_id") < 50))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -1835,5 +1876,48 @@ object SparkEntry {
          |firsts AS (SELECT fp, min(doc_id) AS doc_id FROM b GROUP BY fp)
          |SELECT doc_id, fp FROM firsts
          |WHERE fp NOT IN (SELECT fp FROM store) ORDER BY doc_id""".stripMargin,
+
+    "q74_percentile" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.5), 6) AS p50,
+        | round(quantile_cont(value, 0.9), 6) AS p90,
+        | round(quantile_cont(value, 0.99), 6) AS p99,
+        | count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q75_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+
+    // transitive closure over the symmetrized q20 pair graph; min
+    // reachable id per node = the component label the Spark side converges
+    // to by min-label propagation
+    "q76_dedup_groups" ->
+      s"""WITH RECURSIVE $shCte,
+         |$simhashCte,
+         |bkt AS (SELECT doc_id, simhash, simhash >> 44 AS bucket FROM ssig),
+         |e AS (SELECT l.doc_id AS a, r.doc_id AS b
+         | FROM bkt l JOIN bkt r ON l.bucket = r.bucket AND l.doc_id < r.doc_id
+         | WHERE bit_count(xor(l.simhash, r.simhash)) <= 8),
+         |ee AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+         |reach(a, b) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM ee)
+         |  UNION
+         |  SELECT r.a, e2.b FROM reach r JOIN ee e2 ON r.b = e2.a)
+         |SELECT a AS id, min(b) AS comp FROM reach GROUP BY a ORDER BY a""".stripMargin,
+
+    "q77_contamination" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |s1 AS (SELECT doc_id, unnest(list_distinct($sh3Sql)) AS sh FROM t WHERE doc_id >= 50),
+         |bs AS (SELECT DISTINCT sh FROM
+         |  (SELECT unnest(list_distinct($sh3Sql)) AS sh FROM t WHERE doc_id < 50)),
+         |j AS (SELECT s1.doc_id, count(*) AS n_shingles,
+         |  sum(CASE WHEN bs.sh IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated
+         | FROM s1 LEFT JOIN bs ON s1.sh = bs.sh GROUP BY 1)
+         |SELECT doc_id, n_shingles, CAST(n_contaminated AS BIGINT) AS n_contaminated,
+         | round(CAST(n_contaminated AS DOUBLE) / n_shingles, 6) AS contam_frac
+         |FROM j ORDER BY doc_id""".stripMargin,
   )
 }

@@ -197,6 +197,94 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Dedup GROUP resolution — the step after pair generation: collapse
+    * near-dup pairs into connected components so each group keeps one
+    * canonical doc (the minimum id). Standard Pregel-style min-label
+    * propagation on DataFrames: every node repeatedly adopts the smallest
+    * label among itself and its neighbors until fixpoint — O(component
+    * diameter) rounds, each one self-join + aggregate, all
+    * shuffle-partitioned by node. The driver only checks the converged
+    * flag per round (a 1-row action), never collects the graph.
+    *
+    * Near-dup components have tiny diameters (dup clusters are
+    * quasi-cliques), so this converges in 2-3 rounds on real corpora; the
+    * `maxIters` guard turns a pathological chain into an error, not an
+    * infinite loop.
+    *
+    * Returns (doc_id, comp) for every node appearing in `pairs`, where
+    * comp = min doc_id reachable — deterministic, oracle-checkable.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String = "a",
+      bCol: String = "b",
+      maxIters: Int = 50): DataFrame = {
+    // no dedup of the symmetrized edge list: duplicate edges cannot change
+    // a min() propagation, and the distinct would be one more full shuffle
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist()
+    edges.count()
+    try {
+      // localCheckpoint (eager) each round: an iterative DataFrame loop
+      // otherwise chains every prior round into the next logical plan and
+      // Catalyst re-optimization cost explodes super-linearly (measured:
+      // 2 s → 150 s by iteration 5 with plain persist). Truncating lineage
+      // keeps every round's plan — and planning time — constant.
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("comp", col("id")).localCheckpoint(true)
+      var converged = false
+      var iters = 0
+      val debug = sys.env.contains("GRAFT_CC_DEBUG")
+      while (!converged && iters < maxIters) {
+        val t0 = System.nanoTime()
+        // each node adopts min(own comp, neighbors' comps); old + proposed
+        // labels land in one materialized frame so the convergence probe
+        // costs no second join
+        val joined = edges.join(labels.withColumnRenamed("id", "dst")
+              .withColumnRenamed("comp", "dcomp"), Seq("dst"))
+          .groupBy(col("src").as("id")).agg(min(col("dcomp")).as("ncomp"))
+          .join(labels, Seq("id"))
+          .localCheckpoint(true)
+        val changed = joined.where(col("ncomp") < col("comp")).limit(1).count()
+        labels = joined.select(col("id"), least(col("comp"), col("ncomp")).as("comp"))
+        converged = changed == 0
+        iters += 1
+        if (debug) System.err.println(
+          f"[cc] iter $iters changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      if (!converged)
+        throw new IllegalStateException(s"connectedComponents: no fixpoint in $maxIters iters")
+      labels
+    } finally { edges.unpersist(); () }
+  }
+
+  /** Benchmark-contamination profile — decontamination, the corpus-hygiene
+    * twin of dedup: for each candidate doc, the fraction of its distinct
+    * 3-gram shingles that also occur anywhere in the `benchmark` set.
+    * frac ≥ ~0.5 flags train/test leakage. One inverted-index semi-join
+    * against the (much smaller) benchmark shingle vocabulary — broadcast
+    * when it fits, shuffle-join otherwise; never doc×doc pairs.
+    */
+  def contaminationProfile(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleN: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol),
+      explode(array_distinct(shingles(col(textCol), shingleN))).as("sh"))
+    val benchSh = benchmark
+      .select(explode(array_distinct(shingles(col(textCol), shingleN))).as("sh"))
+      .distinct()
+    sh.join(benchSh.withColumn("_hit", lit(1L)), Seq("sh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_contaminated"))
+      .withColumn("contam_frac",
+        round(col("n_contaminated").cast("double") / col("n_shingles").cast("double"), 6))
+  }
+
   // -------------------------------------------------------------- simhash --
 
   /** 60-bit SimHash per document: every distinct token contributes its

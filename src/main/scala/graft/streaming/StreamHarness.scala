@@ -22,21 +22,34 @@ object StreamHarness {
 
   /** Feed `batches` one micro-batch at a time through `build`, wait for
     * every batch (and any watermark-triggered no-data batch) to complete,
-    * return the memory sink's contents. */
+    * return the memory sink's contents.
+    *
+    * Shuffle partitions are capped at 8 for the query's lifetime: each
+    * stateful operator commits one state-store instance PER shuffle
+    * partition PER micro-batch, so a 32-partition session pays 4× the
+    * store-commit overhead for gate-sized feeds (≤300k rows) with zero
+    * parallelism gain — measured 2-3× wall-clock on the DWS window gates.
+    * Results are partition-count independent; production sizing is the
+    * deployment's own concern. */
   def run[T](spark: SparkSession, batches: Seq[Seq[T]])(
       build: Dataset[T] => DataFrame)(implicit enc: Encoder[T]): DataFrame = {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = MemoryStream[T]
     val name = s"graft_mem_sink_${counter.incrementAndGet()}"
     val ckpt = Files.createTempDirectory("graft_ckpt_").toString
-    val query = build(stream.toDS())
-      .writeStream.format("memory").queryName(name).outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .start()
-    try batches.foreach { b =>
-      stream.addData(b)
-      query.processAllAvailable()
-    } finally query.stop()
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.min(prevParts.toInt, 8).toString)
+    try {
+      val query = build(stream.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+      try batches.foreach { b =>
+        stream.addData(b)
+        query.processAllAvailable()
+      } finally query.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     spark.table(name)
   }
 }

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Dedup group resolution (connected components) + contamination audit. */
+class DedupGraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("connectedComponents: chain, separate component, min-id labels") {
+    // 1-2-3-4 is a path (worst diameter), 10-11 separate, 20 isolated pair-less
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val out = Dedup.connectedComponents(pairs).orderBy("id")
+      .as[(Long, Long)].collect()
+    assert(out.toSeq === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L)))
+  }
+
+  test("connectedComponents merges components that touch through one node") {
+    val pairs = Seq((5L, 9L), (1L, 9L), (2L, 7L), (7L, 5L)).toDF("a", "b")
+    val out = Dedup.connectedComponents(pairs)
+      .select($"comp").distinct().as[Long].collect()
+    assert(out.toSeq === Seq(1L)) // all one group, labeled by the min id
+  }
+
+  test("contaminationProfile counts shared distinct shingles against the benchmark") {
+    val bench = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val cand = Seq(
+      (50L, "alpha beta gamma delta"),   // fully contained: frac 1.0
+      (51L, "zz yy xx ww vv")).toDF("doc_id", "text") // disjoint: frac 0.0
+    val out = Dedup.contaminationProfile(cand, bench).orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out(0) === ((50L, 2L, 2L, 1.0))) // 2 distinct 3-grams, both hit
+    assert(out(1)._4 === 0.0)
+  }
+}
