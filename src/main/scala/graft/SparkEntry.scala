@@ -1007,6 +1007,22 @@ object SparkEntry {
     "CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')] " +
       "ELSE list_transform(range(0, len(w) - 2), i -> concat_ws(' ', w[i+1], w[i+2], w[i+3])) END"
 
+  /** Shared by q70 (batch) and q71 (streaming twin) — ONE oracle so the
+    * two gates can never silently diverge: a session breaks only when the
+    * µs gap STRICTLY exceeds the 4 h gap (Spark merges touching windows). */
+  private val sessionOracleSql =
+    """WITH g AS (SELECT user_id, ts,
+        |  event_id,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 14400000000 THEN 1 ELSE 0 END AS brk
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, sum(brk) OVER
+        |  (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS stt,
+        | strftime(max(ts) + INTERVAL 4 HOUR, '%Y-%m-%d %H:%M:%S') AS edt,
+        | count(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, stt""".stripMargin
+
   /** Word 2-gram shingles over token list `w` — mirrors TextFunctions.shingles(n=2). */
   private val sh2Sql =
     "CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')] " +
@@ -1830,31 +1846,9 @@ object SparkEntry {
     // only when the µs gap STRICTLY exceeds the 4 h gap duration — Spark
     // merges touching windows (an event at exactly prev_ts + gap joins
     // the session; verified empirically in TextProfileSpec)
-    "q70_session_window" ->
-      """WITH g AS (SELECT user_id, ts,
-        |  event_id,
-        |  CASE WHEN lag(ts) OVER w IS NULL
-        |    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 14400000000 THEN 1 ELSE 0 END AS brk
-        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |s AS (SELECT user_id, ts, sum(brk) OVER
-        |  (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM g)
-        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS stt,
-        | strftime(max(ts) + INTERVAL 4 HOUR, '%Y-%m-%d %H:%M:%S') AS edt,
-        | count(*) AS n_events
-        |FROM s GROUP BY user_id, sid ORDER BY user_id, stt""".stripMargin,
+    "q70_session_window" -> sessionOracleSql,
 
-    "q71_stream_session" ->
-      """WITH g AS (SELECT user_id, ts,
-        |  event_id,
-        |  CASE WHEN lag(ts) OVER w IS NULL
-        |    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 14400000000 THEN 1 ELSE 0 END AS brk
-        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |s AS (SELECT user_id, ts, sum(brk) OVER
-        |  (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM g)
-        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS stt,
-        | strftime(max(ts) + INTERVAL 4 HOUR, '%Y-%m-%d %H:%M:%S') AS edt,
-        | count(*) AS n_events
-        |FROM s GROUP BY user_id, sid ORDER BY user_id, stt""".stripMargin,
+    "q71_stream_session" -> sessionOracleSql,  // identical by design: the streaming twin must pin the SAME semantics
 
     // each event belongs to the two 1 h windows whose 30 min-aligned
     // starts are floor(ts/30min) and that minus one slide — Spark's

@@ -213,9 +213,15 @@ object GmallApp {
           // does) instead of catching AnalysisException: "store never
           // created" is the only legitimate fallback to static routing —
           // a corrupt or partially-written store must FAIL the batch, not
-          // silently disable dynamic DIM routing
+          // silently disable dynamic DIM routing. Mirror upsertByKey's
+          // crash recovery first: a writer that died mid-swap leaves the
+          // only full copy at `_old` — restore it rather than mistaking
+          // the store for never-created.
           val dir = new org.apache.hadoop.fs.Path(configStore(warehouse))
+          val old = new org.apache.hadoop.fs.Path(configStore(warehouse) + "_old")
           val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (!fs.exists(dir) && fs.exists(old) && !fs.rename(old, dir))
+            throw new java.io.IOException(s"dimQuery: cannot restore $old")
           if (!fs.exists(dir)) Seq.empty
           else s.read.parquet(dir.toString).collect().toSeq.map { r =>
             r.getAs[String]("source_table") -> DimSink.TableConfig(

@@ -72,18 +72,27 @@ object Dedup {
       expectedItems: Long = 1000000L,
       fpp: Double = 0.01): DataFrame = {
     val spark = batch.sparkSession
-    val fpB = batch
-      .withColumn("fp", fingerprint(col(textCol)))
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy(col("fp")).orderBy(col(idCol))))
-      .where(col("_rn") === 1).drop("_rn")
     val bf = storeFps.stat.bloomFilter("fp", math.max(expectedItems, 1L), fpp)
     val bfBc = spark.sparkContext.broadcast(bf)
     val mightContain = udf((s: String) => bfBc.value.mightContain(s))
-    val negatives = fpB.where(!mightContain(col("fp"))) // definitely new
-    val positives = fpB.where(mightContain(col("fp")))
+    // null text → null fp: route it through the positives branch (the
+    // bloom impl NPEs on null) where the anti-join keeps it (null matches
+    // nothing), so nulls form their own dedup class exactly like [[exact]]
+    val flagged = batch
+      .withColumn("fp", fingerprint(col(textCol)))
+      .withColumn("_hit",
+        when(col("fp").isNull, lit(true)).otherwise(mightContain(col("fp"))))
+    val negatives = flagged.where(!col("_hit")) // definitely new: skip the join
+    val positives = flagged.where(col("_hit"))
       .join(storeFps.select(col("fp")), Seq("fp"), "left_anti") // FP rescue
-    negatives.unionByName(positives)
+    // in-batch first-per-fp AFTER the branch union: rows of one fp share
+    // one _hit value, so they land in the same branch and the single
+    // window dedups them — the pre-branch subplan above it is narrow scan
+    // work, never a duplicated shuffle
+    negatives.unionByName(positives.select(negatives.columns.map(col): _*))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col(idCol))))
+      .where(col("_rn") === 1).drop("_rn", "_hit")
   }
 
   // -------------------------------------------------------------- minhash --

@@ -22,13 +22,6 @@ class DimCache(
     clock: () => Long = () => System.currentTimeMillis()) {
 
   @volatile private var cached: (Long, DataFrame) = _
-  // previous generation, kept alive for ONE swap: a concurrent caller that
-  // grabbed the old reference just before a refresh may still be computing
-  // a batch against it, and unpersisting a localCheckpoint'd frame mid-read
-  // would fail that batch (the lineage was truncated — nothing to recompute
-  // from). Deferring the unpersist by one generation gives such readers a
-  // full TTL interval to finish.
-  private var retiring: DataFrame = _
   @volatile private var loads = 0
 
   /** Number of times the loader has actually run (observability + spec). */
@@ -42,10 +35,15 @@ class DimCache(
         // localCheckpoint (eager): materializes AND truncates lineage, so
         // the snapshot no longer references the source — a concurrent
         // overwrite of the dim path can neither corrupt a half-read batch
-        // nor silently early-refresh it via catalog cache invalidation
+        // nor silently early-refresh it via catalog cache invalidation.
+        // Replaced generations are NOT manually unpersisted: a reader may
+        // still be mid-batch on ANY older generation (however many TTLs
+        // have lapsed), and a lineage-truncated frame has no recompute
+        // path if its blocks vanish. Dropping our reference instead
+        // delegates cleanup to Spark's ContextCleaner, which unpersists a
+        // checkpoint's blocks only once no live reference remains —
+        // i.e. exactly when the last reader is done with it.
         val df = loader().localCheckpoint(true)
-        if (retiring != null) retiring.unpersist()
-        retiring = if (c2 != null) c2._2 else null
         cached = (clock(), df)
         loads += 1
       }

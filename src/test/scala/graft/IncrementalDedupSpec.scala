@@ -27,6 +27,16 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(out(0)._2 === fp("fresh alpha"))
   }
 
+  test("null text forms its own dedup class instead of crashing the bloom screen") {
+    val store = Seq("seen").toDF("text")
+      .select(TextFunctions.fingerprint($"text").as("fp"))
+    val batch = Seq((1L, null), (2L, "fresh"), (3L, null))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(batch, store)
+      .select($"doc_id").as[Long].collect().sorted
+    assert(out.toSeq === Seq(1L, 2L)) // null class keeps min id, like exact()
+  }
+
   test("a saturated (all-positive) bloom filter still yields exact output") {
     // expectedItems=1 with a larger store saturates the filter: every row
     // screens positive and must be rescued by the exact anti-join

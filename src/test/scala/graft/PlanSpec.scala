@@ -65,8 +65,10 @@ class PlanSpec extends SparkTestBase {
     val p = plan(graft.operators.TextProfile.tfIdfTopK(Tables.documents(spark, sf), 3))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       "N must be a broadcast scalar, not a shuffled join side")
-    // the ranking window partitions by doc_id — never a global (empty) partition
-    assert(!p.contains("Window [") || !p.contains("windowspecdefinition()"),
-      "ranking window must be doc-partitioned")
+    // the ranking window partitions by doc_id — never a global sort
+    // (windowspecdefinition prints its partition keys first)
+    assert(p.contains("windowspecdefinition(doc_id"),
+      "ranking window must be doc-partitioned:\n" +
+        p.linesIterator.filter(_.contains("windowspecdefinition")).mkString("\n"))
   }
 }

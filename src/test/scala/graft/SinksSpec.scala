@@ -9,6 +9,26 @@ import graft.streaming.Sinks
 class SinksSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("fanOut retention drops epochs older than current - n, keeps the rest") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+    val ckpt = Files.createTempDirectory("graft_fanout_ckpt_").toString
+    val out = Files.createTempDirectory("graft_fanout_out_").toString + "/sink"
+    val q = Sinks.fanOut(stream.toDF(), ckpt, retainEpochs = Some(1))(
+      ("only", identity[org.apache.spark.sql.DataFrame] _, out))
+    try (0 until 4).foreach { i =>
+      stream.addData(Seq(i))
+      q.processAllAvailable()
+    } finally q.stop()
+    val epochs = new java.io.File(out).listFiles()
+      .map(_.getName).filter(_.startsWith("epoch=")).map(_.drop(6).toLong).sorted
+    // after epoch 3 with n=1: epochs < 2 dropped, {2, 3} retained
+    assert(epochs.toSeq === Seq(2L, 3L))
+    // retained data still readable through the partitioned layout
+    val rows = spark.read.parquet(out).select("value").as[Int].collect().sorted
+    assert(rows.toSeq === Seq(2, 3))
+  }
+
   test("upsertByKey keeps last row per key within a batch and merges across batches (K4)") {
     val dir = Files.createTempDirectory("graft_upsert_").toString + "/store"
     val b1 = Seq(("k1", 1L, "v1a"), ("k1", 2L, "v1b"), ("k2", 1L, "v2a"))
