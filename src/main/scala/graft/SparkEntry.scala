@@ -973,6 +973,36 @@ object SparkEntry {
           docs.where(col("doc_id") >= 50), docs.where(col("doc_id") < 50))
         .orderBy(col("doc_id"))
     }),
+
+    // AS-OF join (composed piecewise-merge, Relational.asOfJoin): every
+    // order picks the customer's latest k%3==0 "version" order at or
+    // before its own key-time; DuckDB's native ASOF LEFT JOIN is the
+    // oracle.
+    "q78_asof_join" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val left = o.select(col("o_orderkey").as("k"), col("o_custkey").as("cust"))
+        .withColumn("ts", col("k"))
+      val right = o.where(col("o_orderkey") % 3 === 0)
+        .select(col("o_custkey").as("cust"), col("o_orderkey").as("ts"),
+          col("o_orderkey").as("ref_k"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("ref_price"))
+      Relational.asOfJoin(left, right, "cust", "ts", Seq("ref_k", "ref_price"))
+        .select(col("k"), col("cust"), col("ref_k"), col("ref_price"))
+        .orderBy(col("k"))
+    }),
+
+    // Binned range join (Relational.rangeJoinBinned): first-line lineitem
+    // points against ±8 intervals around every 10th order key — the
+    // equi-join-on-bin plan vs DuckDB's native inequality join.
+    "q79_range_join" -> ((s, d) => {
+      val pts = Tables.lineitem(s, d).where(col("l_linenumber") === 1)
+        .select(col("l_orderkey").as("p"))
+      val iv = Tables.orders(s, d).where(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey").as("ik"),
+          (col("o_orderkey") - 8).as("lo"), (col("o_orderkey") + 8).as("hi"))
+      Relational.rangeJoinBinned(pts, iv, "p", "lo", "hi", 16L)
+        .select(col("p"), col("ik")).orderBy(col("p"), col("ik"))
+    }),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -1913,5 +1943,21 @@ object SparkEntry {
          |SELECT doc_id, n_shingles, CAST(n_contaminated AS BIGINT) AS n_contaminated,
          | round(CAST(n_contaminated AS DOUBLE) / n_shingles, 6) AS contam_frac
          |FROM j ORDER BY doc_id""".stripMargin,
+
+    "q78_asof_join" ->
+      """WITH l AS (SELECT o_orderkey AS k, o_custkey AS cust, o_orderkey AS ts FROM orders),
+        |r AS (SELECT o_custkey AS cust, o_orderkey AS ts, o_orderkey AS ref_k,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS ref_price
+        | FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT l.k, l.cust, r.ref_k, r.ref_price
+        |FROM l ASOF LEFT JOIN r ON l.cust = r.cust AND l.ts >= r.ts
+        |ORDER BY l.k""".stripMargin,
+
+    "q79_range_join" ->
+      """WITH p AS (SELECT l_orderkey AS p FROM lineitem WHERE l_linenumber = 1),
+        |iv AS (SELECT o_orderkey AS ik, o_orderkey - 8 AS lo, o_orderkey + 8 AS hi
+        | FROM orders WHERE o_orderkey % 10 = 0)
+        |SELECT p, ik FROM p JOIN iv ON p >= lo AND p <= hi
+        |ORDER BY p, ik""".stripMargin,
   )
 }

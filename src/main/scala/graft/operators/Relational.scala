@@ -155,4 +155,77 @@ object Relational {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"))
       .orderBy(col("event_type"))
+
+  /** AS-OF (point-in-time) join — an operator Spark has no primitive for,
+    * built by COMPOSITION (the brief's preference order (a)): each left
+    * row picks the latest right row of its key with `right.ts <= left.ts`
+    * (inclusive). The distributed form is the piecewise merge: tag both
+    * sides, union, and carry the last right payload forward inside one
+    * (key, ts, tag)-sorted window — right rows sort BEFORE left rows at
+    * equal ts, making the bound inclusive.
+    *
+    * The right payload rides in ONE struct column, so a null field inside
+    * a right row is carried faithfully (ignoreNulls skips only rows from
+    * the left side, never a right row's null attribute). Left rows with
+    * no prior right row get a null struct → null payload columns (left
+    * semantics).
+    *
+    * Scale: ONE shuffle of each side on the key, in-partition sort —
+    * never a per-key range probe or an O(L×R) product; skew bounded by
+    * the hottest key's row count, same as any keyed window.
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val payloadSchema = org.apache.spark.sql.types.StructType(
+      right.select(payloadCols.map(col): _*).schema.fields.map(_.copy(nullable = true)))
+    val l = left.withColumn("_tag", lit(1))
+      .withColumn("_r", lit(null).cast(payloadSchema))
+    val r = right.select(
+      col(keyCol), col(tsCol), lit(0).as("_tag"),
+      struct(payloadCols.map(col): _*).as("_r"))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned.withColumn("_asof", last(col("_r"), ignoreNulls = true).over(w))
+    payloadCols.foldLeft(
+        carried.where(col("_tag") === 1).drop("_tag", "_r"))(
+        (df, c) => df.withColumn(c, col("_asof").getField(c)))
+      .drop("_asof")
+  }
+
+  /** RANGE (interval-containment) join, binned — the second operator the
+    * brief names that Spark lacks natively: pair each point with every
+    * interval containing it. A naive inequality join plans as a nested
+    * loop; the scale form EQUI-joins on a bin key: intervals explode to
+    * the bins they cover (⌈len/binWidth⌉+1 rows each), points hash to
+    * exactly one bin, and the residual range predicate filters exact
+    * containment. Each (point, interval) pair meets in exactly one bin —
+    * no dedup needed.
+    *
+    * Scale: shuffle volume = points + Σ interval-bin spans; pick binWidth
+    * near the typical interval length so the explosion factor stays ~2.
+    */
+  def rangeJoinBinned(
+      points: DataFrame,
+      intervals: DataFrame,
+      pCol: String,
+      loCol: String,
+      hiCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val pts = points.withColumn("_bin",
+      floor(col(pCol) / lit(binWidth)).cast("long"))
+    val iv = intervals.withColumn("_bin",
+      explode(sequence(floor(col(loCol) / lit(binWidth)).cast("long"),
+        floor(col(hiCol) / lit(binWidth)).cast("long"))))
+    pts.join(iv, Seq("_bin"))
+      .where(col(pCol) >= col(loCol) && col(pCol) <= col(hiCol))
+      .drop("_bin")
+  }
 }
