@@ -71,4 +71,27 @@ class PlanSpec extends SparkTestBase {
       "ranking window must be doc-partitioned:\n" +
         p.linesIterator.filter(_.contains("windowspecdefinition")).mkString("\n"))
   }
+
+  test("binned range join plans as an equi-join, never a nested loop") {
+    val pts = Tables.lineitem(spark, sf).where(col("l_linenumber") === 1)
+      .select(col("l_orderkey").as("p"))
+    val iv = Tables.orders(spark, sf).where(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey").as("ik"),
+        (col("o_orderkey") - 8).as("lo"), (col("o_orderkey") + 8).as("hi"))
+    val p = plan(Relational.rangeJoinBinned(pts, iv, "p", "lo", "hi", 16L))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range predicate must ride an equi-join on the bin key:\n" + p)
+  }
+
+  test("as-of join is one keyed window over a union — no join operator at all") {
+    val o = Tables.orders(spark, sf)
+    val left = o.select(col("o_orderkey").as("k"), col("o_custkey").as("cust"))
+      .withColumn("ts", col("k"))
+    val right = o.where(col("o_orderkey") % 3 === 0)
+      .select(col("o_custkey").as("cust"), col("o_orderkey").as("ts"),
+        col("o_orderkey").as("ref_k"))
+    val p = plan(Relational.asOfJoin(left, right, "cust", "ts", Seq("ref_k")))
+    assert(p.contains("windowspecdefinition(cust"), "carry-forward must be cust-keyed")
+    assert(!p.contains("Join"), "piecewise merge needs no join operator:\n" + p)
+  }
 }
