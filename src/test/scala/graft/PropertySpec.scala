@@ -1,0 +1,147 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.core.Envelopes
+import graft.operators.EventOps
+import graft.streaming.{StatefulOps, StreamHarness}
+
+/** The property-based tests SURVEY §5 commits to: envelope-parse totality,
+  * dedup idempotence, visitor-repair monotonicity, and jump-detection
+  * equivalence against a naive in-memory reference implementation.
+  * ScalaCheck generators with a FIXED seed (deterministic CI) produce the
+  * cases; each property evaluates over one generated dataset per seed
+  * variant so Spark-job count stays bounded.
+  */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  // local twins of StatefulOps' private helpers (µs epoch, UTC day bucket)
+  private def micros(ts: Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+  private def dayOf(ts: Timestamp): String =
+    ts.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+
+  // -- 1. envelope parsing is TOTAL: any string parses or routes to dirty --
+
+  test("parseMaxwell never throws and partitions every input into clean+dirty") {
+    val junk = Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.alphaNumStr.map(s => s"{$s"),                       // broken brace
+      Gen.alphaNumStr.map(s => s"""{"table":"$s"}"""),        // valid minimal
+      Gen.const("""{"table":"t","data":{"id":"1"},"ts":5}"""),
+      Gen.const("""{"table":"t","data":["not","a","map"]}"""), // schema clash
+      Gen.const(""),
+      Gen.listOfN(6, Gen.choose(0x20.toChar, 0x2FFF.toChar)).map(_.mkString))
+    val inputs = sample(Gen.listOfN(300, junk), seed = 11L)
+    val df = inputs.toDF("value")
+    val parsed = Envelopes.parseMaxwell(df)
+    val (clean, dirty) = Envelopes.cleanDirty(parsed)
+    val (nc, nd) = (clean.count(), dirty.count())
+    assert(nc + nd === inputs.length.toLong) // total: nothing lost, no throw
+    // dirty rows keep the raw payload for replay (reference's side output)
+    assert(dirty.where(col("_raw").isNull).count() === 0L)
+  }
+
+  // -- 2. daily dedup: one row per (user, day); idempotent under replay ----
+
+  private val eventGen: Gen[StatefulOps.Event] = for {
+    id <- Gen.choose(0L, 100000L)
+    user <- Gen.choose(1L, 12L)
+    day <- Gen.choose(0, 3)
+    sec <- Gen.choose(0L, 86399L)
+    tpe <- Gen.oneOf("view", "click", "purchase")
+  } yield StatefulOps.Event(id, new Timestamp((day * 86400L + sec) * 1000L),
+    user, tpe, 0.0, "{}")
+
+  test("dedupDaily emits exactly one first-event per (user, day), idempotently") {
+    val events = sample(Gen.listOfN(400, eventGen), seed = 23L)
+      .distinctBy(_.event_id)
+    val df = events.toDF()
+    val out = EventOps.dedupDaily(df)
+    val rows = out.select($"user_id", $"visit_date".cast("string"), $"first_ts")
+      .as[(Long, String, Timestamp)].collect()
+    // one row per (user, day), and it IS the min-ts event of that group
+    val expected = events.groupBy(e => (e.user_id, dayOf(e.ts)))
+      .map { case (_, es) => es.map(e => micros(e.ts)).min }
+      .toSeq.sorted
+    assert(rows.map(r => micros(r._3)).sorted.toSeq === expected)
+    // idempotence: dedup of the dedup output (as events) changes nothing
+    val again = EventOps.dedupDaily(
+      out.select($"user_id", $"first_ts".as("ts")))
+    assert(again.count() === out.count())
+  }
+
+  test("streaming dedupDaily covers the same (user, day) set under any batch split") {
+    val events = sample(Gen.listOfN(300, eventGen), seed = 31L)
+      .distinctBy(_.event_id)
+    // adversarial split: hash-scrambled order, two arbitrary batches
+    val scrambled = events.sortBy(e => e.event_id * 0x61C88647L)
+    val (b1, b2) = scrambled.splitAt(scrambled.length / 3)
+    val out = StreamHarness.run(spark, Seq(b1, b2))(StatefulOps.dedupDaily(_).toDF())
+      .as[StatefulOps.Event].collect()
+    val got = out.map(e => (e.user_id, dayOf(e.ts))).toSet
+    val want = events.map(e => (e.user_id, dayOf(e.ts))).toSet
+    assert(got === want)                  // every (user, day) exactly once
+    assert(out.length === want.size)
+    // every emitted row is a real input event
+    val ids = events.map(_.event_id).toSet
+    assert(out.forall(e => ids.contains(e.event_id)))
+  }
+
+  // -- 3. visitor repair: is_new never flips 0 -> 1 in event-time order ----
+
+  test("visitorRepair is_new is monotonically non-increasing per user") {
+    val events = sample(Gen.listOfN(400, eventGen), seed = 47L)
+      .distinctBy(_.event_id)
+    val out = EventOps.visitorRepair(events.toDF())
+      .select($"user_id", $"ts", $"is_new").as[(Long, Timestamp, Int)].collect()
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val flags = rows.sortBy(r => micros(r._2)).map(_._3)
+      assert(!flags.sliding(2).exists(p => p.length == 2 && p(0) == 0 && p(1) == 1),
+        s"is_new flipped 0->1: ${flags.toSeq}")
+    }
+    // and is_new=1 exactly on first-day events
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val firstDay = rows.map(r => dayOf(r._2)).min
+      rows.foreach { r =>
+        assert((r._3 == 1) === (dayOf(r._2) == firstDay))
+      }
+    }
+  }
+
+  // -- 4. jump detection == naive reference implementation -----------------
+
+  /** Naive single-threaded CEP reference: per user in (ts, id) order, an
+    * entry event is a bounce iff the next event is > horizon away (or
+    * absent), or is itself an entry. */
+  private def naiveJump(events: Seq[StatefulOps.Event], horizonSec: Long,
+      isEntry: StatefulOps.Event => Boolean): Set[Long] =
+    events.groupBy(_.user_id).values.flatMap { es =>
+      val sorted = es.sortBy(e => (micros(e.ts), e.event_id)).toVector
+      sorted.zipWithIndex.collect {
+        case (e, i) if isEntry(e) &&
+          (i == sorted.length - 1 ||
+            micros(sorted(i + 1).ts) - micros(e.ts) > horizonSec * 1000000L ||
+            isEntry(sorted(i + 1))) => e.event_id
+      }
+    }.toSet
+
+  test("jumpDetect (batch lead form) equals the naive reference on random data") {
+    // ts collisions ARE generated (coarse second grid) to stress tie-break
+    val clustered = eventGen.map(e => e.copy(
+      ts = new Timestamp((e.ts.getTime / 1000 / 7 * 7) * 1000L)))
+    val events = sample(Gen.listOfN(400, clustered), seed = 59L)
+      .distinctBy(_.event_id)
+    val horizon = 30L
+    val got = EventOps.jumpDetect(events.toDF(), col("event_type") === "view", horizon)
+      .select($"event_id").as[Long].collect().toSet
+    val want = naiveJump(events, horizon, _.event_type == "view")
+    assert(got === want)
+  }
+}
