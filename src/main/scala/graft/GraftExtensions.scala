@@ -61,7 +61,29 @@ object GraftExtensions {
       "graft_tokenize(text) - table function: one row per token (whitespace + CJK bigrams)"),
       (a: Seq[Expression]) => { val x = arity("graft_tokenize", 1)(a)
         TokenizeGenerator(x(0)) }),
+    ("graft_minhash", info("graft_minhash",
+      "graft_minhash(tokens, numPerms) - single-pass MinHash signature of a string array"),
+      (a: Seq[Expression]) => { val x = arity("graft_minhash", 2)(a)
+        graft.functions.HashExpressions.MinHashSig(x(0), intLit("graft_minhash", x(1))) }),
+    ("graft_simhash", info("graft_simhash",
+      "graft_simhash(tokens, bits) - single-pass SimHash signature of a string array"),
+      (a: Seq[Expression]) => { val x = arity("graft_simhash", 2)(a)
+        graft.functions.HashExpressions.SimHashSig(x(0), intLit("graft_simhash", x(1))) }),
+    ("graft_redact_pii", info("graft_redact_pii",
+      "graft_redact_pii(text) - emails then IPv4 literals replaced by <EMAIL>/<IP>"),
+      (a: Seq[Expression]) => { val x = arity("graft_redact_pii", 1)(a)
+        import org.apache.spark.sql.catalyst.expressions.{Literal, RegExpReplace}
+        import graft.operators.TextProfile
+        RegExpReplace(
+          RegExpReplace(x(0), Literal(TextProfile.EmailRe), Literal("<EMAIL>")),
+          Literal(TextProfile.Ipv4Re), Literal("<IP>")) }),
   )
+
+  private def intLit(fn: String, e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects an int literal, got $other")
+  }
 
   /** Apply the same registrations to a live session (the extensions conf
     * only takes effect at session build). */

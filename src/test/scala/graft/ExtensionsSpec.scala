@@ -31,6 +31,26 @@ class ExtensionsSpec extends SparkTestBase {
       .as[String].collect().toSeq
     // CJK run of length 4 → 3 bigrams; ASCII tokens pass through
     assert(words === Seq("hello", "spark", "引擎", "擎测", "测试", "world"))
+
+    // hash signatures from SQL match the Column-API expressions
+    val (mh, sh) = spark.sql(
+      "SELECT graft_minhash(array('a', 'b'), 4) AS mh, graft_simhash(array('a', 'b'), 60) AS sh")
+      .as[(Array[Long], Long)].head()
+    val viaApi = Seq("x").toDF("t").select(
+      org.apache.spark.sql.graftshim.ColumnBridge.column(
+        graft.functions.HashExpressions.MinHashSig(
+          org.apache.spark.sql.graftshim.ColumnBridge.expression(
+            org.apache.spark.sql.functions.array(
+              org.apache.spark.sql.functions.lit("a"),
+              org.apache.spark.sql.functions.lit("b"))), 4)).as("mh"))
+      .as[Array[Long]].head()
+    assert(mh.toSeq === viaApi.toSeq)
+    assert(mh.length === 4 && sh >= 0L)
+
+    val red = spark.sql(
+      "SELECT graft_redact_pii('mail a@b.co ip 10.0.0.1 end') AS r")
+      .as[String].head()
+    assert(red === "mail <EMAIL> ip <IP> end")
   }
 
   test("tokenizeGen generator matches the UDF tokenizer on the documents table") {
