@@ -1003,6 +1003,15 @@ object SparkEntry {
       Relational.rangeJoinBinned(pts, iv, "p", "lo", "hi", 16L)
         .select(col("p"), col("ik")).orderBy(col("p"), col("ik"))
     }),
+
+    // "TopN hot items" (EventOps.topNPerWindow): hottest viewers per
+    // hourly window, rank by count with deterministic ties.
+    "q80_topn_window" -> ((s, d) =>
+      EventOps.topNPerWindow(
+          Tables.events(s, d).where(col("event_type") === "view"),
+          "1 hour", col("user_id"), 3)
+        .select(col("stt"), col("item"), col("ct"), col("rnk"))
+        .orderBy(col("stt"), col("rnk"))),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -1959,5 +1968,13 @@ object SparkEntry {
         | FROM orders WHERE o_orderkey % 10 = 0)
         |SELECT p, ik FROM p JOIN iv ON p >= lo AND p <= hi
         |ORDER BY p, ik""".stripMargin,
+
+    "q80_topn_window" ->
+      """WITH c AS (SELECT date_trunc('hour', ts) AS w, user_id AS item, count(*) AS ct
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |r AS (SELECT w, item, ct,
+        |  row_number() OVER (PARTITION BY w ORDER BY ct DESC, item) AS rnk FROM c)
+        |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS stt, item, ct, rnk
+        |FROM r WHERE rnk <= 3 ORDER BY stt, rnk""".stripMargin,
   )
 }

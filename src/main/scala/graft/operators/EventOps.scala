@@ -86,6 +86,32 @@ object EventOps {
       .drop("is_entry", "next_ts", "next_entry")
   }
 
+  /** The classic "TopN hot items" DWS pattern (a staple of the gmall
+    * curriculum the reference belongs to, though this repo's reference
+    * stops at plain window sums): per tumbling window, rank the keys by
+    * event count and keep the top `n`, ties broken by key for
+    * determinism.
+    *
+    * Scale: one count shuffle on (window, key) with map-side combine,
+    * then a ranking window partitioned BY THE TIME WINDOW — per-window
+    * work is bounded by key cardinality, never a global sort.
+    */
+  def topNPerWindow(
+      events: DataFrame,
+      windowDur: String,
+      keyCol: Column,
+      n: Int,
+      tsCol: String = "ts"): DataFrame = {
+    val counted = events
+      .groupBy(window(col(tsCol), windowDur), keyCol.as("item"))
+      .agg(count(lit(1)).as("ct"))
+      .withColumn("stt", date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss"))
+      .drop("window")
+    val w = Window.partitionBy(col("stt")).orderBy(col("ct").desc, col("item"))
+    counted.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= n)
+  }
+
   /** A1/A2/A3 + W1/W6 — tumbling event-time window aggregation with the
     * window bounds emitted as formatted strings (stt/edt), exactly the DWS
     * output shape. Keys optional (A3 = global window). Spark's window agg is
