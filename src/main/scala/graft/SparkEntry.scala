@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Envelopes, Tables, TopicDb}
 import graft.apps.GmallPipelines
-import graft.operators.{Dedup, EventOps, Multimodal, Relational, Similarity, TextProfile}
+import graft.operators.{Dedup, EventOps, Multimodal, Relational, Similarity, Sketches, TextProfile}
 import graft.functions.TextFunctions
 import graft.streaming.{StatefulOps, StreamHarness}
 
@@ -1012,9 +1012,38 @@ object SparkEntry {
           "1 hour", col("user_id"), 3)
         .select(col("stt"), col("item"), col("ct"), col("rnk"))
         .orderBy(col("stt"), col("rnk"))),
+
+    // HLL distinct-count sketch (Sketches.hllDistinct): 64 md5-derived
+    // registers per group, integer-exact digests + the standard estimate —
+    // the constant-bytes-per-group answer to count_distinct at 100 TB.
+    "q81_hll_distinct" -> ((s, d) =>
+      Sketches.hllDistinct(
+          Tables.lineitem(s, d),
+          Seq(col("l_returnflag")),
+          col("l_orderkey").cast("string"))
+        .select(col("l_returnflag"), col("n_buckets_hit"), col("reg_sum"),
+          col("est_distinct"))
+        .orderBy(col("l_returnflag"))),
+
+    // Histogram-CDF quantile sketch (Sketches.histogramQuantiles): q74's
+    // percentiles from ONE mergeable 128-bin pass instead of a per-group
+    // sort — exact same output shape so the two plans compare directly.
+    "q82_hist_quantile" -> ((s, d) =>
+      Sketches.histogramQuantiles(
+          Tables.events(s, d), col("event_type"), "event_type",
+          col("value"), 128, Seq(0.5, 0.9, 0.99))
+        .orderBy(col("event_type"))),
   )
 
   // ------------------------------------------------------------- oracle SQL
+
+  /** The HLL estimator numerator as a DuckDB double literal —
+    * Scala Double.toString round-trips exactly through DuckDB's parser
+    * (E-notation literals are DOUBLE), same trick as the LSH plane
+    * matrices. */
+  private object SketchesOracle {
+    val numLit: String = graft.operators.Sketches.HllEstNumerator.toString
+  }
 
   /** DuckDB fragments shared by the text oracles — MUST mirror
     * graft.functions.TextFunctions expression-for-expression. */
@@ -1976,5 +2005,59 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY w ORDER BY ct DESC, item) AS rnk FROM c)
         |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS stt, item, ct, rnk
         |FROM r WHERE rnk <= 3 ORDER BY stt, rnk""".stripMargin,
+
+    // Replicates Sketches.hllDistinct register by register: same 60-bit
+    // md5 hash, same bucket/rank split, same exact integer harmonic sum,
+    // same single division (numerator literal injected from Scala).
+    "q81_hll_distinct" ->
+      s"""WITH h AS (SELECT l_returnflag AS g,
+         |  ${hexLongSql("CAST(l_orderkey AS VARCHAR)")} AS h FROM lineitem),
+         |b AS (SELECT g, h >> 54 AS bucket, h & ${(1L << 54) - 1} AS low FROM h),
+         |r AS (SELECT g, bucket,
+         |  CASE WHEN low = 0 THEN 55 ELSE 55 - length(bin(low)) END AS rho FROM b),
+         |regs AS (SELECT g, bucket, max(rho) AS mx FROM r GROUP BY 1, 2),
+         |allb AS (SELECT d.g, gs.range AS bucket
+         |  FROM (SELECT DISTINCT g FROM regs) d CROSS JOIN range(0, 64) gs),
+         |filled AS (SELECT allb.g, coalesce(regs.mx, 0) AS mx
+         |  FROM allb LEFT JOIN regs ON allb.g = regs.g AND allb.bucket = regs.bucket),
+         |agg AS (SELECT g, sum(CAST(1 AS BIGINT) << (55 - mx)) AS s,
+         |    sum(CAST(mx AS BIGINT)) AS reg_sum,
+         |    count(*) FILTER (WHERE mx > 0) AS hit
+         |  FROM filled GROUP BY g),
+         |est AS (SELECT g, hit, reg_sum,
+         |    ${SketchesOracle.numLit} / CAST(s AS DOUBLE) AS raw FROM agg)
+         |SELECT g AS l_returnflag, hit AS n_buckets_hit, reg_sum,
+         |  round(CASE WHEN raw <= 160.0e0 AND (64 - hit) > 0
+         |    THEN 64.0e0 * ln(64.0e0 / CAST(64 - hit AS DOUBLE)) ELSE raw END, 6)
+         |    AS est_distinct
+         |FROM est ORDER BY l_returnflag""".stripMargin,
+
+    // Replicates Sketches.histogramQuantiles float-for-float: global
+    // [min,max] edges, identical bin index, rank position p·n, and
+    // in-bin linear interpolation.
+    "q82_hist_quantile" ->
+      """WITH lohi AS (SELECT CAST(min(value) AS DOUBLE) AS lo,
+        |    CAST(max(value) AS DOUBLE) AS hi FROM events),
+        |b AS (SELECT event_type AS g,
+        |    least(CAST(floor((CAST(value AS DOUBLE) - lo) / (hi - lo) * 128.0e0)
+        |      AS BIGINT), 127) AS bin
+        |  FROM events, lohi),
+        |c AS (SELECT g, bin, count(*) AS c FROM b GROUP BY 1, 2),
+        |w AS (SELECT g, bin, c,
+        |    sum(c) OVER (PARTITION BY g ORDER BY bin) AS cum,
+        |    sum(c) OVER (PARTITION BY g) AS n FROM c),
+        |sel AS (SELECT g, p.p,
+        |    lo + (hi - lo) / 128.0e0 * (CAST(bin AS DOUBLE)
+        |      + (p.p * CAST(n AS DOUBLE) - CAST(cum - c AS DOUBLE))
+        |        / CAST(c AS DOUBLE)) AS est
+        |  FROM w CROSS JOIN (VALUES (0.5e0), (0.9e0), (0.99e0)) p(p)
+        |  CROSS JOIN lohi
+        |  WHERE CAST(cum AS DOUBLE) >= p.p * CAST(n AS DOUBLE)
+        |    AND CAST(cum - c AS DOUBLE) < p.p * CAST(n AS DOUBLE))
+        |SELECT g AS event_type,
+        |  round(max(CASE WHEN p = 0.5e0 THEN est END), 6) AS p50,
+        |  round(max(CASE WHEN p = 0.9e0 THEN est END), 6) AS p90,
+        |  round(max(CASE WHEN p = 0.99e0 THEN est END), 6) AS p99
+        |FROM sel GROUP BY g ORDER BY event_type""".stripMargin,
   )
 }

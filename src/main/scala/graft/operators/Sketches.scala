@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+/** Mergeable one-pass sketches — the approximate siblings of the exact
+  * aggregations (q74 exact percentiles, `count_distinct`): at 100 TB an
+  * exact distinct count shuffles every key and an exact percentile sorts
+  * every group, while a sketch shuffles a CONSTANT number of bytes per
+  * group with full map-side combine. Both sketches here are built from
+  * the same engine-portable md5 arithmetic as the MinHash stack
+  * ([[Dedup.md5Long]]), so — unlike DataSketches-backed
+  * `hll_sketch_agg` — every register and every estimate is replicated
+  * bit-exactly by the DuckDB oracle.
+  *
+  * (The reference has no sketch surface at all; these extend the engine
+  * for corpus-scale statistics, per the training-data-pipeline brief.)
+  */
+object Sketches {
+
+  // ------------------------------------------------------------------ HLL --
+
+  /** HLL precision: p index bits → m = 2^p registers. m = 64 keeps the
+    * whole sketch in one cache line yet bounds the standard error at
+    * 1.04/√64 ≈ 13 % — the point of the gate is bit-exact register
+    * replication, not tight error; production raises p. */
+  val HllP: Int = 6
+  val HllM: Int = 1 << HllP
+  /** Width of the rank field below the p index bits (md5Long is 60-bit). */
+  private val HllLow: Int = 60 - HllP
+  /** Max possible rank value (all-zero low bits). */
+  private val HllRhoMax: Int = HllLow + 1
+  /** α_m·m²·2^rhoMax — the whole numerator of the raw estimator as ONE
+    * double literal, embedded verbatim in the oracle SQL so both engines
+    * perform the identical single division. */
+  val HllEstNumerator: Double =
+    0.7213 / (1.0 + 1.079 / HllM) * HllM * HllM * math.pow(2.0, HllRhoMax)
+
+  /** (bucket, rho) for one hashed value. */
+  case class HllObs(bucket: Int, rho: Int)
+
+  /** The mergeable register vector: reduce = point max, merge =
+    * element-wise max — associative and commutative, so the result is
+    * independent of partitioning and arrival order (what makes an HLL a
+    * SKETCH rather than a fold). Map-side partial aggregation ships one
+    * m-int array per (partition, group) instead of the raw keys. */
+  class HllRegistersAgg extends Aggregator[HllObs, Array[Int], Array[Int]] {
+    override def zero: Array[Int] = new Array[Int](HllM)
+    override def reduce(b: Array[Int], a: HllObs): Array[Int] = {
+      if (a.rho > b(a.bucket)) b(a.bucket) = a.rho
+      b
+    }
+    override def merge(b1: Array[Int], b2: Array[Int]): Array[Int] = {
+      var i = 0
+      while (i < HllM) { if (b2(i) > b1(i)) b1(i) = b2(i); i += 1 }
+      b1
+    }
+    override def finish(r: Array[Int]): Array[Int] = r
+    override def bufferEncoder: Encoder[Array[Int]] = ExpressionEncoder[Array[Int]]()
+    override def outputEncoder: Encoder[Array[Int]] = ExpressionEncoder[Array[Int]]()
+  }
+
+  /** Hash a value into its (bucket, rho) observation: top p bits of the
+    * 60-bit md5 prefix index the register, the rank is one plus the count
+    * of leading zeros in the remaining bits. `bin()` (no leading zeros,
+    * identical in DuckDB) turns "leading zeros" into pure integer length
+    * arithmetic — no float log anywhere. */
+  def hllObs(value: Column): (Column, Column) = {
+    val h = Dedup.md5Long(value)
+    val low = h.bitwiseAND(lit((1L << HllLow) - 1))
+    val bucket = shiftright(h, HllLow).cast("int")
+    val rho = when(low === 0L, lit(HllRhoMax))
+      .otherwise(lit(HllRhoMax) - length(bin(low)))
+      .cast("int")
+    (bucket, rho)
+  }
+
+  /** Distinct-count sketch per group: one shuffle of 64-int registers
+    * with map-side combine (vs `count_distinct`'s shuffle of every
+    * distinct key). Emits the register digests (`n_buckets_hit`,
+    * `reg_sum` — integer-exact, the real gate) plus the standard HLL
+    * estimate with the small-range linear-counting correction.
+    */
+  def hllDistinct(df: DataFrame, groupCols: Seq[Column], value: Column): DataFrame =
+    hllStats(hllSketch(df, groupCols, value), col("regs"))
+
+  /** Build the raw register vectors (`regs` array<int> per group) — the
+    * mergeable sketch itself. Sketches from disjoint slices (partitions,
+    * days, tables) union via element-wise max: see [[hllMerge]]. */
+  def hllSketch(df: DataFrame, groupCols: Seq[Column], value: Column): DataFrame = {
+    val (bucket, rho) = hllObs(value)
+    val regsAgg = udaf(new HllRegistersAgg, ExpressionEncoder[HllObs]())
+    df.groupBy(groupCols: _*)
+      .agg(regsAgg(bucket, rho).as("regs"))
+  }
+
+  /** Union two register vectors — the sketch merge (element-wise max). */
+  def hllMerge(a: Column, b: Column): Column =
+    zip_with(a, b, (x, y) => greatest(x, y))
+
+  /** Register vector → (n_buckets_hit, reg_sum, est_distinct) columns.
+    * The harmonic-mean denominator Σ 2^−M_j is computed EXACTLY as the
+    * integer Σ 2^(rhoMax−M_j) (≤ m·2^rhoMax = 2^61, fits a long), so the
+    * only float ops are the final division and the correction branch —
+    * both mirrored verbatim in the oracle. */
+  def hllStats(regs: DataFrame, regsCol: Column): DataFrame = {
+    val s = aggregate(
+      transform(regsCol, r => call_function("shiftleft", lit(1L), lit(HllRhoMax) - r)),
+      lit(0L), (acc, x) => acc + x)
+    val hit = size(filter(regsCol, r => r > 0)).cast("long")
+    val regSum = aggregate(regsCol, lit(0L), (acc, x) => acc + x.cast("long"))
+    val raw = lit(HllEstNumerator) / s.cast("double")
+    val zeros = lit(HllM.toLong) - hit
+    val est = when(raw <= lit(2.5 * HllM) && zeros > 0L,
+        lit(HllM.toDouble) * log(lit(HllM.toDouble) / zeros.cast("double")))
+      .otherwise(raw)
+    regs
+      .withColumn("n_buckets_hit", hit)
+      .withColumn("reg_sum", regSum)
+      .withColumn("est_distinct", round(est, 6))
+      .drop("regs")
+  }
+
+  // ------------------------------------------- fixed-width histogram CDF --
+
+  /** Approximate per-group quantiles from ONE fixed-width histogram pass:
+    * `percentile` (q74) is exact but sort-based — at 100 TB every group's
+    * values shuffle and sort; a histogram shuffles `bins` counts per group
+    * (mergeable: counts add), then interpolates inside the selected bin.
+    * Bin edges come from the global [min, max] (a cheap separate scalar
+    * pass, broadcast as literals); every float op — bin index, rank
+    * position, interpolation — is replicated verbatim in the oracle, so
+    * even the approximation is bit-exact across engines.
+    *
+    * Output: one row per group with a rounded estimate column per
+    * requested quantile (`p50` for 0.5, ... — q74's shape, so exact and
+    * sketch are side-by-side comparable).
+    */
+  def histogramQuantiles(
+      df: DataFrame,
+      groupCol: Column,
+      groupName: String,
+      value: Column,
+      bins: Int,
+      ps: Seq[Double]): DataFrame = {
+    val Row2 = df.agg(min(value).cast("double"), max(value).cast("double")).head()
+    val (lo, hi) = (Row2.getDouble(0), Row2.getDouble(1))
+
+    val bin = least(
+      floor((value.cast("double") - lit(lo)) / (lit(hi) - lit(lo)) * lit(bins.toDouble)),
+      lit((bins - 1).toLong)).cast("long")
+
+    val counted = df
+      .groupBy(groupCol.as(groupName), bin.as("bin"))
+      .agg(count(lit(1)).as("c"))
+    val grp = Window.partitionBy(col(groupName))
+    val cum = counted
+      .withColumn("cum", sum(col("c")).over(grp.orderBy(col("bin"))))
+      .withColumn("n", sum(col("c")).over(grp))
+
+    val pDf = df.sparkSession.createDataFrame(ps.map(Tuple1(_))).toDF("p")
+    val pos = col("p") * col("n").cast("double")
+    val before = (col("cum") - col("c")).cast("double")
+    val est = lit(lo) + (lit(hi) - lit(lo)) / lit(bins.toDouble) *
+      (col("bin").cast("double") + (pos - before) / col("c").cast("double"))
+    val picked = cum
+      .crossJoin(broadcast(pDf))
+      .where(col("cum").cast("double") >= pos && before < pos)
+      .select(col(groupName), col("p"), est.as("est"))
+
+    val estCols = ps.map { p =>
+      val name = "p" + BigDecimal(p * 100).underlying.stripTrailingZeros.toPlainString
+      round(max(when(col("p") === p, col("est"))), 6).as(name)
+    }
+    picked.groupBy(col(groupName)).agg(estCols.head, estCols.tail: _*)
+  }
+}
