@@ -37,12 +37,10 @@ for name, sql in sorted(oracle.items()):
         mismatch = None
         for c in sc.columns:
             a, b = sc[c], dc[c]
-            try:
-                b = b.astype(a.dtype)
-            except Exception:
-                pass
+            # the driver's hash is dtype-sensitive (r3: q81 int64 vs float64
+            # hash-diverged on bit-identical values) — do NOT coerce, fail.
             if a.dtype != b.dtype:
-                mismatch = f"dtype[{c}]: {a.dtype} vs {b.dtype}"; break
+                mismatch = f"dtype[{c}]: spark {a.dtype} vs oracle {b.dtype}"; break
             neq = ~((a == b) | (a.isna() & b.isna()))
             if neq.any():
                 i = neq.idxmax()

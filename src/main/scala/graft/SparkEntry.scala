@@ -2021,7 +2021,7 @@ object SparkEntry {
          |filled AS (SELECT allb.g, coalesce(regs.mx, 0) AS mx
          |  FROM allb LEFT JOIN regs ON allb.g = regs.g AND allb.bucket = regs.bucket),
          |agg AS (SELECT g, sum(CAST(1 AS BIGINT) << (55 - mx)) AS s,
-         |    sum(CAST(mx AS BIGINT)) AS reg_sum,
+         |    CAST(sum(CAST(mx AS BIGINT)) AS BIGINT) AS reg_sum,
          |    count(*) FILTER (WHERE mx > 0) AS hit
          |  FROM filled GROUP BY g),
          |est AS (SELECT g, hit, reg_sum,

@@ -1,8 +1,12 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import scala.reflect.runtime.universe
 
 /** The reference's per-key stateful semantics (SURVEY.md §2.5 A4/A5/A6, §2.6
   * W8) re-expressed over a bounded event table. The streaming twins live in
@@ -86,6 +90,37 @@ object EventOps {
       .drop("is_entry", "next_ts", "next_entry")
   }
 
+  /** One counted item for [[TopNAggregator]]. */
+  case class Counted[T](ct: Long, item: T)
+
+  /** Bounded per-window top-n: the aggregation buffer is a ≤n list sorted
+    * by (ct desc, item asc) — the same total order as a
+    * `row_number() OVER (PARTITION BY window ORDER BY ct DESC, item)` —
+    * but it aggregates with map-side partial combine, so only n rows per
+    * (partition, window) ever shuffle, and no task ever holds or sorts a
+    * whole window's key set. Same shape as [[Similarity.TopKAggregator]].
+    */
+  class TopNAggregator[T](n: Int)(implicit ord: Ordering[T], enc: Encoder[Seq[Counted[T]]])
+      extends Aggregator[Counted[T], Seq[Counted[T]], Seq[Counted[T]]] {
+    private def better(a: Counted[T], b: Counted[T]): Boolean =
+      if (a.ct != b.ct) a.ct > b.ct else ord.lt(a.item, b.item)
+    private def ins(buf: Seq[Counted[T]], x: Counted[T]): Seq[Counted[T]] = {
+      if (buf.size >= n && better(buf.last, x)) buf
+      else {
+        val i = buf.indexWhere(e => better(x, e))
+        val merged = if (i < 0) buf :+ x else (buf.take(i) :+ x) ++ buf.drop(i)
+        if (merged.size > n) merged.take(n) else merged
+      }
+    }
+    override def zero: Seq[Counted[T]] = Seq.empty
+    override def reduce(b: Seq[Counted[T]], a: Counted[T]): Seq[Counted[T]] = ins(b, a)
+    override def merge(b1: Seq[Counted[T]], b2: Seq[Counted[T]]): Seq[Counted[T]] =
+      b2.foldLeft(b1)(ins)
+    override def finish(r: Seq[Counted[T]]): Seq[Counted[T]] = r
+    override def bufferEncoder: Encoder[Seq[Counted[T]]] = enc
+    override def outputEncoder: Encoder[Seq[Counted[T]]] = enc
+  }
+
   /** The classic "TopN hot items" DWS pattern (a staple of the gmall
     * curriculum the reference belongs to, though this repo's reference
     * stops at plain window sums): per tumbling window, rank the keys by
@@ -93,8 +128,12 @@ object EventOps {
     * determinism.
     *
     * Scale: one count shuffle on (window, key) with map-side combine,
-    * then a ranking window partitioned BY THE TIME WINDOW — per-window
-    * work is bounded by key cardinality, never a global sort.
+    * then a bounded ≤n heap per window ([[TopNAggregator]]) — NOT a
+    * row_number window, which would put every distinct key of a time
+    * window into ONE task and sort it (at 100 TB a hot hourly window has
+    * millions of keys; one reducer doing a full sort is the bottleneck).
+    * The heap aggregates with map-side combine, so each shuffle write is
+    * ≤n rows per (partition, window).
     */
   def topNPerWindow(
       events: DataFrame,
@@ -107,9 +146,32 @@ object EventOps {
       .agg(count(lit(1)).as("ct"))
       .withColumn("stt", date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss"))
       .drop("window")
-    val w = Window.partitionBy(col("stt")).orderBy(col("ct").desc, col("item"))
-    counted.withColumn("rnk", row_number().over(w).cast("long"))
-      .where(col("rnk") <= n)
+    // dispatch on the key dtype so `item` round-trips with its input type
+    // (rank order differs between numeric and lexicographic ties)
+    val itemType = counted.schema("item").dataType
+    val ranked = itemType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        topNHeap[Long](counted.withColumn("item", col("item").cast("long")), n)
+      case StringType => topNHeap[String](counted, n)
+      case DoubleType | FloatType =>
+        topNHeap[Double](counted.withColumn("item", col("item").cast("double")), n)
+      case other =>
+        throw new IllegalArgumentException(
+          s"topNPerWindow key type $other not supported; cast the key to " +
+            "a numeric or string column")
+    }
+    ranked.withColumn("item", col("item").cast(itemType))
+  }
+
+  private def topNHeap[T: Ordering: universe.TypeTag](counted: DataFrame, n: Int): DataFrame = {
+    implicit val bufEnc: Encoder[Seq[Counted[T]]] = ExpressionEncoder[Seq[Counted[T]]]()
+    val topn = udaf(new TopNAggregator[T](n), ExpressionEncoder[Counted[T]]())
+    counted
+      .groupBy(col("stt"))
+      .agg(topn(col("ct"), col("item")).as("tk"))
+      .select(col("stt"), posexplode(col("tk")))
+      .select(col("stt"), col("col.item").as("item"), col("col.ct").as("ct"),
+        (col("pos") + 1).cast("long").as("rnk"))
   }
 
   /** A1/A2/A3 + W1/W6 — tumbling event-time window aggregation with the

@@ -1,0 +1,71 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.EventOps
+
+/** Semantics of the bounded-heap [[EventOps.topNPerWindow]]: it must be
+  * row-for-row identical to the declarative row_number() window it
+  * replaced (that window IS the spec — and the DuckDB oracle), including
+  * count ties broken by item, windows with fewer than n keys, and both
+  * numeric and string key types. */
+class EventOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(hhmm: String) = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+
+  // two hourly windows; 10:00 has a 3-way count tie at ct=2, 11:00 has
+  // a single key (fewer than n)
+  private lazy val events = Seq(
+    (ts("10:01"), 7L), (ts("10:02"), 7L),             // 7 -> 2
+    (ts("10:03"), 3L), (ts("10:04"), 3L),             // 3 -> 2
+    (ts("10:05"), 9L), (ts("10:06"), 9L),             // 9 -> 2 (tie w/ 3,7)
+    (ts("10:07"), 5L),                                // 5 -> 1 (must lose)
+    (ts("11:30"), 1L)
+  ).toDF("ts", "user_id")
+
+  private def windowReference(keyed: org.apache.spark.sql.DataFrame, n: Int) = {
+    val counted = keyed
+      .groupBy(window(col("ts"), "1 hour"), col("k").as("item"))
+      .agg(count(lit(1)).as("ct"))
+      .withColumn("stt", date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss"))
+      .drop("window")
+    val w = Window.partitionBy(col("stt")).orderBy(col("ct").desc, col("item"))
+    counted.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= n)
+      .select("stt", "item", "ct", "rnk")
+  }
+
+  test("bounded heap matches the row_number window spec on ties (long keys)") {
+    val got = EventOps.topNPerWindow(events, "1 hour", col("user_id"), 3)
+      .select("stt", "item", "ct", "rnk").orderBy("stt", "rnk")
+    val want = windowReference(events.withColumnRenamed("user_id", "k"), 3)
+      .orderBy("stt", "rnk")
+    assert(got.collect().toSeq == want.collect().toSeq)
+    // the tie at ct=2 resolves by item asc: 3, 7, 9 — and 5 (ct=1) is out
+    val r10 = got.where(col("stt") === "2024-01-01 10:00:00")
+      .orderBy("rnk").select("item").as[Long].collect().toSeq
+    assert(r10 == Seq(3L, 7L, 9L))
+  }
+
+  test("string keys rank lexicographically and round-trip their type") {
+    val sev = events.withColumn("user_id",
+      concat(lit("u"), col("user_id").cast("string")))
+    val got = EventOps.topNPerWindow(sev, "1 hour", col("user_id"), 3)
+      .select("stt", "item", "ct", "rnk").orderBy("stt", "rnk")
+    val want = windowReference(sev.withColumnRenamed("user_id", "k"), 3)
+      .orderBy("stt", "rnk")
+    assert(got.schema("item").dataType.typeName == "string")
+    assert(got.collect().toSeq == want.collect().toSeq)
+  }
+
+  test("int keys round-trip as int, windows smaller than n emit all keys") {
+    val iev = events.withColumn("user_id", col("user_id").cast("int"))
+    val got = EventOps.topNPerWindow(iev, "1 hour", col("user_id"), 3)
+    assert(got.schema("item").dataType.typeName == "integer")
+    val r11 = got.where(col("stt") === "2024-01-01 11:00:00").collect()
+    assert(r11.length == 1 && r11(0).getAs[Int]("item") == 1)
+  }
+}

@@ -25,6 +25,15 @@ class PlanSpec extends SparkTestBase {
       "query side must broadcast")
   }
 
+  test("topN-per-window ranks via bounded aggregation, no window-function sort") {
+    val p = plan(graft.operators.EventOps.topNPerWindow(
+      Tables.events(spark, sf).where(col("event_type") === "view"),
+      "1 hour", col("user_id"), 3))
+    assert(!p.contains("Window"),
+      "a row_number window puts every key of a time window into ONE task:\n" + p)
+    assert(p.contains("Aggregate"), "expected partial/final heap aggregate pair")
+  }
+
   test("trade order pre-process broadcasts dic and the small join sides") {
     val p = plan(GmallPipelines.tradeOrderPreProcess(
       TopicDb(spark, sf), TopicDb.baseDic(spark)))
