@@ -3,19 +3,26 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR and emits ONE raw JSON line on stdout (plus a copy at
-  * bench_result.json) for the driver. A query failure aborts the run with a
-  * non-zero exit — a broken query must never bench as a fast success.
+  * SPARK_GRAFT_SF_DIR and emits ONE raw JSON line on stdout (plus the full
+  * per-query map at bench_result.json) for the driver. A query failure
+  * aborts the run with a non-zero exit — a broken query must never bench
+  * as a fast success.
   *
-  * Values are rounded to ms so the JSON line stays short enough for the
-  * driver's bounded stdout-tail parser (full-precision lines were truncated
-  * and parsed as null in rounds 1-2). The shared topic_db envelope parse
-  * (one Kafka-topic-equivalent ingest feeding ~15 pipeline gates) is
-  * materialized as a disclosed warmup and reported as `warmup_sec`, so its
-  * one-time cost no longer lands on whichever query the map yields first.
+  * Accounting: the shared topic_db parse and the materialized
+  * dwd_trade_order_pre_process wide table (the reference's two
+  * Kafka-topic-equivalent hand-offs feeding ~15 pipeline gates) build in
+  * a disclosed warmup phase, and `value` INCLUDES that warmup — the gated
+  * total is all work done, with `warmup_sec` broken out purely for
+  * round-over-round attribution.
+  *
+  * The stdout line carries total+warmup+slowest-10 only: the driver's
+  * bounded stdout-tail parser front-clipped the ~2 KB full-map line three
+  * rounds running (BENCH_r0{1,2,3}.json `parsed: null`). The full map
+  * lives in bench_result.json, and the line prints LAST so only sbt's
+  * ~60-byte success trailer follows it in the tail buffer.
   */
 object Bench {
-  private def r3(v: Double): Double = math.rint(v * 1000) / 1000
+  private def r2(v: Double): Double = math.rint(v * 100) / 100
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -27,14 +34,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val w0 = System.nanoTime()
-    try graft.core.TopicDb(spark, sfDir).count()
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] FATAL: topic_db warmup failed: $e")
+    try {
+      graft.core.TopicDb(spark, sfDir).count()
+      graft.apps.GmallPipelines.tradeOrderPreProcessCached(spark, sfDir).count()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] FATAL: shared-table warmup failed: $e")
       spark.stop()
       sys.exit(1)
     }
     val warmup = (System.nanoTime() - w0) / 1e9
-    System.err.println(f"[bench] warmup(topic_db)     $warmup%8.2f s")
+    System.err.println(f"[bench] warmup(shared tables) $warmup%8.2f s")
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()
@@ -47,13 +56,16 @@ object Bench {
       System.err.println(f"[bench] $name%-22s $sec%8.2f s")
       name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","warmup_sec":${r3(warmup)},"queries":$qs,"sf":"$sfDir"}"""
-    Files.writeString(Paths.get("bench_result.json"), json + "\n")
-    println(json)
-    spark.stop()
+    val total = results.values.sum + warmup
+    def qJson(qs: Iterable[(String, Double)]): String =
+      qs.map { case (k, v) => "\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
+    val full =
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","warmup_sec":${r2(warmup)},"n_queries":${results.size},"queries":${qJson(results)},"sf":"$sfDir"}"""
+    Files.writeString(Paths.get("bench_result.json"), full + "\n")
+    val slowest = results.toSeq.sortBy(-_._2).take(10)
+    val line =
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","warmup_sec":${r2(warmup)},"n_queries":${results.size},"queries":${qJson(slowest)},"sf":"$sfDir"}"""
+    spark.stop() // stop BEFORE printing: nothing may follow the JSON line
+    println(line)
   }
 }

@@ -16,8 +16,8 @@ import graft.functions.{TokenizeGenerator, VectorExpressions}
   * }}}
   *
   * This is the deployment path the reference exposes through
-  * `createTemporarySystemFunction` (its KeywordUDTF registration,
-  * app/dws/DwsTrafficSourceKeywordPageViewWindow.java:116-121) — in Spark
+  * `createTemporarySystemFunction` (its SplitFunction registration,
+  * app/dws/DwsTrafficSourceKeywordPageViewWindow.java:134) — in Spark
   * the extension injects the functions into every session built with the
   * conf, making them usable from pure SQL without any Scala import.
   * [[GraftExtensions.registerAll]] applies the same registrations to an

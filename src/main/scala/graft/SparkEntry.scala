@@ -428,9 +428,12 @@ object SparkEntry {
     // od ⋈ oi LEFT⋈ activity LEFT⋈ coupon ⋈ dic, J1/J2/J4) over the ONE
     // shared topic_db stream — all four views carved out of the same
     // persisted parse every other pipeline gate reads, exactly like the
-    // reference's apps all consuming one Kafka topic.
+    // reference's apps all consuming one Kafka topic. The wide result is
+    // itself materialized once per session (tradeOrderPreProcessCached):
+    // the reference writes it to the dwd_trade_order_pre_process topic
+    // ONCE (DwdTradeOrderPreProcess.java:275) and q41/q42 consume it.
     "q39_dwd_order_pre" -> ((s, d) =>
-      GmallPipelines.tradeOrderPreProcess(TopicDb(s, d), TopicDb.baseDic(s))
+      GmallPipelines.tradeOrderPreProcessCached(s, d)
         .groupBy(col("op_type"), col("source_type_name"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("split_total_amount").cast("decimal(18,2)")).cast("double").as("sum_amount"),
@@ -533,11 +536,13 @@ object SparkEntry {
     // ------- persisted topic_db parse (graft.core.TopicDb)            ----
 
     // DwdTradePayDetailSuc (DwdTradePayDetailSuc.java:23-34,94-98):
-    // successful payments ⋈ the pre-process wide table ⋈ dic.
+    // successful payments ⋈ the pre-process wide table ⋈ dic. The wide
+    // table comes from the session cache — the reference's apps consume
+    // the materialized dwd_trade_order_pre_process topic, they don't
+    // re-run the 5-way join.
     "q41_dwd_pay_success" -> ((s, d) => {
-      val db = TopicDb(s, d); val dic = TopicDb.baseDic(s)
-      GmallPipelines.tradePaySuccess(db,
-          GmallPipelines.tradeOrderPreProcess(db, dic), dic)
+      GmallPipelines.tradePaySuccess(TopicDb(s, d),
+          GmallPipelines.tradeOrderPreProcessCached(s, d), TopicDb.baseDic(s))
         .groupBy(col("payment_type_name"), col("source_type_name"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("split_total_amount").cast("decimal(18,2)")).cast("double").as("sum_amount"),
@@ -547,11 +552,10 @@ object SparkEntry {
     }),
 
     // DwdTradeCancelDetail (DwdTradeCancelDetail.java:65-92): cancelled
-    // orders filtered from the pre-process wide table.
+    // orders filtered from the session-cached pre-process wide table.
     "q42_dwd_cancel" -> ((s, d) => {
-      val db = TopicDb(s, d)
       GmallPipelines.tradeCancel(
-          GmallPipelines.tradeOrderPreProcess(db, TopicDb.baseDic(s)))
+          GmallPipelines.tradeOrderPreProcessCached(s, d))
         .groupBy(col("source_type_name"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("split_total_amount").cast("decimal(18,2)")).cast("double").as("sum_amount"),
@@ -693,9 +697,10 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
-    // DwsUserUserRegisterWindow (DwsUserUserRegisterWindow.java:60-79):
-    // user_info inserts → 10 s tumbling register count, run as a REAL
-    // append-mode streaming window (sentinel-flushed tail like q34).
+    // "User register window" — a staple DWS app of the gmall curriculum
+    // this reference belongs to (its own app/dws/ stops at the 3 traffic
+    // windows): user_info inserts → 10 s tumbling register count, run as a
+    // REAL append-mode streaming window (sentinel-flushed tail like q34).
     "q62_dws_register_window" -> ((s, d) => {
       import s.implicits._
       val regs = Tables.customer(s, d).select(col("c_custkey")).as[Long]
@@ -712,9 +717,11 @@ object SparkEntry {
         .orderBy(col("stt"))
     }),
 
-    // DwsTradeCartAddUuWindow (DwsTradeCartAddUuWindow.java:60-106): cart
-    // adds → per-user first-of-day dedup state (A4) → 10 s tumbling UU
-    // count — the dedup and the window CHAINED in one streaming query.
+    // "Cart-add unique-user window" — the gmall-curriculum DWS pattern
+    // (not in this reference's app/dws/, which has only traffic windows);
+    // built from its cited primitives A4+W1: cart adds → per-user
+    // first-of-day dedup state → 10 s tumbling UU count — the dedup and
+    // the window CHAINED in one streaming query.
     // Users are split across micro-batches by hash (a user's rows stay
     // together; the A4 state is arrival-order per user, as in q28).
     "q63_dws_cart_uu" -> ((s, d) => {
@@ -750,9 +757,10 @@ object SparkEntry {
         .orderBy(col("stt"))
     }),
 
-    // DwsTradePaymentSucWindow (DwsTradePaymentSucWindow.java:64-108):
-    // successful payments → per-user first-of-day state → 10 s tumbling
-    // payment-UU count, dedup chained into the window like q63.
+    // "Payment-success unique-user window" — gmall-curriculum DWS pattern
+    // (beyond this reference's 3 traffic windows): successful payments →
+    // per-user first-of-day state → 10 s tumbling payment-UU count, dedup
+    // chained into the window like q63.
     "q64_dws_pay_suc_uu" -> ((s, d) => {
       import s.implicits._
       val ev = TopicDb(s, d).where(col("table") === "payment_info" &&
@@ -780,10 +788,13 @@ object SparkEntry {
         .orderBy(col("stt"))
     }),
 
-    // DwsTradeSkuOrderWindow (DwsTradeSkuOrderWindow.java:95-150, the
-    // reference's heaviest DWS app): order_detail stream → sku-keyed 10 s
-    // tumbling windows summing order count / quantity / amount (X7 reduce
-    // shape), run as a real append-mode streaming window.
+    // "SKU order window" — the heaviest DWS shape in the gmall curriculum
+    // (this reference's app/dws/ carries only the 3 traffic windows; the
+    // X7 keyed-reduce shape is the one in
+    // app/dws/DwsTrafficVcChArIsNewPageViewWindow.java:97-130):
+    // order_detail stream → sku-keyed 10 s tumbling windows summing order
+    // count / quantity / amount, run as a real append-mode streaming
+    // window.
     "q66_dws_sku_order_window" -> ((s, d) => {
       import s.implicits._
       // ⅛ key sample: the window-state machinery is the thing under test,
@@ -811,7 +822,9 @@ object SparkEntry {
         .orderBy(col("stt"), col("sku_id"))
     }),
 
-    // DwsTradeOrderWindow (DwsTradeOrderWindow.java:93-121): purchases →
+    // "Order unique-user window" — gmall-curriculum DWS pattern (beyond
+    // this reference's 3 traffic windows), composed from its cited A5
+    // dual-flag state (DwsTrafficPageViewWindow.java:67-137): purchases →
     // per-user (first-of-day, first-ever) state pair → hourly window with
     // order-UU and NEW-order-user counts, dedup+flags chained into the
     // window over the real multi-day events table; time-ordered feed

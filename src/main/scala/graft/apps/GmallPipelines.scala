@@ -1,8 +1,8 @@
 package graft.apps
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.Envelopes
+import graft.core.{Envelopes, SessionCache, TopicDb}
 import graft.functions.Tokenizer
 
 /** The reference warehouse's 20 pipelines (SURVEY.md §0, §2) re-expressed as
@@ -123,6 +123,17 @@ object GmallPipelines {
         col("source_type") === col("dic_code"), "left")
       .drop("dic_code")
   }
+
+  /** [[tradeOrderPreProcess]] built from the session's [[TopicDb]] parse
+    * and materialized ONCE per (session, sfDir) — the reference writes this
+    * wide table to Kafka once (DwdTradeOrderPreProcess.java:275,
+    * dwd_trade_order_pre_process topic) and cancel/pay-success consume the
+    * topic instead of re-running the 5-way join; re-deriving it per query
+    * executed the same join three times (q39/q41/q42). */
+  def tradeOrderPreProcessCached(spark: SparkSession, sfDir: String): DataFrame =
+    SessionCache(spark, "trade_order_pre|" + sfDir) {
+      tradeOrderPreProcess(TopicDb(spark, sfDir), TopicDb.baseDic(spark))
+    }
 
   /** DwdTradeCancelDetail (P5, DwdTradeCancelDetail.java:65-92): cancelled
     * order DETAIL rows — the reference filters the PRE-PROCESS wide table

@@ -1,0 +1,44 @@
+package graft.core
+
+import scala.collection.concurrent.TrieMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped persist-once cache for expensive shared tables — the
+  * batch analogue of the reference materializing an intermediate topic to
+  * Kafka once and having every downstream app consume it (e.g.
+  * `app/dwd/DwdTradeOrderPreProcess.java:275` writes dwd_trade_order_
+  * pre_process; cancel/pay-success apps read the topic instead of
+  * re-running the 5-way join).
+  *
+  * Cache key: identityHashCode can collide after GC reuses addresses, so
+  * each entry also pins the owning session and is revalidated with `eq`
+  * on hit — a colliding or stale entry (stopped session) is rebuilt,
+  * never served (classic SparkSession has no sessionUUID to key by).
+  * Builds are synchronized (rare and expensive — two concurrent losers
+  * would each leak a persisted copy); a replaced live entry is
+  * unpersisted. */
+private[graft] object SessionCache {
+
+  private val cache = TrieMap.empty[String, (SparkSession, DataFrame)]
+
+  def apply(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val k = System.identityHashCode(spark) + "|" + key
+    cache.get(k) match {
+      case Some((owner, df)) if owner eq spark => df
+      case _ => synchronized {
+        cache.get(k) match {
+          case Some((owner, df)) if owner eq spark => df
+          case stale =>
+            val df = build.persist()
+            df.count() // materialize eagerly: broadcast-side subplans must
+            // read the cache, not re-run the build single-task (§7.3 #4)
+            stale.foreach { case (owner, old) =>
+              if (owner eq spark) old.unpersist() // dead-session plans can't
+            } // be touched; their blocks died with the session
+            cache.put(k, (spark, df))
+            df
+        }
+      }
+    }
+  }
+}

@@ -1,6 +1,5 @@
 package graft.core
 
-import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -54,37 +53,13 @@ object TopicDb {
     ).toDF("dic_code", "dic_name")
   }
 
-  // cache key: identityHashCode can collide after GC reuses addresses, so
-  // each entry also pins the owning session and is revalidated with `eq`
-  // on hit — a colliding or stale entry (stopped session) is rebuilt, never
-  // served (classic SparkSession has no sessionUUID to key by)
-  private val cache = TrieMap.empty[String, (SparkSession, DataFrame)]
-
-  /** The parsed, clean, persisted topic_db stream for a scale-factor dir.
-    * Builds are synchronized (they're rare and expensive — two concurrent
-    * losers would each leak a persisted copy) and a replaced entry is
-    * unpersisted. */
-  def apply(spark: SparkSession, sfDir: String): DataFrame = {
-    val key = System.identityHashCode(spark) + "|" + sfDir
-    cache.get(key) match {
-      case Some((owner, df)) if owner eq spark => df
-      case _ => synchronized {
-        cache.get(key) match {
-          case Some((owner, df)) if owner eq spark => df
-          case stale =>
-            val db = Envelopes.cleanDirty(Envelopes.parseMaxwell(raw(spark, sfDir)))._1
-              .persist()
-            db.count() // materialize eagerly: broadcast-side subplans must
-            // read the cache, not re-run the parse single-task (§7.3 #4)
-            stale.foreach { case (owner, old) =>
-              if (owner eq spark) old.unpersist() // dead-session plans can't
-            } // be touched; their blocks died with the session
-            cache.put(key, (spark, db))
-            db
-        }
-      }
+  /** The parsed, clean, persisted topic_db stream for a scale-factor dir
+    * (one [[SessionCache]] entry per session — one consumer group sharing
+    * a topic). */
+  def apply(spark: SparkSession, sfDir: String): DataFrame =
+    SessionCache(spark, "topic_db|" + sfDir) {
+      Envelopes.cleanDirty(Envelopes.parseMaxwell(raw(spark, sfDir)))._1
     }
-  }
 
   /** The unparsed envelope stream (one `value` JSON string column). */
   def raw(spark: SparkSession, sfDir: String): DataFrame = {

@@ -8,9 +8,10 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** U1/J5 — the tokenizer as a native Catalyst [[Generator]]: the direct
-  * Spark analogue of the reference's `KeywordUDTF` TableFunction
-  * (app/func/KeywordUDTF.java:14-24 + the `LATERAL TABLE(ik_analyze(...))`
-  * join, app/dws/DwsTrafficSourceKeywordPageViewWindow.java:135-141).
+  * Spark analogue of the reference's `SplitFunction` TableFunction
+  * (app/func/SplitFunction.java:12-21 + the `LATERAL
+  * TABLE(SplitFunction(item))` join,
+  * app/dws/DwsTrafficSourceKeywordPageViewWindow.java:134-140).
   *
   * Versus the `udf + explode` form ([[Tokenizer.tokenizeUdf]]): one
   * operator (`GenerateExec`) streams (row → words) directly with no

@@ -189,8 +189,13 @@ object Relational {
       col(keyCol), col(tsCol), lit(0).as("_tag"),
       struct(payloadCols.map(col): _*).as("_r"))
     val unioned = l.unionByName(r, allowMissingColumns = true)
+    // _r as the final sort key makes duplicate right (key, ts) rows
+    // deterministic: the greatest payload struct wins the carry-forward
+    // (struct ordering is field-by-field; left rows sort among themselves
+    // only by ts,_tag — their _r is null). Without it, `last` would pick
+    // whichever tied right row the shuffle happened to order last.
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol), col("_tag"))
+      .orderBy(col(tsCol), col("_tag"), col("_r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned.withColumn("_asof", last(col("_r"), ignoreNulls = true).over(w))
     payloadCols.foldLeft(

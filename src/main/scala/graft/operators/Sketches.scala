@@ -146,7 +146,17 @@ object Sketches {
       bins: Int,
       ps: Seq[Double]): DataFrame = {
     val Row2 = df.agg(min(value).cast("double"), max(value).cast("double")).head()
+    require(!Row2.isNullAt(0), "histogramQuantiles requires a non-empty input")
     val (lo, hi) = (Row2.getDouble(0), Row2.getDouble(1))
+    if (hi == lo) {
+      // degenerate range: every value equals lo, so every quantile is lo —
+      // the general path would divide by (hi - lo) and emit NaN bins
+      val estCols = ps.map { p =>
+        val name = "p" + BigDecimal(p * 100).underlying.stripTrailingZeros.toPlainString
+        round(max(lit(lo)), 6).as(name)
+      }
+      return df.groupBy(groupCol.as(groupName)).agg(estCols.head, estCols.tail: _*)
+    }
 
     val bin = least(
       floor((value.cast("double") - lit(lo)) / (lit(hi) - lit(lo)) * lit(bins.toDouble)),

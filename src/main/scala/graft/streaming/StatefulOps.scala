@@ -174,9 +174,10 @@ object StatefulOps {
   }
 
   /** A4+A5 combined — first-of-day dedup that ALSO flags the user's
-    * first-EVER event (the DwsTradeOrderWindow per-user state pair,
-    * DwsTradeOrderWindow.java:93-121: orderUniqueUser from day change,
-    * orderNewUser from empty lastOrderDt). Emits (event, isNew 0/1) at
+    * first-EVER event (the "order window" per-user state pair of the gmall
+    * curriculum this reference belongs to — its own app/dws/ stops at the
+    * traffic windows: orderUniqueUser from day change, orderNewUser from
+    * an empty lastOrderDt). Emits (event, isNew 0/1) at
     * each (user, day) first; isNew=1 on the first emitted day (arrival
     * order — feed day-ordered input, the reference's operating
     * assumption). */

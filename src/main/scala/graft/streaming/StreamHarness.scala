@@ -30,26 +30,38 @@ object StreamHarness {
     * store-commit overhead for gate-sized feeds (≤300k rows) with zero
     * parallelism gain — measured 2-3× wall-clock on the DWS window gates.
     * Results are partition-count independent; production sizing is the
-    * deployment's own concern. */
+    * deployment's own concern. The cap is set on a CLONED session
+    * (`newSession`: same SparkContext + cache, isolated SQLConf), so
+    * concurrent harness runs never race on shared session state and the
+    * caller's conf is never mutated. */
   def run[T](spark: SparkSession, batches: Seq[Seq[T]])(
       build: Dataset[T] => DataFrame)(implicit enc: Encoder[T]): DataFrame = {
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val session = spark.newSession()
+    // newSession starts from the BUILDER's options; carry over any conf the
+    // caller set at runtime (e.g. the RocksDB state-store provider) so the
+    // clone behaves exactly like the caller's session. Static confs are
+    // already shared and unsettable — skip them.
+    spark.conf.getAll.foreach { case (k, v) =>
+      if (!session.conf.getOption(k).contains(v)) {
+        try session.conf.set(k, v)
+        catch { case _: org.apache.spark.sql.AnalysisException => () }
+      }
+    }
+    val parts = session.conf.get("spark.sql.shuffle.partitions").toIntOption
+    session.conf.set("spark.sql.shuffle.partitions",
+      math.min(parts.getOrElse(8), 8).toString)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = session.sqlContext
     val stream = MemoryStream[T]
     val name = s"graft_mem_sink_${counter.incrementAndGet()}"
     val ckpt = Files.createTempDirectory("graft_ckpt_").toString
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      math.min(prevParts.toInt, 8).toString)
-    try {
-      val query = build(stream.toDS())
-        .writeStream.format("memory").queryName(name).outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .start()
-      try batches.foreach { b =>
-        stream.addData(b)
-        query.processAllAvailable()
-      } finally query.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    spark.table(name)
+    val query = build(stream.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try batches.foreach { b =>
+      stream.addData(b)
+      query.processAllAvailable()
+    } finally query.stop()
+    session.table(name)
   }
 }

@@ -32,6 +32,18 @@ class AsOfRangeJoinSpec extends SparkTestBase {
     assert(out === None) // the ts=5 row (v=null) is the as-of match, not ts=1
   }
 
+  test("asOfJoin is deterministic on duplicate right (key, ts): greatest payload wins") {
+    val left = Seq((1L, 10L)).toDF("key", "ts")
+    val right = Seq((1L, 5L, "a"), (1L, 5L, "c"), (1L, 5L, "b"))
+      .toDF("key", "ts", "v")
+    // repeated runs over shuffled input must always pick the same row
+    val picks = (1 to 3).map { i =>
+      Relational.asOfJoin(left, right.repartition(i + 1), "key", "ts", Seq("v"))
+        .select($"v").as[String].head()
+    }
+    assert(picks.toSet === Set("c"))
+  }
+
   test("rangeJoinBinned matches boundary-inclusive and spans bins without dupes") {
     val pts = Seq(0L, 8L, 9L, 16L, 40L).toDF("p")
     // [0,8] sits in bins 0-2 with width 3; [10,16] spans bins 3-5

@@ -74,6 +74,18 @@ class SketchesSpec extends SparkTestBase {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("histogramQuantiles: constant input yields the constant, empty input is refused") {
+    val const = Seq(("g", 7.5), ("g", 7.5), ("h", 7.5)).toDF("grp", "x")
+    val out = Sketches.histogramQuantiles(const, $"grp", "grp", $"x", 16, Seq(0.5, 0.9))
+      .orderBy($"grp").collect()
+    assert(out.map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq ===
+      Seq(("g", 7.5, 7.5), ("h", 7.5, 7.5)))
+    val empty = const.where($"x" > 100)
+    intercept[IllegalArgumentException] {
+      Sketches.histogramQuantiles(empty, $"grp", "grp", $"x", 16, Seq(0.5))
+    }
+  }
+
   test("hllDistinct plan: registers partial-aggregate before the exchange") {
     val df = mkDocs(2000)
     val plan = Sketches.hllDistinct(df, Seq(lit(1).as("g")), $"v")
