@@ -7,7 +7,7 @@ import graft.core.{Envelopes, Tables, TopicDb}
 import graft.apps.GmallPipelines
 import graft.operators.{Dedup, EventOps, Multimodal, Relational, Similarity, Sketches, TextProfile}
 import graft.functions.TextFunctions
-import graft.streaming.{StatefulOps, StreamHarness}
+import graft.streaming.{SketchStream, StatefulOps, StreamHarness}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1046,6 +1046,33 @@ object SparkEntry {
           Tables.events(s, d), col("event_type"), "event_type",
           col("value"), 128, Seq(0.5, 0.9, 0.99))
         .orderBy(col("event_type"))),
+
+    // Streaming HLL twin (SketchStream.hllSketchStream): the SAME 64
+    // registers as q81, but maintained as per-group transformWithState
+    // state across 3 micro-batches (RocksDB) — constant bytes per key,
+    // the 100 TB replacement for exact seen-key dedup state in the DWS
+    // UU windows. Latest snapshot per group digested with the identical
+    // hllStats math → gated against the identical DuckDB oracle.
+    "q83_hll_distinct_stream" -> ((s, d) => {
+      import s.implicits._
+      val (bucket, rho) = Sketches.hllObs(col("l_orderkey").cast("string"))
+      val obs = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("g"), bucket.as("bucket"), rho.as("rho"))
+        .as[SketchStream.HllRow].collect().toSeq
+      val batches = obs.grouped(math.max(1, obs.size / 3 + 1)).toSeq
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val snaps = StreamHarness.run(s, batches)(ds =>
+          SketchStream.hllSketchStream(ds).toDF())
+        val latest = snaps.groupBy(col("_1").as("l_returnflag"))
+          .agg(max_by(col("_3"), col("_2")).as("regs"))
+        Sketches.hllStats(latest, col("regs"))
+          .select(col("l_returnflag"), col("n_buckets_hit"), col("reg_sum"),
+            col("est_distinct"))
+          .orderBy(col("l_returnflag"))
+      } finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -1087,6 +1114,33 @@ object SparkEntry {
   private val sh3Sql =
     "CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')] " +
       "ELSE list_transform(range(0, len(w) - 2), i -> concat_ws(' ', w[i+1], w[i+2], w[i+3])) END"
+
+  /** Shared by q81 (batch) and q83 (streaming twin) — ONE oracle, since
+    * register point-max is order/batch independent: same 60-bit md5 hash,
+    * same bucket/rank split, same exact integer harmonic sum, same single
+    * division (numerator literal injected from Scala). */
+  private lazy val hllDistinctOracle: String =
+    s"""WITH h AS (SELECT l_returnflag AS g,
+       |  ${hexLongSql("CAST(l_orderkey AS VARCHAR)")} AS h FROM lineitem),
+       |b AS (SELECT g, h >> 54 AS bucket, h & ${(1L << 54) - 1} AS low FROM h),
+       |r AS (SELECT g, bucket,
+       |  CASE WHEN low = 0 THEN 55 ELSE 55 - length(bin(low)) END AS rho FROM b),
+       |regs AS (SELECT g, bucket, max(rho) AS mx FROM r GROUP BY 1, 2),
+       |allb AS (SELECT d.g, gs.range AS bucket
+       |  FROM (SELECT DISTINCT g FROM regs) d CROSS JOIN range(0, 64) gs),
+       |filled AS (SELECT allb.g, coalesce(regs.mx, 0) AS mx
+       |  FROM allb LEFT JOIN regs ON allb.g = regs.g AND allb.bucket = regs.bucket),
+       |agg AS (SELECT g, sum(CAST(1 AS BIGINT) << (55 - mx)) AS s,
+       |    CAST(sum(CAST(mx AS BIGINT)) AS BIGINT) AS reg_sum,
+       |    count(*) FILTER (WHERE mx > 0) AS hit
+       |  FROM filled GROUP BY g),
+       |est AS (SELECT g, hit, reg_sum,
+       |    ${SketchesOracle.numLit} / CAST(s AS DOUBLE) AS raw FROM agg)
+       |SELECT g AS l_returnflag, hit AS n_buckets_hit, reg_sum,
+       |  round(CASE WHEN raw <= 160.0e0 AND (64 - hit) > 0
+       |    THEN 64.0e0 * ln(64.0e0 / CAST(64 - hit AS DOUBLE)) ELSE raw END, 6)
+       |    AS est_distinct
+       |FROM est ORDER BY l_returnflag""".stripMargin
 
   /** Shared by q70 (batch) and q71 (streaming twin) — ONE oracle so the
     * two gates can never silently diverge: a session breaks only when the
@@ -2022,28 +2076,11 @@ object SparkEntry {
     // Replicates Sketches.hllDistinct register by register: same 60-bit
     // md5 hash, same bucket/rank split, same exact integer harmonic sum,
     // same single division (numerator literal injected from Scala).
-    "q81_hll_distinct" ->
-      s"""WITH h AS (SELECT l_returnflag AS g,
-         |  ${hexLongSql("CAST(l_orderkey AS VARCHAR)")} AS h FROM lineitem),
-         |b AS (SELECT g, h >> 54 AS bucket, h & ${(1L << 54) - 1} AS low FROM h),
-         |r AS (SELECT g, bucket,
-         |  CASE WHEN low = 0 THEN 55 ELSE 55 - length(bin(low)) END AS rho FROM b),
-         |regs AS (SELECT g, bucket, max(rho) AS mx FROM r GROUP BY 1, 2),
-         |allb AS (SELECT d.g, gs.range AS bucket
-         |  FROM (SELECT DISTINCT g FROM regs) d CROSS JOIN range(0, 64) gs),
-         |filled AS (SELECT allb.g, coalesce(regs.mx, 0) AS mx
-         |  FROM allb LEFT JOIN regs ON allb.g = regs.g AND allb.bucket = regs.bucket),
-         |agg AS (SELECT g, sum(CAST(1 AS BIGINT) << (55 - mx)) AS s,
-         |    CAST(sum(CAST(mx AS BIGINT)) AS BIGINT) AS reg_sum,
-         |    count(*) FILTER (WHERE mx > 0) AS hit
-         |  FROM filled GROUP BY g),
-         |est AS (SELECT g, hit, reg_sum,
-         |    ${SketchesOracle.numLit} / CAST(s AS DOUBLE) AS raw FROM agg)
-         |SELECT g AS l_returnflag, hit AS n_buckets_hit, reg_sum,
-         |  round(CASE WHEN raw <= 160.0e0 AND (64 - hit) > 0
-         |    THEN 64.0e0 * ln(64.0e0 / CAST(64 - hit AS DOUBLE)) ELSE raw END, 6)
-         |    AS est_distinct
-         |FROM est ORDER BY l_returnflag""".stripMargin,
+    "q81_hll_distinct" -> hllDistinctOracle,
+
+    // The streaming twin produces the SAME registers (point max is
+    // order/batch independent), so the oracle is shared verbatim.
+    "q83_hll_distinct_stream" -> hllDistinctOracle,
 
     // Replicates Sketches.histogramQuantiles float-for-float: global
     // [min,max] edges, identical bin index, rank position p·n, and
