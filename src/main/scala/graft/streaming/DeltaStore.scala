@@ -1,0 +1,139 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Log-structured incremental MERGE store — the production-cadence upsert
+  * story [[Sinks.upsertByKeyPartitioned]] alone doesn't give: that sink
+  * rewrites every touched bucket PER MICRO-BATCH, so a high-cadence
+  * changelog whose keys spray across buckets pays O(store/nBuckets ·
+  * touched) I/O every few seconds. The reference sidesteps this by
+  * delegating to Kafka log compaction (its upsert-Kafka contract,
+  * utils/MyKafkaUtil.java:91-100: keyed topic, compaction retires old
+  * values); this is the same design on files — the LSM shape Delta/
+  * Iceberg MERGE implements as a managed service:
+  *
+  *  - [[append]] (per micro-batch): write the batch, compacted by key,
+  *    to `path/delta/epoch=E`. O(batch) I/O, no read-modify-write. A
+  *    replayed epoch OVERWRITES the same dir — exactly-once per epoch.
+  *  - [[read]]: base ∪ deltas with last-writer-wins per key (epoch
+  *    order, then `orderCol`, tombstones filtered) — the compacted view
+  *    a Kafka compacted-topic consumer materializes. Read cost grows
+  *    with un-compacted deltas, which is the LSM trade.
+  *  - [[compact]]: squash all delta epochs into one row per key and
+  *    MERGE them into the bucketed base via
+  *    [[Sinks.upsertByKeyPartitioned]] (only touched buckets rewrite,
+  *    crash-safe per-bucket rename-aside swap), then retire the
+  *    consumed epoch dirs. Crash anywhere: the per-bucket swap recovers
+  *    itself, and re-running compaction re-applies the SAME deltas —
+  *    idempotent, since re-upserting identical rows and re-retiring the
+  *    same keys is a no-op (single-writer contract, same as the sinks).
+  *
+  * Changelog deletes ride as tombstones (`_op = "d"`, data columns
+  * null): [[read]] hides a key whose newest row is a tombstone;
+  * [[compact]] turns them into `deleteKeys` retirement. Within one
+  * epoch an upsert of a key wins over that epoch's tombstone, matching
+  * [[Sinks.upsertByKey]]'s batch semantics.
+  *
+  * Edge: a store emptied of EVERY key compacts to a base with no
+  * readable parquet (parquet cannot persist a bare schema), so [[read]]
+  * then fails as never-written. Callers whose changelog can retire the
+  * whole keyspace should keep retention at the delta layer instead.
+  */
+object DeltaStore {
+
+  private val OpCol = "_op"
+
+  /** Append one micro-batch of upserts (+ optional delete keys) as the
+    * epoch's delta file. Idempotent per epoch: replays overwrite. */
+  def append(batch: DataFrame, keyCols: Seq[String], orderCol: String,
+      path: String, epochId: Long, deleteKeys: Option[DataFrame] = None): Unit = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(orderCol).desc, desc(OpCol)) // "u" > "d": upsert wins in-epoch
+    val upserts = batch.withColumn(OpCol, lit("u"))
+    val rows = deleteKeys match {
+      case Some(dk) =>
+        val dataCols = batch.columns.filterNot(keyCols.contains)
+        val tomb = dataCols.foldLeft(dk.select(keyCols.map(col): _*)) {
+          (df, c) => df.withColumn(c, lit(null).cast(batch.schema(c).dataType))
+        }.withColumn(OpCol, lit("d")).select(upserts.columns.map(col): _*)
+        upserts.unionByName(tomb)
+      case None => upserts
+    }
+    rows
+      .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+      .write.mode("overwrite").parquet(s"$path/delta/epoch=$epochId")
+  }
+
+  /** The compacted view: base ∪ un-compacted deltas, newest row per key
+    * (delta epochs beat the base, higher epochs beat lower, `orderCol`
+    * breaks ties within an epoch), tombstoned keys hidden. */
+  def read(spark: SparkSession, path: String, keyCols: Seq[String],
+      orderCol: String): DataFrame = {
+    val (baseOpt, deltaOpt) = (readBase(spark, path), readDeltas(spark, path))
+    val all = (baseOpt, deltaOpt) match {
+      case (Some(b), Some(d)) => b.unionByName(d)
+      case (Some(b), None)    => b
+      case (None, Some(d))    => d
+      case (None, None) =>
+        throw new java.io.IOException(s"DeltaStore.read: nothing at $path")
+    }
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_epoch").desc, desc(OpCol), col(orderCol).desc)
+    all
+      .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .where(col(OpCol) =!= "d")
+      .drop("_rn", "_epoch", OpCol)
+  }
+
+  /** Squash every pending delta epoch into the bucketed base (only
+    * touched buckets rewrite) and retire the consumed epoch dirs.
+    * Safe to re-run after a crash at any point — see object doc. */
+  def compact(spark: SparkSession, path: String, keyCols: Seq[String],
+      orderCol: String, nBuckets: Int = 64): Unit = {
+    readDeltas(spark, path) match {
+      case None => ()
+      case Some(deltas) =>
+        // consume only the epochs present NOW: a concurrent-looking append
+        // of a later epoch (single writer, but between list and delete)
+        // must survive this compaction's delta retirement
+        val epochs = deltas.select(col("_epoch")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        val w = Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col("_epoch").desc, desc(OpCol), col(orderCol).desc)
+        val squashed = deltas
+          .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+          .drop("_rn", "_epoch").persist()
+        try {
+          val ups = squashed.where(col(OpCol) =!= "d").drop(OpCol)
+          val dels = squashed.where(col(OpCol) === "d").select(keyCols.map(col): _*)
+          Sinks.upsertByKeyPartitioned(ups, keyCols, orderCol,
+            s"$path/base", nBuckets, deleteKeys = Some(dels))
+        } finally { squashed.unpersist(); () }
+        val root = new org.apache.hadoop.fs.Path(s"$path/delta")
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        epochs.foreach { e =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/delta/epoch=$e"), true)
+        }
+    }
+  }
+
+  private def readBase(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/base")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      Some(spark.read.parquet(p.toString).drop("_bucket")
+        .withColumn("_epoch", lit(-1L)).withColumn(OpCol, lit("u")))
+    else None
+  }
+
+  private def readDeltas(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/delta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("epoch=")))
+      Some(spark.read.parquet(p.toString)
+        .withColumn("_epoch", col("epoch").cast("long")).drop("epoch"))
+    else None
+  }
+}

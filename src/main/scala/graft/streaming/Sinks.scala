@@ -82,14 +82,23 @@ object Sinks {
     * leaves that bucket's full old content at `_old`, recoverable).
     */
   def upsertByKeyPartitioned(batch: DataFrame, keyCols: Seq[String],
-      orderCol: String, path: String, nBuckets: Int = 64): Unit = {
+      orderCol: String, path: String, nBuckets: Int = 64,
+      deleteKeys: Option[DataFrame] = None): Unit = {
     val spark = batch.sparkSession
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(orderCol).desc)
-    val compacted = batch
-      .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
-      .withColumn("_bucket", pmod(hash(keyCols.map(col): _*), lit(nBuckets)))
+    def bucketed(df: DataFrame) =
+      df.withColumn("_bucket", pmod(hash(keyCols.map(col): _*), lit(nBuckets)))
+    val compacted = bucketed(batch
+        .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn"))
       .persist() // consumed twice: touched-bucket collect + the merge write
+    // tombstones (changelog `d` ops): their keys retire from the store and
+    // their buckets count as touched even when the batch upserts nothing
+    // there; same-batch upserts win over a tombstone for the same key
+    // (they land via `compacted` after the anti-join), matching
+    // [[upsertByKey]].
+    val tombstones = deleteKeys.map(dk =>
+      bucketed(dk.select(keyCols.map(col): _*)).persist())
     try {
       val dst = new org.apache.hadoop.fs.Path(path)
       val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -112,12 +121,22 @@ object Sinks {
         compacted.write.partitionBy("_bucket").mode("overwrite").parquet(path)
         return
       }
-      val touched = compacted.select(col("_bucket")).distinct()
+      val touchedDf = tombstones match {
+        case Some(t) => compacted.select(col("_bucket"))
+          .unionByName(t.select(col("_bucket")))
+        case None => compacted.select(col("_bucket"))
+      }
+      val touched = touchedDf.distinct()
         .collect().map(_.getInt(0)).sorted // ≤ nBuckets values, driver-safe
+      val retired = tombstones match {
+        case Some(t) => compacted.select(keyCols.map(col): _*)
+          .unionByName(t.select(keyCols.map(col): _*))
+        case None => compacted.select(keyCols.map(col): _*)
+      }
       val existing = spark.read.parquet(path)
         .where(col("_bucket").isin(touched.map(Int.box): _*))
       val merged = existing
-        .join(compacted.select(keyCols.map(col): _*), keyCols, "left_anti")
+        .join(retired, keyCols, "left_anti")
         .unionByName(compacted)
       val tmp = new org.apache.hadoop.fs.Path(path + "_tmp")
       merged.write.partitionBy("_bucket").mode("overwrite").parquet(tmp.toString)
@@ -133,15 +152,24 @@ object Sinks {
         val bOld = new org.apache.hadoop.fs.Path(s"$oldRoot/_bucket=$b")
         if (fs.exists(bDst) && !fs.rename(bDst, bOld))
           throw new java.io.IOException(s"upsertByKeyPartitioned: cannot set aside $bDst")
-        if (!fs.rename(bNew, bDst)) {
-          fs.rename(bOld, bDst) // restore
-          throw new java.io.IOException(s"upsertByKeyPartitioned: cannot publish $bNew")
+        if (fs.exists(bNew)) {
+          if (!fs.rename(bNew, bDst)) {
+            fs.rename(bOld, bDst) // restore
+            throw new java.io.IOException(s"upsertByKeyPartitioned: cannot publish $bNew")
+          }
         }
+        // else: tombstones emptied the bucket — publishing nothing IS the
+        // new content (a crash before the delete below re-runs the same
+        // merge, so the set-aside is never the only copy of live keys)
         fs.delete(bOld, true)
       }
       fs.delete(tmp, true)
       fs.delete(oldRoot, true)
-    } finally { compacted.unpersist(); () }
+    } finally {
+      compacted.unpersist()
+      tombstones.foreach(_.unpersist())
+      ()
+    }
   }
 
   /** K5 — batch sink honoring declared field order (the reference maps bean

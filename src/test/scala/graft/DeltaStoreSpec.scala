@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.streaming.DeltaStore
+
+/** The log-structured MERGE store: O(batch) epoch appends, merged reads,
+  * crash-safe compaction into the bucketed base. */
+class DeltaStoreSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp() = Files.createTempDirectory("graft_delta_").toString
+  private val keys = Seq("k")
+
+  private def df(rows: (Long, String, Long)*) = rows.toDF("k", "v", "ts")
+
+  private def snapshot(path: String): Map[Long, (String, Long)] =
+    DeltaStore.read(spark, path, keys, "ts")
+      .select($"k", $"v", $"ts").as[(Long, String, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("read merges epochs last-writer-wins; replayed epoch is idempotent") {
+    val path = tmp()
+    DeltaStore.append(df((1L, "a1", 10L), (2L, "b1", 10L)), keys, "ts", path, 0L)
+    DeltaStore.append(df((1L, "a2", 5L), (3L, "c1", 10L)), keys, "ts", path, 1L)
+    val expected = Map(
+      1L -> (("a2", 5L)), // epoch 1 beats epoch 0 even with a LOWER ts
+      2L -> (("b1", 10L)), 3L -> (("c1", 10L)))
+    assert(snapshot(path) === expected)
+    // replay epoch 1 (crash-and-rerun of the same micro-batch)
+    DeltaStore.append(df((1L, "a2", 5L), (3L, "c1", 10L)), keys, "ts", path, 1L)
+    assert(snapshot(path) === expected)
+  }
+
+  test("compact folds deltas into the bucketed base; view unchanged; epochs retired") {
+    val path = tmp()
+    DeltaStore.append(df((1L, "a1", 10L), (2L, "b1", 10L)), keys, "ts", path, 0L)
+    DeltaStore.append(df((2L, "b2", 11L), (3L, "c1", 10L)), keys, "ts", path, 1L)
+    val before = snapshot(path)
+    DeltaStore.compact(spark, path, keys, "ts", nBuckets = 4)
+    assert(snapshot(path) === before)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new Path(s"$path/base")))
+    assert(!fs.exists(new Path(s"$path/delta/epoch=0")))
+    assert(!fs.exists(new Path(s"$path/delta/epoch=1")))
+    // post-compaction appends keep merging over the base
+    DeltaStore.append(df((1L, "a3", 12L)), keys, "ts", path, 2L)
+    assert(snapshot(path)(1L) === (("a3", 12L)))
+  }
+
+  test("tombstones hide keys on read and retire them at compaction") {
+    val path = tmp()
+    DeltaStore.append(df((1L, "a1", 10L), (2L, "b1", 10L)), keys, "ts", path, 0L)
+    DeltaStore.compact(spark, path, keys, "ts", nBuckets = 4)
+    // epoch 1: delete k=1, upsert+delete k=2 in the SAME epoch (upsert wins),
+    // delete k=9 (absent -> no-op)
+    DeltaStore.append(df((2L, "b2", 11L)), keys, "ts", path, 1L,
+      deleteKeys = Some(Seq(1L, 2L, 9L).toDF("k")))
+    assert(snapshot(path) === Map(2L -> (("b2", 11L))))
+    DeltaStore.compact(spark, path, keys, "ts", nBuckets = 4)
+    assert(snapshot(path) === Map(2L -> (("b2", 11L))))
+    // a LATER epoch's tombstone beats an earlier upsert after compaction too
+    // (k=3 stays alive: a store emptied of EVERY key is indistinguishable
+    // from never-written — documented edge)
+    DeltaStore.append(df((3L, "c1", 12L)), keys, "ts", path, 2L,
+      deleteKeys = Some(Seq(2L).toDF("k")))
+    DeltaStore.compact(spark, path, keys, "ts", nBuckets = 4)
+    assert(snapshot(path) === Map(3L -> (("c1", 12L))))
+  }
+
+  test("compaction recovers from a crash mid-bucket-swap and replays deltas idempotently") {
+    val path = tmp()
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // seed a 4-bucket base
+    DeltaStore.append(df((1L, "a1", 10L), (2L, "b1", 10L), (3L, "c1", 10L),
+      (4L, "d1", 10L), (5L, "e1", 10L), (6L, "f1", 10L)), keys, "ts", path, 0L)
+    DeltaStore.compact(spark, path, keys, "ts", nBuckets = 4)
+    // pending deltas touching several buckets
+    DeltaStore.append(df((1L, "a2", 11L), (4L, "d2", 11L)), keys, "ts", path, 1L)
+    val expected = snapshot(path)
+
+    // simulate the double crash: (a) compaction ran upsert partially — one
+    // bucket got set aside but never published (crash between renames);
+    // (b) the consumed delta epochs were never retired
+    val base = s"$path/base"
+    val bucket = fs.listStatus(new Path(base))
+      .map(_.getPath.getName).find(_.startsWith("_bucket=")).get
+    fs.mkdirs(new Path(base + "_old"))
+    assert(fs.rename(new Path(s"$base/$bucket"), new Path(s"${base}_old/$bucket")))
+    // the wounded store still has its set-aside, so a re-run must first
+    // restore the bucket, then re-apply the same deltas (idempotent)
+    DeltaStore.compact(spark, path, keys, "ts", nBuckets = 4)
+    assert(snapshot(path) === expected)
+    assert(!fs.exists(new Path(base + "_old")))
+    assert(!fs.exists(new Path(s"$path/delta/epoch=1")))
+    // a second compaction with nothing pending is a no-op
+    DeltaStore.compact(spark, path, keys, "ts", nBuckets = 4)
+    assert(snapshot(path) === expected)
+  }
+}
