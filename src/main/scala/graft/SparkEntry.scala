@@ -977,6 +977,15 @@ object SparkEntry {
           Dedup.simhashNearDups(Dedup.simhash(Tables.documents(s, d))))
         .orderBy(col("id"))),
 
+    // Same components via alternating large-star/small-star (Kiveris et
+    // al. SoCC'14) — O(log n) rounds regardless of graph diameter, the
+    // scale path when dup groups chain instead of forming quasi-cliques.
+    // Identical output contract, so the q76 oracle is shared verbatim.
+    "q84_dedup_groups_star" -> ((s, d) =>
+      Dedup.connectedComponentsStar(
+          Dedup.simhashNearDups(Dedup.simhash(Tables.documents(s, d))))
+        .orderBy(col("id"))),
+
     // Decontamination: per candidate doc (id ≥ 50), the fraction of its
     // distinct 3-gram shingles that occur anywhere in the benchmark set
     // (id < 50) — the train/test-leakage audit.
@@ -1141,6 +1150,23 @@ object SparkEntry {
        |    THEN 64.0e0 * ln(64.0e0 / CAST(64 - hit AS DOUBLE)) ELSE raw END, 6)
        |    AS est_distinct
        |FROM est ORDER BY l_returnflag""".stripMargin
+
+  /** Shared by q76 (min-label propagation) and q84 (large-star/small-star)
+    * — ONE oracle, since both converge to comp = min reachable id over the
+    * same simhash near-dup pair graph. */
+  private lazy val dedupGroupsOracle: String =
+    s"""WITH RECURSIVE $shCte,
+       |$simhashCte,
+       |bkt AS (SELECT doc_id, simhash, simhash >> 44 AS bucket FROM ssig),
+       |e AS (SELECT l.doc_id AS a, r.doc_id AS b
+       | FROM bkt l JOIN bkt r ON l.bucket = r.bucket AND l.doc_id < r.doc_id
+       | WHERE bit_count(xor(l.simhash, r.simhash)) <= 8),
+       |ee AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+       |reach(a, b) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM ee)
+       |  UNION
+       |  SELECT r.a, e2.b FROM reach r JOIN ee e2 ON r.b = e2.a)
+       |SELECT a AS id, min(b) AS comp FROM reach GROUP BY a ORDER BY a""".stripMargin
 
   /** Shared by q70 (batch) and q71 (streaming twin) — ONE oracle so the
     * two gates can never silently diverge: a session breaks only when the
@@ -2021,21 +2047,10 @@ object SparkEntry {
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
 
     // transitive closure over the symmetrized q20 pair graph; min
-    // reachable id per node = the component label the Spark side converges
-    // to by min-label propagation
-    "q76_dedup_groups" ->
-      s"""WITH RECURSIVE $shCte,
-         |$simhashCte,
-         |bkt AS (SELECT doc_id, simhash, simhash >> 44 AS bucket FROM ssig),
-         |e AS (SELECT l.doc_id AS a, r.doc_id AS b
-         | FROM bkt l JOIN bkt r ON l.bucket = r.bucket AND l.doc_id < r.doc_id
-         | WHERE bit_count(xor(l.simhash, r.simhash)) <= 8),
-         |ee AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
-         |reach(a, b) AS (
-         |  SELECT a, a FROM (SELECT DISTINCT a FROM ee)
-         |  UNION
-         |  SELECT r.a, e2.b FROM reach r JOIN ee e2 ON r.b = e2.a)
-         |SELECT a AS id, min(b) AS comp FROM reach GROUP BY a ORDER BY a""".stripMargin,
+    // reachable id per node = the component label BOTH Spark algorithms
+    // (q76 min-label propagation, q84 large-star/small-star) converge to
+    "q76_dedup_groups" -> dedupGroupsOracle,
+    "q84_dedup_groups_star" -> dedupGroupsOracle,
 
     "q77_contamination" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),

@@ -268,6 +268,73 @@ object Dedup {
     } finally { edges.unpersist(); () }
   }
 
+  /** Connected components by alternating large-star / small-star rounds —
+    * the high-diameter scale twin of [[connectedComponents]]. Min-label
+    * propagation needs O(diameter) rounds: fine for near-dup quasi-cliques
+    * (2-3 rounds), pathological on chain-shaped graphs (a 1M-hop chain is
+    * 1M rounds). The star algorithm (Kiveris, Lattanzi, Mirrokni, Rastogi,
+    * Vassilvitskii: "Connected Components in MapReduce and Beyond",
+    * ACM SoCC 2014, alg. 3/4) rewires the edge set itself:
+    *
+    *  - large-star: every node's LARGER neighbors re-link to the minimum
+    *    of its closed neighborhood;
+    *  - small-star: every node and its smaller neighbors re-link to the
+    *    minimum of the smaller neighborhood;
+    *
+    * each a pair of hash shuffles, converging to per-component stars in
+    * O(log n) rounds regardless of diameter. Output contract identical to
+    * [[connectedComponents]]: (id, comp = min reachable id) — so the two
+    * share an oracle.
+    */
+  def connectedComponentsStar(
+      pairs: DataFrame,
+      aCol: String = "a",
+      bCol: String = "b",
+      maxIters: Int = 50): DataFrame = {
+    def canon(df: DataFrame): DataFrame = df
+      .select(least(col("lo"), col("hi")).as("lo"), greatest(col("lo"), col("hi")).as("hi"))
+      .where(col("lo") =!= col("hi")).distinct()
+    def sym(e: DataFrame): DataFrame =
+      e.select(col("lo").as("u"), col("hi").as("v"))
+        .unionByName(e.select(col("hi").as("u"), col("lo").as("v")))
+    var edges = canon(pairs.select(col(aCol).as("lo"), col(bCol).as("hi")))
+      .localCheckpoint(true) // truncate lineage per round, same as the Pregel loop
+    var converged = false
+    var iters = 0
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    while (!converged && iters < maxIters) {
+      val t0 = System.nanoTime()
+      // large-star: for edge {u,v}, v > u: v re-links to min(N(u) ∪ {u})
+      val s1 = sym(edges)
+      val m1 = s1.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = canon(s1.join(m1, "u").where(col("v") > col("u"))
+        .select(col("m").as("lo"), col("v").as("hi")))
+        .localCheckpoint(true)
+      // small-star: u and its smaller neighbors re-link to their minimum
+      val s2 = sym(ls).where(col("v") < col("u"))
+      val m2 = s2.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val ss = canon(
+          s2.join(m2, "u").where(col("v") =!= col("m"))
+            .select(col("m").as("lo"), col("v").as("hi"))
+          .unionByName(m2.select(col("m").as("lo"), col("u").as("hi"))))
+        .localCheckpoint(true)
+      // fixpoint = the canonical edge set is stable (stars only)
+      converged = ss.count() == edges.count() &&
+        ss.join(edges, Seq("lo", "hi"), "left_anti").limit(1).count() == 0
+      edges = ss
+      iters += 1
+      if (debug) System.err.println(
+        f"[cc-star] iter $iters edges=${edges.count()} ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    if (!converged)
+      throw new IllegalStateException(s"connectedComponentsStar: no fixpoint in $maxIters iters")
+    edges.select(col("hi").as("id"), col("lo").as("comp"))
+      .unionByName(edges.select(col("lo").as("id"), col("lo").as("comp")))
+      .distinct()
+  }
+
   /** Benchmark-contamination profile — decontamination, the corpus-hygiene
     * twin of dedup: for each candidate doc, the fraction of its distinct
     * 3-gram shingles that also occur anywhere in the `benchmark` set.

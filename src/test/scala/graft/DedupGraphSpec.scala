@@ -23,6 +23,28 @@ class DedupGraphSpec extends SparkTestBase {
     assert(out.toSeq === Seq(1L)) // all one group, labeled by the min id
   }
 
+  test("connectedComponentsStar matches min-label propagation on an arbitrary graph") {
+    // mixed shapes: a chain, a triangle joined to it, a separate pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 9L), (9L, 5L), (5L, 4L),
+      (20L, 21L)).toDF("a", "b")
+    val star = Dedup.connectedComponentsStar(pairs).orderBy("id")
+      .as[(Long, Long)].collect().toSeq
+    val pregel = Dedup.connectedComponents(pairs).orderBy("id")
+      .as[(Long, Long)].collect().toSeq
+    assert(star === pregel)
+  }
+
+  test("connectedComponentsStar needs O(log n) rounds on a high-diameter chain") {
+    // a 120-hop chain: min-label propagation would need ~120 rounds (its
+    // maxIters=50 default throws), the star algorithm converges well
+    // within 16 — the reason it is the 100 TB path for chain-shaped groups
+    val chain = (0L until 120L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalStateException] { Dedup.connectedComponents(chain).count() }
+    val out = Dedup.connectedComponentsStar(chain, maxIters = 16)
+      .as[(Long, Long)].collect()
+    assert(out.length === 121 && out.forall(_._2 == 0L))
+  }
+
   test("contaminationProfile counts shared distinct shingles against the benchmark") {
     val bench = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val cand = Seq(
