@@ -1016,6 +1016,27 @@ object SparkEntry {
       } finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }),
 
+    // q80's TopN as a STREAMING pipeline: per-window counts from a real
+    // watermark-flushed micro-batch window agg, then the bounded-heap
+    // ranking over the finalized counts — the DWS "hot items" chain the
+    // gmall curriculum runs on Flink. Shares q80's oracle verbatim.
+    "q87_topn_window_stream" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).where(col("event_type") === "view")
+        .select(col("ts"), col("user_id")).as[(Timestamp, Long)]
+        .collect().toSeq.sortBy(_._1.getTime)
+      val sentinel = (new Timestamp(ev.map(_._1.getTime).max + 7200L * 1000L), -1L)
+      val (h1, h2) = ev.splitAt(ev.length / 2)
+      val counted = StreamHarness.run(s, Seq(h1, h2, Seq(sentinel))) { ds =>
+        graft.streaming.Windows.tumblingAgg(
+          ds.toDF("ts", "item"), "ts", "1 hour", "14 seconds",
+          Seq(col("item")), Seq(count(lit(1)).as("ct")))
+      }.where(col("item") =!= -1L)
+      EventOps.topNOfCounts(counted.select(col("stt"), col("item"), col("ct")), 3)
+        .select(col("stt"), col("item"), col("ct"), col("rnk"))
+        .orderBy(col("stt"), col("rnk"))
+    }),
+
     // Contamination n-gram sweep point (VERDICT r3 stretch): the q77 audit
     // at shingleN=5 — longer n-grams are the stricter leak test (fewer
     // incidental collisions); same inverted-index semi-join shape.
@@ -1213,6 +1234,16 @@ object SparkEntry {
        |  UNION
        |  SELECT r.a, e2.b FROM reach r JOIN ee e2 ON r.b = e2.a)
        |SELECT a AS id, min(b) AS comp FROM reach GROUP BY a ORDER BY a""".stripMargin
+
+  /** Shared by q80 (batch) and q87 (streaming window counts → same
+    * bounded-heap ranking) — ONE oracle, identical output contract. */
+  private lazy val topNOracle: String =
+    """WITH c AS (SELECT date_trunc('hour', ts) AS w, user_id AS item, count(*) AS ct
+      |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+      |r AS (SELECT w, item, ct,
+      |  row_number() OVER (PARTITION BY w ORDER BY ct DESC, item) AS rnk FROM c)
+      |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS stt, item, ct, rnk
+      |FROM r WHERE rnk <= 3 ORDER BY stt, rnk""".stripMargin
 
   /** Shared by q70 (batch) and q71 (streaming twin) — ONE oracle so the
     * two gates can never silently diverge: a session breaks only when the
@@ -2167,13 +2198,8 @@ object SparkEntry {
         |SELECT p, ik FROM p JOIN iv ON p >= lo AND p <= hi
         |ORDER BY p, ik""".stripMargin,
 
-    "q80_topn_window" ->
-      """WITH c AS (SELECT date_trunc('hour', ts) AS w, user_id AS item, count(*) AS ct
-        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
-        |r AS (SELECT w, item, ct,
-        |  row_number() OVER (PARTITION BY w ORDER BY ct DESC, item) AS rnk FROM c)
-        |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS stt, item, ct, rnk
-        |FROM r WHERE rnk <= 3 ORDER BY stt, rnk""".stripMargin,
+    "q80_topn_window" -> topNOracle,
+    "q87_topn_window_stream" -> topNOracle,
 
     // Replicates Sketches.hllDistinct register by register: same 60-bit
     // md5 hash, same bucket/rank split, same exact integer harmonic sum,

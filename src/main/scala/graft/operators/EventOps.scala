@@ -146,6 +146,13 @@ object EventOps {
       .agg(count(lit(1)).as("ct"))
       .withColumn("stt", date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss"))
       .drop("window")
+    topNOfCounts(counted, n)
+  }
+
+  /** Rank pre-counted (stt, item, ct) rows — the entry point when the
+    * counting already happened elsewhere (e.g. a streaming window agg
+    * whose finalized per-window counts land here for ranking). */
+  def topNOfCounts(counted: DataFrame, n: Int): DataFrame = {
     // dispatch on the key dtype so `item` round-trips with its input type
     // (rank order differs between numeric and lexicographic ties)
     val itemType = counted.schema("item").dataType

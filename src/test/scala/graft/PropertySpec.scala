@@ -144,4 +144,66 @@ class PropertySpec extends SparkTestBase {
     val want = naiveJump(events, horizon, _.event_type == "view")
     assert(got === want)
   }
+
+  // -- 5. bounded-heap topN == naive sort-based reference ------------------
+
+  test("topNPerWindow (bounded heap) equals the naive sort reference on random data") {
+    // few keys + coarse hour grid → dense count ties, the hard case
+    val events = sample(Gen.listOfN(500, eventGen), seed = 67L)
+      .distinctBy(_.event_id)
+    val got = EventOps.topNPerWindow(events.toDF(), "1 hour", $"user_id", 3)
+      .select($"stt", $"item", $"ct", $"rnk")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+    val want = events
+      .groupBy(e => fmt.format(java.time.Instant
+        .ofEpochMilli(e.ts.getTime / 3600000L * 3600000L)))
+      .flatMap { case (stt, es) =>
+        es.groupBy(_.user_id).view.mapValues(_.size.toLong).toSeq
+          .sortBy { case (item, ct) => (-ct, item) }
+          .take(3).zipWithIndex
+          .map { case ((item, ct), i) => (stt, item, ct, (i + 1).toLong) }
+      }.toSet
+    assert(got === want)
+  }
+
+  // -- 6. DeltaStore == an in-memory map under random op sequences ---------
+
+  test("DeltaStore replays a random upsert/delete/compact history like a Map") {
+    import graft.streaming.DeltaStore
+    val path = java.nio.file.Files.createTempDirectory("graft_prop_delta_").toString
+    case class Op(epoch: Long, ups: Seq[(Long, String, Long)], dels: Seq[Long],
+      compactAfter: Boolean)
+    val opGen = for {
+      nUp <- Gen.choose(0, 6)
+      ups <- Gen.listOfN(nUp, for {
+        k <- Gen.choose(0L, 15L); v <- Gen.alphaStr.map(_.take(4))
+      } yield (k, v, 0L))
+      nDel <- Gen.choose(0, 2)
+      dels <- Gen.listOfN(nDel, Gen.choose(0L, 15L))
+      c <- Gen.prob(0.3)
+    } yield Op(0L, ups, dels, c)
+    val ops = sample(Gen.listOfN(12, opGen), seed = 71L)
+      .zipWithIndex.map { case (op, i) =>
+        // unique ts per epoch so within-epoch last-writer is well-defined
+        op.copy(epoch = i.toLong,
+          ups = op.ups.zipWithIndex.map { case ((k, v, _), j) => (k, v, j.toLong) }
+            .groupBy(_._1).values.map(_.maxBy(_._3)).toSeq)
+      }
+    val model = scala.collection.mutable.Map.empty[Long, (String, Long)]
+    ops.foreach { op =>
+      val delSet = op.dels.toSet -- op.ups.map(_._1) // in-epoch upsert wins
+      DeltaStore.append(op.ups.toDF("k", "v", "ts"), Seq("k"), "ts", path,
+        op.epoch, deleteKeys = Some(op.dels.toDF("k")))
+      op.ups.foreach { case (k, v, ts) => model(k) = (v, ts) }
+      delSet.foreach(model.remove)
+      if (op.compactAfter && model.nonEmpty)
+        DeltaStore.compact(spark, path, Seq("k"), "ts", nBuckets = 4)
+      val got = DeltaStore.read(spark, path, Seq("k"), "ts")
+        .select($"k", $"v", $"ts").as[(Long, String, Long)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got === model.toMap, s"after epoch ${op.epoch} (compact=${op.compactAfter})")
+    }
+  }
 }
