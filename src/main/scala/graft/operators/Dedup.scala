@@ -155,8 +155,8 @@ object Dedup {
     *
     * At 100 TB this exact form is the *verifier* behind minhash candidates
     * ([[jaccardVerify]]); standalone it is still O(pairs-sharing-a-shingle),
-    * far below O(n²) on natural text. Very frequent shingles should be
-    * stop-listed at scale (TODO knob: maxDocFreq).
+    * far below O(n²) on natural text. Very frequent shingles are
+    * stop-listed at scale by [[ngramJaccardPairsCapped]] (maxDocFreq cap).
     */
   def ngramJaccardPairs(
       docs: DataFrame,
