@@ -77,7 +77,51 @@ object GraftExtensions {
         RegExpReplace(
           RegExpReplace(x(0), Literal(TextProfile.EmailRe), Literal("<EMAIL>")),
           Literal(TextProfile.Ipv4Re), Literal("<IP>")) }),
+    // the HLL sketch primitives from pure SQL: bucket/rho per value →
+    // group into registers with max(rho) per bucket, union slices with
+    // graft_hll_merge — the mergeable-digest contract of
+    // Sketches.hllSketch without Scala. Built as direct catalyst trees
+    // (a Column built inside a function builder stays an unevaluable
+    // ColumnNodeExpression); ExtensionsSpec pins them register-for-
+    // register against Sketches.hllObs/hllSketch.
+    ("graft_hll_bucket", info("graft_hll_bucket",
+      "graft_hll_bucket(value) - HLL register index (0-63) of a string value"),
+      (a: Seq[Expression]) => { val x = arity("graft_hll_bucket", 1)(a)
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, ShiftRight}
+        import org.apache.spark.sql.types.IntegerType
+        Cast(ShiftRight(hllHash(x(0)), Literal(60 - graft.operators.Sketches.HllP)),
+          IntegerType) }),
+    ("graft_hll_rho", info("graft_hll_rho",
+      "graft_hll_rho(value) - HLL rank (leading-zero count + 1) of a string value"),
+      (a: Seq[Expression]) => { val x = arity("graft_hll_rho", 1)(a)
+        import org.apache.spark.sql.catalyst.expressions.{Bin, BitwiseAnd, Cast,
+          EqualTo, If, Length, Literal, Subtract}
+        import org.apache.spark.sql.types.IntegerType
+        val lowBits = 60 - graft.operators.Sketches.HllP
+        val rhoMax = lowBits + 1
+        val low = BitwiseAnd(hllHash(x(0)), Literal((1L << lowBits) - 1))
+        Cast(If(EqualTo(low, Literal(0L)),
+          Literal(rhoMax), Subtract(Literal(rhoMax), Length(Bin(low)))),
+          IntegerType) }),
+    ("graft_hll_merge", info("graft_hll_merge",
+      "graft_hll_merge(a, b) - element-wise max of two HLL register arrays"),
+      (a: Seq[Expression]) => { val x = arity("graft_hll_merge", 2)(a)
+        import org.apache.spark.sql.catalyst.expressions.{Greatest, LambdaFunction,
+          UnresolvedNamedLambdaVariable, ZipWith}
+        val l = UnresolvedNamedLambdaVariable(Seq("l"))
+        val r = UnresolvedNamedLambdaVariable(Seq("r"))
+        ZipWith(x(0), x(1), LambdaFunction(Greatest(Seq(l, r)), Seq(l, r))) }),
   )
+
+  /** 60-bit md5-prefix hash as a catalyst tree — the expression twin of
+    * [[graft.operators.Dedup.md5Long]] (conv(substr(md5(v),1,15),16,10)),
+    * spec-pinned against it. */
+  private def hllHash(v: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Literal, Md5, Substring}
+    import org.apache.spark.sql.types.{LongType, StringType}
+    Cast(Conv(Substring(Md5(Cast(v, StringType)), Literal(1), Literal(15)),
+      Literal(16), Literal(10)), LongType)
+  }
 
   private def intLit(fn: String, e: Expression): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v

@@ -53,6 +53,37 @@ class ExtensionsSpec extends SparkTestBase {
     assert(red === "mail <EMAIL> ip <IP> end")
   }
 
+  test("HLL sketch from pure SQL equals Sketches.hllSketch register for register") {
+    GraftExtensions.registerAll(spark)
+    val df = (0 until 2000).map(i => ("g", s"v${i % 331}")).toDF("g", "v")
+    df.createOrReplaceTempView("hll_in")
+    // obs → per-bucket max(rho) → fill absent buckets with 0, via SQL only
+    val sqlRegs = spark.sql(
+      """WITH o AS (SELECT g, graft_hll_bucket(v) AS bucket,
+        |                  graft_hll_rho(v) AS rho FROM hll_in),
+        |r AS (SELECT g, bucket, max(rho) AS mx
+        |      FROM o GROUP BY g, bucket),
+        |full AS (SELECT g, b.bucket FROM (SELECT DISTINCT g FROM r)
+        |         CROSS JOIN (SELECT explode(sequence(0, 63)) AS bucket) b)
+        |SELECT full.g,
+        |  array_sort(collect_list(struct(full.bucket, coalesce(r.mx, 0) AS mx)))
+        |    AS pairs
+        |FROM full LEFT JOIN r ON full.g = r.g AND full.bucket = r.bucket
+        |GROUP BY full.g""".stripMargin)
+      .select($"g", org.apache.spark.sql.functions.transform(
+        $"pairs", p => p.getField("mx")).as("regs"))
+      .as[(String, Seq[Int])].head()
+    val apiRegs = graft.operators.Sketches
+      .hllSketch(df, Seq($"g"), $"v")
+      .as[(String, Seq[Int])].head()
+    assert(sqlRegs === apiRegs)
+    // merge: SQL element-wise max equals merging the API sketch with itself
+    val merged = spark.sql(
+      "SELECT graft_hll_merge(array(1, 5, 0), array(3, 2, 0)) AS m")
+      .as[Seq[Int]].head()
+    assert(merged === Seq(3, 5, 0))
+  }
+
   test("tokenizeGen generator matches the UDF tokenizer on the documents table") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     import org.apache.spark.sql.functions._
