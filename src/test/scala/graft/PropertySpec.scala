@@ -168,6 +168,31 @@ class PropertySpec extends SparkTestBase {
     assert(got === want)
   }
 
+  // -- 5b. asOfJoin == naive per-row scan, incl. duplicate (key, ts) -------
+
+  test("asOfJoin equals the naive reference on random data with ts collisions") {
+    val rowGen = for {
+      key <- Gen.choose(1L, 8L)
+      ts <- Gen.choose(0L, 40L) // dense grid → frequent (key, ts) duplicates
+      v <- Gen.choose(0L, 999L)
+    } yield (key, ts, v)
+    val left = sample(Gen.listOfN(120, rowGen), seed = 83L).map(r => (r._1, r._2))
+    val right = sample(Gen.listOfN(120, rowGen), seed = 89L)
+    val got = graft.operators.Relational.asOfJoin(
+        left.toDF("key", "ts"), right.toDF("key", "ts", "v"), "key", "ts", Seq("v"))
+      .select($"key", $"ts", $"v").as[(Long, Long, Option[Long])]
+      .collect().toSeq.sorted
+    // naive: latest right at-or-before; ties on ts resolve to the GREATEST
+    // payload (the operator's documented deterministic tiebreak)
+    val want = left.map { case (k, lts) =>
+      val candidates = right.filter(r => r._1 == k && r._2 <= lts)
+      val v = if (candidates.isEmpty) None
+        else Some(candidates.maxBy(r => (r._2, r._3))._3)
+      (k, lts, v)
+    }.sorted
+    assert(got === want)
+  }
+
   // -- 6. DeltaStore == an in-memory map under random op sequences ---------
 
   test("DeltaStore replays a random upsert/delete/compact history like a Map") {
