@@ -122,10 +122,16 @@ object DeltaStore {
   private def readBase(spark: SparkSession, path: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$path/base")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p))
+    if (!fs.exists(p)) None
+    else try
       Some(spark.read.parquet(p.toString).drop("_bucket")
         .withColumn("_epoch", lit(-1L)).withColumn(OpCol, lit("u")))
-    else None
+    catch {
+      // a base emptied of every bucket has no readable parquet — treat as
+      // absent (the documented emptied-store edge) instead of surfacing a
+      // schema-inference error
+      case _: org.apache.spark.sql.AnalysisException => None
+    }
   }
 
   private def readDeltas(spark: SparkSession, path: String): Option[DataFrame] = {

@@ -118,7 +118,10 @@ object Sinks {
         fs.delete(oldRoot, true) // remaining set-asides were completed swaps
       }
       if (!fs.exists(dst)) {
-        compacted.write.partitionBy("_bucket").mode("overwrite").parquet(path)
+        // nothing to create from a tombstone-only batch: an empty
+        // partitioned write would leave a dir with no readable parquet
+        if (!compacted.isEmpty)
+          compacted.write.partitionBy("_bucket").mode("overwrite").parquet(path)
         return
       }
       val touchedDf = tombstones match {

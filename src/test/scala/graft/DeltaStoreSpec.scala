@@ -69,6 +69,19 @@ class DeltaStoreSpec extends SparkTestBase {
     assert(snapshot(path) === Map(3L -> (("c1", 12L))))
   }
 
+  test("tombstone-only history compacts to an absent store, not a corrupt one") {
+    val path = tmp()
+    DeltaStore.append(df(), keys, "ts", path, 0L, deleteKeys = Some(Seq(1L, 2L).toDF("k")))
+    assert(DeltaStore.read(spark, path, keys, "ts").count() === 0) // deltas only
+    DeltaStore.compact(spark, path, keys, "ts", nBuckets = 4)
+    // nothing live -> base never materializes; read now reports never-written
+    intercept[java.io.IOException] { DeltaStore.read(spark, path, keys, "ts") }
+    // and the store recovers cleanly when real data arrives later
+    DeltaStore.append(df((1L, "a1", 10L)), keys, "ts", path, 1L)
+    DeltaStore.compact(spark, path, keys, "ts", nBuckets = 4)
+    assert(snapshot(path) === Map(1L -> (("a1", 10L))))
+  }
+
   test("compaction recovers from a crash mid-bucket-swap and replays deltas idempotently") {
     val path = tmp()
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
