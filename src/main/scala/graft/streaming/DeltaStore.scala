@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Log-structured incremental MERGE store — the production-cadence upsert
   * story [[Sinks.upsertByKeyPartitioned]] alone doesn't give: that sink
@@ -118,6 +119,21 @@ object DeltaStore {
         }
     }
   }
+
+  /** [[append]] as a streaming sink: one delta epoch per micro-batch,
+    * keyed by the batch's epochId — a replayed batch after restart
+    * rewrites its own epoch dir, so the store is exactly-once per epoch
+    * under the checkpoint (the upsert-Kafka producer contract at
+    * production cadence; run [[compact]] on whatever schedule read
+    * amplification warrants). */
+  def sink(df: DataFrame, keyCols: Seq[String], orderCol: String,
+      path: String, checkpoint: String): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        append(batch, keyCols, orderCol, path, epochId)
+      }
+      .start()
 
   private def readBase(spark: SparkSession, path: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$path/base")

@@ -82,6 +82,31 @@ class DeltaStoreSpec extends SparkTestBase {
     assert(snapshot(path) === Map(1L -> (("a1", 10L))))
   }
 
+  test("sink: streaming changelog lands one epoch per micro-batch, exactly-once across restarts") {
+    val base = Files.createTempDirectory("graft_delta_sink_").toString
+    val (src, store, ckpt) = (s"$base/src", s"$base/store", s"$base/ckpt")
+    import org.apache.spark.sql.types._
+    val schema = new StructType().add("k", LongType).add("v", StringType).add("ts", LongType)
+    df((1L, "a1", 10L), (2L, "b1", 10L)).write.json(src)
+    def runOnce(): Unit = {
+      val q = DeltaStore.sink(
+        spark.readStream.schema(schema).json(src), keys, "ts", store, ckpt)
+      q.processAllAvailable(); q.stop()
+    }
+    runOnce()
+    assert(snapshot(store) === Map(1L -> (("a1", 10L)), 2L -> (("b1", 10L))))
+    // restart, unchanged input: committed epochs must not replay as new ones
+    runOnce()
+    assert(snapshot(store) === Map(1L -> (("a1", 10L)), 2L -> (("b1", 10L))))
+    // new changelog rows after restart land as a later epoch and win
+    df((1L, "a2", 11L)).write.mode("append").json(src)
+    runOnce()
+    assert(snapshot(store) === Map(1L -> (("a2", 11L)), 2L -> (("b1", 10L))))
+    // the merged view survives compaction of the streamed epochs
+    DeltaStore.compact(spark, store, keys, "ts", nBuckets = 4)
+    assert(snapshot(store) === Map(1L -> (("a2", 11L)), 2L -> (("b1", 10L))))
+  }
+
   test("compaction recovers from a crash mid-bucket-swap and replays deltas idempotently") {
     val path = tmp()
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
