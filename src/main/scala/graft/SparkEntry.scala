@@ -1016,6 +1016,17 @@ object SparkEntry {
       } finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }),
 
+    // Mixture interleave (Corpus.mixtureInterleave): the training-order
+    // schedule after sampling — per-stratum rank / weight as the merged
+    // position key (weight-3 'en' appears 3× as densely as weight-1
+    // strata). Range-sort by the key, never a global row_number.
+    "q88_mixture_interleave" -> ((s, d) =>
+      graft.operators.Corpus.mixtureInterleave(
+          Tables.documents(s, d), col("lang"), col("doc_id"),
+          Map("en" -> 3.0, "zh" -> 2.0))
+        .select(col("doc_id"), col("lang"), col("mix_pos"))
+        .orderBy(col("mix_pos"), col("lang"), col("doc_id"))),
+
     // q80's TopN as a STREAMING pipeline: per-window counts from a real
     // watermark-flushed micro-batch window agg, then the bounded-heap
     // ranking over the finalized counts — the DWS "hot items" chain the
@@ -2140,6 +2151,15 @@ object SparkEntry {
          |SELECT doc_id, n_shingles, CAST(n_contaminated AS BIGINT) AS n_contaminated,
          | round(CAST(n_contaminated AS DOUBLE) / n_shingles, 6) AS contam_frac
          |FROM j ORDER BY doc_id""".stripMargin,
+
+    "q88_mixture_interleave" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rnk
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  round(CAST(rnk AS DOUBLE) / CASE lang WHEN 'en' THEN 3.0e0
+        |    WHEN 'zh' THEN 2.0e0 ELSE 1.0e0 END, 6) AS mix_pos
+        |FROM r ORDER BY mix_pos, lang, doc_id""".stripMargin,
 
     // q77 at shingleN=5 — identical shape, longer n-gram
     "q86_contamination_n5" ->

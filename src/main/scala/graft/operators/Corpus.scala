@@ -40,7 +40,12 @@ object Corpus {
     * (`bin = ⌊(cumsum − tokens) / capacity⌋`). The window is PER STRATUM
     * (language, source, shard), so packing parallelizes across strata
     * instead of one global sort — at 100 TB the stratum column is the
-    * shard key and each shard packs independently. */
+    * shard key and each shard packs independently.
+    *
+    * BOUND: each stratum's cumulative sum is one task (the price of
+    * contiguity). Size strata so one stratum's rows fit a task — at
+    * corpus scale that means sub-shard ids (`source/part-N`) as the
+    * stratum, not whole sources. */
   def packSequences(
       docs: DataFrame,
       capacity: Int,
@@ -54,5 +59,34 @@ object Corpus {
       .withColumn("bin", floor((col("_cum") - col("_tok")) / lit(capacity.toDouble)))
       .drop("_cum")
       .withColumnRenamed("_tok", "n_tokens")
+  }
+
+  /** Mixture interleave — the training-ORDER schedule that follows the
+    * mixture-weights sample: per stratum in id order, a doc's schedule
+    * position is `rank / weight`, so a weight-3 stream appears three
+    * times as densely as a weight-1 stream in the merged order (the
+    * standard temperature/weight interleave of multi-source training
+    * runs). Deterministic — a pure function of (id order, weights).
+    *
+    * Emits the position KEY, not a global index: consumers sort by
+    * (mix_pos, stratum, id), a range-partitioned sort — never a
+    * single-task global row_number. Per-stratum ranking parallelizes
+    * across strata; the packSequences stratum-size bound applies. */
+  def mixtureInterleave(
+      docs: DataFrame,
+      stratumCol: Column,
+      idCol: Column,
+      weights: Map[String, Double],
+      defaultWeight: Double = 1.0): DataFrame = {
+    require(weights.values.forall(_ > 0) && defaultWeight > 0,
+      "mixture weights must be positive")
+    val w = Window.partitionBy(stratumCol).orderBy(idCol)
+    val weight = weights.foldLeft(lit(defaultWeight)) {
+      case (acc, (s, wt)) => when(stratumCol === s, lit(wt)).otherwise(acc)
+    }
+    docs
+      .withColumn("_rank", row_number().over(w))
+      .withColumn("mix_pos", round(col("_rank").cast("double") / weight, 6))
+      .drop("_rank")
   }
 }
