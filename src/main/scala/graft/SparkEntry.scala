@@ -192,6 +192,19 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // int8-quantized ANN: quantize the store (4× memory cut), dequantize
+    // to float, same brute-force top-k — the oracle replicates the
+    // quantize/dequantize float ops verbatim, so ranks are hash-exact.
+    // Recall vs the float q24 is a SimilaritySpec assertion.
+    "q89_ann_quantized" -> ((s, d) => {
+      val qd = Similarity.quantizeInt8(Tables.embeddings(s, d))
+      val deq = qd.select(col("vec_id"),
+        Similarity.dequantizeF(col("q_vec"), col("q_scale")).as("embedding"))
+      Similarity.bruteForceTopK(deq, deq.where(col("vec_id") % 50 === 0), 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // IVF ANN scale path, oracle-gated: iterations=0 keeps the
     // deterministic lowest-id seed centroids (pure nearest-seed
     // partitioning) so DuckDB replicates assignment + probing bit-for-bit;
@@ -1590,6 +1603,30 @@ object SparkEntry {
 
     "q24_ann_topk" ->
       s"""WITH v AS (SELECT vec_id, embedding AS e, $nrmSql AS nrm FROM embeddings),
+         |scored AS (SELECT va.vec_id AS query_id, vb.vec_id AS neighbor_id,
+         |  $dotSql / (va.nrm * vb.nrm) AS score
+         | FROM (SELECT * FROM v WHERE vec_id % 50 = 0) va
+         | JOIN v vb ON va.vec_id <> vb.vec_id),
+         |ranked AS (SELECT query_id, neighbor_id, score,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS "rank"
+         | FROM scored)
+         |SELECT query_id, neighbor_id, round(score, 6) AS score, "rank" FROM ranked
+         |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin,
+
+    // q24 on the int8-quantized-then-dequantized store: max-abs scale
+    // (nonneg max ≡ Spark's 0.0-seeded fold), half-away-from-zero round,
+    // double→float4 reconstruction — then the identical exact top-k.
+    "q89_ann_quantized" ->
+      s"""WITH qs AS (SELECT vec_id, embedding,
+         |  list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+         |    (p, q) -> greatest(p, q)) AS scale FROM embeddings),
+         |dq AS (SELECT vec_id,
+         |  CASE WHEN scale = 0 THEN list_transform(embedding, x -> CAST(0 AS REAL))
+         |  ELSE list_transform(embedding, x -> CAST(
+         |    CAST(CAST(round(CAST(x AS DOUBLE) / scale * 127.0e0) AS INTEGER) AS DOUBLE)
+         |      * scale / 127.0e0 AS REAL)) END AS e
+         |  FROM qs),
+         |v AS (SELECT vec_id, e, $nrmSql AS nrm FROM dq),
          |scored AS (SELECT va.vec_id AS query_id, vb.vec_id AS neighbor_id,
          |  $dotSql / (va.nrm * vb.nrm) AS score
          | FROM (SELECT * FROM v WHERE vec_id % 50 = 0) va

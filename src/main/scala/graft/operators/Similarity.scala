@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
@@ -133,6 +133,34 @@ object Similarity {
       .agg(max(col("score")).as("score")) // dedup multi-probe collisions
     topKPerQuery(scored, k)
   }
+
+  /** Symmetric int8 quantization of embedding vectors — the standard 4×
+    * memory cut for corpus-scale embedding stores: per-vector
+    * scale = max |xᵢ| (so the largest component maps to ±127 exactly, no
+    * clamp needed), qᵢ = round(xᵢ/scale·127). Deterministic — a pure
+    * function of the vector, identical in any engine (round is
+    * half-away-from-zero in both Spark and DuckDB), so the quantized
+    * store itself is oracle-checkable. Zero vectors quantize to zeros
+    * with scale 0.
+    *
+    * Adds `q_scale` (double) and `q_vec` (array<int>, int8-ranged —
+    * tinyint at rest in parquet) beside the original column; drop the
+    * float column for the 4× saving. */
+  def quantizeInt8(df: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol)
+    val withScale = df.withColumn("q_scale",
+      aggregate(v, lit(0.0d), (acc, x) => greatest(acc, abs(x.cast("double")))))
+    withScale.withColumn("q_vec",
+      when(col("q_scale") === 0.0d, transform(v, _ => lit(0)))
+        .otherwise(transform(v,
+          x => round(x.cast("double") / col("q_scale") * lit(127.0d)).cast("int"))))
+  }
+
+  /** Reconstruct an `array<float>` from an int8-quantized vector —
+    * deqᵢ = qᵢ·scale/127 (double math, one float rounding at the end),
+    * ready for the same codegen'd dot/norm path as raw embeddings. */
+  def dequantizeF(qVec: Column, scale: Column): Column =
+    transform(qVec, x => (x.cast("double") * scale / lit(127.0d)).cast("float"))
 
   /** Trained k-means centroids as (cell, ce, cn2): deterministic lowest-id
     * seeding, `iterations` Lloyd rounds of DataFrame-only math (see

@@ -48,6 +48,32 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.map(_._2).toSeq === expect)
   }
 
+  test("int8 quantization round-trips within 1/254 per component and keeps ANN recall high") {
+    val df = corpus.toDF("vec_id", "embedding")
+    val qd = Similarity.quantizeInt8(df)
+    // quantization error bound: |x - deq| <= scale/254 (half a step)
+    val bad = qd.select(col("vec_id"), col("embedding"), col("q_scale"),
+        Similarity.dequantizeF(col("q_vec"), col("q_scale")).as("deq"))
+      .as[(Long, Array[Float], Double, Array[Float])].collect()
+      .flatMap { case (id, orig, scale, deq) =>
+        orig.zip(deq).collect {
+          case (o, r) if math.abs(o.toDouble - r.toDouble) > scale / 254.0 + 1e-6 =>
+            (id, o, r)
+        }
+      }
+    assert(bad.isEmpty, s"components outside the quantization error bound: ${bad.take(3).toSeq}")
+    // top-k over the dequantized store recovers nearly all float-exact ranks
+    val deq = qd.select(col("vec_id"),
+      Similarity.dequantizeF(col("q_vec"), col("q_scale")).as("embedding"))
+    val queries = df.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(df, queries, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val quant = Similarity.bruteForceTopK(deq, deq.where(col("vec_id") < 10), 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.9, s"int8 ANN recall $recall")
+  }
+
   test("lshTopK achieves useful recall against brute force") {
     val df = corpus.toDF("vec_id", "embedding")
     val queries = df.where(col("vec_id") < 10)
