@@ -205,6 +205,17 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Product-quantization ADC ANN: 8 subspaces × 16 codes (32×
+    // compression of the scored store); codebook/assignment/LUT/ADC sum
+    // all replicated verbatim by the oracle (explicit pivoted addition,
+    // never an order-free float sum). Recall vs float is spec-asserted.
+    "q90_ann_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqTopK(emb, emb.where(col("vec_id") % 50 === 0), 10, 64)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // IVF ANN scale path, oracle-gated: iterations=0 keeps the
     // deterministic lowest-id seed centroids (pure nearest-seed
     // partitioning) so DuckDB replicates assignment + probing bit-for-bit;
@@ -1610,6 +1621,40 @@ object SparkEntry {
          |ranked AS (SELECT query_id, neighbor_id, score,
          |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS "rank"
          | FROM scored)
+         |SELECT query_id, neighbor_id, round(score, 6) AS score, "rank" FROM ranked
+         |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin,
+
+    // PQ-ADC replication: lowest-16-id seed codebooks per 8-dim subspace,
+    // argmin assignment (ties by code), per-query LUT dots, and the ADC
+    // score as the same explicit left-to-right 8-term addition.
+    "q90_ann_pq" ->
+      s"""WITH seeds AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16),
+         |cb AS (SELECT s.range AS sub, seeds.vec_id AS code,
+         |    array_slice(embedding, s.range*8+1, s.range*8+8) AS ce
+         |  FROM seeds CROSS JOIN range(8) s),
+         |cbn AS (SELECT sub, code, ce,
+         |    list_reduce(list_transform(range(8), i -> CAST(ce[i+1] AS DOUBLE)*CAST(ce[i+1] AS DOUBLE)), (p,q) -> p+q) AS cn2
+         |  FROM cb),
+         |ev AS (SELECT vec_id, s.range AS sub,
+         |    array_slice(embedding, s.range*8+1, s.range*8+8) AS xs
+         |  FROM embeddings CROSS JOIN range(8) s),
+         |dd AS (SELECT ev.vec_id, ev.sub, cbn.code,
+         |    cbn.cn2 - 2 * list_reduce(list_transform(range(8), i -> CAST(ev.xs[i+1] AS DOUBLE)*CAST(cbn.ce[i+1] AS DOUBLE)), (p,q) -> p+q) AS dist
+         |  FROM ev JOIN cbn ON ev.sub = cbn.sub),
+         |codes AS (SELECT vec_id, sub, code FROM (
+         |  SELECT vec_id, sub, code, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn FROM dd) WHERE rn = 1),
+         |lut AS (SELECT q.vec_id AS query_id, q.sub, cbn.code,
+         |    list_reduce(list_transform(range(8), i -> CAST(q.xs[i+1] AS DOUBLE)*CAST(cbn.ce[i+1] AS DOUBLE)), (p,q) -> p+q) AS tdot
+         |  FROM (SELECT * FROM ev WHERE vec_id % 50 = 0) q JOIN cbn ON q.sub = cbn.sub),
+         |pairs AS (SELECT l.query_id, c.vec_id AS neighbor_id,
+         |    ${(0 until 8).map(s => s"max(CASE WHEN c.sub = $s THEN l.tdot END) AS t$s").mkString(", ")}
+         |  FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+         |  WHERE l.query_id <> c.vec_id GROUP BY 1, 2),
+         |ranked AS (SELECT query_id, neighbor_id,
+         |    ${(0 until 8).map(s => s"t$s").reduceLeft((a, b) => s"($a + $b)")} AS score,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY
+         |      ${(0 until 8).map(s => s"t$s").reduceLeft((a, b) => s"($a + $b)")} DESC, neighbor_id) AS "rank"
+         |  FROM pairs)
          |SELECT query_id, neighbor_id, round(score, 6) AS score, "rank" FROM ranked
          |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin,
 

@@ -134,6 +134,63 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Product-quantization ANN with asymmetric-distance (ADC) scoring —
+    * the memory-bound regime's workhorse (Jégou, Douze, Schmid: "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): the vector
+    * splits into `m` subspaces, each quantized against a per-subspace
+    * `nCodes`-entry codebook, so a dim-64 float32 vector compresses to
+    * m bytes (32× here). Queries never decompress the corpus: per query,
+    * ONE dot-product lookup table per (subspace, code) — m·nCodes
+    * entries — and each corpus vector scores as the sum of m table hits.
+    *
+    * Codebooks use the deterministic lowest-id seeding of [[ivfTopK]]
+    * (iterations = 0), so the full chain — codebook, assignment, LUT,
+    * ADC sum — is replicated verbatim by the DuckDB oracle; the ADC sum
+    * is a PIVOTED explicit left-to-right addition (never a float `sum()`
+    * whose order the engine picks), keeping scores bit-exact.
+    *
+    * Scale: encode is corpus × (m·nCodes) narrow math with a (id, sub)
+    * combine; scoring broadcasts the per-query LUT and aggregates the
+    * bounded [[TopKAggregator]] — codes shuffle, vectors never do.
+    */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      dim: Int,
+      m: Int = 8,
+      nCodes: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val subLen = dim / m
+    def subs(df: DataFrame, idAs: String): DataFrame =
+      df.select(col(idCol).as(idAs), posexplode(
+          array((0 until m).map(s => slice(col(vecCol), s * subLen + 1, subLen)): _*))
+        .as(Seq("sub", "xs")))
+    val cb = subs(corpus.orderBy(col(idCol)).limit(nCodes), "code")
+      .select(col("sub"), col("code"), col("xs").as("ce"))
+      .withColumn("cn2", dot(col("ce"), col("ce")))
+    val codes = subs(corpus, "id")
+      .join(broadcast(cb), Seq("sub"))
+      .withColumn("dist", col("cn2") - lit(2.0) * dot(col("xs"), col("ce")))
+      .groupBy(col("id"), col("sub"))
+      .agg(min_by(col("code"), struct(col("dist"), col("code"))).as("code"))
+    val lut = subs(queries, "query_id")
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        dot(col("xs"), col("ce")).as("tdot"))
+    val terms = (0 until m).map(s =>
+      max(when(col("sub") === s, col("tdot"))).as(s"_t$s"))
+    val scored = codes.join(broadcast(lut), Seq("sub", "code"))
+      .where(col("query_id") =!= col("id"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(terms.head, terms.tail: _*)
+      .withColumn("score", (0 until m).map(s => col(s"_t$s")).reduceLeft(_ + _))
+      .select(col("query_id"), col("id").as("neighbor_id"), col("score"))
+    topKPerQuery(scored, k)
+  }
+
   /** Symmetric int8 quantization of embedding vectors — the standard 4×
     * memory cut for corpus-scale embedding stores: per-vector
     * scale = max |xᵢ| (so the largest component maps to ±127 exactly, no

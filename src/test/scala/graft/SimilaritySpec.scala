@@ -74,6 +74,20 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.9, s"int8 ANN recall $recall")
   }
 
+  test("pqTopK (ADC) achieves useful recall against brute force") {
+    val df = corpus.toDF("vec_id", "embedding")
+    val queries = df.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(df, queries, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(df, queries, 10, dim, m = 4, nCodes = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    info(s"pq recall@10 = $recall")
+    // 4 bytes/vector on a gaussian corpus is maximally lossy for PQ;
+    // still far above the ~0.05 random-overlap baseline for 200 vectors
+    assert(recall >= 0.2, s"pq ANN recall $recall")
+  }
+
   test("lshTopK achieves useful recall against brute force") {
     val df = corpus.toDF("vec_id", "embedding")
     val queries = df.where(col("vec_id") < 10)
