@@ -158,19 +158,36 @@ object Sketches {
       return df.groupBy(groupCol.as(groupName)).agg(estCols.head, estCols.tail: _*)
     }
 
-    val bin = least(
+    val counted = df
+      .groupBy(groupCol.as(groupName), binOf(value, lo, hi, bins).as("bin"))
+      .agg(count(lit(1)).as("c"))
+    quantilesFromBinCounts(counted, groupName, lo, hi, bins, ps)
+  }
+
+  /** The bin index of a value for the global [lo, hi] edges — shared by
+    * the one-pass batch path and the streaming register twin. */
+  def binOf(value: Column, lo: Double, hi: Double, bins: Int): Column =
+    least(
       floor((value.cast("double") - lit(lo)) / (lit(hi) - lit(lo)) * lit(bins.toDouble)),
       lit((bins - 1).toLong)).cast("long")
 
-    val counted = df
-      .groupBy(groupCol.as(groupName), bin.as("bin"))
-      .agg(count(lit(1)).as("c"))
+  /** Interpolated quantiles from per-(group, bin) counts — the digest
+    * half of [[histogramQuantiles]], usable on counts accumulated
+    * anywhere (batch agg, streaming state registers): identical float
+    * ops, so the same oracle applies. */
+  def quantilesFromBinCounts(
+      counted: DataFrame,
+      groupName: String,
+      lo: Double,
+      hi: Double,
+      bins: Int,
+      ps: Seq[Double]): DataFrame = {
     val grp = Window.partitionBy(col(groupName))
     val cum = counted
       .withColumn("cum", sum(col("c")).over(grp.orderBy(col("bin"))))
       .withColumn("n", sum(col("c")).over(grp))
 
-    val pDf = df.sparkSession.createDataFrame(ps.map(Tuple1(_))).toDF("p")
+    val pDf = counted.sparkSession.createDataFrame(ps.map(Tuple1(_))).toDF("p")
     val pos = col("p") * col("n").cast("double")
     val before = (col("cum") - col("c")).cast("double")
     val est = lit(lo) + (lit(hi) - lit(lo)) / lit(bins.toDouble) *

@@ -63,4 +63,43 @@ object SketchStream {
     rows.groupByKey(_.g)
       .transformWithState(new HllSketchProcessor, TimeMode.None(), OutputMode.Append())
   }
+
+  /** One pre-binned histogram observation (see
+    * [[graft.operators.Sketches.binOf]] — edges are fixed up front, the
+    * streaming state only ever ADDS counts). */
+  case class BinRow(g: String, bin: Int)
+
+  /** Per-group fixed-width histogram registers: counts add across
+    * micro-batches (the mergeable property [[graft.operators.Sketches
+    * .histogramQuantiles]] exploits within one batch), snapshot emitted
+    * per batch like [[HllSketchProcessor]]. */
+  class HistSketchProcessor(bins: Int)
+      extends StatefulProcessor[String, BinRow, (String, Long, Array[Long])] {
+    @transient private var counts: ValueState[Array[Long]] = _
+    @transient private var upd: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counts = getHandle.getValueState[Array[Long]](
+        "counts", ExpressionEncoder[Array[Long]](), TTLConfig.NONE)
+      upd = getHandle.getValueState[Long]("upd", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: String, rows: Iterator[BinRow],
+        timerValues: TimerValues): Iterator[(String, Long, Array[Long])] = {
+      val c = if (counts.exists()) counts.get() else new Array[Long](bins)
+      rows.foreach(o => c(o.bin) += 1L)
+      counts.update(c)
+      val n = if (upd.exists()) upd.get() + 1L else 1L
+      upd.update(n)
+      Iterator.single((key, n, c.clone()))
+    }
+  }
+
+  /** (g, bin) stream → running (g, update_seq, counts) histograms. */
+  def histSketchStream(rows: Dataset[BinRow], bins: Int): Dataset[(String, Long, Array[Long])] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.g)
+      .transformWithState(new HistSketchProcessor(bins), TimeMode.None(), OutputMode.Append())
+  }
 }
