@@ -21,19 +21,28 @@ import graft.core.Envelopes
 object Sources {
 
   /** S1/S2 — one Kafka topic as a streaming DataFrame with a single
-    * string `value` column (the shape every Envelopes parser takes). */
+    * string `value` column (the shape every Envelopes parser takes).
+    * `extra` passes through any further source option — most relevantly
+    * `maxOffsetsPerTrigger` (per-batch backpressure bound: size it so
+    * batchRows/partitions fits executor memory at the deployed SF; the
+    * reference relies on Flink's credit-based backpressure for the same
+    * job). */
   def kafkaValues(
       spark: SparkSession,
       bootstrap: String,
       topic: String,
       groupId: String,
-      startingOffsets: String = "earliest"): DataFrame =
-    spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .option("kafka.group.id", groupId)
-      .option("startingOffsets", startingOffsets)
-      .option("failOnDataLoss", "false")
+      startingOffsets: String = "earliest",
+      extra: Map[String, String] = Map.empty): DataFrame =
+    extra.foldLeft(
+        spark.readStream.format("kafka")
+          .option("kafka.bootstrap.servers", bootstrap)
+          .option("subscribe", topic)
+          .option("kafka.group.id", groupId)
+          .option("startingOffsets", startingOffsets)
+          .option("failOnDataLoss", "false")) {
+        case (r, (k, v)) => r.option(k, v)
+      }
       .load()
       .select(col("value").cast("string").as("value"))
 
