@@ -34,6 +34,14 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Aggregate"), "expected partial/final heap aggregate pair")
   }
 
+  test("PQ ANN broadcasts codebook+LUT, no cartesian product, no ranking window") {
+    val emb = Tables.embeddings(spark, sf)
+    val p = plan(Similarity.pqTopK(emb, emb.where(col("vec_id") % 50 === 0), 10, 64))
+    assert(!p.contains("CartesianProduct"), "ADC scoring must ride equi-joins:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), "codebook/LUT sides must broadcast")
+    assert(!p.contains("Window"), "ranking must use the bounded heap, not row_number")
+  }
+
   test("trade order pre-process broadcasts dic and the small join sides") {
     val p = plan(GmallPipelines.tradeOrderPreProcess(
       TopicDb(spark, sf), TopicDb.baseDic(spark)))

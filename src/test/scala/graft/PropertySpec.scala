@@ -48,6 +48,21 @@ class PropertySpec extends SparkTestBase {
     assert(dirty.where(col("_raw").isNull).count() === 0L)
   }
 
+  test("parseLog never throws and partitions every input into clean+dirty") {
+    val junk = Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.alphaNumStr.map(s => s"{$s"),
+      Gen.const("""{"common":{"mid":"m1"},"page":{"page_id":"home"},"ts":5}"""),
+      Gen.const("""{"common":"not-a-struct","ts":5}"""),   // schema clash
+      Gen.const("""{"displays":{"not":"an array"},"ts":5}"""),
+      Gen.const(""),
+      Gen.listOfN(6, Gen.choose(0x20.toChar, 0x2FFF.toChar)).map(_.mkString))
+    val inputs = sample(Gen.listOfN(300, junk), seed = 13L)
+    val (clean, dirty) = Envelopes.cleanDirty(Envelopes.parseLog(inputs.toDF("value")))
+    assert(clean.count() + dirty.count() === inputs.length.toLong)
+    assert(dirty.where(col("_raw").isNull).count() === 0L)
+  }
+
   // -- 2. daily dedup: one row per (user, day); idempotent under replay ----
 
   private val eventGen: Gen[StatefulOps.Event] = for {
