@@ -46,9 +46,17 @@ object Bench {
     System.err.println(f"[bench] warmup(shared tables) $warmup%8.2f s")
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] FATAL: $name failed: $e")
+      val rows =
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] FATAL: $name failed: $e")
+          spark.stop()
+          sys.exit(1)
+        }
+      // every gate produces rows at every SF — an empty result is a broken
+      // query that must not bench as a fast success
+      if (rows == 0L) {
+        System.err.println(s"[bench] FATAL: $name returned 0 rows")
         spark.stop()
         sys.exit(1)
       }
