@@ -575,6 +575,18 @@ object SparkEntry {
         .orderBy(col("payment_type_name"), col("source_type_name"))
     }),
 
+    // DwdTradeOrderDetail (DwdTradeOrderDetail.java:91-92): order detail
+    // facts = inserts from the session-cached pre-process wide table.
+    "q92_dwd_order_detail" -> ((s, d) =>
+      GmallPipelines.tradeOrderDetail(
+          GmallPipelines.tradeOrderPreProcessCached(s, d))
+        .groupBy(col("source_type_name"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("split_total_amount").cast("decimal(18,2)")).cast("double").as("sum_amount"),
+          count(col("activity_id")).as("n_act"),
+          count(col("coupon_id")).as("n_cpn"))
+        .orderBy(col("source_type_name"))),
+
     // DwdTradeCancelDetail (DwdTradeCancelDetail.java:65-92): cancelled
     // orders filtered from the session-cached pre-process wide table.
     "q42_dwd_cancel" -> ((s, d) => {
@@ -1846,6 +1858,23 @@ object SparkEntry {
         |LEFT JOIN act a ON d.l_orderkey = a.l_orderkey AND d.l_linenumber = a.l_linenumber
         |LEFT JOIN cpn c ON d.l_orderkey = c.l_orderkey AND d.l_linenumber = c.l_linenumber
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q39's insert branch only (o_orderstatus = 'O'), grouped by source
+    "q92_dwd_order_detail" ->
+      """WITH det AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  CAST(l_extendedprice AS DECIMAL(18,2)) AS amt,
+        |  concat('240', l_linenumber % 2 + 1) AS source_type FROM lineitem),
+        |act AS (SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_linenumber % 3 = 0),
+        |cpn AS (SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_partkey % 4 = 0)
+        |SELECT CASE WHEN d.source_type = '2401' THEN 'promo' ELSE 'search' END AS source_type_name,
+        | count(*) AS n_rows,
+        | CAST(sum(d.amt) AS DOUBLE) AS sum_amount,
+        | count(a.l_orderkey) AS n_act,
+        | count(c.l_orderkey) AS n_cpn
+        |FROM det d JOIN orders o ON d.l_orderkey = o.o_orderkey AND o.o_orderstatus = 'O'
+        |LEFT JOIN act a ON d.l_orderkey = a.l_orderkey AND d.l_linenumber = a.l_linenumber
+        |LEFT JOIN cpn c ON d.l_orderkey = c.l_orderkey AND d.l_linenumber = c.l_linenumber
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q33_stream_join" ->
       """SELECT a.event_id AS view_id, b.event_id AS buy_id

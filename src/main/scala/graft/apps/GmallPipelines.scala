@@ -135,6 +135,12 @@ object GmallPipelines {
       tradeOrderPreProcess(TopicDb(spark, sfDir), TopicDb.baseDic(spark))
     }
 
+  /** DwdTradeOrderDetail (DwdTradeOrderDetail.java:91-92,122): order
+    * DETAIL facts — the pre-process wide table filtered to inserts (the
+    * reference consumes the dwd_order_pre topic with `type='insert'`). */
+  def tradeOrderDetail(orderPre: DataFrame): DataFrame =
+    orderPre.where(col("op_type") === "insert")
+
   /** DwdTradeCancelDetail (P5, DwdTradeCancelDetail.java:65-92): cancelled
     * order DETAIL rows — the reference filters the PRE-PROCESS wide table
     * (`from dwd_order_pre where type='update' and old['order_status'] is
