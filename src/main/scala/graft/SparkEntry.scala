@@ -1081,6 +1081,14 @@ object SparkEntry {
       } finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }),
 
+    // Funnel conversion (EventOps.funnel): view → click → purchase with a
+    // 7-day per-step horizon — ordered min-time chaining per user, one
+    // keyed join per step, no sequence sort.
+    "q93_funnel" -> ((s, d) =>
+      EventOps.funnel(Tables.events(s, d), Seq("view", "click", "purchase"),
+          horizonSec = Some(7L * 86400L))
+        .orderBy(col("step_idx"))),
+
     // Mixture interleave (Corpus.mixtureInterleave): the training-order
     // schedule after sampling — per-stratum rank / weight as the merged
     // position key (weight-3 'en' appears 3× as densely as weight-1
@@ -2291,6 +2299,25 @@ object SparkEntry {
          |SELECT doc_id, n_shingles, CAST(n_contaminated AS BIGINT) AS n_contaminated,
          | round(CAST(n_contaminated AS DOUBLE) / n_shingles, 6) AS contam_frac
          |FROM j ORDER BY doc_id""".stripMargin,
+
+    // step-by-step min-time chaining: strictly-after µs compare + 7-day
+    // horizon, counts per step
+    "q93_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > epoch_us(s1.t)
+        |    AND epoch_us(e.ts) - epoch_us(s1.t) <= 604800000000 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > epoch_us(s2.t)
+        |    AND epoch_us(e.ts) - epoch_us(s2.t) <= 604800000000 GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+        |  (SELECT count(*) FROM s1) AS n_users
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'click', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', (SELECT count(*) FROM s3)
+        |ORDER BY step_idx""".stripMargin,
 
     "q88_mixture_interleave" ->
       """WITH r AS (SELECT doc_id, lang,

@@ -181,6 +181,45 @@ object EventOps {
         (col("pos") + 1).cast("long").as("rnk"))
   }
 
+  /** Funnel (conversion) analysis — the classic warehouse sequence query
+    * one layer above this reference's DWS windows: for ordered steps
+    * s1..sn, a user converts to step i when their earliest step-i event
+    * is STRICTLY after their step-(i−1) conversion time, and within
+    * `horizonSec` of it when given. Emits (step_idx, step, n_users).
+    *
+    * Scale: one filtered min-aggregate + equi-join per step, all keyed
+    * on the user column — no windows, no per-user sequence sort, state
+    * one timestamp per (user, step). µs arithmetic keeps the horizon
+    * exact (same rationale as [[jumpDetect]]).
+    */
+  def funnel(
+      events: DataFrame,
+      steps: Seq[String],
+      horizonSec: Option[Long] = None,
+      typeCol: String = "event_type",
+      keyCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val us = (c: Column) => unix_micros(c.cast("timestamp"))
+    val first = events.where(col(typeCol) === steps.head)
+      .groupBy(col(keyCol)).agg(min(col(tsCol)).as("_t"))
+    val converted = steps.tail.scanLeft(first) { (prev, step) =>
+      val within = horizonSec match {
+        case Some(h) => us(col(tsCol)) - us(col("_prev")) <= h * 1000000L
+        case None    => lit(true)
+      }
+      events.where(col(typeCol) === step)
+        .join(prev.withColumnRenamed("_t", "_prev"), Seq(keyCol))
+        .where(us(col(tsCol)) > us(col("_prev")) && within)
+        .groupBy(col(keyCol)).agg(min(col(tsCol)).as("_t"))
+    }
+    converted.zipWithIndex.map { case (df, i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).cast("long").as("step_idx"),
+          lit(steps(i)).as("step"), col("n_users"))
+    }.reduce(_ unionByName _)
+  }
+
   /** A1/A2/A3 + W1/W6 — tumbling event-time window aggregation with the
     * window bounds emitted as formatted strings (stt/edt), exactly the DWS
     * output shape. Keys optional (A3 = global window). Spark's window agg is

@@ -61,6 +61,27 @@ class EventOpsSpec extends SparkTestBase {
     assert(got.collect().toSeq == want.collect().toSeq)
   }
 
+  test("funnel: order is mandatory, strictly-after, horizon cuts, steps monotone") {
+    def e(id: Long, u: Long, tp: String, t: String) =
+      (id, ts(t), u, tp, 0.0, "{}")
+    val events = Seq(
+      // u1 converts fully: view 10:00 -> click 10:05 -> purchase 10:06
+      e(1, 1, "view", "10:00"), e(2, 1, "click", "10:05"), e(3, 1, "purchase", "10:06"),
+      // u2 clicks BEFORE viewing -> stops at view
+      e(4, 2, "click", "10:00"), e(5, 2, "view", "10:05"),
+      // u3: click exactly AT the view instant -> strictly-after fails
+      e(6, 3, "view", "10:10"), e(7, 3, "click", "10:10"),
+      // u4: click beyond the horizon -> stops at view
+      e(8, 4, "view", "10:00"), e(9, 4, "click", "11:30"),
+      // u5 never views -> counted nowhere
+      e(10, 5, "click", "10:00"), e(11, 5, "purchase", "10:01")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.funnel(events, Seq("view", "click", "purchase"),
+        horizonSec = Some(3600L))
+      .orderBy("step_idx").as[(Long, String, Long)].collect().toSeq
+    assert(out === Seq((1L, "view", 4L), (2L, "click", 1L), (3L, "purchase", 1L)))
+  }
+
   test("int keys round-trip as int, windows smaller than n emit all keys") {
     val iev = events.withColumn("user_id", col("user_id").cast("int"))
     val got = EventOps.topNPerWindow(iev, "1 hour", col("user_id"), 3)
