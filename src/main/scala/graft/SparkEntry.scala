@@ -1228,6 +1228,21 @@ object SparkEntry {
           .orderBy(col("l_returnflag"))
       } finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }),
+
+    // q43's refund pipeline on the SHUFFLE lookup-join strategy
+    // (Relational.lookupJoin): the J4 plan for a dim PAST the broadcast
+    // threshold — both dic enrichments hash-partition the dim instead of
+    // broadcasting it (PlanSpec pins "no BroadcastExchange" for the dic
+    // joins even at autoBroadcastJoinThreshold defaults). Shares q43's
+    // oracle verbatim: the strategy must not change a single row.
+    "q94_lookup_join_shuffle" -> ((s, d) =>
+      GmallPipelines.tradeOrderRefund(TopicDb(s, d), TopicDb.baseDic(s),
+          GmallPipelines.shuffleDim)
+        .groupBy(col("refund_type_name"), col("refund_reason_type_name"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("refund_amount").cast("decimal(18,2)")).cast("double").as("sum_amount"),
+          sum(col("refund_num").cast("int")).cast("long").as("sum_num"))
+        .orderBy(col("refund_type_name"), col("refund_reason_type_name"))),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -1969,16 +1984,11 @@ object SparkEntry {
          |LEFT JOIN cpn c ON d.k=c.k AND d.n=c.n
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "q43_dwd_order_refund" ->
-      """SELECT CASE WHEN l_linenumber%2=0 THEN 'refund_full' ELSE 'refund_part' END AS refund_type_name,
-        | CASE WHEN l_partkey%2=0 THEN 'reason_quality' ELSE 'reason_other' END AS refund_reason_type_name,
-        | count(*) AS n_rows,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_amount,
-        | CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS sum_num
-        |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
-        | AND o_orderstatus<>'O' AND o_orderkey%5=2
-        |WHERE l_returnflag='R'
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q43_dwd_order_refund" -> orderRefundOracle,
+
+    // the shuffle lookup-join twin computes the identical relation — one
+    // shared oracle so the two J4 strategies can never silently diverge
+    "q94_lookup_join_shuffle" -> orderRefundOracle,
 
     "q44_dwd_refund_pay_suc" ->
       """WITH rp AS (SELECT l_orderkey AS k, l_partkey AS p,
@@ -2404,6 +2414,19 @@ object SparkEntry {
     "q82_hist_quantile" -> histQuantileOracle,
     "q91_hist_quantile_stream" -> histQuantileOracle,
   )
+
+  // refund pipeline relation shared by q43 (broadcast J4) and q94
+  // (shuffle lookup-join J4)
+  private lazy val orderRefundOracle: String =
+    """SELECT CASE WHEN l_linenumber%2=0 THEN 'refund_full' ELSE 'refund_part' END AS refund_type_name,
+      | CASE WHEN l_partkey%2=0 THEN 'reason_quality' ELSE 'reason_other' END AS refund_reason_type_name,
+      | count(*) AS n_rows,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_amount,
+      | CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS sum_num
+      |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+      | AND o_orderstatus<>'O' AND o_orderkey%5=2
+      |WHERE l_returnflag='R'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   private lazy val histQuantileOracle: String =
     """WITH lohi AS (SELECT CAST(min(value) AS DOUBLE) AS lo,

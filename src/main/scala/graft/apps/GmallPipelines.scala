@@ -164,10 +164,25 @@ object GmallPipelines {
       .drop("dic_code")
   }
 
+  /** J4 dim-enrichment strategy: (fact, dimProjection, joinCond, joinType)
+    * → joined. [[broadcastDim]] is the default everywhere (base_dic is the
+    * reference's 10-row cacheable dict, utils/MysqlUtil.java:22-23);
+    * [[shuffleDim]] is the scale path for a dim past the broadcast
+    * threshold ([[graft.operators.Relational.lookupJoin]]). */
+  type DimJoin = (DataFrame, DataFrame, Column, String) => DataFrame
+  val broadcastDim: DimJoin = (fact, dim, cond, how) =>
+    fact.join(broadcast(dim), cond, how)
+  val shuffleDim: DimJoin = (fact, dim, cond, how) =>
+    graft.operators.Relational.lookupJoin(fact, dim, cond, how)
+
   /** DwdTradeOrderRefund (P5+J4, DwdTradeOrderRefund.java:53-114): refund
     * requests — order_refund_info inserts ⋈ order_info refund updates
-    * (1005, old not null) ⋈ base_dic twice (refund_type + reason_type). */
-  def tradeOrderRefund(db: DataFrame, baseDic: DataFrame): DataFrame = {
+    * (1005, old not null) ⋈ base_dic twice (refund_type + reason_type).
+    * `dicJoin` selects the J4 strategy — broadcast (default) or the
+    * shuffle lookup join for a non-broadcastable dim. */
+  def tradeOrderRefund(
+      db: DataFrame, baseDic: DataFrame,
+      dicJoin: DimJoin = broadcastDim): DataFrame = {
     val refundInfo = db.where(tbl("order_refund_info", "insert"))
       .select(d("id").as("id"), d("user_id").as("user_id"),
         d("order_id").as("order_id"), d("sku_id").as("sku_id"),
@@ -180,13 +195,13 @@ object GmallPipelines {
     val oiRefund = db.where(tbl("order_info", "update") &&
         d("order_status") === "1005" && o("order_status").isNotNull)
       .select(d("id").as("order_id"), d("province_id").as("province_id"))
-    refundInfo.join(oiRefund, Seq("order_id"))
-      .join(broadcast(baseDic.select(col("dic_code"),
-        col("dic_name").as("refund_type_name"))),
-        col("refund_type") === col("dic_code")).drop("dic_code")
-      .join(broadcast(baseDic.select(col("dic_code"),
-        col("dic_name").as("refund_reason_type_name"))),
-        col("refund_reason_type") === col("dic_code")).drop("dic_code")
+    val joined = refundInfo.join(oiRefund, Seq("order_id"))
+    val withType = dicJoin(joined,
+      baseDic.select(col("dic_code"), col("dic_name").as("refund_type_name")),
+      col("refund_type") === col("dic_code"), "inner").drop("dic_code")
+    dicJoin(withType,
+      baseDic.select(col("dic_code"), col("dic_name").as("refund_reason_type_name")),
+      col("refund_reason_type") === col("dic_code"), "inner").drop("dic_code")
       .drop("rit") // internal event-time column
   }
 

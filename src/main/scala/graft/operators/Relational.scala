@@ -204,6 +204,35 @@ object Relational {
       .drop("_asof")
   }
 
+  /** J4 lookup join for a dimension PAST the broadcast threshold — the
+    * shuffle-based strategy SURVEY §4.3 flags as the open stretch item:
+    * the reference's JDBC lookup cache holds the whole dim per task
+    * (utils/MysqlUtil.java:4-29 — fine for base_dic's handful of rows,
+    * impossible for a 10^9-row dim), so past the broadcast threshold the
+    * only scale-correct plan is to hash-partition BOTH sides on the key
+    * and hash-join per partition.
+    *
+    * The SHUFFLE_HASH hint pins that strategy at planning time: join
+    * strategy hints take precedence over the size-based broadcast pick
+    * in Catalyst's JoinSelection, and survive AQE replanning, so the
+    * plan is broadcast-free regardless of `autoBroadcastJoinThreshold`
+    * (PlanSpec tripwires this).
+    *
+    * Scale: one exchange of each side on the join key; the dim builds
+    * its hash map per PARTITION (ShuffledHashJoin, build = dim side), so
+    * task memory is dim_rows/shuffle_partitions, not dim_rows. Repeated
+    * lookups against an identical dim projection reuse the dim exchange
+    * (ReuseExchange). For streaming, call inside `foreachBatch` with a
+    * [[graft.streaming.DimCache]]-refreshed dim: each micro-batch
+    * shuffles only its own rows against the cached dim snapshot.
+    */
+  def lookupJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      cond: Column,
+      joinType: String = "inner"): DataFrame =
+    fact.join(dim.hint("shuffle_hash"), cond, joinType)
+
   /** RANGE (interval-containment) join, binned — the second operator the
     * brief names that Spark lacks natively: pair each point with every
     * interval containing it. A naive inequality join plans as a nested

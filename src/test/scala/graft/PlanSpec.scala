@@ -100,6 +100,27 @@ class PlanSpec extends SparkTestBase {
       "range predicate must ride an equi-join on the bin key:\n" + p)
   }
 
+  test("shuffle lookup join never broadcasts the dim, even under the default threshold") {
+    // the dic side is tiny at test SF — exactly when the size-based planner
+    // WOULD broadcast — so a broadcast-free plan here proves the hint pins
+    // the strategy, not the data size
+    val p = plan(GmallPipelines.tradeOrderRefund(
+      TopicDb(spark, sf), TopicDb.baseDic(spark), GmallPipelines.shuffleDim))
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      "dic lookups must hash-partition both sides:\n" + p)
+    val dicJoinLines = p.linesIterator.filter(l =>
+      l.contains("ShuffledHashJoin") || l.contains("SortMergeJoin")).toSeq
+    assert(dicJoinLines.size >= 2, "both dic joins must take the shuffle path:\n" + p)
+    // the minimal single-lookup plan must carry NO broadcast at all
+    val single = plan(Relational.lookupJoin(
+      Tables.orders(spark, sf), Tables.nation(spark, sf),
+      col("o_custkey") % 25 === col("n_nationkey"), "left"))
+    assert(!single.contains("BroadcastExchange"),
+      "lookupJoin must stay broadcast-free past the threshold:\n" + single)
+    assert(single.contains("ShuffledHashJoin"),
+      "hint must pin the shuffled hash strategy:\n" + single)
+  }
+
   test("as-of join is one keyed window over a union — no join operator at all") {
     val o = Tables.orders(spark, sf)
     val left = o.select(col("o_orderkey").as("k"), col("o_custkey").as("cust"))
