@@ -1243,6 +1243,36 @@ object SparkEntry {
           sum(col("refund_amount").cast("decimal(18,2)")).cast("double").as("sum_amount"),
           sum(col("refund_num").cast("int")).cast("long").as("sum_num"))
         .orderBy(col("refund_type_name"), col("refund_reason_type_name"))),
+
+    // q93's funnel as a STREAMING pipeline (StatefulOps.FunnelProcessor):
+    // per-user pruned candidate-list state recomputes the min-time
+    // conversion chain across two disordered micro-batches (later days
+    // arrive FIRST — the chain is not monotone under disorder, so this
+    // feed breaks any one-scalar-per-step shortcut). Latest per-user
+    // snapshot wins; counting max_step ≥ i reproduces the batch counts.
+    // Shares q93's oracle verbatim.
+    "q95_funnel_stream" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .where(col("event_type").isin("view", "click", "purchase"))
+        .as[StatefulOps.Event].collect().toSeq
+      val (b1, b2) = disorderedDayBatches(ev)
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val latest =
+        try {
+          val snaps = StreamHarness.run(s, Seq(b1, b2))(ds =>
+            StatefulOps.funnelStream(ds, Seq("view", "click", "purchase"),
+              horizonSec = Some(7L * 86400L)).toDF())
+          snaps.groupBy(col("_1").as("user_id"))
+            .agg(max_by(col("_3"), col("_2")).as("max_step"))
+        } finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      Seq("view", "click", "purchase").zipWithIndex.map { case (step, i) =>
+        latest.agg(count(when(col("max_step") >= i + 1, 1)).as("n_users"))
+          .select(lit(i + 1).cast("long").as("step_idx"),
+            lit(step).as("step"), col("n_users"))
+      }.reduce(_ unionByName _).orderBy(col("step_idx"))
+    }),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -2310,24 +2340,11 @@ object SparkEntry {
          | round(CAST(n_contaminated AS DOUBLE) / n_shingles, 6) AS contam_frac
          |FROM j ORDER BY doc_id""".stripMargin,
 
-    // step-by-step min-time chaining: strictly-after µs compare + 7-day
-    // horizon, counts per step
-    "q93_funnel" ->
-      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
-        |  WHERE event_type = 'view' GROUP BY 1),
-        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
-        |  JOIN s1 ON e.user_id = s1.user_id
-        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > epoch_us(s1.t)
-        |    AND epoch_us(e.ts) - epoch_us(s1.t) <= 604800000000 GROUP BY 1),
-        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
-        |  JOIN s2 ON e.user_id = s2.user_id
-        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > epoch_us(s2.t)
-        |    AND epoch_us(e.ts) - epoch_us(s2.t) <= 604800000000 GROUP BY 1)
-        |SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
-        |  (SELECT count(*) FROM s1) AS n_users
-        |UNION ALL SELECT CAST(2 AS BIGINT), 'click', (SELECT count(*) FROM s2)
-        |UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', (SELECT count(*) FROM s3)
-        |ORDER BY step_idx""".stripMargin,
+    "q93_funnel" -> funnelOracle,
+
+    // the streaming funnel twin converges to the identical per-step
+    // counts — one shared oracle, like the other batch/stream pairs
+    "q95_funnel_stream" -> funnelOracle,
 
     "q88_mixture_interleave" ->
       """WITH r AS (SELECT doc_id, lang,
@@ -2414,6 +2431,25 @@ object SparkEntry {
     "q82_hist_quantile" -> histQuantileOracle,
     "q91_hist_quantile_stream" -> histQuantileOracle,
   )
+
+  // step-by-step min-time chaining: strictly-after µs compare + 7-day
+  // horizon, counts per step — shared by q93 (batch) and q95 (streaming)
+  private lazy val funnelOracle: String =
+    """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      |  JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > epoch_us(s1.t)
+      |    AND epoch_us(e.ts) - epoch_us(s1.t) <= 604800000000 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      |  JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > epoch_us(s2.t)
+      |    AND epoch_us(e.ts) - epoch_us(s2.t) <= 604800000000 GROUP BY 1)
+      |SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+      |  (SELECT count(*) FROM s1) AS n_users
+      |UNION ALL SELECT CAST(2 AS BIGINT), 'click', (SELECT count(*) FROM s2)
+      |UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', (SELECT count(*) FROM s3)
+      |ORDER BY step_idx""".stripMargin
 
   // refund pipeline relation shared by q43 (broadcast J4) and q94
   // (shuffle lookup-join J4)

@@ -222,6 +222,93 @@ object StatefulOps {
         })
   }
 
+  /** Per-user funnel state: `ver` makes snapshots totally ordered per key
+    * (latest wins downstream); `perStep(i)` is the pruned, sorted candidate
+    * µs-timestamp list for step i (step 0 stores only its min). */
+  case class FunnelState(ver: Long, perStep: Seq[Seq[Long]])
+
+  /** Streaming funnel twin of [[graft.operators.EventOps.funnel]]: per
+    * user, recompute the ordered min-time conversion chain on every
+    * micro-batch and emit a (user, ver, max_step) snapshot — downstream
+    * takes the latest snapshot per user and counts users with
+    * max_step ≥ i, which equals the batch per-step user counts.
+    *
+    * Out-of-order correctness is the hard part: a late, EARLIER step-1
+    * event moves t₁ down, which can both admit previously-unqualified
+    * step-2 events and evict a former t₂ that now violates the horizon —
+    * the chain is not monotone under disorder. So step i ≥ 2 keeps a
+    * candidate SET, pruned by the one bound that is monotone: tᵢ₋₁ only
+    * ever decreases, hence the horizon ceiling tᵢ₋₁+h only tightens, and
+    * a candidate above it is dead forever. Step 0 needs only its min.
+    * State is NOT one scalar per step (that shape silently drops late
+    * events); in production the candidate lists are additionally bounded
+    * by the stream's retention TTL, exactly like the reference's keyed
+    * state (X4).
+    */
+  class FunnelProcessor(nSteps: Int, horizonUs: Long)
+      extends StatefulProcessor[Long, (Long, Int, Long), (Long, Long, Int)] {
+    @transient private var st: ValueState[FunnelState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[FunnelState](
+        "funnel", Encoders.product[FunnelState], TTLConfig.NONE)
+
+    private def ceil(prev: Long): Long =
+      if (horizonUs > Long.MaxValue - prev) Long.MaxValue else prev + horizonUs
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[(Long, Int, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long, Int)] = {
+      val cur =
+        if (st.exists()) st.get()
+        else FunnelState(0L, Seq.fill(nSteps)(Seq.empty[Long]))
+      val incoming = rows.toSeq.groupBy(_._2)
+      val merged = cur.perStep.zipWithIndex.map { case (have, i) =>
+        incoming.get(i) match {
+          case Some(evs) => (have ++ evs.map(_._3)).distinct.sorted
+          case None      => have
+        }
+      }
+      // conversion chain: t₀ = min step-0 ts; tᵢ = first step-i candidate
+      // strictly after tᵢ₋₁ and within the horizon (sorted ⇒ `find` is min)
+      val conv = new Array[Option[Long]](nSteps)
+      conv(0) = merged.head.headOption
+      (1 until nSteps).foreach { i =>
+        conv(i) = conv(i - 1).flatMap(p =>
+          merged(i).find(ts => ts > p && ts <= ceil(p)))
+      }
+      val maxStep = conv.takeWhile(_.isDefined).length
+      val pruned = merged.zipWithIndex.map { case (lst, i) =>
+        if (i == 0) lst.take(1) // only the min can ever matter
+        else conv(i - 1) match {
+          case Some(p) => lst.filter(_ <= ceil(p)) // ceiling only tightens
+          case None    => lst
+        }
+      }
+      val ver = cur.ver + 1
+      st.update(FunnelState(ver, pruned))
+      Iterator.single((key, ver, maxStep))
+    }
+  }
+
+  /** [[FunnelProcessor]] wired through transformWithState: events are
+    * projected to (user, step_idx, µs) rows — non-step events never reach
+    * the state store. Output rows are per-key snapshots; keep the max-ver
+    * row per user and count `max_step >= i` per step to get the funnel. */
+  def funnelStream(
+      events: Dataset[Event],
+      steps: Seq[String],
+      horizonSec: Option[Long] = None): Dataset[(Long, Long, Int)] = {
+    import events.sparkSession.implicits._
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val idx = steps.zipWithIndex.toMap
+    val horizonUs = horizonSec.map(_ * 1000000L).getOrElse(Long.MaxValue)
+    events.flatMap(e => idx.get(e.event_type).map(i => (e.user_id, i, micros(e.ts))))
+      .groupByKey(_._1)
+      .transformWithState(new FunnelProcessor(steps.size, horizonUs),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** W8 — streaming jump (bounce) detection, the reference's CEP pattern
     * (app/dwd/DwdTrafficUserJumpDetail.java:48-82): an ENTRY event is a
     * bounce if the next event from the same user is another entry, or if

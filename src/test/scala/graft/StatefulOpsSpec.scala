@@ -75,6 +75,34 @@ class StatefulOpsSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming funnel survives a late earlier step-1 event that rewrites the chain") {
+    // u1 batch 1: view@100, click@105, purchase@106 → chain complete (3).
+    // u1 batch 2: LATE view@10 → t₁ drops to 10; click@105 now violates the
+    //   20 s horizon, but click@25 (also late) re-qualifies; purchase@106 is
+    //   > 25+20 → chain truncates to 2. A one-scalar-per-step state would
+    //   keep the stale 3.
+    // u2: clicks only → never converts step 1 (max_step 0).
+    val b1 = Seq(ev(1, 1, 100), ev(2, 1, 105, "click"), ev(3, 1, 106, "purchase"),
+      ev(10, 2, 50, "click"))
+    val b2 = Seq(ev(4, 1, 10), ev(5, 1, 25, "click"))
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val latest =
+      try {
+        val snaps = StreamHarness.run(spark, Seq(b1, b2))(ds =>
+          StatefulOps.funnelStream(ds, Seq("view", "click", "purchase"),
+            horizonSec = Some(20L)).toDF())
+        snaps.groupBy(col("_1")).agg(max_by(col("_3"), col("_2")).as("m"))
+          .as[(Long, Int)].collect().toMap
+      } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    assert(latest === Map(1L -> 2, 2L -> 0))
+    // batch form on the union agrees: u1 converts view+click only
+    val counts = EventOps.funnel((b1 ++ b2).toDF(), Seq("view", "click", "purchase"),
+      horizonSec = Some(20L))
+      .select("step_idx", "n_users").as[(Long, Long)].collect().toMap
+    assert(counts === Map(1L -> 1L, 2L -> 1L, 3L -> 0L))
+  }
+
   test("batch jumpDetect horizon boundary is exclusive (> horizon, not >=)") {
     val evs = Seq(ev(1, 1, 0), ev(2, 1, 30, "click"), // exactly 30 s later → within
       ev(3, 2, 0), ev(4, 2, 31, "click"))             // 31 s → silence → bounce
