@@ -461,6 +461,7 @@ object SparkEntry {
         .groupBy(col("op_type"), col("source_type_name"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("split_total_amount").cast("decimal(18,2)")).cast("double").as("sum_amount"),
+          sum(col("total_amount").cast("decimal(18,2)")).cast("double").as("sum_oi_amount"),
           count(col("activity_id")).as("n_act"),
           count(col("coupon_id")).as("n_cpn"))
         .orderBy(col("op_type"), col("source_type_name"))),
@@ -547,14 +548,22 @@ object SparkEntry {
         .orderBy(col("user_id"))),
 
     // DwdTradeCartAdd end-to-end over the shared topic_db cart_info stream
-    // (insert + quantity-delta update + delete filtering, P4/P5). The
-    // envelope scheme lives in graft.core.TopicDb (same as the old per-query
-    // synthesis, verbatim).
+    // (insert + quantity-delta update + delete filtering, P4/P5 + the J4
+    // dic join). The aggregation touches every column of the full
+    // 14-column reference projection (DwdTradeCartAdd.java:58-76) so the
+    // oracle gates the whole select-list, not a slice.
     "q36_dwd_cart" -> ((s, d) =>
-      GmallPipelines.tradeCartAdd(TopicDb(s, d))
+      GmallPipelines.tradeCartAdd(TopicDb(s, d), TopicDb.baseDic(s))
+        .groupBy(col("source_type_name"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("sku_num").cast("int")).as("sum_num"),
-          sum(col("cart_price").cast("decimal(18,2)")).cast("double").as("sum_price"))),
+          sum(col("cart_price").cast("decimal(18,2)")).cast("double").as("sum_price"),
+          sum(col("is_checked").cast("int")).as("sum_checked"),
+          sum(col("is_ordered").cast("int")).as("sum_ordered"),
+          count(col("order_time")).as("n_order_time"),
+          max(col("operate_time")).as("max_operate_time"),
+          countDistinct(col("source_id")).as("n_sources"))
+        .orderBy(col("source_type_name"))),
 
     // ------- the remaining reference DWD apps, all over the ONE shared ----
     // ------- persisted topic_db parse (graft.core.TopicDb)            ----
@@ -658,7 +667,8 @@ object SparkEntry {
         .groupBy(col("appraise_name"))
         .agg(count(lit(1)).as("n_rows"),
           countDistinct(col("user_id")).as("n_users"),
-          countDistinct(col("order_id")).as("n_orders"))
+          countDistinct(col("order_id")).as("n_orders"),
+          max(col("date_id")).as("max_date"))
         .orderBy(col("appraise_name"))),
 
     // DwdUserRegister (DwdUserRegister.java:54-55).
@@ -762,7 +772,7 @@ object SparkEntry {
     // together; the A4 state is arrival-order per user, as in q28).
     "q63_dws_cart_uu" -> ((s, d) => {
       import s.implicits._
-      val ev = GmallPipelines.tradeCartAdd(TopicDb(s, d))
+      val ev = GmallPipelines.tradeCartAdd(TopicDb(s, d), TopicDb.baseDic(s))
         .select(col("ts").as("k"),
           split(col("id"), "-").getItem(1).cast("long").as("n"),
           col("user_id").cast("long").as("u"))
@@ -1888,12 +1898,19 @@ object SparkEntry {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q36_dwd_cart" ->
-      """SELECT count(*) AS n_rows,
+      """SELECT CASE WHEN l_linenumber % 2 = 0 THEN 'promo' ELSE 'search' END AS source_type_name,
+        | count(*) AS n_rows,
         | CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS INT)
         |          ELSE (l_linenumber % 4) - 1 END) AS BIGINT) AS sum_num,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | CAST(sum(l_partkey % 2) AS BIGINT) AS sum_checked,
+        | CAST(sum(l_orderkey % 2) AS BIGINT) AS sum_ordered,
+        | count(CASE WHEN l_orderkey % 2 = 1 THEN 1 END) AS n_order_time,
+        | max(strftime(l_shipdate, '%Y-%m-%d') || ' 09:00:00') AS max_operate_time,
+        | count(DISTINCT l_suppkey) AS n_sources
         |FROM lineitem
-        |WHERE l_returnflag = 'N' OR (l_returnflag = 'A' AND (l_linenumber % 4) IN (2, 3))""".stripMargin,
+        |WHERE l_returnflag = 'N' OR (l_returnflag = 'A' AND (l_linenumber % 4) IN (2, 3))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q39_dwd_order_pre" ->
       """WITH det AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
@@ -1905,6 +1922,7 @@ object SparkEntry {
         | CASE WHEN d.source_type = '2401' THEN 'promo' ELSE 'search' END AS source_type_name,
         | count(*) AS n_rows,
         | CAST(sum(d.amt) AS DOUBLE) AS sum_amount,
+        | CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_oi_amount,
         | count(a.l_orderkey) AS n_act,
         | count(c.l_orderkey) AS n_cpn
         |FROM det d JOIN orders o ON d.l_orderkey = o.o_orderkey
@@ -2059,7 +2077,8 @@ object SparkEntry {
     "q49_dwd_comment" ->
       """SELECT CASE l_partkey%3 WHEN 0 THEN 'good' WHEN 1 THEN 'mid' ELSE 'bad' END AS appraise_name,
         | count(*) AS n_rows, count(DISTINCT l_suppkey) AS n_users,
-        | count(DISTINCT l_orderkey) AS n_orders
+        | count(DISTINCT l_orderkey) AS n_orders,
+        | max(strftime(l_shipdate, '%Y-%m-%d')) AS max_date
         |FROM lineitem WHERE l_linenumber=1 AND l_partkey%2=0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 

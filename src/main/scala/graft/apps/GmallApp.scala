@@ -93,7 +93,7 @@ object GmallApp {
         try {
           val d = dic.get()
           Seq(
-            "cart_add" -> GmallPipelines.tradeCartAdd(batch),
+            "cart_add" -> GmallPipelines.tradeCartAdd(batch, d),
             "coupon_get" -> GmallPipelines.couponGet(batch),
             "coupon_order" -> GmallPipelines.couponOrder(batch),
             "coupon_pay" -> GmallPipelines.couponPay(batch),

@@ -20,6 +20,17 @@ import graft.functions.Tokenizer
   */
 object GmallPipelines {
 
+  /** J4 dim-enrichment strategy: (fact, dimProjection, joinCond, joinType)
+    * → joined. [[broadcastDim]] is the default everywhere (base_dic is the
+    * reference's 10-row cacheable dict, utils/MysqlUtil.java:22-23);
+    * [[shuffleDim]] is the scale path for a dim past the broadcast
+    * threshold ([[graft.operators.Relational.lookupJoin]]). */
+  type DimJoin = (DataFrame, DataFrame, Column, String) => DataFrame
+  val broadcastDim: DimJoin = (fact, dim, cond, how) =>
+    fact.join(broadcast(dim), cond, how)
+  val shuffleDim: DimJoin = (fact, dim, cond, how) =>
+    graft.operators.Relational.lookupJoin(fact, dim, cond, how)
+
   private def d(k: String): Column = element_at(col("data"), k)
   private def o(k: String): Column = element_at(col("old"), k)
   private def tbl(t: String, typ: String*): Column = {
@@ -59,10 +70,14 @@ object GmallPipelines {
 
   // ------------------------------------------------------ trade (db) ------
 
-  /** DwdTradeCartAdd (P4/P5, app/dwd/DwdTradeCartAdd.java:25-49): cart
-    * inserts plus quantity-increasing updates; sku_num = delta for updates. */
-  def tradeCartAdd(db: DataFrame): DataFrame =
-    db.where(tbl("cart_info") && (col("type") === "insert" ||
+  /** DwdTradeCartAdd (P4/P5+J4, app/dwd/DwdTradeCartAdd.java:25-76): cart
+    * inserts plus quantity-increasing updates; sku_num = delta for updates.
+    * Full reference projection (is_checked/operate_time/is_ordered/
+    * order_time/source_* included) + the base_dic lookup for
+    * source_type_name — the reference's inner FOR SYSTEM_TIME join. */
+  def tradeCartAdd(db: DataFrame, baseDic: DataFrame,
+      dicJoin: DimJoin = broadcastDim): DataFrame = {
+    val cart = db.where(tbl("cart_info") && (col("type") === "insert" ||
         (col("type") === "update" && o("sku_num").isNotNull &&
           d("sku_num").cast("int") > o("sku_num").cast("int"))))
       .select(d("id").as("id"), d("user_id").as("user_id"),
@@ -70,8 +85,16 @@ object GmallPipelines {
         when(col("type") === "insert", d("sku_num"))
           .otherwise((d("sku_num").cast("int") - o("sku_num").cast("int"))
             .cast("string")).as("sku_num"),
-        d("sku_name").as("sku_name"), d("create_time").as("create_time"),
-        col("ts"))
+        d("sku_name").as("sku_name"), d("is_checked").as("is_checked"),
+        d("create_time").as("create_time"),
+        d("operate_time").as("operate_time"),
+        d("is_ordered").as("is_ordered"), d("order_time").as("order_time"),
+        d("source_type").as("source_type_id"),
+        d("source_id").as("source_id"), col("ts"))
+    dicJoin(cart,
+      baseDic.select(col("dic_code"), col("dic_name").as("source_type_name")),
+      col("source_type_id") === col("dic_code"), "inner").drop("dic_code")
+  }
 
   /** DwdTradeOrderDetail / order_detail view (DwdTradeOrderPreProcess.java:
     * 25-43): order_detail inserts. */
@@ -85,12 +108,16 @@ object GmallPipelines {
         d("split_coupon_amount").as("split_coupon_amount"),
         d("split_total_amount").as("split_total_amount"), col("ts"))
 
-  /** order_info view (insert+update, DwdTradeOrderPreProcess.java:46-72). */
+  /** order_info view (insert+update, DwdTradeOrderPreProcess.java:46-72).
+    * Carries every order_info attribute the synthesized CDC stream has
+    * (the reference's remaining oi columns — consignee, payment_way, … —
+    * exist only in its MySQL schema, not in any test feed). */
   def orderInfo(db: DataFrame): DataFrame =
     db.where(tbl("order_info", "insert", "update"))
       .select(d("id").as("id"), d("user_id").as("user_id"),
         d("province_id").as("province_id"),
         d("operate_time").as("operate_time"),
+        d("total_amount").as("total_amount"),
         d("order_status").as("order_status"), col("type").as("op_type"),
         o("order_status").as("old_order_status"), col("ts"))
 
@@ -122,6 +149,10 @@ object GmallPipelines {
       .join(broadcast(baseDic.select(col("dic_code"), col("dic_name").as("source_type_name"))),
         col("source_type") === col("dic_code"), "left")
       .drop("dic_code")
+      // the reference's wide table publishes the raw code as
+      // source_type_id next to the resolved name (DwdTradeOrderPreProcess
+      // .java:129-130)
+      .withColumnRenamed("source_type", "source_type_id")
   }
 
   /** [[tradeOrderPreProcess]] built from the session's [[TopicDb]] parse
@@ -163,17 +194,6 @@ object GmallPipelines {
         col("payment_type") === col("dic_code"), "left")
       .drop("dic_code")
   }
-
-  /** J4 dim-enrichment strategy: (fact, dimProjection, joinCond, joinType)
-    * → joined. [[broadcastDim]] is the default everywhere (base_dic is the
-    * reference's 10-row cacheable dict, utils/MysqlUtil.java:22-23);
-    * [[shuffleDim]] is the scale path for a dim past the broadcast
-    * threshold ([[graft.operators.Relational.lookupJoin]]). */
-  type DimJoin = (DataFrame, DataFrame, Column, String) => DataFrame
-  val broadcastDim: DimJoin = (fact, dim, cond, how) =>
-    fact.join(broadcast(dim), cond, how)
-  val shuffleDim: DimJoin = (fact, dim, cond, how) =>
-    graft.operators.Relational.lookupJoin(fact, dim, cond, how)
 
   /** DwdTradeOrderRefund (P5+J4, DwdTradeOrderRefund.java:53-114): refund
     * requests — order_refund_info inserts ⋈ order_info refund updates
@@ -291,6 +311,7 @@ object GmallPipelines {
       .join(broadcast(baseDic.select(col("dic_code"), col("dic_name").as("source_type_name"))),
         col("source_type") === col("dic_code"), "left")
       .drop("dic_code")
+      .withColumnRenamed("source_type", "source_type_id") // as the batch form
       .drop("odt") // internal event-time column, not part of the contract
   }
 
@@ -461,16 +482,19 @@ object GmallPipelines {
         d("sku_id").as("sku_id"), d("create_time").as("create_time"), col("ts"))
 
   /** DwdInteractionComment (DwdInteractionComment.java:56-87): comment
-    * inserts enriched with the appraise dictionary (J4 lookup join). */
+    * inserts enriched with the appraise dictionary — the reference's
+    * INNER `for system_time` join, with the derived date_id
+    * (DwdInteractionComment.java:74-87). */
   def comment(db: DataFrame, baseDic: DataFrame): DataFrame =
     db.where(tbl("comment_info", "insert"))
       .select(d("id").as("id"), d("user_id").as("user_id"),
         d("sku_id").as("sku_id"), d("order_id").as("order_id"),
+        date_format(d("create_time").cast("timestamp"), "yyyy-MM-dd").as("date_id"),
         d("create_time").as("create_time"), d("appraise").as("appraise"),
         d("comment_txt").as("comment_txt"), col("ts"))
       .join(broadcast(baseDic.select(col("dic_code"),
         col("dic_name").as("appraise_name"))),
-        col("appraise") === col("dic_code"), "left")
+        col("appraise") === col("dic_code"))
       .drop("dic_code")
 
   /** DwdUserRegister (DwdUserRegister.java:54-55): user_info inserts. */

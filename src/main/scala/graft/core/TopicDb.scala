@@ -162,14 +162,20 @@ object TopicDb {
         sparseMap(
           "order_detail_id" -> lnId,
           "coupon_id" -> concat(lit("cpn_"), p % 7))).as("value"))
-    // ----- q36's cart_info, scheme unchanged -----
+    // ----- q36's cart_info (full DwdTradeCartAdd.java:27-39 field set;
+    //       order_time sparse — present only on ordered carts) -----
     val cart = li.select(env("cart_info",
       when(col("l_returnflag") === "N", "insert")
         .when(col("l_returnflag") === "A", "update").otherwise("delete"), k,
       sparseMap(
         "id" -> lnId, "user_id" -> s, "sku_id" -> p, "cart_price" -> price,
         "sku_num" -> qty, "sku_name" -> concat(lit("sku_"), p),
-        "create_time" -> ship),
+        "is_checked" -> (p % 2), "create_time" -> ship,
+        "operate_time" -> concat(ship, lit(" 09:00:00")),
+        "is_ordered" -> (k % 2),
+        "order_time" -> when(k % 2 === 1, concat(ship, lit(" 11:00:00"))),
+        "source_type" -> concat(lit("240"), n % 2 + 1),
+        "source_id" -> s),
       when(col("l_returnflag") === "A",
         map(lit("sku_num"), (qty - (n % 4 - 1)).cast("string")))).as("value"))
     // ----- refund / interaction tables -----

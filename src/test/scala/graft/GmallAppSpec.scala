@@ -119,7 +119,7 @@ class GmallAppSpec extends SparkTestBase {
         GmallPipelines.tradeRefundPaySuccess(dbBatch, dicB).count())
 
       // ---- DWD stateless family --------------------------------------
-      assert(streamed("cart_add") === GmallPipelines.tradeCartAdd(dbBatch).count())
+      assert(streamed("cart_add") === GmallPipelines.tradeCartAdd(dbBatch, dicB).count())
       assert(streamed("user_register") === Tables.customer(spark, sf).count())
       assert(streamed("comment") === GmallPipelines.comment(dbBatch, dicB).count())
 

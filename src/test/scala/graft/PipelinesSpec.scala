@@ -45,16 +45,26 @@ class PipelinesSpec extends SparkTestBase {
   test("tradeCartAdd: inserts plus quantity-increasing updates with delta sku_num (P4/P5)") {
     val db = maxwell(
       ("cart_info", "insert", Map("id" -> "a", "user_id" -> "u1", "sku_id" -> "s1",
-        "cart_price" -> "5", "sku_num" -> "2", "sku_name" -> "x", "create_time" -> "t"), null),
+        "cart_price" -> "5", "sku_num" -> "2", "sku_name" -> "x", "create_time" -> "t",
+        "is_checked" -> "1", "source_type" -> "2401", "source_id" -> "7"), null),
       ("cart_info", "update", Map("id" -> "b", "user_id" -> "u1", "sku_id" -> "s1",
-        "cart_price" -> "5", "sku_num" -> "7", "sku_name" -> "x", "create_time" -> "t"),
+        "cart_price" -> "5", "sku_num" -> "7", "sku_name" -> "x", "create_time" -> "t",
+        "source_type" -> "2402"),
         Map("sku_num" -> "3")),
-      ("cart_info", "update", Map("id" -> "c", "sku_num" -> "1"), Map("sku_num" -> "4")), // decrease: dropped
-      ("cart_info", "update", Map("id" -> "d", "sku_num" -> "9"), Map("other" -> "1")),   // sku_num not in old: dropped
+      ("cart_info", "update", Map("id" -> "c", "sku_num" -> "1", "source_type" -> "2401"),
+        Map("sku_num" -> "4")), // decrease: dropped
+      ("cart_info", "update", Map("id" -> "d", "sku_num" -> "9", "source_type" -> "2401"),
+        Map("other" -> "1")),   // sku_num not in old: dropped
       ("other_table", "insert", Map("id" -> "e", "sku_num" -> "1"), null))
-    val out = GmallPipelines.tradeCartAdd(db)
-      .select("id", "sku_num").as[(String, String)].collect().toMap
+    val dic = Seq(("2401", "promo"), ("2402", "search")).toDF("dic_code", "dic_name")
+    val full = GmallPipelines.tradeCartAdd(db, dic)
+    val out = full.select("id", "sku_num").as[(String, String)].collect().toMap
     assert(out === Map("a" -> "2", "b" -> "4")) // update delta = 7 - 3
+    // full reference column set incl. the resolved dic name
+    val a = full.where(col("id") === "a")
+      .select("is_checked", "source_type_id", "source_type_name", "source_id")
+      .as[(String, String, String, String)].head()
+    assert(a === ("1", "2401", "promo", "7"))
   }
 
   test("tradeOrderPreProcess joins detail+info and left-joins activity/coupon/dic (J1/J2/J4)") {
