@@ -240,6 +240,12 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m").cast("float")).as("ce"))
         .withColumn("cn2", dot(col("ce"), col("ce")))
+        // eager localCheckpoint: each round starts from nCells
+        // MATERIALIZED rows, not a plan that re-derives every previous
+        // round — without it the lineage (and Catalyst's analysis time)
+        // grows exponentially with the iteration count, which is how a
+        // 20-round production training run kills the driver
+        .localCheckpoint(true)
     }
     cents
   }

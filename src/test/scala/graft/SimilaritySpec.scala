@@ -131,6 +131,22 @@ class SimilaritySpec extends SparkTestBase {
     assert(ivf.size <= exact.size)
   }
 
+  test("kmeansCentroids at 8 Lloyd rounds: bounded lineage, sane centroids") {
+    // pre-fix, each round's plan embedded every previous round — 8
+    // iterations took minutes of Catalyst analysis alone; with the
+    // per-round localCheckpoint this completes in seconds and the final
+    // plan is independent of the iteration count
+    val df = corpus.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(df, nCells = 4, iterations = 8)
+    val rows = cents.select("cell", "ce").as[(Long, Array[Float])].collect()
+    assert(rows.length === 4)
+    assert(rows.forall(_._2.length === dim))
+    // checkpointed plan: no residual join/aggregate lineage from the loop
+    val planLines = cents.queryExecution.optimizedPlan.toString
+    assert(!planLines.contains("Join"),
+      "final centroids must be materialized, not a re-derivable join chain:\n" + planLines)
+  }
+
   test("nearDupPairs LSH path (q53) is an exact-score subset of the exact path") {
     val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val exact = Similarity.nearDupPairs(emb, 0.35, 64, nPlanes = 0)
