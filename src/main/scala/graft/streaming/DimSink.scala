@@ -97,13 +97,57 @@ object DimSink {
     val spark = batch.sparkSession
     batch.persist()
     try configs.foreach { cfg =>
-      val rows = batch.where(col("sink_table") === cfg.sinkTable)
-        .select(cfg.sinkColumns.map(c => element_at(col("data"), c).as(c)) :+
-          col("ts"): _*)
+      val rows = pruned(batch, cfg)
       if (!rows.isEmpty) {
         ensureTable(spark, root, cfg)
         Sinks.upsertByKey(rows, Seq(cfg.sinkPk), "ts", s"$root/${cfg.sinkTable}")
       }
+    } finally { batch.unpersist(); () }
+  }
+
+  /** One configured table's pruned projection of a router batch. */
+  private def pruned(batch: DataFrame, cfg: TableConfig): DataFrame =
+    batch.where(col("sink_table") === cfg.sinkTable)
+      .select(cfg.sinkColumns.map(c => element_at(col("data"), c).as(c)) :+
+        col("ts"): _*)
+
+  /** [[processBatch]] with each dim table routed through the
+    * [[DeltaStore]] LSM path — the production-cadence variant: a
+    * high-churn dim batch costs one O(batch) epoch append per touched
+    * table instead of a whole-store (or whole-bucket) rewrite; run
+    * [[DeltaStore.compact]] on whatever schedule read amplification
+    * warrants. Replayed epochs overwrite their own delta dir, so restart
+    * semantics stay exactly-once per (table, epoch). Read the compacted
+    * view with [[readDelta]]. */
+  def processBatchDelta(batch: DataFrame, root: String,
+      configs: Seq[TableConfig], epochId: Long): Unit = {
+    batch.persist()
+    try configs.foreach { cfg =>
+      val rows = pruned(batch, cfg)
+      if (!rows.isEmpty)
+        DeltaStore.append(rows, Seq(cfg.sinkPk), "ts",
+          s"$root/${cfg.sinkTable}", epochId)
+    } finally { batch.unpersist(); () }
+  }
+
+  /** Compacted current state of a [[processBatchDelta]]-backed dim table
+    * (base ∪ pending deltas, newest row per pk). */
+  def readDelta(spark: SparkSession, root: String, cfg: TableConfig): DataFrame =
+    DeltaStore.read(spark, s"$root/${cfg.sinkTable}", Seq(cfg.sinkPk), "ts")
+
+  /** K6 on a JDBC target: the same pruned, column-ordered projection
+    * written through `df.write.jdbc` — the binding a Phoenix/ClickHouse
+    * deployment plugs its URL into (reference upsert contract:
+    * app/func/DimSinkFunction.java builds per-row UPSERTs;
+    * ClickHouse-style engines dedup on the sort key instead). Plumbing
+    * only in this environment — no JDBC server to integration-test. */
+  def processBatchJdbc(batch: DataFrame, url: String, configs: Seq[TableConfig],
+      properties: java.util.Properties = new java.util.Properties): Unit = {
+    batch.persist()
+    try configs.foreach { cfg =>
+      val rows = pruned(batch, cfg)
+      if (!rows.isEmpty)
+        rows.write.mode("append").jdbc(url, cfg.sinkTable, properties)
     } finally { batch.unpersist(); () }
   }
 }

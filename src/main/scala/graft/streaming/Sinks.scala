@@ -80,6 +80,17 @@ object Sinks {
     * step the round-1 review asked for on the way to a real Delta MERGE.
     * Each touched bucket swaps via the same rename-aside protocol (crash
     * leaves that bucket's full old content at `_old`, recoverable).
+    *
+    * REPLAY CONTRACT for `deleteKeys`: recovery restores any set-aside
+    * bucket whose publish did not complete — including a bucket a
+    * tombstone batch emptied, if the crash hit between its set-aside and
+    * the set-aside's delete. The next call's recovery then resurrects the
+    * retired keys UNTIL the same batch is replayed (replaying re-retires
+    * them; that is what every checkpointed `foreachBatch` caller does on
+    * restart, and [[DeltaStore.compact]] re-applies the same deltas). A
+    * direct caller that issues deletes WITHOUT replaying the identical
+    * batch after a crash can therefore observe deleted rows come back —
+    * drive deletes through a replayed changelog, never fire-and-forget.
     */
   def upsertByKeyPartitioned(batch: DataFrame, keyCols: Seq[String],
       orderCol: String, path: String, nBuckets: Int = 64,
@@ -175,16 +186,39 @@ object Sinks {
     }
   }
 
+  /** Target for [[orderedBatchSink]]: a parquet path (this environment's
+    * analogue) or a real JDBC table — the reference's ClickHouse binding
+    * (utils/MyClickHouseUtil.java:80-129 builds `insert into t values(?,…)`
+    * over declaration-ordered bean fields; `df.write.jdbc` issues the same
+    * ordered INSERT batches, with key dedup delegated to the target
+    * engine, e.g. ClickHouse ReplacingMergeTree in the reference's DDL). */
+  sealed trait BatchTarget
+  final case class ParquetTarget(path: String) extends BatchTarget
+  final case class JdbcTarget(url: String, table: String,
+      properties: java.util.Properties = new java.util.Properties) extends BatchTarget
+
   /** K5 — batch sink honoring declared field order (the reference maps bean
     * fields to JDBC `?`s by declaration order, utils/MyClickHouseUtil.java:
     * 97-118, skipping @TransientSink fields). Encoder schema order is the
-    * Scala analogue; `transientCols` = the annotation. */
+    * Scala analogue; `transientCols` = the annotation. The projection (and
+    * its order) is identical for every target — [[JdbcTarget]] is the
+    * production binding, spec'd for plumbing here (no JDBC server exists
+    * in this environment to integration-test against). */
   def orderedBatchSink[T](ds: Dataset[T], transientCols: Seq[String],
-      path: String): Unit = {
+      target: BatchTarget): Unit = {
     val cols = ds.schema.fieldNames.filterNot(transientCols.contains)
-    ds.toDF().select(cols.map(col): _*)
-      .write.mode("append").parquet(path)
+    val projected = ds.toDF().select(cols.map(col): _*)
+    target match {
+      case ParquetTarget(p) => projected.write.mode("append").parquet(p)
+      case JdbcTarget(url, table, props) =>
+        projected.write.mode("append").jdbc(url, table, props)
+    }
   }
+
+  /** [[orderedBatchSink]] to parquet (the original signature). */
+  def orderedBatchSink[T](ds: Dataset[T], transientCols: Seq[String],
+      path: String): Unit =
+    orderedBatchSink(ds, transientCols, ParquetTarget(path))
 
   /** P7 multi-sink fan-out: run one streaming query whose every micro-batch
     * is persisted once and written to N sinks — the Spark replacement for

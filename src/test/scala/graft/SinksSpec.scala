@@ -108,6 +108,22 @@ class SinksSpec extends SparkTestBase {
     val written = spark.read.parquet(dir)
     assert(written.schema.fieldNames.toSeq === Seq("stt", "edt", "word", "ct"))
   }
+
+  test("orderedBatchSink JdbcTarget routes through df.write.jdbc (plumbing)") {
+    // no JDBC server/driver exists in this environment; the spec pins that
+    // the JDBC leg is reached with the projection applied — the write
+    // fails at driver resolution for the given URL, not before it
+    val ds = Seq(SinksSpec.Bean("s", "e", "w", 1L, "x")).toDS()
+    val err = intercept[Exception] {
+      Sinks.orderedBatchSink(ds, Seq("debugOnly"),
+        Sinks.JdbcTarget("jdbc:clickhouse://nowhere:8123/default", "dws_keyword"))
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(m =>
+      m.contains("suitable driver") || m.contains("No suitable driver") ||
+        m.contains("clickhouse")), messages(err).mkString(" | "))
+  }
 }
 
 object SinksSpec {
