@@ -1283,6 +1283,17 @@ object SparkEntry {
             lit(step).as("step"), col("n_users"))
       }.reduce(_ unionByName _).orderBy(col("step_idx"))
     }),
+
+    // n-gram LM quality screen (TextProfile.oovProfile): candidate docs
+    // (id ≥ 50) scored for unigram+bigram vocabulary coverage against the
+    // reference corpus (id < 50) — the integer/ratio form of a backoff-LM
+    // perplexity filter (same split as the q77 contamination audit).
+    "q96_oov_quality" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextProfile.oovProfile(
+          docs.where(col("doc_id") >= 50), docs.where(col("doc_id") < 50))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -2414,6 +2425,27 @@ object SparkEntry {
          |    THEN 64.0e0 * ln(64.0e0 / CAST(64 - hit AS DOUBLE)) ELSE raw END, 6)
          |    AS est_distinct
          |FROM est ORDER BY stt, event_type""".stripMargin,
+
+    // unigram/bigram vocabulary coverage, token-for-token with
+    // TextProfile.oovProfile (0-token docs collapse identically: empty
+    // unigrams, one empty-string bigram shingle, dropped by the a1⋈a2)
+    "q96_oov_quality" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |tok1 AS (SELECT doc_id, unnest(w) AS g FROM t WHERE doc_id >= 50),
+         |v1 AS (SELECT DISTINCT unnest(w) AS g FROM t WHERE doc_id < 50),
+         |a1 AS (SELECT doc_id, count(*) AS n_tok,
+         |  CAST(sum(CASE WHEN v1.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tok_oov
+         | FROM tok1 LEFT JOIN v1 ON tok1.g = v1.g GROUP BY 1),
+         |tok2 AS (SELECT doc_id, unnest(${shNSql(2)}) AS g FROM t WHERE doc_id >= 50),
+         |v2 AS (SELECT DISTINCT unnest(${shNSql(2)}) AS g FROM t WHERE doc_id < 50),
+         |a2 AS (SELECT doc_id, count(*) AS n_bigram,
+         |  CAST(sum(CASE WHEN v2.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bigram_oov
+         | FROM tok2 LEFT JOIN v2 ON tok2.g = v2.g GROUP BY 1)
+         |SELECT a1.doc_id, n_tok, n_tok_oov,
+         |  round(CAST(n_tok_oov AS DOUBLE) / n_tok, 6) AS tok_oov_frac,
+         |  n_bigram, n_bigram_oov,
+         |  round(CAST(n_bigram_oov AS DOUBLE) / n_bigram, 6) AS bigram_oov_frac
+         |FROM a1 JOIN a2 ON a1.doc_id = a2.doc_id ORDER BY 1""".stripMargin,
 
     "q78_asof_join" ->
       """WITH l AS (SELECT o_orderkey AS k, o_custkey AS cust, o_orderkey AS ts FROM orders),

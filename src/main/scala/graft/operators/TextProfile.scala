@@ -74,6 +74,39 @@ object TextProfile {
     d3.join(t2, Seq(idCol))
   }
 
+  /** n-gram LM quality proxy (the last text-quality signal next to
+    * [[repetitionProfile]]'s C4/Gopher rules): per-doc fraction of word
+    * unigrams and bigrams NOT covered by a reference corpus's
+    * vocabulary — the integer-count/ratio form of a backoff-LM
+    * perplexity screen. (A log-prob score would need cross-engine float
+    * summation; coverage fractions carry the same low-quality signal —
+    * high OOV ⇒ the reference LM would assign low probability — and are
+    * oracle-exact.)
+    *
+    * Scale: token/shingle explodes are doc-local; each vocabulary is a
+    * distinct-aggregate at term grain joined back at term grain
+    * (broadcast when it fits, hash join past the threshold — Catalyst's
+    * pick); the per-doc counts are map-side-combined shuffles on doc_id.
+    * Never doc×doc, never a global sort.
+    */
+  def oovProfile(docs: DataFrame, vocabDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def grams(df: DataFrame, n: Int): DataFrame =
+      if (n == 1) df.select(col(idCol), explode(tokens(col(textCol))).as("g"))
+      else df.select(col(idCol), explode(shingles(col(textCol), n)).as("g"))
+    def coverage(n: Int, label: String): DataFrame = {
+      val vocab = grams(vocabDocs, n).select(col("g")).distinct()
+        .withColumn("_in", lit(1))
+      grams(docs, n).join(vocab, Seq("g"), "left")
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as(s"n_$label"),
+          count(when(col("_in").isNull, 1)).as(s"n_${label}_oov"))
+        .withColumn(s"${label}_oov_frac",
+          round(col(s"n_${label}_oov").cast("double") / col(s"n_$label"), 6))
+    }
+    coverage(1, "tok").join(coverage(2, "bigram"), Seq(idCol))
+  }
+
   /** TF-IDF top-k terms per document: tf = in-doc term count, idf =
     * ln((N+1)/(df+1)) + 1 (smoothed), rank by (score desc, term asc).
     *
