@@ -24,9 +24,19 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private def r2(v: Double): Double = math.rint(v * 100) / 100
 
+  /** Host load (1/5/15-min averages) — recorded into bench_result.json so
+    * a reviewer can tell host-load variance from a code regression without
+    * re-running (rounds 3 and 4 both produced ~1.8× phantom deltas on a
+    * loaded host). Absent (empty) on non-Linux. */
+  private def loadavg(): String =
+    try new String(Files.readAllBytes(Paths.get("/proc/loadavg")))
+      .split("\\s+").take(3).mkString(" ")
+    catch { case _: Throwable => "" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val loadStart = loadavg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -44,7 +54,7 @@ object Bench {
     }
     val warmup = (System.nanoTime() - w0) / 1e9
     System.err.println(f"[bench] warmup(shared tables) $warmup%8.2f s")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val rows =
         try fn(spark, sfDir).count()
@@ -60,20 +70,42 @@ object Bench {
         spark.stop()
         sys.exit(1)
       }
-      val sec = (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      val sec = time(name, fn)
       System.err.println(f"[bench] $name%-22s $sec%8.2f s")
       name -> sec
     }
-    val total = results.values.sum + warmup
+    // variance probe: anything slow on the first pass runs once more — a
+    // query that re-measures fast was host noise, not a regression; both
+    // samples land in bench_result.json for the reviewer
+    val retries = results.filter(_._2 > 5.0).map { case (name, first) =>
+      val second = time(name, SparkEntry.queries(name))
+      System.err.println(f"[bench] $name%-22s $second%8.2f s (retry; first $first%.2f)")
+      name -> second
+    }
+    val loadEnd = loadavg()
+    // `value` includes warmup (all gated work, the round-3 accounting);
+    // queries_only_sec = first-pass query time alone, so round-over-round
+    // consumers can separate the two without reading doc comments
+    val queriesOnly = results.values.sum
+    val total = queriesOnly + warmup
     def qJson(qs: Iterable[(String, Double)]): String =
       qs.map { case (k, v) => "\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
+    def common =
+      s""""metric":"total","value":${r2(total)},"unit":"sec","warmup_sec":${r2(warmup)},""" +
+        s""""queries_only_sec":${r2(queriesOnly)},"n_queries":${results.size}"""
     val full =
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","warmup_sec":${r2(warmup)},"n_queries":${results.size},"queries":${qJson(results)},"sf":"$sfDir"}"""
+      s"""{$common,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd",""" +
+        s""""retry_sec":${qJson(retries)},"queries":${qJson(results)},"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_result.json"), full + "\n")
     val slowest = results.toSeq.sortBy(-_._2).take(10)
-    val line =
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","warmup_sec":${r2(warmup)},"n_queries":${results.size},"queries":${qJson(slowest)},"sf":"$sfDir"}"""
-    spark.stop() // stop BEFORE printing: nothing may follow the JSON line
+    val line = s"""{$common,"queries":${qJson(slowest)},"sf":"$sfDir"}"""
+    // stop BEFORE printing so nothing follows the JSON line in the tail
+    // buffer — but a stop-time failure must never swallow the line
+    try spark.stop()
+    catch { case e: Throwable => System.err.println(s"[bench] spark.stop failed: $e") }
     println(line)
   }
 }

@@ -26,6 +26,13 @@ private[graft] object SessionCache {
     cache.get(k) match {
       case Some((owner, df)) if owner eq spark => df
       case _ => synchronized {
+        // sweep entries owned by stopped sessions: their persisted blocks
+        // died with the session (nothing to unpersist), but a long-lived
+        // JVM cycling SparkSessions would otherwise accumulate dead
+        // (session, plan) pairs here indefinitely
+        cache.filterInPlace { case (_, (owner, _)) =>
+          !owner.sparkContext.isStopped
+        }
         cache.get(k) match {
           case Some((owner, df)) if owner eq spark => df
           case stale =>

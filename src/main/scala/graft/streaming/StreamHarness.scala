@@ -71,7 +71,14 @@ object StreamHarness {
     try batches.foreach { b =>
       stream.addData(b)
       query.processAllAvailable()
-    } finally query.stop()
+    } finally {
+      query.stop()
+      // the memory sink holds the results; the per-run checkpoint dir has
+      // no post-stop reader — delete it so gate/test runs don't accumulate
+      // temp dirs for the JVM's lifetime
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(ckpt))
+      ()
+    }
     session.table(name)
   }
 }
