@@ -1304,6 +1304,19 @@ object SparkEntry {
           docs.where(col("doc_id") >= 50), docs.where(col("doc_id") < 50))
         .orderBy(col("doc_id"))
     }),
+
+    // Dedup APPLY (Dedup.applyDedup): the surviving corpus after
+    // collapsing q20's simhash near-dup groups (q84's star components) to
+    // their canonical min-id docs — the step that turns pair/component
+    // ANALYSIS into the actual deduped training corpus.
+    "q97_dedup_apply" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.applyDedup(docs,
+          Dedup.connectedComponentsStar(
+            Dedup.simhashNearDups(Dedup.simhash(docs))))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -2367,6 +2380,26 @@ object SparkEntry {
     // (q76 min-label propagation, q84 large-star/small-star) converge to
     "q76_dedup_groups" -> dedupGroupsOracle,
     "q84_dedup_groups_star" -> dedupGroupsOracle,
+
+    // the q76/q84 component labels applied to the corpus: keep the
+    // canonical (min-id) doc per component + every untouched doc
+    "q97_dedup_apply" ->
+      s"""WITH RECURSIVE $shCte,
+         |$simhashCte,
+         |bkt AS (SELECT doc_id, simhash, simhash >> 44 AS bucket FROM ssig),
+         |e AS (SELECT l.doc_id AS a, r.doc_id AS b
+         | FROM bkt l JOIN bkt r ON l.bucket = r.bucket AND l.doc_id < r.doc_id
+         | WHERE bit_count(xor(l.simhash, r.simhash)) <= 8),
+         |ee AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+         |reach(a, b) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM ee)
+         |  UNION
+         |  SELECT r.a, e2.b FROM reach r JOIN ee e2 ON r.b = e2.a),
+         |comp AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY a)
+         |SELECT d.doc_id, d.lang FROM documents d
+         |LEFT JOIN comp ON d.doc_id = comp.id
+         |WHERE comp.comp IS NULL OR comp.comp = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q77_contamination" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),

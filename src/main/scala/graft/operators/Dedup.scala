@@ -493,4 +493,24 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }
+
+  /** The APPLY half of dedup-group resolution: given the corpus and the
+    * (id, comp) labels of its near-dup pair graph
+    * ([[connectedComponents]] / [[connectedComponentsStar]]), emit the
+    * surviving corpus — the canonical (minimum-id, = the component label)
+    * doc of each near-dup group plus every doc the pair graph never
+    * touched.
+    *
+    * Scale: one equi-join of the corpus against the label table (labels
+    * exist only for docs IN some dup pair — typically a small fraction,
+    * so Catalyst broadcasts it; past the threshold it hash-joins on the
+    * id). No extra shuffle beyond that join; the filter is per-row.
+    */
+  def applyDedup(
+      docs: DataFrame,
+      components: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    docs.join(components.select(col("id").as(idCol), col("comp")), Seq(idCol), "left")
+      .where(col("comp").isNull || col("comp") === col(idCol))
+      .drop("comp")
 }

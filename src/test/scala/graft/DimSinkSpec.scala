@@ -36,6 +36,36 @@ class DimSinkSpec extends SparkTestBase {
     assert(cache.loadCount === 2)
   }
 
+  test("lookupJoin + DimCache: TTL-refreshed dim on the shuffle path, no broadcast (J4 at scale)") {
+    // the foreachBatch shape for a dim PAST the broadcast threshold: each
+    // micro-batch enriches via Relational.lookupJoin against the
+    // DimCache-refreshed snapshot — staleness bounded by the TTL exactly
+    // like the broadcast form, plan broadcast-free by hint
+    val dir = Files.createTempDirectory("graft_dimlkp_").toString + "/dim"
+    Seq(("1101", "alipay")).toDF("dic_code", "dic_name").write.parquet(dir)
+    var now = 0L
+    val cache = new DimCache(() => spark.read.parquet(dir), ttlMillis = 1000L, clock = () => now)
+    def enrich(batch: org.apache.spark.sql.DataFrame) =
+      graft.operators.Relational.lookupJoin(batch, cache.get(),
+        col("payment_type") === col("dic_code"), "left")
+    val batch = Seq(("o1", "1101"), ("o2", "1102")).toDF("order_id", "payment_type")
+
+    val b1 = enrich(batch)
+    assert(!b1.queryExecution.executedPlan.toString.contains("BroadcastExchange"))
+    assert(b1.select("order_id", "dic_name").as[(String, String)].collect().toMap
+      === Map("o1" -> "alipay", "o2" -> null))
+
+    // dim gains 1102 mid-stream; within the TTL the stale snapshot serves
+    Seq(("1101", "alipay"), ("1102", "wechat")).toDF("dic_code", "dic_name")
+      .write.mode("overwrite").parquet(dir)
+    now = 999L
+    assert(enrich(batch).where(col("dic_name").isNotNull).count() === 1L)
+    // TTL lapsed: the next batch resolves the new code
+    now = 1000L
+    assert(enrich(batch).select("order_id", "dic_name").as[(String, String)]
+      .collect().toMap === Map("o1" -> "alipay", "o2" -> "wechat"))
+  }
+
   test("DimSink creates sink tables on demand and upserts on the configured pk") {
     val root = Files.createTempDirectory("graft_dimsink_").toString
     val userCfg = DimSink.TableConfig("dim_user_info", Seq("id", "name"), "id")
