@@ -1317,6 +1317,13 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
     }),
+
+    // Per-source curation profile (Corpus.sourceProfile): the
+    // domain-level keep/downsample decision input — volumes, language
+    // spread, intra-source exact-dup volume per source.
+    "q98_source_profile" -> ((s, d) =>
+      graft.operators.Corpus.sourceProfile(Tables.documents(s, d))
+        .orderBy(col("source"))),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -2380,6 +2387,21 @@ object SparkEntry {
     // (q76 min-label propagation, q84 large-star/small-star) converge to
     "q76_dedup_groups" -> dedupGroupsOracle,
     "q84_dedup_groups_star" -> dedupGroupsOracle,
+
+    // per-source volumes + intra-source exact-dup volume, fingerprint =
+    // md5(normalized text) mirrored expression-for-expression
+    "q98_source_profile" ->
+      s"""WITH t AS (SELECT source, lang, md5($normalizedSql) AS fp,
+         |  len($toksSql) AS n_toks FROM documents),
+         |g AS (SELECT source, fp, count(*) AS c FROM t GROUP BY 1, 2),
+         |d AS (SELECT source,
+         |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_exact_dup
+         | FROM g GROUP BY 1),
+         |a AS (SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |  count(DISTINCT lang) AS n_langs FROM t GROUP BY 1)
+         |SELECT a.source, n_docs, n_tokens, n_langs, n_exact_dup
+         |FROM a JOIN d ON a.source = d.source ORDER BY a.source""".stripMargin,
 
     // the q76/q84 component labels applied to the corpus: keep the
     // canonical (min-id) doc per component + every untouched doc

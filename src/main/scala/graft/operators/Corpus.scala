@@ -34,6 +34,36 @@ object Corpus {
     df.where(Dedup.md5Long(idCol.cast("string")) % 1000000L < threshold)
   }
 
+  /** Per-source curation profile — the domain-level filtering step of a
+    * training-data pipeline (the keep/downsample/blocklist decision is
+    * made per source/domain before any per-doc scoring): doc and token
+    * volumes, language spread, and the intra-source exact-duplicate
+    * volume (docs sharing a normalized md5 fingerprint with another doc
+    * of the SAME source — a high rate flags mirror/boilerplate domains).
+    *
+    * Scale: one (source, fingerprint) shuffle with map-side combine,
+    * then source grain; the final join is aggregate-to-aggregate on the
+    * source key. No doc×doc work, no global sort.
+    */
+  def sourceProfile(
+      docs: DataFrame,
+      sourceCol: String = "source",
+      textCol: String = "text",
+      langCol: String = "lang"): DataFrame = {
+    val t = docs.select(col(sourceCol), col(langCol),
+      graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long").as("n_toks"),
+      graft.functions.TextFunctions.fingerprint(col(textCol)).as("fp"))
+    val dupVolume = t.groupBy(col(sourceCol), col("fp"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(sourceCol))
+      .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).as("n_exact_dup"))
+    t.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        countDistinct(col(langCol)).as("n_langs"))
+      .join(dupVolume, Seq(sourceCol))
+  }
+
   /** Greedy contiguous sequence packing — assign documents to fixed-token
     * bins for training-batch assembly: per stratum, in id order, a doc
     * starts in the bin its cumulative-token offset falls in
