@@ -1324,6 +1324,28 @@ object SparkEntry {
     "q98_source_profile" -> ((s, d) =>
       graft.operators.Corpus.sourceProfile(Tables.documents(s, d))
         .orderBy(col("source"))),
+
+    // kNN label purity — the standard embedding-quality probe over the
+    // labeled embeddings table: fraction of each query's exact top-10
+    // cosine neighbors sharing its label, aggregated per label. Reuses
+    // q24's bit-exact scoring/ranking (bounded TopKAggregator); the
+    // purity itself is a ratio of integer counts → oracle-safe.
+    "q99_knn_label_purity" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val lbl = emb.select(col("vec_id"), col("label"))
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") % 50 === 0), 10)
+        .join(lbl.select(col("vec_id").as("query_id"), col("label").as("q_lbl")),
+          Seq("query_id"))
+        .join(lbl.select(col("vec_id").as("neighbor_id"), col("label").as("n_lbl")),
+          Seq("neighbor_id"))
+        .groupBy(col("q_lbl").as("label"))
+        .agg(countDistinct(col("query_id")).as("n_queries"),
+          count(when(col("n_lbl") === col("q_lbl"), 1)).as("n_match"),
+          count(lit(1)).as("n_pairs"))
+        .withColumn("purity",
+          round(col("n_match").cast("double") / col("n_pairs"), 6))
+        .orderBy(col("label"))
+    }),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -1768,6 +1790,24 @@ object SparkEntry {
          | FROM scored)
          |SELECT query_id, neighbor_id, round(score, 6) AS score, "rank" FROM ranked
          |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin,
+
+    // q24's exact scoring/ranking + label joins; purity = integer-count
+    // ratio rounded to 6
+    "q99_knn_label_purity" ->
+      s"""WITH v AS (SELECT vec_id, label, embedding AS e, $nrmSql AS nrm FROM embeddings),
+         |scored AS (SELECT va.vec_id AS query_id, va.label AS q_lbl,
+         |  vb.vec_id AS neighbor_id, vb.label AS n_lbl,
+         |  $dotSql / (va.nrm * vb.nrm) AS score
+         | FROM (SELECT * FROM v WHERE vec_id % 50 = 0) va
+         | JOIN v vb ON va.vec_id <> vb.vec_id),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, neighbor_id) AS rnk FROM scored)
+         |SELECT q_lbl AS label, count(DISTINCT query_id) AS n_queries,
+         |  CAST(sum(CASE WHEN n_lbl = q_lbl THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+         |  count(*) AS n_pairs,
+         |  round(CAST(sum(CASE WHEN n_lbl = q_lbl THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS purity
+         |FROM ranked WHERE rnk <= 10 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // PQ-ADC replication: lowest-16-id seed codebooks per 8-dim subspace,
     // argmin assignment (ties by code), per-query LUT dots, and the ADC
