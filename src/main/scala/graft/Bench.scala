@@ -54,8 +54,7 @@ object Bench {
     }
     val warmup = (System.nanoTime() - w0) / 1e9
     System.err.println(f"[bench] warmup(shared tables) $warmup%8.2f s")
-    def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
+    def count(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Long = {
       val rows =
         try fn(spark, sfDir).count()
         catch { case e: Throwable =>
@@ -70,21 +69,60 @@ object Bench {
         spark.stop()
         sys.exit(1)
       }
-      (System.nanoTime() - t0) / 1e9
+      rows
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val sec = time(name, fn)
+    val qs = SparkEntry.queries // one Map build; `queries` is a def
+    val counts = scala.collection.mutable.Map[String, Long]()
+    val results = qs.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      counts(name) = count(name, fn)
+      val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-22s $sec%8.2f s")
       name -> sec
     }
     // variance probe: anything slow on the first pass runs once more — a
     // query that re-measures fast was host noise, not a regression; both
-    // samples land in bench_result.json for the reviewer
+    // samples land in bench_result.json for the reviewer, and the retry
+    // pass's own wall-clock is disclosed as retry_total_sec (it is NOT in
+    // `value`, which gates first-pass work only)
+    val r0 = System.nanoTime()
     val retries = results.filter(_._2 > 5.0).map { case (name, first) =>
-      val second = time(name, SparkEntry.queries(name))
+      val t0 = System.nanoTime()
+      count(name, qs(name))
+      val second = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-22s $second%8.2f s (retry; first $first%.2f)")
       name -> second
     }
+    val retryTotal = (System.nanoTime() - r0) / 1e9
+    // scale-sensitivity cross-check at the BENCH SF (correctness runs at
+    // sf0.01 only): each streaming twin shares its batch form's oracle, so
+    // their row counts — already computed by the timing pass — must agree
+    // here too. A pair diverging only at sf0.1 is a real bug the sf0.01
+    // gate can't see; fail the whole bench rather than report a time.
+    val twins = Seq(
+      "q09_hourly_window" -> "q34_stream_window",
+      "q10_dedup_daily" -> "q28_stream_dedup",
+      "q10_dedup_daily" -> "q38_stream_dedup_tws",
+      "q11_dual_flag_uv" -> "q52_stream_dual_flag",
+      "q12_visitor_repair" -> "q57_stream_visitor_repair",
+      "q13_jump_detect" -> "q29_stream_jump",
+      "q43_dwd_order_refund" -> "q94_lookup_join_shuffle",
+      "q70_session_window" -> "q71_stream_session",
+      "q76_dedup_groups" -> "q84_dedup_groups_star",
+      "q80_topn_window" -> "q87_topn_window_stream",
+      "q81_hll_distinct" -> "q83_hll_distinct_stream",
+      "q82_hist_quantile" -> "q91_hist_quantile_stream",
+      "q93_funnel" -> "q95_funnel_stream")
+    twins.foreach { case (a, b) =>
+      if (counts(a) != counts(b)) {
+        System.err.println(
+          s"[bench] FATAL: twin row-count mismatch at $sfDir: $a=${counts(a)} vs $b=${counts(b)}")
+        spark.stop()
+        sys.exit(1)
+      }
+    }
+    val rowcheck = s"pass(${twins.size} twin pairs)"
+    System.err.println(s"[bench] sf rowcheck: $rowcheck")
     val loadEnd = loadavg()
     // `value` includes warmup (all gated work, the round-3 accounting);
     // queries_only_sec = first-pass query time alone, so round-over-round
@@ -95,10 +133,12 @@ object Bench {
       qs.map { case (k, v) => "\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
     def common =
       s""""metric":"total","value":${r2(total)},"unit":"sec","warmup_sec":${r2(warmup)},""" +
-        s""""queries_only_sec":${r2(queriesOnly)},"n_queries":${results.size}"""
+        s""""queries_only_sec":${r2(queriesOnly)},"n_queries":${results.size},""" +
+        s""""sf_twin_rowcheck":"$rowcheck""""
     val full =
       s"""{$common,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd",""" +
-        s""""retry_sec":${qJson(retries)},"queries":${qJson(results)},"sf":"$sfDir"}"""
+        s""""retry_total_sec":${r2(retryTotal)},"retry_sec":${qJson(retries)},""" +
+        s""""queries":${qJson(results)},"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_result.json"), full + "\n")
     val slowest = results.toSeq.sortBy(-_._2).take(10)
     val line = s"""{$common,"queries":${qJson(slowest)},"sf":"$sfDir"}"""

@@ -1,13 +1,13 @@
 package graft
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Envelopes, Tables, TopicDb}
 import graft.apps.GmallPipelines
 import graft.operators.{Dedup, EventOps, Multimodal, Relational, Similarity, Sketches, TextProfile}
 import graft.functions.TextFunctions
-import graft.streaming.{SketchStream, StatefulOps, StreamHarness}
+import graft.streaming.{DimSink, SketchStream, StatefulOps, StreamHarness}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -30,16 +30,47 @@ object SparkEntry {
       Tables.customer(spark, d), Tables.nation(spark, d), Tables.region(spark, d))
   }
 
-  /** Two micro-batches for the dedup gates: even-numbered days first, odd
-    * days second (so earlier days can arrive AFTER later ones), each batch
-    * internally scrambled by a deterministic id hash. */
-  private def disorderedDayBatches(
-      ev: Seq[StatefulOps.Event]): (Seq[StatefulOps.Event], Seq[StatefulOps.Event]) = {
-    val (odd, even) = ev.partition( // UTC day parity (not JVM-default-zone)
-      _.ts.toInstant.atZone(java.time.ZoneOffset.UTC).getDayOfMonth % 2 == 1)
-    def scrambled(b: Seq[StatefulOps.Event]) =
-      b.sortBy(e => e.event_id * 0x9E3779B97F4A7C15L)
-    (scrambled(even), scrambled(odd))
+  // Streaming-gate feeds are DATASETS end to end (StreamHarness.runFiles):
+  // batch composition is declared as filters and the rows never pass
+  // through the driver — the r5 review measured the old collect()-fed
+  // MemoryStream closures at 9.3 MiB per task at sf0.1, growing linearly
+  // with SF. Every StatefulOps processor re-sorts its group by (µs, id)
+  // per batch, so only batch COMPOSITION matters, not row order.
+
+  /** Two micro-batches for the dedup gates: even UTC epoch-days first, odd
+    * second — so a user's EARLIER day can arrive in the LATER micro-batch
+    * while each (user, day) stays within one batch. Arithmetic on epoch-µs
+    * (not `dayofmonth`) so the split is session-timezone independent. */
+  private def disorderedDayBatchesDs(
+      ev: Dataset[StatefulOps.Event]): Seq[Dataset[StatefulOps.Event]] = {
+    val parity = pmod(floor(unix_micros(col("ts")) / 86400000000L), lit(2))
+    Seq(ev.where(parity === 0), ev.where(parity === 1))
+  }
+
+  /** Two time-ordered micro-batches split at the midpoint of the observed
+    * `tsCol` range — the Dataset form of the old sorted-splitAt(n/2) feed:
+    * every batch-2 event is later than every batch-1 event, so watermarks
+    * never late-drop across the boundary. */
+  private def timeSplitDs[T](ds: Dataset[T], tsCol: String): Seq[Dataset[T]] = {
+    val mm = ds.agg(
+      min(unix_micros(col(tsCol))), max(unix_micros(col(tsCol)))).head()
+    val mid = mm.getLong(0) / 2 + mm.getLong(1) / 2
+    Seq(ds.where(unix_micros(col(tsCol)) <= mid),
+      ds.where(unix_micros(col(tsCol)) > mid))
+  }
+
+  /** Max event time of `ds.tsCol` in epoch millis (one scalar aggregate —
+    * the only driver-side value a sentinel batch needs). */
+  private def maxTsMillis(ds: Dataset[_], tsCol: String): Long =
+    ds.agg(max(unix_millis(col(tsCol)))).head().getLong(0)
+
+  /** One-row far-future flush sentinel batch (advances the watermark past
+    * every real window/timeout so append mode emits the tail). */
+  private def sentinelBatch(
+      s: SparkSession, tsMillis: Long): Dataset[StatefulOps.Event] = {
+    import s.implicits._
+    Seq(StatefulOps.Event(-1L, new Timestamp(tsMillis), -1L, "flush", 0.0, "{}"))
+      .toDS()
   }
 
   // ------------------------------------------------------------------ queries
@@ -291,7 +322,6 @@ object SparkEntry {
     // JSON built deterministically from `events`.
     "q27_log_split" -> ((s, d) => {
       val env = Tables.events(s, d)
-        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
         .select(to_json(struct(
         struct(concat(lit("mid_"), col("user_id")).as("mid"),
           col("event_type").as("ch")).as("common"),
@@ -321,16 +351,16 @@ object SparkEntry {
 
     // A4 dedup as an incremental flatMapGroupsWithState run: state must
     // carry across the micro-batch boundary; same oracle as q10.
-    // The feed is DELIBERATELY disordered: shuffled within each batch, and
-    // batched by day parity so a user's EARLIER day arrives in a LATER
-    // micro-batch — proving the seen-days state doesn't swallow
-    // out-of-order days (each (user, day) stays within one batch, so the
-    // per-batch µs sort still surfaces the day's true first event).
+    // The feed is DELIBERATELY disordered: batched by day parity so a
+    // user's EARLIER day arrives in a LATER micro-batch — proving the
+    // seen-days state doesn't swallow out-of-order days (each (user, day)
+    // stays within one batch, so the per-batch µs sort still surfaces the
+    // day's true first event).
     "q28_stream_dedup" -> ((s, d) => {
       import s.implicits._
-      val ev = Tables.events(s, d).as[StatefulOps.Event].collect().toSeq
-      val (h1, h2) = disorderedDayBatches(ev)
-      StreamHarness.run(s, Seq(h1, h2))(ds => StatefulOps.dedupDaily(ds).toDF())
+      val ev = Tables.events(s, d).as[StatefulOps.Event]
+      StreamHarness.runFiles(s, disorderedDayBatchesDs(ev))(ds =>
+        StatefulOps.dedupDaily(ds).toDF())
         .select(col("user_id"), to_date(col("ts")).cast("string").as("visit_date"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("first_ts"))
         .orderBy(col("user_id"), col("visit_date"))
@@ -340,12 +370,12 @@ object SparkEntry {
     // ValueState with optional 1-day TTL = reference X4); same oracle.
     "q38_stream_dedup_tws" -> ((s, d) => {
       import s.implicits._
-      val ev = Tables.events(s, d).as[StatefulOps.Event].collect().toSeq
-      val (h1, h2) = disorderedDayBatches(ev) // see q28
+      val ev = Tables.events(s, d).as[StatefulOps.Event]
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try
-        StreamHarness.run(s, Seq(h1, h2))(ds => StatefulOps.dedupDailyTws(ds).toDF())
+        StreamHarness.runFiles(s, disorderedDayBatchesDs(ev))(ds =>
+          StatefulOps.dedupDailyTws(ds).toDF())
           .select(col("user_id"), to_date(col("ts")).cast("string").as("visit_date"),
             date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("first_ts"))
           .orderBy(col("user_id"), col("visit_date"))
@@ -358,11 +388,8 @@ object SparkEntry {
     "q29_stream_jump" -> ((s, d) => {
       import s.implicits._
       val ev = Tables.events(s, d).as[StatefulOps.Event]
-        .collect().toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-      val maxTs = ev.map(_.ts.getTime).max
-      val sentinel = StatefulOps.Event(
-        -1L, new Timestamp(maxTs + 3600L * 1000L), -1L, "flush", 0.0, "{}")
-      StreamHarness.run(s, Seq(ev, Seq(sentinel)))(ds =>
+      val sentinel = sentinelBatch(s, maxTsMillis(ev, "ts") + 3600L * 1000L)
+      StreamHarness.runFiles(s, Seq(ev, sentinel))(ds =>
         StatefulOps.jumpDetect(ds.withWatermark("ts", "2 seconds"),
           _.event_type == "view", 30L).toDF())
         .where(col("user_id") =!= -1L)
@@ -379,9 +406,7 @@ object SparkEntry {
     "q33_stream_join" -> ((s, d) => {
       import s.implicits._
       val ev = Tables.events(s, d).as[StatefulOps.Event]
-        .collect().toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-      val (h1, h2) = ev.splitAt(ev.length / 2)
-      StreamHarness.run(s, Seq(h1, h2)) { ds =>
+      StreamHarness.runFiles(s, timeSplitDs(ev, "ts")) { ds =>
         val views = ds.toDF().where(col("event_type") === "view")
           .select(col("event_id").as("view_id"), col("user_id"),
             col("ts").as("view_ts"))
@@ -404,12 +429,8 @@ object SparkEntry {
     "q34_stream_window" -> ((s, d) => {
       import s.implicits._
       val ev = Tables.events(s, d).as[StatefulOps.Event]
-        .collect().toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-      val (h1, h2) = ev.splitAt(ev.length / 2)
-      val maxTs = ev.map(_.ts.getTime).max
-      val sentinel = StatefulOps.Event(
-        -1L, new Timestamp(maxTs + 7200L * 1000L), -1L, "flush", 0.0, "{}")
-      StreamHarness.run(s, Seq(h1, h2, Seq(sentinel))) { ds =>
+      val sentinel = sentinelBatch(s, maxTsMillis(ev, "ts") + 7200L * 1000L)
+      StreamHarness.runFiles(s, timeSplitDs(ev, "ts") :+ sentinel) { ds =>
         graft.streaming.Windows.tumblingAgg(ds.toDF(), "ts", "1 hour", "10 seconds",
           Seq(col("event_type")),
           Seq(count(lit(1)).as("n_events"),
@@ -484,12 +505,14 @@ object SparkEntry {
             concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 3)).as("item"),
             lit("keyword").as("item_type")).as("page"),
           (col("doc_id") * 3000).as("ts"))).as("value"))
-        .orderBy(col("doc_id"))
-        .as[(Long, String)].collect().toSeq
-      val maxId = logs.map(_._1).max
-      val sentinel = (maxId + 1, s"""{"common":{"mid":"zz"},"page":{"page_id":"good_list","last_page_id":"search","item_type":"keyword","item":"zzsentinel"},"ts":${(maxId + 1000000) * 3000}}""")
-      val batches = logs.grouped(math.max(1, logs.size / 2)).toSeq :+ Seq(sentinel)
-      StreamHarness.run(s, batches) { ds =>
+        .as[(Long, String)]
+      // event time is doc_id·3000 — an id-midpoint split IS a time split
+      val mm = logs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val (midId, maxId) = (mm.getLong(0) / 2 + mm.getLong(1) / 2, mm.getLong(1))
+      val sentinel = Seq((maxId + 1, s"""{"common":{"mid":"zz"},"page":{"page_id":"good_list","last_page_id":"search","item_type":"keyword","item":"zzsentinel"},"ts":${(maxId + 1000000) * 3000}}""")).toDS()
+      val batches = Seq(logs.where(col("doc_id") <= midId),
+        logs.where(col("doc_id") > midId), sentinel)
+      StreamHarness.runFiles(s, batches) { ds =>
         val (clean, _) = Envelopes.cleanDirty(Envelopes.parseLog(ds.toDF()
           .withColumnRenamed("_2", "value")))
         graft.streaming.Windows.keywordCount(GmallPipelines.keywordHits(clean))
@@ -505,23 +528,22 @@ object SparkEntry {
       import s.implicits._
       // to_json drops null fields, so the conditional last_page_id needs no
       // string surgery (and event_type escaping is handled — see q37)
-      val logs = Tables.events(s, d).select(col("event_id"), to_json(struct(
-        struct(concat(lit("m"), col("user_id")).as("mid"),
-          concat(lit("v"), col("user_id") % 3).as("vc"),
-          col("event_type").as("ch"),
-          (col("user_id") % 5).cast("string").as("ar"),
-          (col("event_id") % 2).cast("string").as("is_new")).as("common"),
-        struct(lit("home").as("page_id"),
-          when(col("event_id") % 3 =!= 0, lit("search")).as("last_page_id"),
-          round(col("value")).cast("long").as("during_time")).as("page"),
-        unix_millis(col("ts")).as("ts"))).as("value"))
-        .orderBy(col("event_id")).as[(Long, String)].collect().toSeq
-      val maxId = logs.map(_._1).max
+      def toLogs(df: DataFrame): Dataset[(Long, String)] =
+        df.select(col("event_id"), to_json(struct(
+          struct(concat(lit("m"), col("user_id")).as("mid"),
+            concat(lit("v"), col("user_id") % 3).as("vc"),
+            col("event_type").as("ch"),
+            (col("user_id") % 5).cast("string").as("ar"),
+            (col("event_id") % 2).cast("string").as("is_new")).as("common"),
+          struct(lit("home").as("page_id"),
+            when(col("event_id") % 3 =!= 0, lit("search")).as("last_page_id"),
+            round(col("value")).cast("long").as("during_time")).as("page"),
+          unix_millis(col("ts")).as("ts"))).as("value")).as[(Long, String)]
       val farTs = 9999999999999L // far-future millis flushes every window
-      val sentinel = (maxId + 1,
-        s"""{"common":{"mid":"zz","vc":"zz","ch":"zz","ar":"zz","is_new":"9"},"page":{"page_id":"home","during_time":0},"ts":$farTs}""")
-      val batches = logs.grouped(math.max(1, logs.size / 2)).toSeq :+ Seq(sentinel)
-      StreamHarness.run(s, batches) { ds =>
+      val sentinel = Seq((-1L,
+        s"""{"common":{"mid":"zz","vc":"zz","ch":"zz","ar":"zz","is_new":"9"},"page":{"page_id":"home","during_time":0},"ts":$farTs}""")).toDS()
+      val batches = timeSplitDs(Tables.events(s, d), "ts").map(toLogs) :+ sentinel
+      StreamHarness.runFiles(s, batches) { ds =>
         val (clean, _) = Envelopes.cleanDirty(Envelopes.parseLog(
           ds.toDF().withColumnRenamed("_2", "value")))
         val page = GmallPipelines.baseLogSplit(clean)("page")
@@ -716,9 +738,7 @@ object SparkEntry {
     "q57_stream_visitor_repair" -> ((s, d) => {
       import s.implicits._
       val ev = Tables.events(s, d).as[StatefulOps.Event]
-        .collect().toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-      val (h1, h2) = ev.splitAt(ev.length / 2)
-      StreamHarness.run(s, Seq(h1, h2)) { ds =>
+      StreamHarness.runFiles(s, timeSplitDs(ev, "ts")) { ds =>
         import ds.sparkSession.implicits._
         StatefulOps.visitorRepair(ds)
           .map { case (e, f) => (e.event_id, e.user_id, e.ts, f) }.toDF()
@@ -749,13 +769,16 @@ object SparkEntry {
     // REAL append-mode streaming window (sentinel-flushed tail like q34).
     "q62_dws_register_window" -> ((s, d) => {
       import s.implicits._
-      val regs = Tables.customer(s, d).select(col("c_custkey")).as[Long]
-        .collect().toSeq.sorted
-        .map(c => StatefulOps.Event(c, new Timestamp((c + 1) * 1000L), c, "register", 0.0, "{}"))
-      val sentinel = StatefulOps.Event(
-        -1L, new Timestamp((regs.map(_.event_id).max + 100000L) * 1000L), -1L, "flush", 0.0, "{}")
-      val batches = regs.grouped(math.max(1, regs.size / 2)).toSeq :+ Seq(sentinel)
-      StreamHarness.run(s, batches) { ds =>
+      val regs = Tables.customer(s, d).select(
+          col("c_custkey").as("event_id"),
+          timestamp_millis((col("c_custkey") + 1) * 1000L).as("ts"),
+          col("c_custkey").as("user_id"), lit("register").as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+        .as[StatefulOps.Event]
+      val sentinel = sentinelBatch(s,
+        maxTsMillis(regs, "ts") + 100000L * 1000L)
+      val batches = timeSplitDs(regs, "ts") :+ sentinel
+      StreamHarness.runFiles(s, batches) { ds =>
         graft.streaming.Windows.tumblingAgg(ds.toDF(), "ts", "10 seconds", "2 seconds",
           Seq(col("event_type")), Seq(count(lit(1)).as("register_ct")))
       }.where(col("event_type") =!= "flush")
@@ -773,28 +796,23 @@ object SparkEntry {
     "q63_dws_cart_uu" -> ((s, d) => {
       import s.implicits._
       val ev = GmallPipelines.tradeCartAdd(TopicDb(s, d), TopicDb.baseDic(s))
-        .select(col("ts").as("k"),
-          split(col("id"), "-").getItem(1).cast("long").as("n"),
-          col("user_id").cast("long").as("u"))
-        .collect().toSeq
-        .map(r => StatefulOps.Event(
-          r.getAs[Long]("k") * 8 + r.getAs[Long]("n"),
-          new Timestamp((r.getAs[Long]("k") + 1) * 1000L),
-          r.getAs[Long]("u"), "cart", 0.0, "{}"))
-      val (h1, h2) = ev.partition(e => (e.user_id * 0x9E3779B97F4A7C15L) % 2 == 0)
-      def scrambled(b: Seq[StatefulOps.Event]) = b.sortBy(_.event_id * 0x61C88647L)
+        .select(
+          (col("ts") * 8 + split(col("id"), "-").getItem(1).cast("long")).as("event_id"),
+          timestamp_millis((col("ts") + 1) * 1000L).as("ts"),
+          col("user_id").cast("long").as("user_id"),
+          lit("cart").as("event_type"), lit(0.0).as("value"), lit("{}").as("props"))
+        .as[StatefulOps.Event]
+      val userHash = pmod(hash(col("user_id")), lit(2))
       // the two user-batches are NOT time-ordered relative to each other,
       // so the watermark delay must span the whole OBSERVED key range
       // (otherwise batch-2 windows below batch-1's watermark drop as
       // late) — derived from the data, not a constant, so the gate holds
       // at every SF; the sentinel then sits beyond delay + every window
-      val maxSec = ev.map(_.ts.getTime / 1000L).max
+      val maxSec = maxTsMillis(ev, "ts") / 1000L
       val delaySec = maxSec + 10L
-      val sentinel = StatefulOps.Event(
-        -1L, new Timestamp((maxSec + delaySec + 20L) * 1000L),
-        -1L, "flush", 0.0, "{}")
-      val batches = Seq(scrambled(h1), scrambled(h2), Seq(sentinel))
-      StreamHarness.run(s, batches) { ds =>
+      val sentinel = sentinelBatch(s, (maxSec + delaySec + 20L) * 1000L)
+      val batches = Seq(ev.where(userHash === 0), ev.where(userHash === 1), sentinel)
+      StreamHarness.runFiles(s, batches) { ds =>
         graft.streaming.Windows.tumblingAgg(
           StatefulOps.dedupDaily(ds).toDF(), "ts", "10 seconds", s"$delaySec seconds",
           Seq(col("event_type")), Seq(count(lit(1)).as("uu_ct")))
@@ -811,21 +829,19 @@ object SparkEntry {
       import s.implicits._
       val ev = TopicDb(s, d).where(col("table") === "payment_info" &&
           element_at(col("data"), "payment_status") === "1602")
-        .select(col("ts"), element_at(col("data"), "user_id").cast("long").as("u"))
-        .collect().toSeq
-        .map(r => StatefulOps.Event(
-          r.getLong(0), new Timestamp((r.getLong(0) + 1) * 1000L),
-          r.getLong(1), "pay", 0.0, "{}"))
-      val (h1, h2) = ev.partition(e => (e.user_id * 0x9E3779B97F4A7C15L) % 2 == 0)
-      def scrambled(b: Seq[StatefulOps.Event]) = b.sortBy(_.event_id * 0x61C88647L)
+        .select(col("ts").as("event_id"),
+          timestamp_millis((col("ts") + 1) * 1000L).as("ts"),
+          element_at(col("data"), "user_id").cast("long").as("user_id"),
+          lit("pay").as("event_type"), lit(0.0).as("value"), lit("{}").as("props"))
+        .as[StatefulOps.Event]
+      val userHash = pmod(hash(col("user_id")), lit(2))
       // delay spans the observed key range (see q63) so the gate holds at
       // every SF, not just where all keys fit one watermark window
-      val maxSec = ev.map(_.ts.getTime / 1000L).max
+      val maxSec = maxTsMillis(ev, "ts") / 1000L
       val delaySec = maxSec + 10L
-      val sentinel = StatefulOps.Event(
-        -1L, new Timestamp((maxSec + delaySec + 20L) * 1000L),
-        -1L, "flush", 0.0, "{}")
-      StreamHarness.run(s, Seq(scrambled(h1), scrambled(h2), Seq(sentinel))) { ds =>
+      val sentinel = sentinelBatch(s, (maxSec + delaySec + 20L) * 1000L)
+      StreamHarness.runFiles(s,
+          Seq(ev.where(userHash === 0), ev.where(userHash === 1), sentinel)) { ds =>
         graft.streaming.Windows.tumblingAgg(
           StatefulOps.dedupDaily(ds).toDF(), "ts", "10 seconds", s"$delaySec seconds",
           Seq(col("event_type")), Seq(count(lit(1)).as("uu_ct")))
@@ -844,19 +860,17 @@ object SparkEntry {
     "q66_dws_sku_order_window" -> ((s, d) => {
       import s.implicits._
       // ⅛ key sample: the window-state machinery is the thing under test,
-      // not the driver-side MemoryStream feed volume (oracle mirrors)
+      // not the feed volume (oracle mirrors)
       val rows = GmallPipelines.orderDetail(TopicDb(s, d))
         .where(col("ts") % 8 === 0)
-        .select(col("ts"), col("sku_id"), col("sku_num").cast("long"),
+        .select(timestamp_millis((col("ts") + 1) * 1000L).as("ts"),
+          col("sku_id"), col("sku_num").cast("long").as("num"),
           col("split_total_amount"))
-        .as[(Long, String, Long, String)].collect().toSeq
-        .sortBy(_._1)
-        .map { case (k, sku, num, amt) =>
-          (new Timestamp((k + 1) * 1000L), sku, num, amt) }
-      val sentinel = (new Timestamp(rows.map(_._1.getTime).max + 7200L * 1000L),
-        "zz", 0L, "0.00")
-      val (h1, h2) = rows.splitAt(rows.length / 2)
-      StreamHarness.run(s, Seq(h1, h2, Seq(sentinel))) { ds =>
+        .as[(Timestamp, String, Long, String)]
+      val sentinel = Seq((
+        new Timestamp(maxTsMillis(rows, "ts") + 7200L * 1000L), "zz", 0L, "0.00"))
+        .toDS()
+      StreamHarness.runFiles(s, timeSplitDs(rows, "ts") :+ sentinel) { ds =>
         graft.streaming.Windows.tumblingAgg(
           ds.toDF("ts", "sku_id", "num", "amt"), "ts", "10 seconds", "10 seconds",
           Seq(col("sku_id")),
@@ -878,11 +892,9 @@ object SparkEntry {
     "q65_dws_order_window" -> ((s, d) => {
       import s.implicits._
       val ev = Tables.events(s, d).where(col("event_type") === "purchase")
-        .as[StatefulOps.Event].collect().toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-      val (h1, h2) = ev.splitAt(ev.length / 2)
-      val sentinel = StatefulOps.Event(
-        -1L, new Timestamp(ev.map(_.ts.getTime).max + 7200L * 1000L), -1L, "flush", 0.0, "{}")
-      StreamHarness.run(s, Seq(h1, h2, Seq(sentinel))) { ds =>
+        .as[StatefulOps.Event]
+      val sentinel = sentinelBatch(s, maxTsMillis(ev, "ts") + 7200L * 1000L)
+      StreamHarness.runFiles(s, timeSplitDs(ev, "ts") :+ sentinel) { ds =>
         import ds.sparkSession.implicits._
         val flagged = StatefulOps.dedupDailyFlags(ds)
           .map { case (e, isNew) => (e.ts, e.event_type, isNew.toLong) }
@@ -901,12 +913,11 @@ object SparkEntry {
     // count-distinct oracle.
     "q52_stream_dual_flag" -> ((s, d) => {
       import s.implicits._
-      val ev = Tables.events(s, d).as[StatefulOps.Event].collect().toSeq
-      val (h1, h2) = disorderedDayBatches(ev)
+      val ev = Tables.events(s, d).as[StatefulOps.Event]
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try
-        StreamHarness.run(s, Seq(h1, h2))(ds =>
+        StreamHarness.runFiles(s, disorderedDayBatchesDs(ev))(ds =>
           StatefulOps.dualFlagUv(ds, "view", "purchase").toDF())
           .groupBy(col("_1").as("visit_date"))
           .agg(sum(col("_2")).as("a_uv_ct"), sum(col("_3")).as("b_uv_ct"))
@@ -954,13 +965,9 @@ object SparkEntry {
     // watermark past every session end so append mode emits them all.
     "q71_stream_session" -> ((s, d) => {
       import s.implicits._
-      val ev = Tables.events(s, d).as[StatefulOps.Event].collect().toSeq
-        .sortBy(e => (e.ts.getTime, e.event_id))
-      val (h1, h2) = ev.splitAt(ev.length / 2)
-      val sentinel = StatefulOps.Event(-1L,
-        new Timestamp(ev.map(_.ts.getTime).max + 5L * 3600L * 1000L),
-        -1L, "flush", 0.0, "{}")
-      StreamHarness.run(s, Seq(h1, h2, Seq(sentinel))) { ds =>
+      val ev = Tables.events(s, d).as[StatefulOps.Event]
+      val sentinel = sentinelBatch(s, maxTsMillis(ev, "ts") + 5L * 3600L * 1000L)
+      StreamHarness.runFiles(s, timeSplitDs(ev, "ts") :+ sentinel) { ds =>
         graft.streaming.Windows.sessionAgg(ds.toDF(), "ts", "4 hours",
           "2 seconds", Seq(col("user_id")), Seq(count(lit(1)).as("n_events")))
       }.where(col("user_id") =!= -1L)
@@ -1051,13 +1058,16 @@ object SparkEntry {
           .orderBy(col("event_type"))
       } else {
         val obs = ev.select(col("event_type").as("g"),
-            Sketches.binOf(col("value"), lo, hi, 128).cast("int").as("bin"))
-          .as[SketchStream.BinRow].collect().toSeq
-        val batches = obs.grouped(obs.size / 3 + 1).toSeq
+            Sketches.binOf(col("value"), lo, hi, 128).cast("int").as("bin"),
+            pmod(col("event_id"), lit(3)).as("slice"))
+        // split on the source key so the same (g, bin) register keeps
+        // ADDING across batches (see q83)
+        val batches = (0 to 2).map(i => obs.where(col("slice") === i)
+          .select(col("g"), col("bin")).as[SketchStream.BinRow])
         s.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         try {
-          val snaps = StreamHarness.run(s, batches)(ds =>
+          val snaps = StreamHarness.runFiles(s, batches)(ds =>
             SketchStream.histSketchStream(ds, 128).toDF())
           val counted = snaps.groupBy(col("_1").as("event_type"))
             .agg(max_by(col("_3"), col("_2")).as("counts"))
@@ -1083,13 +1093,14 @@ object SparkEntry {
         .select(concat(
             date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss"),
             lit("|"), col("event_type")).as("g"),
-          bucket.as("bucket"), rho.as("rho"))
-        .as[SketchStream.HllRow].collect().toSeq
-      val batches = obs.grouped(obs.size / 3 + 1).toSeq
+          bucket.as("bucket"), rho.as("rho"),
+          pmod(col("event_id"), lit(3)).as("slice"))
+      val batches = (0 to 2).map(i => obs.where(col("slice") === i)
+        .select(col("g"), col("bucket"), col("rho")).as[SketchStream.HllRow])
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try {
-        val snaps = StreamHarness.run(s, batches)(ds =>
+        val snaps = StreamHarness.runFiles(s, batches)(ds =>
           SketchStream.hllSketchStream(ds).toDF())
         val latest = snaps.groupBy(col("_1").as("g"))
           .agg(max_by(col("_3"), col("_2")).as("regs"))
@@ -1128,10 +1139,10 @@ object SparkEntry {
       import s.implicits._
       val ev = Tables.events(s, d).where(col("event_type") === "view")
         .select(col("ts"), col("user_id")).as[(Timestamp, Long)]
-        .collect().toSeq.sortBy(_._1.getTime)
-      val sentinel = (new Timestamp(ev.map(_._1.getTime).max + 7200L * 1000L), -1L)
-      val (h1, h2) = ev.splitAt(ev.length / 2)
-      val counted = StreamHarness.run(s, Seq(h1, h2, Seq(sentinel))) { ds =>
+      val sentinel = Seq((
+        new Timestamp(maxTsMillis(ev, "ts") + 7200L * 1000L), -1L)).toDS()
+      val counted = StreamHarness.runFiles(s,
+          timeSplitDs(ev, "ts") :+ sentinel) { ds =>
         graft.streaming.Windows.tumblingAgg(
           ds.toDF("ts", "item"), "ts", "1 hour", "14 seconds",
           Seq(col("item")), Seq(count(lit(1)).as("ct")))
@@ -1232,13 +1243,16 @@ object SparkEntry {
       import s.implicits._
       val (bucket, rho) = Sketches.hllObs(col("l_orderkey").cast("string"))
       val obs = Tables.lineitem(s, d)
-        .select(col("l_returnflag").as("g"), bucket.as("bucket"), rho.as("rho"))
-        .as[SketchStream.HllRow].collect().toSeq
-      val batches = obs.grouped(math.max(1, obs.size / 3 + 1)).toSeq
+        .select(col("l_returnflag").as("g"), bucket.as("bucket"), rho.as("rho"),
+          pmod(col("l_orderkey"), lit(3)).as("slice"))
+      // 3-way split on the SOURCE key, not the register fields: the same
+      // (g, bucket) register must keep point-maxing across batches
+      val batches = (0 to 2).map(i => obs.where(col("slice") === i)
+        .select(col("g"), col("bucket"), col("rho")).as[SketchStream.HllRow])
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try {
-        val snaps = StreamHarness.run(s, batches)(ds =>
+        val snaps = StreamHarness.runFiles(s, batches)(ds =>
           SketchStream.hllSketchStream(ds).toDF())
         val latest = snaps.groupBy(col("_1").as("l_returnflag"))
           .agg(max_by(col("_3"), col("_2")).as("regs"))
@@ -1275,13 +1289,12 @@ object SparkEntry {
       import s.implicits._
       val ev = Tables.events(s, d)
         .where(col("event_type").isin("view", "click", "purchase"))
-        .as[StatefulOps.Event].collect().toSeq
-      val (b1, b2) = disorderedDayBatches(ev)
+        .as[StatefulOps.Event]
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       val latest =
         try {
-          val snaps = StreamHarness.run(s, Seq(b1, b2))(ds =>
+          val snaps = StreamHarness.runFiles(s, disorderedDayBatchesDs(ev))(ds =>
             StatefulOps.funnelStream(ds, Seq("view", "click", "purchase"),
               horizonSec = Some(7L * 86400L)).toDF())
           snaps.groupBy(col("_1").as("user_id"))
@@ -1345,6 +1358,58 @@ object SparkEntry {
         .withColumn("purity",
           round(col("n_match").cast("double") / col("n_pairs"), 6))
         .orderBy(col("label"))
+    }),
+
+    // S4 DATA PLANE (VERDICT r5 #2) — per-record Debezium CDC dim
+    // maintenance: a full insert/update/delete changelog of a real
+    // dimension (customer), synthesized as Debezium row envelopes, parsed
+    // by the REAL envelope parser (Envelopes.parseDebeziumRows) and
+    // maintained through the checkpointed streaming binding
+    // DimSink.cdcSink → DeltaStore across three file-fed micro-batches:
+    // inserts split across epochs 0/1, updates (later ts_ms) riding with
+    // epoch 1, deletes last. A crash is then simulated by re-delivering
+    // epoch 1 verbatim (the foreachBatch replay contract: same epochId →
+    // overwrite its own delta dir): the replay must neither double rows
+    // nor resurrect the epoch-2 delete tombstones. The oracle replays the
+    // same changelog relationally.
+    "q100_cdc_dim_maintain" -> ((s, d) => {
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft_cdc_dim_").toString
+      val cust = Tables.customer(s, d).select(col("c_custkey").as("k"),
+        col("c_name").as("nm"), col("c_mktsegment").as("seg"))
+      val maxK = cust.agg(max(col("k"))).head().getLong(0)
+      val noMap = lit(null).cast("map<string,string>")
+      def env(op: String, before: Column, after: Column, ts: Column): Column =
+        to_json(struct(before.as("before"), after.as("after"),
+          struct(lit("user_dim").as("table")).as("source"),
+          lit(op).as("op"), ts.as("ts_ms"))).as("value")
+      val fullRow = map(lit("id"), col("k").cast("string"),
+        lit("uname"), col("nm"), lit("city"), col("seg"))
+      def inserts(p: Int) = cust.where(pmod(col("k"), lit(2)) === p)
+        .select(env("c", noMap, fullRow, col("k"))).as[String]
+      val updates = cust.where(col("k") % 3 === 0)
+        .select(env("u", noMap,
+          map(lit("id"), col("k").cast("string"),
+            lit("uname"), concat(col("nm"), lit("_v2")), lit("city"), col("seg")),
+          col("k") + maxK)).as[String]
+      val deletes = cust.where(col("k") % 5 === 0)
+        .select(env("d", map(lit("id"), col("k").cast("string")), noMap,
+          col("k") + 2L * maxK)).as[String]
+      val epoch1 = inserts(1).unionByName(updates)
+      val cfg = DimSink.TableConfig("dim_user", Seq("id", "uname", "city"), "id")
+      val routes = Map("user_dim" -> cfg)
+      StreamHarness.runFilesSink(s, Seq(inserts(0), epoch1, deletes)) {
+        (ds, ckpt) =>
+          DimSink.cdcSink(Envelopes.parseDebeziumRows(ds.toDF()), root, routes, ckpt)
+      }
+      // simulated crash replay of epoch 1 (idempotent overwrite)
+      DimSink.processBatchCdc(
+        Envelopes.parseDebeziumRows(epoch1.toDF()), root, routes, 1L)
+      val out = DimSink.readDelta(s, root, cfg)
+        .orderBy(col("id").cast("long"))
+        .localCheckpoint(true) // materialize before the store dir vanishes
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+      out
     }),
   )
 
@@ -1808,6 +1873,20 @@ object SparkEntry {
          |  round(CAST(sum(CASE WHEN n_lbl = q_lbl THEN 1 ELSE 0 END) AS DOUBLE)
          |    / count(*), 6) AS purity
          |FROM ranked WHERE rnk <= 10 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Relational replay of the q100 changelog: every customer inserted
+    // (ts = k), k%3=0 updated to name_v2 (ts = k+maxK), k%5=0 deleted
+    // (ts = k+2·maxK, the newest op) — survivors are the non-deleted keys
+    // at their newest version.
+    "q100_cdc_dim_maintain" ->
+      """WITH mk AS (SELECT max(c_custkey) AS m FROM customer)
+        |SELECT CAST(c_custkey AS VARCHAR) AS id,
+        | CASE WHEN c_custkey % 3 = 0 THEN c_name || '_v2' ELSE c_name END AS uname,
+        | c_mktsegment AS city,
+        | CAST(CASE WHEN c_custkey % 3 = 0 THEN c_custkey + (SELECT m FROM mk)
+        |      ELSE c_custkey END AS BIGINT) AS ts
+        |FROM customer WHERE c_custkey % 5 <> 0
+        |ORDER BY c_custkey""".stripMargin,
 
     // PQ-ADC replication: lowest-16-id seed codebooks per 8-dim subspace,
     // argmin assignment (ties by code), per-query LUT dots, and the ADC

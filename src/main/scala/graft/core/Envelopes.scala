@@ -93,6 +93,22 @@ object Envelopes {
       StructField(Corrupt, StringType)))
   }
 
+  /** Debezium envelope for a DATA-PLANE table stream (per-record dim
+    * maintenance, SURVEY §2.1 S4's data leg): `before`/`after` as
+    * string→string maps — the schema-agnostic dynamic-table shape (the
+    * Maxwell `data` map's counterpart), since the table_process config
+    * decides per table which columns survive, and `source.table` routes
+    * the record exactly like the reference keys its broadcast config by
+    * source table (app/func/TableProcessFunction.java:287-298; the CDC
+    * source itself is app/dim/DimApp.java:163-175). */
+  val debeziumRowSchema: StructType = StructType(Seq(
+    StructField("before", MapType(StringType, StringType)),
+    StructField("after", MapType(StringType, StringType)),
+    StructField("source", StructType(Seq(StructField("table", StringType)))),
+    StructField("op", StringType),
+    StructField("ts_ms", LongType),
+    StructField(Corrupt, StringType)))
+
   // ------------------------------------------------------------- parsing --
 
   private def parse(raw: DataFrame, jsonCol: String, schema: StructType): DataFrame =
@@ -112,6 +128,10 @@ object Envelopes {
   /** Parse the Debezium config stream. */
   def parseDebeziumConfig(raw: DataFrame, jsonCol: String = "value"): DataFrame =
     parse(raw, jsonCol, debeziumConfigSchema)
+
+  /** Parse a Debezium data-plane row stream ([[debeziumRowSchema]]). */
+  def parseDebeziumRows(raw: DataFrame, jsonCol: String = "value"): DataFrame =
+    parse(raw, jsonCol, debeziumRowSchema)
 
   /** A record is dirty iff the corrupt column captured anything — exactly
     * the reference's rule (dirty = JSON parse failure and nothing else,

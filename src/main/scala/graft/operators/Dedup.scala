@@ -513,4 +513,59 @@ object Dedup {
     docs.join(components.select(col("id").as(idCol), col("comp")), Seq(idCol), "left")
       .where(col("comp").isNull || col("comp") === col(idCol))
       .drop("comp")
+
+  // ---------------------------------------------------- paragraph grain --
+
+  /** SUB-document exact dedup — the paragraph-grain pass production
+    * corpora run before any whole-doc dedup (C4's repeated-lines rule,
+    * RefinedWeb's line-wise filtering): explode each doc into fixed-width
+    * word windows ("paragraphs"), keep only the corpus-wide FIRST
+    * occurrence of each distinct paragraph (min (doc, pos) — encoded as
+    * one long so the aggregate is a plain `min` with map-side combine),
+    * and reassemble each doc from its surviving paragraphs in position
+    * order. Emits one row per input doc: (idCol, n_paras, n_kept,
+    * kept_text) — kept_text is '' when every paragraph was seen earlier.
+    *
+    * Scale: everything is paragraph-grain — one min-aggregate shuffle on
+    * the paragraph text (partial min on the map side, so a hot paragraph
+    * costs one row per map partition, not a single-reducer pile-up), one
+    * equi-join back, one per-doc reassembly agg. Never doc×doc, no
+    * ranking window, no global sort.
+    *
+    * The (doc, pos) encode needs pos < 10⁵ (docs under 10⁵ paragraphs =
+    * 10⁶ words at the default width) — caller contract; widen the encode
+    * constant for longer docs. */
+  def paragraphDedup(
+      docs: DataFrame,
+      wordsPerPara: Int = 10,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(wordsPerPara > 0, "wordsPerPara must be positive")
+    val posEncode = 100000L
+    val ws = split(col(textCol), " ")
+    val nParas = ceil(size(ws).cast("double") / wordsPerPara).cast("long")
+    val paras = docs
+      .select(col(idCol), ws.as("ws"))
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0),
+          ceil(size(col("ws")).cast("double") / wordsPerPara).cast("int") - 1),
+        i => array_join(
+          slice(col("ws"), i * wordsPerPara + 1, lit(wordsPerPara)), " "))))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("col").as("para"))
+    val firsts = paras
+      .groupBy(col("para"))
+      .agg(min(col(idCol) * posEncode + col("pos")).as("keep"))
+    val kept = paras.join(firsts, "para")
+      .where(col(idCol) * posEncode + col("pos") === col("keep"))
+    val reassembled = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("para")))),
+          x => x.getField("para")), " ").as("kept_text"))
+    docs.select(col(idCol), nParas.as("n_paras"))
+      .join(reassembled, Seq(idCol), "left")
+      .select(col(idCol), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
 }

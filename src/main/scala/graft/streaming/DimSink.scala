@@ -135,19 +135,80 @@ object DimSink {
   def readDelta(spark: SparkSession, root: String, cfg: TableConfig): DataFrame =
     DeltaStore.read(spark, s"$root/${cfg.sinkTable}", Seq(cfg.sinkPk), "ts")
 
+  /** S4 DATA PLANE — per-record CDC dim maintenance: route one micro-batch
+    * of parsed Debezium row envelopes
+    * ([[graft.core.Envelopes.parseDebeziumRows]]) into each routed dim's
+    * [[DeltaStore]] epoch. Record→config routing by `source.table` and the
+    * prune to the configured sink columns mirror the reference's broadcast
+    * lookup + filterColumn (app/func/TableProcessFunction.java:287-298,
+    * 139-155); the op split adds the delete leg the reference's Maxwell
+    * dim path drops on the floor (app/dim/DimApp.java:142-160 filters
+    * deletes out before they reach Phoenix): op c/r/u upserts the `after`
+    * row, op d rides as a tombstone keyed by `before[sinkPk]` (a Debezium
+    * delete carries its row image in `before`), so an upstream-deleted dim
+    * row disappears from [[readDelta]]. Exactly-once per (table, epoch):
+    * a replayed batch overwrites its own epoch dir — including its
+    * tombstones — so crash-redelivery cannot resurrect a deleted key. */
+  def processBatchCdc(parsed: DataFrame, root: String,
+      routes: Map[String, TableConfig], epochId: Long): Unit = {
+    parsed.persist()
+    try routes.foreach { case (sourceTable, cfg) =>
+      val forTable = parsed.where(col("source.table") === sourceTable)
+      val ups = forTable.where(col("op").isin("c", "r", "u"))
+        .select(cfg.sinkColumns.map(c => element_at(col("after"), c).as(c)) :+
+          col("ts_ms").as("ts"): _*)
+      val dels = forTable.where(col("op") === "d")
+        .select(element_at(col("before"), cfg.sinkPk).as(cfg.sinkPk))
+      if (!ups.isEmpty || !dels.isEmpty)
+        DeltaStore.append(ups, Seq(cfg.sinkPk), "ts",
+          s"$root/${cfg.sinkTable}", epochId, deleteKeys = Some(dels))
+    } finally { parsed.unpersist(); () }
+  }
+
+  /** [[processBatchCdc]] as a checkpointed streaming sink: the engine's
+    * epochId keys each delta dir, so a restart's replayed batch rewrites
+    * its own epoch — the same exactly-once contract as
+    * [[DeltaStore.sink]]. */
+  def cdcSink(parsed: DataFrame, root: String, routes: Map[String, TableConfig],
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    parsed.writeStream.option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        processBatchCdc(batch, root, routes, epochId)
+      }
+      .start()
+
   /** K6 on a JDBC target: the same pruned, column-ordered projection
     * written through `df.write.jdbc` — the binding a Phoenix/ClickHouse
     * deployment plugs its URL into (reference upsert contract:
     * app/func/DimSinkFunction.java builds per-row UPSERTs;
     * ClickHouse-style engines dedup on the sort key instead). Plumbing
-    * only in this environment — no JDBC server to integration-test. */
+    * only in this environment — no JDBC server to integration-test.
+    *
+    * REPLAY HAZARD (unlike [[processBatch]]/[[processBatchDelta]], which
+    * are replay-idempotent): this writes `mode("append")` rows, NOT keyed
+    * upserts — on checkpointed `foreachBatch` replay after a crash, the
+    * re-delivered batch lands twice on any target that does not collapse
+    * duplicates on `cfg.sinkPk`. Safe only against targets with key-merge
+    * semantics (Phoenix UPSERT VALUES, ClickHouse ReplacingMergeTree on
+    * the pk sort key — the reference's two actual sinks). To make replays
+    * self-identifying for anything else, every row carries the batch's
+    * `epochId` in the `_epoch` column: a staging-table MERGE keyed on
+    * (pk, _epoch) — or a `DELETE WHERE _epoch = ?` pre-pass — restores
+    * exactly-once. `cfg.sinkPk` is required non-empty so the key contract
+    * is visible at the call site even though this binding can't enforce
+    * it server-side. */
   def processBatchJdbc(batch: DataFrame, url: String, configs: Seq[TableConfig],
+      epochId: Long,
       properties: java.util.Properties = new java.util.Properties): Unit = {
     batch.persist()
     try configs.foreach { cfg =>
+      require(cfg.sinkPk.nonEmpty,
+        s"processBatchJdbc(${cfg.sinkTable}): sinkPk must name the upsert key " +
+          "— append-mode JDBC replay is only exactly-once on a key-merging target")
       val rows = pruned(batch, cfg)
       if (!rows.isEmpty)
-        rows.write.mode("append").jdbc(url, cfg.sinkTable, properties)
+        rows.withColumn("_epoch", lit(epochId))
+          .write.mode("append").jdbc(url, cfg.sinkTable, properties)
     } finally { batch.unpersist(); () }
   }
 }

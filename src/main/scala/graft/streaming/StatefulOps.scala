@@ -245,13 +245,13 @@ object StatefulOps {
     * by the stream's retention TTL, exactly like the reference's keyed
     * state (X4).
     */
-  class FunnelProcessor(nSteps: Int, horizonUs: Long)
+  class FunnelProcessor(nSteps: Int, horizonUs: Long, ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[Long, (Long, Int, Long), (Long, Long, Int)] {
     @transient private var st: ValueState[FunnelState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       st = getHandle.getValueState[FunnelState](
-        "funnel", Encoders.product[FunnelState], TTLConfig.NONE)
+        "funnel", Encoders.product[FunnelState], ttl)
 
     private def ceil(prev: Long): Long =
       if (horizonUs > Long.MaxValue - prev) Long.MaxValue else prev + horizonUs
@@ -294,19 +294,31 @@ object StatefulOps {
   /** [[FunnelProcessor]] wired through transformWithState: events are
     * projected to (user, step_idx, µs) rows — non-step events never reach
     * the state store. Output rows are per-key snapshots; keep the max-ver
-    * row per user and count `max_step >= i` per step to get the funnel. */
+    * row per user and count `max_step >= i` per step to get the funnel.
+    *
+    * Production MUST pass `ttl` (the stream's retention window): a user
+    * whose step i−1 never converts keeps step-i candidates forever
+    * otherwise. TTL clocks require TimeMode.ProcessingTime, whose periodic
+    * timer batches never let `processAllAvailable` settle — so bounded
+    * gates/tests run with `ttl = None` (same coupling as
+    * [[dedupDailyTws]]). */
   def funnelStream(
       events: Dataset[Event],
       steps: Seq[String],
-      horizonSec: Option[Long] = None): Dataset[(Long, Long, Int)] = {
+      horizonSec: Option[Long] = None,
+      ttl: Option[Duration] = None): Dataset[(Long, Long, Int)] = {
     import events.sparkSession.implicits._
     require(steps.nonEmpty, "funnel needs at least one step")
     val idx = steps.zipWithIndex.toMap
     val horizonUs = horizonSec.map(_ * 1000000L).getOrElse(Long.MaxValue)
+    val (ttlConf, timeMode) = ttl match {
+      case Some(d) => (TTLConfig(d), TimeMode.ProcessingTime())
+      case None    => (TTLConfig.NONE, TimeMode.None())
+    }
     events.flatMap(e => idx.get(e.event_type).map(i => (e.user_id, i, micros(e.ts))))
       .groupByKey(_._1)
-      .transformWithState(new FunnelProcessor(steps.size, horizonUs),
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(new FunnelProcessor(steps.size, horizonUs, ttlConf),
+        timeMode, OutputMode.Append())
   }
 
   /** W8 — streaming jump (bounce) detection, the reference's CEP pattern

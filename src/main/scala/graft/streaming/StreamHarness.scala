@@ -3,26 +3,33 @@ package graft.streaming
 import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
 
-/** Drives a genuinely-streaming (micro-batch) query over in-memory batches
-  * and hands back the collected sink as a DataFrame. This is how the
+/** Drives a genuinely-streaming (micro-batch) query over a sequence of
+  * batches and hands back the collected sink as a DataFrame. This is how the
   * correctness gate exercises the *incremental* code paths
   * ([[StatefulOps]]) against the same DuckDB oracles as the batch forms:
   * state must carry correctly across micro-batch boundaries and event-time
   * timeouts must fire off the advancing watermark — exactly the semantics
   * the reference's Flink jobs rely on.
   *
-  * Scale note: this harness collects input to the driver, which is fine for
-  * the gate (≤100k rows) and for tests; production streams read Kafka via
-  * `readStream` with the identical transform functions.
+  * Two feed paths:
+  *  - [[runFiles]] (the gates' path): batches stay DATASETS end to end —
+  *    each is written to parquet by an executor-side job and streamed back
+  *    through Spark's real file source, one chunk per micro-batch. No rows
+  *    ever pass through the driver and task closures stay constant-size at
+  *    every SF (the round-5 review measured the collect-fed closures at
+  *    9.3 MiB at sf0.1, growing linearly with SF).
+  *  - [[run]] (tests / tiny literal feeds): driver-held `Seq` batches via
+  *    MemoryStream; fine for spec-sized inputs, not for SF-scaled feeds.
   */
 object StreamHarness {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** Feed `batches` one micro-batch at a time through `build`, wait for
-    * every batch (and any watermark-triggered no-data batch) to complete,
-    * return the memory sink's contents.
+  /** Clone the session for one harness run: caller's runtime conf carried
+    * over, shuffle partitions capped, RocksDB state store by default.
     *
     * Shuffle partitions are capped at 8 for the query's lifetime: each
     * stateful operator commits one state-store instance PER shuffle
@@ -37,8 +44,7 @@ object StreamHarness {
     * (`newSession`: same SparkContext + cache, isolated SQLConf), so
     * concurrent harness runs never race on shared session state and the
     * caller's conf is never mutated. */
-  def run[T](spark: SparkSession, batches: Seq[Seq[T]])(
-      build: Dataset[T] => DataFrame)(implicit enc: Encoder[T]): DataFrame = {
+  private def prepared(spark: SparkSession): SparkSession = {
     val session = spark.newSession()
     // newSession starts from the BUILDER's options; carry over any conf the
     // caller set at runtime (e.g. the RocksDB state-store provider) so the
@@ -60,6 +66,16 @@ object StreamHarness {
     if (session.conf.getOption("spark.sql.streaming.stateStore.providerClass").isEmpty)
       session.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    session
+  }
+
+  /** Feed `batches` one micro-batch at a time through `build`, wait for
+    * every batch (and any watermark-triggered no-data batch) to complete,
+    * return the memory sink's contents. Driver-held feed — see object doc
+    * for when to prefer [[runFiles]]. */
+  def run[T](spark: SparkSession, batches: Seq[Seq[T]])(
+      build: Dataset[T] => DataFrame)(implicit enc: Encoder[T]): DataFrame = {
+    val session = prepared(spark)
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = session.sqlContext
     val stream = MemoryStream[T]
     val name = s"graft_mem_sink_${counter.incrementAndGet()}"
@@ -72,13 +88,95 @@ object StreamHarness {
       stream.addData(b)
       query.processAllAvailable()
     } finally {
-      query.stop()
-      // the memory sink holds the results; the per-run checkpoint dir has
-      // no post-stop reader — delete it so gate/test runs don't accumulate
-      // temp dirs for the JVM's lifetime
-      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(ckpt))
-      ()
+      // stop() can itself throw on an errored query — the checkpoint dir
+      // (no post-stop reader; the memory sink holds the results) must be
+      // deleted on that path too, or error runs leak temp dirs for the
+      // JVM's lifetime
+      try query.stop()
+      finally {
+        org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(ckpt))
+        ()
+      }
     }
     session.table(name)
+  }
+
+  /** [[run]] with EXECUTOR-fed batches: each batch Dataset is written once
+    * to a parquet chunk (a distributed write job — no driver collect, no
+    * rows in the task closure), then picked up by a REAL
+    * `readStream.parquet` file source. Batch boundaries are exact: chunk i
+    * is moved into the watched dir only after batch i−1's
+    * `processAllAvailable` returns, so each chunk is one micro-batch in
+    * feed order — the file-source analogue of Kafka offsets
+    * ([[Sources.kafkaValues]] is the production binding;
+    * utils/MyKafkaUtil.java:21-50).
+    *
+    * Within-batch row order is NOT preserved (parquet chunks concatenate
+    * write partitions): every [[StatefulOps]] processor re-sorts its group
+    * by (event-time µs, id) per batch, so results are feed-order
+    * independent — callers control only batch COMPOSITION, the thing that
+    * exercises cross-batch state.
+    */
+  def runFiles[T](spark: SparkSession, batches: Seq[Dataset[T]])(
+      build: Dataset[T] => DataFrame)(implicit enc: Encoder[T]): DataFrame = {
+    val name = s"graft_mem_sink_${counter.incrementAndGet()}"
+    val session = feedFiles(spark, batches) { (stream, ckpt) =>
+      build(stream)
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    session.table(name)
+  }
+
+  /** The [[runFiles]] feed loop around a CALLER-started sink (e.g. a
+    * checkpointed `foreachBatch` dim sink): `start` receives the
+    * file-source Dataset and a fresh checkpoint dir and returns the
+    * running query; each batch Dataset then lands as exactly one
+    * micro-batch, in order, with the engine's own epochIds. */
+  def runFilesSink[T](spark: SparkSession, batches: Seq[Dataset[T]])(
+      start: (Dataset[T], String) => StreamingQuery)(
+      implicit enc: Encoder[T]): Unit = {
+    feedFiles(spark, batches)(start)
+    ()
+  }
+
+  private def feedFiles[T](spark: SparkSession, batches: Seq[Dataset[T]])(
+      start: (Dataset[T], String) => StreamingQuery)(
+      implicit enc: Encoder[T]): SparkSession = {
+    require(batches.nonEmpty, "file feed needs at least one batch")
+    val session = prepared(spark)
+    val root = Files.createTempDirectory("graft_feed_")
+    val watched = root.resolve("in")
+    Files.createDirectories(watched)
+    // file sources need an explicit schema; the encoder's schema with
+    // relaxed nullability (parquet stores everything nullable — the .as[T]
+    // below re-asserts non-null primitives exactly like any table read)
+    val schema = StructType(enc.schema.fields.map(_.copy(nullable = true)))
+    val query = start(
+      session.readStream.schema(schema).parquet(watched.toString).as[T](enc),
+      root.resolve("ckpt").toString)
+    try batches.zipWithIndex.foreach { case (b, i) =>
+      val stage = root.resolve(s"stage_$i")
+      // write under the ENCODER's field names (parquet resolves by name):
+      // a tuple Dataset built from a select keeps the select's column
+      // names, not _1/_2 — the positional rename bridges the two exactly
+      // like MemoryStream's implicit tuple encoding did
+      b.toDF(schema.fieldNames.toIndexedSeq: _*).coalesce(1)
+        .write.parquet(stage.toString)
+      val parts = stage.toFile.listFiles().filter(f =>
+        f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      parts.zipWithIndex.foreach { case (p, j) =>
+        Files.move(p.toPath, watched.resolve(f"chunk-$i%05d-$j%03d.parquet"))
+      }
+      query.processAllAvailable()
+    } finally {
+      try query.stop()
+      finally {
+        org.apache.hadoop.fs.FileUtil.fullyDelete(root.toFile)
+        ()
+      }
+    }
+    session
   }
 }
