@@ -568,4 +568,40 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
+
+  /** Boilerplate profile — the template-detection signal next to
+    * [[paragraphDedup]]'s removal: per doc, how much of it is made of
+    * paragraphs that recur across the corpus (nav bars, license footers,
+    * forum signatures — the C4/RefinedWeb boilerplate classes). A
+    * paragraph is "boilerplate" when it occurs in ≥ `minDocs` DISTINCT
+    * docs; the profile counts each doc's distinct paragraphs and the
+    * boilerplate fraction among them. Emits (idCol, n_distinct_paras,
+    * n_boiler, boiler_frac).
+    *
+    * Scale: paragraph-grain distinct + one count-distinct-docs aggregate
+    * per paragraph (map-side partial), one join back. Never doc×doc. */
+  def boilerplateProfile(
+      docs: DataFrame,
+      wordsPerPara: Int = 10,
+      minDocs: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val ws = split(col(textCol), " ")
+    val paras = docs
+      .select(col(idCol), ws.as("ws"))
+      .select(col(idCol), explode(transform(
+        sequence(lit(0),
+          ceil(size(col("ws")).cast("double") / wordsPerPara).cast("int") - 1),
+        i => array_join(
+          slice(col("ws"), i * wordsPerPara + 1, lit(wordsPerPara)), " "))).as("para"))
+      .distinct() // (doc, para) grain: in-doc repeats count once for df
+    val df = paras.groupBy(col("para"))
+      .agg(count(lit(1)).as("n_docs")) // rows are distinct (doc, para)
+    paras.join(df, "para")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_distinct_paras"),
+        count(when(col("n_docs") >= minDocs, 1)).as("n_boiler"))
+      .withColumn("boiler_frac",
+        round(col("n_boiler").cast("double") / col("n_distinct_paras"), 6))
+  }
 }

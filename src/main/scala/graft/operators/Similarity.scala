@@ -357,4 +357,54 @@ object Similarity {
       .where(col("score") >= threshold)
       .select(col("a"), col("b"), round(col("score"), 6).as("score"))
   }
+
+  /** Near-dup candidate pairs WITHIN k-means cells only (a < b, cosine ≥
+    * threshold, same cell) — the pair generator of [[semDedup]]. A cell
+    * equi-join, so the pair space is per-cell: never cross-cell, never a
+    * global all-pairs. Same output contract as [[nearDupPairs]]. */
+  def cellNearDupPairs(
+      vecs: DataFrame,
+      cents: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val base = vecs.join(assignCells(vecs, cents, idCol, vecCol), idCol)
+      .select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"), col("cell"))
+    val l = base.select(col(idCol).as("a"), col(vecCol).as("va"),
+      col("nrm").as("na"), col("cell"))
+    val r = base.select(col(idCol).as("b"), col(vecCol).as("vb"),
+      col("nrm").as("nb"), col("cell"))
+    l.join(r, Seq("cell"))
+      .where(col("a") < col("b"))
+      .withColumn("score", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .where(col("score") >= threshold)
+      .select(col("a"), col("b"), round(col("score"), 6).as("score"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup of an
+    * embedded corpus — cluster into `nCells` k-means cells, collapse
+    * near-duplicate groups WITHIN each cell (cosine ≥ threshold pairs →
+    * connected components → keep each group's min-id canonical member),
+    * pass every untouched row through. Cross-cell near-dups are out of
+    * scope by design: that locality is what makes the pair space
+    * tractable at corpus scale (the paper's clustering serves exactly
+    * this purpose).
+    *
+    * Composition of three oracle-gated pieces: [[kmeansCentroids]] +
+    * [[cellNearDupPairs]] + [[graft.operators.Dedup.connectedComponentsStar]]
+    * + [[graft.operators.Dedup.applyDedup]]. Scale: per-cell pair
+    * generation, O(log n) star rounds, one labels join — nothing global.
+    */
+  def semDedup(
+      vecs: DataFrame,
+      nCells: Int,
+      iterations: Int,
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = kmeansCentroids(vecs, nCells, iterations, idCol, vecCol)
+    val pairs = cellNearDupPairs(vecs, cents, threshold, idCol, vecCol)
+    val comps = Dedup.connectedComponentsStar(pairs)
+    Dedup.applyDedup(vecs, comps, idCol)
+  }
 }

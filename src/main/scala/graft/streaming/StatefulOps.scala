@@ -222,6 +222,28 @@ object StatefulOps {
         })
   }
 
+  /** Exact dedup ON INGEST — the streaming twin of
+    * [[graft.operators.Dedup.exact]]: one (key, id) survivor per distinct
+    * key across all micro-batches, the id being the smallest seen in the
+    * key's FIRST batch (feed batches id-ascending and that is the global
+    * min — how the q103 gate stays oracle-deterministic). State is one
+    * boolean per distinct key: at 100 TB that is the irreducible cost of
+    * exact ingest dedup — production bounds it with the state TTL
+    * (dedup-within-retention) or swaps in the Bloom screen
+    * ([[graft.operators.Dedup.incrementalDedup]]) when approximate
+    * suppression is acceptable. */
+  def firstPerKey(rows: Dataset[(String, Long)]): Dataset[(String, Long)] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, it: Iterator[(String, Long)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single((key, it.map(_._2).min))
+          })
+  }
+
   /** Per-user funnel state: `ver` makes snapshots totally ordered per key
     * (latest wins downstream); `perStep(i)` is the pruned, sorted candidate
     * µs-timestamp list for step i (step 0 stores only its min). */

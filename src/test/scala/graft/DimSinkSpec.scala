@@ -137,4 +137,43 @@ class DimSinkSpec extends SparkTestBase {
       root, Seq(userCfg, skuCfg), epochId = 2L)
     assert(users === Map("u1" -> "ANN", "u2" -> "BOB"))
   }
+
+  test("processBatchCdc routes Debezium c/u/d ops; delete tombstones survive epoch replay") {
+    val root = Files.createTempDirectory("graft_cdc_spec_").toString
+    val cfg = DimSink.TableConfig("dim_user", Seq("id", "uname"), "id")
+    val routes = Map("user_info" -> cfg)
+    def parsed(rows: Seq[String]) =
+      graft.core.Envelopes.parseDebeziumRows(rows.toDF("value"))
+    def env(op: String, id: String, name: String, ts: Long): String = {
+      val row = s"""{"id":"$id","uname":"$name"}"""
+      val (b, a) = if (op == "d") (row, "null") else ("null", row)
+      s"""{"before":$b,"after":$a,"source":{"table":"user_info"},"op":"$op","ts_ms":$ts}"""
+    }
+    def state(): Map[String, String] =
+      DimSink.readDelta(spark, root, cfg)
+        .select("id", "uname").as[(String, String)].collect().toMap
+
+    // epoch 0: snapshot reads + an insert; epoch 1: update + insert;
+    // epoch 2: delete u1
+    DimSink.processBatchCdc(parsed(Seq(
+      env("r", "u1", "alice", 1L), env("c", "u2", "bob", 2L))), root, routes, 0L)
+    assert(state() === Map("u1" -> "alice", "u2" -> "bob"))
+    DimSink.processBatchCdc(parsed(Seq(
+      env("u", "u2", "BOB", 3L), env("c", "u3", "carol", 4L))), root, routes, 1L)
+    assert(state() === Map("u1" -> "alice", "u2" -> "BOB", "u3" -> "carol"))
+    DimSink.processBatchCdc(parsed(Seq(env("d", "u1", "alice", 5L))), root, routes, 2L)
+    assert(state() === Map("u2" -> "BOB", "u3" -> "carol"))
+
+    // crash replay of epoch 1 AFTER the delete: the re-delivered batch
+    // overwrites its own delta dir — it must neither double rows nor
+    // resurrect u1
+    DimSink.processBatchCdc(parsed(Seq(
+      env("u", "u2", "BOB", 3L), env("c", "u3", "carol", 4L))), root, routes, 1L)
+    assert(state() === Map("u2" -> "BOB", "u3" -> "carol"))
+
+    // a dirty record routes to _corrupt and must not poison the batch
+    DimSink.processBatchCdc(parsed(Seq(
+      "{not json", env("c", "u4", "dave", 6L))), root, routes, 3L)
+    assert(state() === Map("u2" -> "BOB", "u3" -> "carol", "u4" -> "dave"))
+  }
 }

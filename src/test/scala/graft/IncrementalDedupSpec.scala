@@ -47,4 +47,46 @@ class IncrementalDedupSpec extends SparkTestBase {
       .select($"doc_id").as[Long].collect()
     assert(out.toSeq === Seq(2L))
   }
+
+  test("paragraph dedup keeps corpus-wide first occurrences and reassembles in order") {
+    // 2-word paragraphs: doc 0 = [a b][c d], doc 1 = [a b][x y],
+    // doc 2 = [c d][a b] (both seen), doc 3 = [c d] alone (seen),
+    // doc 4 = ragged tail [z z][q] (q = 1-word tail paragraph)
+    val docs = Seq(
+      (0L, "a b c d"),
+      (1L, "a b x y"),
+      (2L, "c d a b"),
+      (3L, "c d"),
+      (4L, "z z q")).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs, wordsPerPara = 2)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (0L, 2L, 2L, "a b c d"), // first occurrence of both paragraphs
+      (1L, 2L, 1L, "x y"),     // "a b" already seen in doc 0
+      (2L, 2L, 0L, ""),        // both paragraphs seen earlier
+      (3L, 1L, 0L, ""),        // "c d" seen in doc 0
+      (4L, 2L, 2L, "z z q"))) // ragged tail is its own paragraph
+  }
+
+  test("paragraph dedup dedups repeats WITHIN one doc too") {
+    val docs = Seq((7L, "a b a b a b")).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs, wordsPerPara = 2)
+      .as[(Long, Long, Long, String)].head()
+    assert(out === ((7L, 3L, 1L, "a b")))
+  }
+
+  test("boilerplate profile counts distinct paragraphs recurring in >= minDocs docs") {
+    // "x y" appears in docs 0,1,2 (boiler at minDocs=3); "a b" in 0,1 only
+    val docs = Seq(
+      (0L, "x y a b"),
+      (1L, "x y a b"),
+      (2L, "x y c d"),
+      (3L, "e f")).toDF("doc_id", "text")
+    val out = Dedup.boilerplateProfile(docs, wordsPerPara = 2, minDocs = 3)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      (0L, 2L, 1L, 0.5), (1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 1L, 0L, 0.0)))
+  }
 }

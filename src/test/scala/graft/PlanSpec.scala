@@ -132,4 +132,19 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("windowspecdefinition(cust"), "carry-forward must be cust-keyed")
     assert(!p.contains("Join"), "piecewise merge needs no join operator:\n" + p)
   }
+
+  test("semDedup generates pairs through a cell equi-join — no cross-cell pair space") {
+    val emb = Tables.embeddings(spark, sf)
+    val cents = Similarity.kmeansCentroids(emb, 16, 0)
+    val p = plan(Similarity.cellNearDupPairs(emb, cents, 0.35))
+    assert(!p.contains("CartesianProduct"), "no unbounded product:\n" + p)
+    // the only nested-loop allowed is the bounded n×nCells centroid
+    // broadcast inside assignCells (runs once per side of the self-join);
+    // the PAIR space itself must ride a hash/merge equi-join keyed on cell
+    assert("(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) \\[cell".r
+        .findFirstIn(p).isDefined,
+      "pair generation must equi-join on the cell key:\n" + p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      "only the two bounded centroid-assignment broadcasts may nested-loop:\n" + p)
+  }
 }

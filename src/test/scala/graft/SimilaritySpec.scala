@@ -117,6 +117,19 @@ class SimilaritySpec extends SparkTestBase {
     assert(bucketed === exact)
   }
 
+  test("semDedup collapses planted near-dup groups to min-id canonicals, passes the rest") {
+    // vector i+1000 ≈ vector i (i < 20): each pair shares a cell (near-
+    // identical → identical nearest-seed argmin), so SemDeDup must drop
+    // exactly the planted copies and keep every original untouched
+    val planted = corpus.take(20).map { case (id, v) =>
+      (id + 1000L, v.map(x => x + 0.0005f * rnd.nextFloat()))
+    }
+    val df = (corpus ++ planted).toDF("vec_id", "embedding")
+    val survivors = Similarity.semDedup(df, nCells = 4, iterations = 0, threshold = 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    assert(survivors === corpus.map(_._1).toSet)
+  }
+
   test("ivfTopK with Lloyd iterations achieves useful recall vs brute force") {
     val df = corpus.toDF("vec_id", "embedding")
     val queries = df.where(col("vec_id") < 10)

@@ -110,4 +110,13 @@ class StatefulOpsSpec extends SparkTestBase {
       .select("event_id").as[Long].collect().toSet
     assert(out === Set(3L))
   }
+
+  test("firstPerKey suppresses cross-batch duplicates via STATE, not in-batch grouping") {
+    val out = StreamHarness.run(spark, Seq(
+        Seq(("fpA", 3L), ("fpA", 1L), ("fpB", 2L)), // in-batch min wins
+        Seq(("fpA", 9L), ("fpC", 7L))))             // fpA seen → suppressed
+      { ds => StatefulOps.firstPerKey(ds).toDF() }
+      .as[(String, Long)].collect().toSet
+    assert(out === Set(("fpA", 1L), ("fpB", 2L), ("fpC", 7L)))
+  }
 }
