@@ -1461,6 +1461,53 @@ object SparkEntry {
     "q104_boilerplate_profile" -> ((s, d) =>
       Dedup.boilerplateProfile(Tables.documents(s, d), 10, 3)
         .orderBy(col("doc_id"))),
+
+    // Bucketed co-located join (Relational.bucketize) — the storage-layout
+    // half of shuffle minimization: both fact sides written bucketed +
+    // sorted on the join key once, the join itself plans with NO Exchange
+    // (PlanSpec pins it with broadcast disabled). Row-identical to the
+    // plain join the oracle runs.
+    "q105_bucketed_join" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_bucket_").toString
+      val o = Relational.bucketize(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus")),
+        "graft_b_orders", "o_orderkey", 16, s"$dir/orders")
+      val l = Relational.bucketize(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice")),
+        "graft_b_lineitem", "l_orderkey", 16, s"$dir/lineitem")
+      val out = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+        .localCheckpoint(true) // materialize before tables/files vanish
+      s.sql("DROP TABLE IF EXISTS `graft_b_orders`")
+      s.sql("DROP TABLE IF EXISTS `graft_b_lineitem`")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(dir))
+      out
+    }),
+
+    // Partition-pruned layout (Relational.partitionByKey) — bucketing's
+    // sibling: events re-written date-partitioned, one day read back; the
+    // day filter prunes whole directories at plan time (PlanSpec pins
+    // PartitionFilters on the scan). Row-identical to the plain filter
+    // the oracle runs.
+    "q106_partition_pruned" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_part_").toString + "/ev"
+      val parted = Relational.partitionByKey(
+        Tables.events(s, d).withColumn("dt", to_date(col("ts")).cast("string")),
+        Seq("dt"), dir)
+      val minDt = parted.agg(min(col("dt")).cast("string")).head().getString(0)
+      val out = parted.where(col("dt") === minDt)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
+        .localCheckpoint(true) // materialize before the layout dir vanishes
+      org.apache.hadoop.fs.FileUtil.fullyDelete(
+        new java.io.File(dir).getParentFile)
+      out
+    }),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -2001,6 +2048,21 @@ object SparkEntry {
         |    / count(*), 6) AS boiler_frac
         |FROM p JOIN df ON p.para = df.para
         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+
+    // The bucketed layout must not change a single row vs the plain join.
+    "q105_bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n_rows,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Nor must the date-partitioned layout: one day's slice, plain filter.
+    "q106_partition_pruned" ->
+      """WITH md AS (SELECT min(CAST(ts AS DATE)) AS d FROM events)
+        |SELECT event_type, count(*) AS n_rows,
+        | count(DISTINCT user_id) AS n_users
+        |FROM events WHERE CAST(ts AS DATE) = (SELECT d FROM md)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // PQ-ADC replication: lowest-16-id seed codebooks per 8-dim subspace,
     // argmin assignment (ties by code), per-query LUT dots, and the ADC

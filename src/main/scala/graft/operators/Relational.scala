@@ -262,4 +262,44 @@ object Relational {
       .where(col(pCol) >= col(loCol) && col(pCol) <= col(hiCol))
       .drop("_bin")
   }
+
+  /** Bucketed co-location — the STORAGE-layout half of shuffle
+    * minimization: materialize a table hash-bucketed AND sorted by its
+    * join key, so every later equi-join between two tables bucketed on
+    * their join keys (same bucket count) plans with NO Exchange and no
+    * per-task Sort — Spark's bucketed-scan join. The one shuffle happens
+    * once, at write time; at 100 TB this is how a fact table joined every
+    * day on the same key amortizes that shuffle across all downstream
+    * runs (the `repartition()/bucketing for co-located joins` line of the
+    * design brief). `path` keeps the data external to the session
+    * catalog's warehouse; the table name is replaced if present.
+    *
+    * PlanSpec pins the no-Exchange property with broadcasting disabled. */
+  def bucketize(
+      df: DataFrame,
+      table: String,
+      key: String,
+      nBuckets: Int,
+      path: String): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    df.write.format("parquet").option("path", path)
+      .bucketBy(nBuckets, key).sortBy(key)
+      .saveAsTable(table)
+    spark.table(table)
+  }
+
+  /** Partition-pruned layout — [[bucketize]]'s sibling for
+    * LOW-cardinality keys (date, source, language): write hive-style
+    * `key=value` directories, and any filter on the key prunes whole
+    * directories at planning time (`PartitionFilters` on the scan — the
+    * scan never opens a non-matching file). At 100 TB this is the
+    * date-partitioned fact-table layout every daily pipeline reads one
+    * slice of. Returns the re-read frame. */
+  def partitionByKey(df: DataFrame, keys: Seq[String], path: String): DataFrame = {
+    require(keys.nonEmpty, "need at least one partition key")
+    df.write.mode("overwrite").partitionBy(keys: _*).parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
 }

@@ -141,7 +141,7 @@ object DimSink {
     * [[DeltaStore]] epoch. Record→config routing by `source.table` and the
     * prune to the configured sink columns mirror the reference's broadcast
     * lookup + filterColumn (app/func/TableProcessFunction.java:287-298,
-    * 139-155); the op split adds the delete leg the reference's Maxwell
+    * 306-325); the op split adds the delete leg the reference's Maxwell
     * dim path drops on the floor (app/dim/DimApp.java:142-160 filters
     * deletes out before they reach Phoenix): op c/r/u upserts the `after`
     * row, op d rides as a tombstone keyed by `before[sinkPk]` (a Debezium

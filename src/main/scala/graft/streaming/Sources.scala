@@ -73,4 +73,28 @@ object Sources {
   def configStream(spark: SparkSession, bootstrap: String, groupId: String): DataFrame =
     projectConfig(Envelopes.cleanDirty(Envelopes.parseDebeziumConfig(
       kafkaValues(spark, bootstrap, "table_process_config", groupId)))._1)
+
+  /** File-drop source — the data-lake replay binding next to
+    * [[kafkaValues]]: stream a directory of parquet chunks with a single
+    * string `value` column (envelope JSON), one-or-more files per
+    * micro-batch in modification order. This is the EXECUTED source path:
+    * every streaming correctness gate drives its operators through
+    * exactly this shape ([[StreamHarness.runFiles]]), so the binding the
+    * sandbox can actually run and the Kafka binding it cannot share all
+    * downstream parsing/transform code. `maxFilesPerTrigger` is the
+    * file-source backpressure bound (the `maxOffsetsPerTrigger`
+    * analogue). */
+  def fileValues(
+      spark: SparkSession,
+      dir: String,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    val r = spark.readStream.schema(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType))))
+    (if (maxFilesPerTrigger > 0)
+       r.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+     else r)
+      .parquet(dir)
+  }
 }

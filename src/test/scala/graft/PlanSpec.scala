@@ -133,6 +133,44 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Join"), "piecewise merge needs no join operator:\n" + p)
   }
 
+  test("bucketed co-located join plans with no Exchange on either side") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucket_spec_").toString
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val o = Relational.bucketize(
+        Tables.orders(spark, sf).select(col("o_orderkey"), col("o_orderstatus")),
+        "graft_spec_b_orders", "o_orderkey", 4, s"$dir/orders")
+      val l = Relational.bucketize(
+        Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_extendedprice")),
+        "graft_spec_b_lineitem", "l_orderkey", 4, s"$dir/lineitem")
+      val p = plan(o.join(l, col("o_orderkey") === col("l_orderkey")))
+      assert(p.contains("SortMergeJoin"), "expected a sort-merge bucket join:\n" + p)
+      assert(!p.contains("Exchange"),
+        "bucketed sides must co-locate without a shuffle:\n" + p)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS `graft_spec_b_orders`")
+      spark.sql("DROP TABLE IF EXISTS `graft_spec_b_lineitem`")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(dir))
+    }
+  }
+
+  test("date-partitioned layout prunes at the scan: the day filter is a PartitionFilter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part_spec_").toString + "/ev"
+    try {
+      val parted = Relational.partitionByKey(
+        Tables.events(spark, sf).withColumn("dt", to_date(col("ts")).cast("string")),
+        Seq("dt"), dir)
+      val p = plan(parted.where(col("dt") === "1995-01-01"))
+      assert("PartitionFilters: \\[[^\\]]*dt".r.findFirstIn(p).isDefined,
+        "day filter must prune directories at plan time, not scan rows:\n" + p)
+    } finally {
+      org.apache.hadoop.fs.FileUtil.fullyDelete(
+        new java.io.File(dir).getParentFile)
+      ()
+    }
+  }
+
   test("semDedup generates pairs through a cell equi-join — no cross-cell pair space") {
     val emb = Tables.embeddings(spark, sf)
     val cents = Similarity.kmeansCentroids(emb, 16, 0)
