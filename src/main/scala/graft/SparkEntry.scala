@@ -1508,6 +1508,25 @@ object SparkEntry {
         new java.io.File(dir).getParentFile)
       out
     }),
+
+    // END-TO-END curation pipeline — the composition proof: paragraph
+    // dedup (q101) feeds language-ID + token counting (q15/q16) feeds
+    // hash-gated stratified sampling (q60), all over the DEDUPED text.
+    // A reference user's whole curation run is one declarative plan —
+    // Catalyst fuses the stages; nothing materializes between them.
+    "q107_curation_pipeline" -> ((s, d) => {
+      val deduped = Dedup.paragraphDedup(Tables.documents(s, d), 10)
+        .where(col("n_kept") > 0)
+        .select(col("doc_id"), col("kept_text").as("text"))
+      val sampled = graft.operators.Corpus.stratifiedSample(deduped,
+        col("doc_id"), TextFunctions.langId(col("text")),
+        Map("en" -> 0.5, "cjk" -> 1.0, "unknown" -> 0.125))
+      sampled.groupBy(TextFunctions.langId(col("text")).as("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text")).cast("long")).as("sum_tokens"),
+          sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("lang_pred"))
+    }),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -2063,6 +2082,32 @@ object SparkEntry {
         | count(DISTINCT user_id) AS n_users
         |FROM events WHERE CAST(ts AS DATE) = (SELECT d FROM md)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q101's reassembly CTEs feeding q60's lang-ID + hash gate, token
+    // accounting on the DEDUPED text.
+    "q107_curation_pipeline" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |p0 AS (SELECT doc_id, ws,
+         |   unnest(generate_series(1, CAST(ceil(len(ws)/10.0) AS BIGINT))) AS j FROM w),
+         |p AS (SELECT doc_id, j - 1 AS pos,
+         |   array_to_string(ws[(CAST(j-1 AS INT)*10+1):(CAST(j-1 AS INT)*10+10)], ' ') AS para
+         |  FROM p0),
+         |k AS (SELECT para, min(doc_id*100000+pos) AS keep FROM p GROUP BY para),
+         |kept AS (SELECT p.doc_id, p.pos, p.para FROM p JOIN k ON p.para = k.para
+         |  AND p.doc_id*100000+p.pos = k.keep),
+         |dd AS (SELECT doc_id, string_agg(para, ' ' ORDER BY pos) AS text
+         |  FROM kept GROUP BY doc_id),
+         |t AS (SELECT doc_id, text, $toksSql AS toks FROM dd),
+         |sr AS (SELECT doc_id, $stopRawSql AS stop_raw, $asciiRawSql AS ascii_raw FROM t),
+         |l AS (SELECT doc_id, $langSql AS lang_pred FROM sr),
+         |f AS (SELECT t.doc_id, l.lang_pred, len(t.toks) AS ntok,
+         |  CASE l.lang_pred WHEN 'en' THEN 500000 WHEN 'cjk' THEN 1000000 ELSE 125000 END AS ppm
+         | FROM t JOIN l ON t.doc_id = l.doc_id)
+         |SELECT lang_pred, count(*) AS n_docs,
+         |  CAST(sum(ntok) AS BIGINT) AS sum_tokens,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM f WHERE ${hexLongSql("CAST(doc_id AS VARCHAR)")} % 1000000 < ppm
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // PQ-ADC replication: lowest-16-id seed codebooks per 8-dim subspace,
     // argmin assignment (ties by code), per-query LUT dots, and the ADC
