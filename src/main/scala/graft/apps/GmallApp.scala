@@ -3,7 +3,7 @@ package graft.apps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
-import graft.core.TopicDb
+import graft.core.{Envelopes, TopicDb}
 import graft.streaming.{DimCache, DimSink, Sinks, Sources, Windows}
 
 /** The reference warehouse's full production DAG, assembled from the SAME
@@ -48,6 +48,25 @@ object GmallApp {
       warehouse) :+
       configQuery(spark,
         Sources.configStream(spark, bootstrap, "gmall_graft"),
+        warehouse, s"$warehouse/ckpt/config")
+
+  /** [[start]] over FILE-DROP directories instead of Kafka — the
+    * data-lake replay deployment this sandbox CAN execute (GmallAppSpec
+    * does, end to end): envelope-JSON parquet chunks dropped into
+    * `<inRoot>/topic_db`, `<inRoot>/topic_log` and
+    * `<inRoot>/table_process_config` flow through the IDENTICAL wiring,
+    * one fresh file-source consumer per query exactly like the Kafka
+    * binding ([[Sources.fileValues]]). */
+  def startFromFiles(spark: SparkSession, inRoot: String, warehouse: String): Seq[StreamingQuery] =
+    wire(spark,
+      () => Envelopes.cleanDirty(Envelopes.parseMaxwell(
+        Sources.fileValues(spark, s"$inRoot/topic_db")))._1,
+      () => Envelopes.cleanDirty(Envelopes.parseLog(
+        Sources.fileValues(spark, s"$inRoot/topic_log")))._1,
+      warehouse) :+
+      configQuery(spark, Sources.projectConfig(Envelopes.cleanDirty(
+          Envelopes.parseDebeziumConfig(
+            Sources.fileValues(spark, s"$inRoot/table_process_config")))._1),
         warehouse, s"$warehouse/ckpt/config")
 
   /** The full DAG over ANY parsed clean (db, log) streaming frames — the

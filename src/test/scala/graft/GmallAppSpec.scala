@@ -180,5 +180,47 @@ class GmallAppSpec extends SparkTestBase {
     } finally { dimQ.stop(); cfgQ.stop() }
   }
 
+  test("startFromFiles runs the DAG over file-drop directories (data-lake replay mode)") {
+    val root = Files.createTempDirectory("graft_app_files_").toString
+    val (in, wh) = (s"$root/in", s"$root/wh")
+    Seq("topic_db", "topic_log", "table_process_config")
+      .foreach(t => Files.createDirectories(java.nio.file.Paths.get(s"$in/$t")))
+    def drop(topic: String, rows: Seq[String]): Unit =
+      rows.toDF("value").coalesce(1).write.mode("append").parquet(s"$in/$topic")
+    def userEnv(i: Int) =
+      s"""{"database":"gmall","table":"user_info","type":"insert","ts":$i,"data":{"id":"u$i","name":"n$i"},"old":null}"""
+    def commentEnv(i: Int) =
+      s"""{"database":"gmall","table":"comment_info","type":"insert","ts":$i,"data":{"id":"cm$i","appraise":"1201","comment_txt":"x"},"old":null}"""
+    def pageRow(ts: Long, mid: String, item: String) =
+      s"""{"common":{"mid":"$mid","vc":"v1","ch":"app","ar":"1","is_new":"0"},""" +
+        s""""page":{"page_id":"good_list","last_page_id":"search","item":"$item","item_type":"keyword","during_time":1000},"ts":$ts}"""
+
+    val queries = GmallApp.startFromFiles(spark, in, wh)
+    try {
+      // chunk 1: the dynamic config row lands first (takes effect from the
+      // NEXT db micro-batch, exactly like the broadcast-state reference)
+      drop("table_process_config", Seq(
+        """{"op":"c","ts_ms":10,"after":{"source_table":"comment_info","sink_table":"dim_comment_info","sink_columns":"id,appraise"}}"""))
+      queries.foreach(_.processAllAvailable())
+      // chunk 2: CDC rows — static route (user_info) + dynamic (comment)
+      drop("topic_db", (1 to 3).map(userEnv) ++ Seq(commentEnv(7)))
+      drop("topic_log", Seq(pageRow(1000L, "m1", "hello world"),
+        pageRow(2000L, "m2", "hello spark")))
+      queries.foreach(_.processAllAvailable())
+      // chunk 3: far-future log row flushes the DWS windows
+      drop("topic_log", Seq(pageRow(4102444800000L, "zz", "zzflush")))
+      queries.foreach(_.processAllAvailable())
+      queries.foreach(_.processAllAvailable())
+
+      assert(spark.read.parquet(s"$wh/dim/dim_user_info")
+        .select("id").as[String].collect().toSet === Set("u1", "u2", "u3"))
+      assert(spark.read.parquet(s"$wh/dim/dim_comment_info")
+        .select("id").as[String].collect().toSet === Set("cm7"))
+      assert(spark.read.parquet(s"$wh/dwd/traffic_page").count() === 3L)
+      assert(spark.read.parquet(s"$wh/dws/keyword")
+        .where($"word" === "hello").count() === 1L)
+    } finally queries.foreach(_.stop())
+  }
+
   private def Tables = graft.core.Tables
 }
