@@ -394,6 +394,11 @@ object Similarity {
     * [[cellNearDupPairs]] + [[graft.operators.Dedup.connectedComponentsStar]]
     * + [[graft.operators.Dedup.applyDedup]]. Scale: per-cell pair
     * generation, O(log n) star rounds, one labels join — nothing global.
+    * SIZE nCells with the corpus: the per-cell pair space is
+    * O((n/nCells)²·nCells), so hold n/nCells (docs per cell) roughly
+    * constant — the paper runs ~10⁵ clusters on web-scale corpora where
+    * this gate's 16 fit its 10³ vectors; centroids stay broadcastable to
+    * ~10⁶ cells (64-dim floats ≈ 256 MB).
     */
   def semDedup(
       vecs: DataFrame,
