@@ -246,4 +246,32 @@ class PropertySpec extends SparkTestBase {
       assert(got === model.toMap, s"after epoch ${op.epoch} (compact=${op.compactAfter})")
     }
   }
+
+  // -- 9. paragraph dedup equals the naive first-occurrence reference ------
+
+  test("paragraphDedup equals the naive reference on random repetitive corpora") {
+    // small word alphabet + short docs → heavy cross-doc paragraph overlap
+    val word = Gen.oneOf("aa", "bb", "cc", "dd")
+    val doc = Gen.choose(1, 9).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val texts = sample(Gen.listOfN(40, doc), seed = 23L)
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val w = 2
+    // naive reference: explode, keep first (doc, pos) per distinct para
+    val paras = texts.zipWithIndex.flatMap { case (t, i) =>
+      t.split(" ").grouped(w).zipWithIndex.map { case (ws, p) =>
+        (i.toLong, p.toLong, ws.mkString(" ")) }
+    }
+    val keep = paras.groupBy(_._3).map { case (_, occ) => occ.minBy(o => (o._1, o._2)) }.toSet
+    val expect = paras.groupBy(_._1).map { case (id, ps) =>
+      val kept = ps.filter(keep).sortBy(_._2)
+      (id, ps.size.toLong, kept.size.toLong, kept.map(_._3).mkString(" "))
+    }
+    val got = graft.operators.Dedup.paragraphDedup(docs, wordsPerPara = w)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    expect.foreach { case (id, np, nk, txt) =>
+      assert(got(id) === ((id, np, nk, txt)), s"doc $id") }
+    assert(got.size === texts.size)
+  }
 }
