@@ -1509,6 +1509,28 @@ object SparkEntry {
       out
     }),
 
+    // q101's keeper selection ON INGEST — the streaming twin of the
+    // paragraph-dedup survivor set: paragraphs stream in doc-id order
+    // across two file-fed micro-batches; firstPerKey's per-paragraph
+    // state suppresses later copies ACROSS the boundary. Output =
+    // (doc_id, pos) of surviving paragraphs, sharing q101's keeper CTEs
+    // verbatim.
+    "q108_stream_paragraph_dedup" -> ((s, d) => {
+      import s.implicits._
+      val paras = Dedup.explodeParagraphs(Tables.documents(s, d), 10)
+        .select(col("para"),
+          (col("doc_id") * Dedup.ParaPosEncode + col("pos")).as("enc"))
+        .as[(String, Long)]
+      val mm = paras.agg(min(col("enc")), max(col("enc"))).head()
+      val mid = mm.getLong(0) / 2 + mm.getLong(1) / 2
+      StreamHarness.runFiles(s,
+          Seq(paras.where(col("enc") <= mid), paras.where(col("enc") > mid)))(ds =>
+        StatefulOps.firstPerKey(ds).toDF())
+        .select(expr(s"_2 div ${Dedup.ParaPosEncode}").as("doc_id"),
+          pmod(col("_2"), lit(Dedup.ParaPosEncode)).as("pos"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // END-TO-END curation pipeline — the composition proof: paragraph
     // dedup (q101) feeds language-ID + token counting (q15/q16) feeds
     // hash-gated stratified sampling (q60), all over the DEDUPED text.
@@ -1557,6 +1579,26 @@ object SparkEntry {
     "CASE WHEN ascii_raw < 0.5 THEN 'cjk' WHEN stop_raw >= 0.05 THEN 'en' ELSE 'unknown' END"
   private val normalizedSql =
     "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  /** 10-word paragraph windows — ONE text shared by the four paragraph
+    * oracles (q101/q104/q107/q108) so the twins can never silently
+    * diverge; mirrors Dedup.explodeParagraphs. */
+  private val paraCtes =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |p0 AS (SELECT doc_id, ws,
+      |   unnest(generate_series(1, CAST(ceil(len(ws)/10.0) AS BIGINT))) AS j FROM w),
+      |p AS (SELECT doc_id, j - 1 AS pos,
+      |   array_to_string(ws[(CAST(j-1 AS INT)*10+1):(CAST(j-1 AS INT)*10+10)], ' ') AS para
+      |  FROM p0)""".stripMargin
+
+  /** [[paraCtes]] + the corpus-wide first-occurrence keeper selection
+    * (min encoded (doc, pos) per distinct paragraph — mirrors
+    * Dedup.paragraphDedup / the q108 ingest twin). */
+  private val paraKeeperCtes =
+    s"""$paraCtes,
+       |k AS (SELECT para, min(doc_id*100000+pos) AS keep FROM p GROUP BY para),
+       |kept AS (SELECT p.doc_id, p.pos, p.para FROM p JOIN k ON p.para = k.para
+       |  AND p.doc_id*100000+p.pos = k.keep)""".stripMargin
 
   /** Hex chars [from, from+14] of md5(e) as a non-negative 60-bit long —
     * MUST mirror graft.operators.Dedup.md5Long / Multimodal.hexSeg. */
@@ -2007,22 +2049,19 @@ object SparkEntry {
     // Paragraph replay: same 10-word windows, corpus-wide first occurrence
     // by the encoded min (doc_id·1e5 + pos), reassembly in pos order.
     "q101_paragraph_dedup" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |p0 AS (SELECT doc_id, ws,
-        |   unnest(generate_series(1, CAST(ceil(len(ws)/10.0) AS BIGINT))) AS j FROM w),
-        |p AS (SELECT doc_id, j - 1 AS pos,
-        |   array_to_string(ws[(CAST(j-1 AS INT)*10+1):(CAST(j-1 AS INT)*10+10)], ' ') AS para
-        |  FROM p0),
-        |k AS (SELECT para, min(doc_id*100000+pos) AS keep FROM p GROUP BY para),
-        |kept AS (SELECT p.doc_id, p.pos, p.para FROM p JOIN k ON p.para = k.para
-        |  AND p.doc_id*100000+p.pos = k.keep),
-        |agg AS (SELECT doc_id, count(*) AS n_kept,
-        |   string_agg(para, ' ' ORDER BY pos) AS kept_text FROM kept GROUP BY doc_id),
-        |np AS (SELECT doc_id, CAST(ceil(len(ws)/10.0) AS BIGINT) AS n_paras FROM w)
-        |SELECT np.doc_id, np.n_paras,
-        |  COALESCE(agg.n_kept, 0) AS n_kept, COALESCE(agg.kept_text, '') AS kept_text
-        |FROM np LEFT JOIN agg ON np.doc_id = agg.doc_id
-        |ORDER BY np.doc_id""".stripMargin,
+      s"""WITH $paraKeeperCtes,
+         |agg AS (SELECT doc_id, count(*) AS n_kept,
+         |   string_agg(para, ' ' ORDER BY pos) AS kept_text FROM kept GROUP BY doc_id),
+         |np AS (SELECT doc_id, CAST(ceil(len(ws)/10.0) AS BIGINT) AS n_paras FROM w)
+         |SELECT np.doc_id, np.n_paras,
+         |  COALESCE(agg.n_kept, 0) AS n_kept, COALESCE(agg.kept_text, '') AS kept_text
+         |FROM np LEFT JOIN agg ON np.doc_id = agg.doc_id
+         |ORDER BY np.doc_id""".stripMargin,
+
+    // q101's keeper set verbatim — the streaming twin reads it directly.
+    "q108_stream_paragraph_dedup" ->
+      s"""WITH $paraKeeperCtes
+         |SELECT doc_id, pos FROM kept ORDER BY doc_id, pos""".stripMargin,
 
     // SemDeDup replay: seed-centroid assignment (shared ivfAssignCte),
     // within-cell cosine ≥ 0.35 pairs, components via the same recursive
@@ -2054,19 +2093,15 @@ object SparkEntry {
 
     // Same 10-word windows as q101; df counts DISTINCT docs per paragraph.
     "q104_boilerplate_profile" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |p0 AS (SELECT doc_id, ws,
-        |   unnest(generate_series(1, CAST(ceil(len(ws)/10.0) AS BIGINT))) AS j FROM w),
-        |p AS (SELECT DISTINCT doc_id,
-        |   array_to_string(ws[(CAST(j-1 AS INT)*10+1):(CAST(j-1 AS INT)*10+10)], ' ') AS para
-        |  FROM p0),
-        |df AS (SELECT para, count(*) AS n_docs FROM p GROUP BY para)
-        |SELECT p.doc_id, count(*) AS n_distinct_paras,
-        |  CAST(sum(CASE WHEN df.n_docs >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
-        |  round(CAST(sum(CASE WHEN df.n_docs >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / count(*), 6) AS boiler_frac
-        |FROM p JOIN df ON p.para = df.para
-        |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+      s"""WITH $paraCtes,
+         |pd AS (SELECT DISTINCT doc_id, para FROM p),
+         |df AS (SELECT para, count(*) AS n_docs FROM pd GROUP BY para)
+         |SELECT pd.doc_id, count(*) AS n_distinct_paras,
+         |  CAST(sum(CASE WHEN df.n_docs >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+         |  round(CAST(sum(CASE WHEN df.n_docs >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS boiler_frac
+         |FROM pd JOIN df ON pd.para = df.para
+         |GROUP BY pd.doc_id ORDER BY pd.doc_id""".stripMargin,
 
     // The bucketed layout must not change a single row vs the plain join.
     "q105_bucketed_join" ->
@@ -2086,15 +2121,7 @@ object SparkEntry {
     // q101's reassembly CTEs feeding q60's lang-ID + hash gate, token
     // accounting on the DEDUPED text.
     "q107_curation_pipeline" ->
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         |p0 AS (SELECT doc_id, ws,
-         |   unnest(generate_series(1, CAST(ceil(len(ws)/10.0) AS BIGINT))) AS j FROM w),
-         |p AS (SELECT doc_id, j - 1 AS pos,
-         |   array_to_string(ws[(CAST(j-1 AS INT)*10+1):(CAST(j-1 AS INT)*10+10)], ' ') AS para
-         |  FROM p0),
-         |k AS (SELECT para, min(doc_id*100000+pos) AS keep FROM p GROUP BY para),
-         |kept AS (SELECT p.doc_id, p.pos, p.para FROM p JOIN k ON p.para = k.para
-         |  AND p.doc_id*100000+p.pos = k.keep),
+      s"""WITH $paraKeeperCtes,
          |dd AS (SELECT doc_id, string_agg(para, ' ' ORDER BY pos) AS text
          |  FROM kept GROUP BY doc_id),
          |t AS (SELECT doc_id, text, $toksSql AS toks FROM dd),

@@ -535,23 +535,40 @@ object Dedup {
     * The (doc, pos) encode needs pos < 10⁵ (docs under 10⁵ paragraphs =
     * 10⁶ words at the default width) — caller contract; widen the encode
     * constant for longer docs. */
-  def paragraphDedup(
+  /** The (doc, pos) → encoded-long keeper key shared by the paragraph
+    * ops and their oracles: needs pos < 10⁵ (docs under 10⁶ words at the
+    * default width) — caller contract; widen for longer docs. */
+  val ParaPosEncode = 100000L
+
+  /** Explode docs into fixed-width word-window "paragraphs" —
+    * (idCol, pos, para) rows, the shared front half of
+    * [[paragraphDedup]] / [[boilerplateProfile]] and the q108 streaming
+    * ingest twin. */
+  def explodeParagraphs(
       docs: DataFrame,
-      wordsPerPara: Int = 10,
+      wordsPerPara: Int,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(wordsPerPara > 0, "wordsPerPara must be positive")
-    val posEncode = 100000L
-    val ws = split(col(textCol), " ")
-    val nParas = ceil(size(ws).cast("double") / wordsPerPara).cast("long")
-    val paras = docs
-      .select(col(idCol), ws.as("ws"))
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("ws"))
       .select(col(idCol), posexplode(transform(
         sequence(lit(0),
           ceil(size(col("ws")).cast("double") / wordsPerPara).cast("int") - 1),
         i => array_join(
           slice(col("ws"), i * wordsPerPara + 1, lit(wordsPerPara)), " "))))
       .select(col(idCol), col("pos").cast("long").as("pos"), col("col").as("para"))
+  }
+
+  def paragraphDedup(
+      docs: DataFrame,
+      wordsPerPara: Int = 10,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val posEncode = ParaPosEncode
+    val ws = split(col(textCol), " ")
+    val nParas = ceil(size(ws).cast("double") / wordsPerPara).cast("long")
+    val paras = explodeParagraphs(docs, wordsPerPara, idCol, textCol)
     val firsts = paras
       .groupBy(col("para"))
       .agg(min(col(idCol) * posEncode + col("pos")).as("keep"))
@@ -586,14 +603,8 @@ object Dedup {
       minDocs: Int = 3,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val ws = split(col(textCol), " ")
-    val paras = docs
-      .select(col(idCol), ws.as("ws"))
-      .select(col(idCol), explode(transform(
-        sequence(lit(0),
-          ceil(size(col("ws")).cast("double") / wordsPerPara).cast("int") - 1),
-        i => array_join(
-          slice(col("ws"), i * wordsPerPara + 1, lit(wordsPerPara)), " "))).as("para"))
+    val paras = explodeParagraphs(docs, wordsPerPara, idCol, textCol)
+      .select(col(idCol), col("para"))
       .distinct() // (doc, para) grain: in-doc repeats count once for df
     val df = paras.groupBy(col("para"))
       .agg(count(lit(1)).as("n_docs")) // rows are distinct (doc, para)
