@@ -516,25 +516,6 @@ object Dedup {
 
   // ---------------------------------------------------- paragraph grain --
 
-  /** SUB-document exact dedup — the paragraph-grain pass production
-    * corpora run before any whole-doc dedup (C4's repeated-lines rule,
-    * RefinedWeb's line-wise filtering): explode each doc into fixed-width
-    * word windows ("paragraphs"), keep only the corpus-wide FIRST
-    * occurrence of each distinct paragraph (min (doc, pos) — encoded as
-    * one long so the aggregate is a plain `min` with map-side combine),
-    * and reassemble each doc from its surviving paragraphs in position
-    * order. Emits one row per input doc: (idCol, n_paras, n_kept,
-    * kept_text) — kept_text is '' when every paragraph was seen earlier.
-    *
-    * Scale: everything is paragraph-grain — one min-aggregate shuffle on
-    * the paragraph text (partial min on the map side, so a hot paragraph
-    * costs one row per map partition, not a single-reducer pile-up), one
-    * equi-join back, one per-doc reassembly agg. Never doc×doc, no
-    * ranking window, no global sort.
-    *
-    * The (doc, pos) encode needs pos < 10⁵ (docs under 10⁵ paragraphs =
-    * 10⁶ words at the default width) — caller contract; widen the encode
-    * constant for longer docs. */
   /** The (doc, pos) → encoded-long keeper key shared by the paragraph
     * ops and their oracles: needs pos < 10⁵ (docs under 10⁶ words at the
     * default width) — caller contract; widen for longer docs. */
@@ -560,6 +541,22 @@ object Dedup {
       .select(col(idCol), col("pos").cast("long").as("pos"), col("col").as("para"))
   }
 
+  /** SUB-document exact dedup — the paragraph-grain pass production
+    * corpora run before any whole-doc dedup (C4's repeated-lines rule,
+    * RefinedWeb's line-wise filtering): explode each doc into fixed-width
+    * word windows ([[explodeParagraphs]]), keep only the corpus-wide
+    * FIRST occurrence of each distinct paragraph (min (doc, pos) —
+    * encoded via [[ParaPosEncode]] so the aggregate is a plain `min` with
+    * map-side combine), and reassemble each doc from its surviving
+    * paragraphs in position order. Emits one row per input doc:
+    * (idCol, n_paras, n_kept, kept_text) — kept_text is '' when every
+    * paragraph was seen earlier.
+    *
+    * Scale: everything is paragraph-grain — one min-aggregate shuffle on
+    * the paragraph text (partial min on the map side, so a hot paragraph
+    * costs one row per map partition, not a single-reducer pile-up), one
+    * equi-join back, one per-doc reassembly agg. Never doc×doc, no
+    * ranking window, no global sort. */
   def paragraphDedup(
       docs: DataFrame,
       wordsPerPara: Int = 10,

@@ -351,12 +351,20 @@ object Similarity {
           col("nrm").as("nb"), col("bucket"))
         l.join(r, Seq("bucket"))
       }
+    scoredPairs(joined, threshold)
+  }
+
+  /** The single pair-scoring contract behind [[nearDupPairs]] (exact and
+    * bucketed) and [[cellNearDupPairs]]: candidates carry
+    * (a, va, na) × (b, vb, nb); keep a < b, cosine ≥ threshold,
+    * round-6 score. The q23/q53/q102 oracles pin this text — change it
+    * once, here. */
+  private def scoredPairs(joined: DataFrame, threshold: Double): DataFrame =
     joined
       .where(col("a") < col("b"))
       .withColumn("score", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("score") >= threshold)
       .select(col("a"), col("b"), round(col("score"), 6).as("score"))
-  }
 
   /** Near-dup candidate pairs WITHIN k-means cells only (a < b, cosine ≥
     * threshold, same cell) — the pair generator of [[semDedup]]. A cell
@@ -374,11 +382,7 @@ object Similarity {
       col("nrm").as("na"), col("cell"))
     val r = base.select(col(idCol).as("b"), col(vecCol).as("vb"),
       col("nrm").as("nb"), col("cell"))
-    l.join(r, Seq("cell"))
-      .where(col("a") < col("b"))
-      .withColumn("score", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .where(col("score") >= threshold)
-      .select(col("a"), col("b"), round(col("score"), 6).as("score"))
+    scoredPairs(l.join(r, Seq("cell")), threshold)
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup of an

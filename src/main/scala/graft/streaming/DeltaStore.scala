@@ -34,8 +34,9 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * Changelog deletes ride as tombstones (`_op = "d"`, data columns
   * null): [[read]] hides a key whose newest row is a tombstone;
   * [[compact]] turns them into `deleteKeys` retirement. Within one
-  * epoch an upsert of a key wins over that epoch's tombstone, matching
-  * [[Sinks.upsertByKey]]'s batch semantics.
+  * epoch an upsert of a key wins over that epoch's tombstone — unless
+  * the tombstone carries `orderCol` (see [[append]]), in which case
+  * in-epoch resolution follows changelog order.
   *
   * Edge: a store emptied of EVERY key compacts to a base with no
   * readable parquet (parquet cannot persist a bare schema), so [[read]]
@@ -47,17 +48,30 @@ object DeltaStore {
   private val OpCol = "_op"
 
   /** Append one micro-batch of upserts (+ optional delete keys) as the
-    * epoch's delta file. Idempotent per epoch: replays overwrite. */
+    * epoch's delta file. Idempotent per epoch: replays overwrite.
+    *
+    * `deleteKeys` may carry `orderCol` beside the key columns (a CDC
+    * changelog's delete carries its ts): the tombstone then competes
+    * in-epoch at its true position — a delete AFTER an upsert of the same
+    * key within one batch retires the key, an earlier one loses to the
+    * newer upsert. Without it (key columns only) the tombstone's null
+    * orderCol sorts last and the batch's upsert wins, the
+    * [[graft.streaming.Sinks.upsertByKey]] batch semantics. Ties on
+    * orderCol resolve upsert-wins either way. */
   def append(batch: DataFrame, keyCols: Seq[String], orderCol: String,
       path: String, epochId: Long, deleteKeys: Option[DataFrame] = None): Unit = {
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(orderCol).desc, desc(OpCol)) // "u" > "d": upsert wins in-epoch
+      .orderBy(col(orderCol).desc, desc(OpCol)) // "u" > "d": upsert wins on ties
     val upserts = batch.withColumn(OpCol, lit("u"))
     val rows = deleteKeys match {
       case Some(dk) =>
         val dataCols = batch.columns.filterNot(keyCols.contains)
-        val tomb = dataCols.foldLeft(dk.select(keyCols.map(col): _*)) {
-          (df, c) => df.withColumn(c, lit(null).cast(batch.schema(c).dataType))
+        val carried = dk.columns.toSet
+        val tomb = dataCols.foldLeft(
+            dk.select((keyCols ++ dk.columns.filter(dataCols.contains))
+              .distinct.map(col): _*)) { (df, c) =>
+          if (carried.contains(c)) df
+          else df.withColumn(c, lit(null).cast(batch.schema(c).dataType))
         }.withColumn(OpCol, lit("d")).select(upserts.columns.map(col): _*)
         upserts.unionByName(tomb)
       case None => upserts

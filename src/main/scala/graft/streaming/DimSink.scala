@@ -157,8 +157,12 @@ object DimSink {
       val ups = forTable.where(col("op").isin("c", "r", "u"))
         .select(cfg.sinkColumns.map(c => element_at(col("after"), c).as(c)) :+
           col("ts_ms").as("ts"): _*)
+      // the tombstone carries ts_ms so a delete landing in the SAME
+      // micro-batch as an earlier upsert of its key still retires it —
+      // in-epoch resolution follows changelog order (DeltaStore.append)
       val dels = forTable.where(col("op") === "d")
-        .select(element_at(col("before"), cfg.sinkPk).as(cfg.sinkPk))
+        .select(element_at(col("before"), cfg.sinkPk).as(cfg.sinkPk),
+          col("ts_ms").as("ts"))
       if (!ups.isEmpty || !dels.isEmpty)
         DeltaStore.append(ups, Seq(cfg.sinkPk), "ts",
           s"$root/${cfg.sinkTable}", epochId, deleteKeys = Some(dels))

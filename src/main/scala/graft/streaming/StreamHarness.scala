@@ -3,6 +3,7 @@ package graft.streaming
 import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.hash
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.StructType
 
@@ -115,11 +116,12 @@ object StreamHarness {
     * ([[Sources.kafkaValues]] is the production binding;
     * utils/MyKafkaUtil.java:21-50).
     *
-    * Within-batch row order is NOT preserved (parquet chunks concatenate
-    * write partitions): every [[StatefulOps]] processor re-sorts its group
-    * by (event-time µs, id) per batch, so results are feed-order
-    * independent — callers control only batch COMPOSITION, the thing that
-    * exercises cross-batch state.
+    * Within-batch row order is deterministically HASH-SCRAMBLED at write
+    * time (the old driver feeds' explicit scramble, applied uniformly):
+    * every [[StatefulOps]] processor re-sorts its group by
+    * (event-time µs, id) per batch, and the scramble keeps the gates
+    * proving that re-sort exists — callers control only batch
+    * COMPOSITION, the thing that exercises cross-batch state.
     */
   def runFiles[T](spark: SparkSession, batches: Seq[Dataset[T]])(
       build: Dataset[T] => DataFrame)(implicit enc: Encoder[T]): DataFrame = {
@@ -151,35 +153,42 @@ object StreamHarness {
     require(batches.nonEmpty, "file feed needs at least one batch")
     val session = prepared(spark)
     val root = Files.createTempDirectory("graft_feed_")
-    val watched = root.resolve("in")
-    Files.createDirectories(watched)
-    // file sources need an explicit schema; the encoder's schema with
-    // relaxed nullability (parquet stores everything nullable — the .as[T]
-    // below re-asserts non-null primitives exactly like any table read)
-    val schema = StructType(enc.schema.fields.map(_.copy(nullable = true)))
-    val query = start(
-      session.readStream.schema(schema).parquet(watched.toString).as[T](enc),
-      root.resolve("ckpt").toString)
-    try batches.zipWithIndex.foreach { case (b, i) =>
-      val stage = root.resolve(s"stage_$i")
-      // write under the ENCODER's field names (parquet resolves by name):
-      // a tuple Dataset built from a select keeps the select's column
-      // names, not _1/_2 — the positional rename bridges the two exactly
-      // like MemoryStream's implicit tuple encoding did
-      b.toDF(schema.fieldNames.toIndexedSeq: _*).coalesce(1)
-        .write.parquet(stage.toString)
-      val parts = stage.toFile.listFiles().filter(f =>
-        f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      parts.zipWithIndex.foreach { case (p, j) =>
-        Files.move(p.toPath, watched.resolve(f"chunk-$i%05d-$j%03d.parquet"))
-      }
-      query.processAllAvailable()
+    try {
+      val watched = root.resolve("in")
+      Files.createDirectories(watched)
+      // file sources need an explicit schema; the encoder's schema with
+      // relaxed nullability (parquet stores everything nullable — the .as[T]
+      // below re-asserts non-null primitives exactly like any table read)
+      val schema = StructType(enc.schema.fields.map(_.copy(nullable = true)))
+      val query = start(
+        session.readStream.schema(schema).parquet(watched.toString).as[T](enc),
+        root.resolve("ckpt").toString)
+      try batches.zipWithIndex.foreach { case (b, i) =>
+        val stage = root.resolve(s"stage_$i")
+        // write under the ENCODER's field names (parquet resolves by name):
+        // a tuple Dataset built from a select keeps the select's column
+        // names, not _1/_2 — the positional rename bridges the two exactly
+        // like MemoryStream's implicit tuple encoding did. Rows land in a
+        // deterministic HASH-SCRAMBLED order (the old driver feeds'
+        // explicit scramble): a chunk written in source order would let a
+        // processor that dropped its per-batch (µs, id) re-sort still pass
+        // every gate.
+        val named = b.toDF(schema.fieldNames.toIndexedSeq: _*)
+        named.coalesce(1)
+          .sortWithinPartitions(hash(schema.fieldNames.map(named(_)): _*))
+          .write.parquet(stage.toString)
+        val parts = stage.toFile.listFiles().filter(f =>
+          f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        parts.zipWithIndex.foreach { case (p, j) =>
+          Files.move(p.toPath, watched.resolve(f"chunk-$i%05d-$j%03d.parquet"))
+        }
+        query.processAllAvailable()
+      } finally query.stop()
     } finally {
-      try query.stop()
-      finally {
-        org.apache.hadoop.fs.FileUtil.fullyDelete(root.toFile)
-        ()
-      }
+      // one cleanup for every exit: feed-loop errors, stop() errors, AND
+      // a start() that throws before any query exists
+      org.apache.hadoop.fs.FileUtil.fullyDelete(root.toFile)
+      ()
     }
     session
   }

@@ -175,5 +175,13 @@ class DimSinkSpec extends SparkTestBase {
     DimSink.processBatchCdc(parsed(Seq(
       "{not json", env("c", "u4", "dave", 6L))), root, routes, 3L)
     assert(state() === Map("u2" -> "BOB", "u3" -> "carol", "u4" -> "dave"))
+
+    // SAME-batch changelog order: insert-then-delete retires the key
+    // (the tombstone carries ts_ms, so it wins in-epoch), while
+    // delete-then-reinsert keeps the newer row
+    DimSink.processBatchCdc(parsed(Seq(
+      env("c", "u5", "eve", 7L), env("d", "u5", "eve", 8L),
+      env("d", "u4", "dave", 9L), env("c", "u4", "dave2", 10L))), root, routes, 4L)
+    assert(state() === Map("u2" -> "BOB", "u3" -> "carol", "u4" -> "dave2"))
   }
 }
