@@ -54,15 +54,30 @@ object SparkEntry {
   private def timeSplitDs[T](ds: Dataset[T], tsCol: String): Seq[Dataset[T]] = {
     val mm = ds.agg(
       min(unix_micros(col(tsCol))), max(unix_micros(col(tsCol)))).head()
+    require(!mm.isNullAt(0),
+      s"timeSplitDs: empty feed — no rows with a non-null '$tsCol' to split on")
     val mid = mm.getLong(0) / 2 + mm.getLong(1) / 2
     Seq(ds.where(unix_micros(col(tsCol)) <= mid),
       ds.where(unix_micros(col(tsCol)) > mid))
   }
 
+  /** Midpoint of an already-computed (min, max) aggregate row, with the
+    * empty-feed guard the raw `getLong` lacks (a null aggregate would
+    * otherwise surface as an opaque NPE): `what` names the feed in the
+    * failure message. */
+  private def midOf(mm: org.apache.spark.sql.Row, what: String): Long = {
+    require(!mm.isNullAt(0), s"empty feed — $what produced no rows to split")
+    mm.getLong(0) / 2 + mm.getLong(1) / 2
+  }
+
   /** Max event time of `ds.tsCol` in epoch millis (one scalar aggregate —
     * the only driver-side value a sentinel batch needs). */
-  private def maxTsMillis(ds: Dataset[_], tsCol: String): Long =
-    ds.agg(max(unix_millis(col(tsCol)))).head().getLong(0)
+  private def maxTsMillis(ds: Dataset[_], tsCol: String): Long = {
+    val mm = ds.agg(max(unix_millis(col(tsCol)))).head()
+    require(!mm.isNullAt(0),
+      s"maxTsMillis: empty feed — no rows with a non-null '$tsCol'")
+    mm.getLong(0)
+  }
 
   /** One-row far-future flush sentinel batch (advances the watermark past
     * every real window/timeout so append mode emits the tail). */
@@ -1398,13 +1413,22 @@ object SparkEntry {
       val epoch1 = inserts(1).unionByName(updates)
       val cfg = DimSink.TableConfig("dim_user", Seq("id", "uname", "city"), "id")
       val routes = Map("user_dim" -> cfg)
+      // the engine's REAL epochIds, observed in commit order — the crash
+      // replay below re-delivers the second feed chunk under the id it was
+      // actually processed as (never assumes chunk i ⇒ batchId i)
+      val epochs = scala.collection.mutable.ArrayBuffer.empty[Long]
       StreamHarness.runFilesSink(s, Seq(inserts(0), epoch1, deletes)) {
         (ds, ckpt) =>
-          DimSink.cdcSink(Envelopes.parseDebeziumRows(ds.toDF()), root, routes, ckpt)
+          DimSink.cdcSink(Envelopes.parseDebeziumRows(ds.toDF()), root, routes,
+            ckpt, onEpoch = epochs.append(_))
       }
-      // simulated crash replay of epoch 1 (idempotent overwrite)
+      require(epochs.size == 3,
+        s"q100: expected 3 micro-batches (one per feed chunk), saw $epochs — " +
+          "the harness's chunk-per-trigger contract changed")
+      // simulated crash replay of the second chunk (idempotent overwrite
+      // of its own epoch dir)
       DimSink.processBatchCdc(
-        Envelopes.parseDebeziumRows(epoch1.toDF()), root, routes, 1L)
+        Envelopes.parseDebeziumRows(epoch1.toDF()), root, routes, epochs(1))
       val out = DimSink.readDelta(s, root, cfg)
         .orderBy(col("id").cast("long"))
         .localCheckpoint(true) // materialize before the store dir vanishes
@@ -1445,8 +1469,8 @@ object SparkEntry {
       val fps = Tables.documents(s, d)
         .select(TextFunctions.fingerprint(col("text")).as("fp"), col("doc_id"))
         .as[(String, Long)]
-      val mm = fps.agg(min(col("doc_id")), max(col("doc_id"))).head()
-      val mid = mm.getLong(0) / 2 + mm.getLong(1) / 2
+      val mid = midOf(fps.agg(min(col("doc_id")), max(col("doc_id"))).head(),
+        "documents fingerprints (q103)")
       val batches = Seq(fps.where(col("doc_id") <= mid),
         fps.where(col("doc_id") > mid))
       StreamHarness.runFiles(s, batches)(ds =>
@@ -1475,14 +1499,14 @@ object SparkEntry {
       val l = Relational.bucketize(
         Tables.lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice")),
         "graft_b_lineitem", "l_orderkey", 16, s"$dir/lineitem")
-      val out = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      val out = o.df.join(l.df, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
         .orderBy(col("o_orderstatus"))
         .localCheckpoint(true) // materialize before tables/files vanish
-      s.sql("DROP TABLE IF EXISTS `graft_b_orders`")
-      s.sql("DROP TABLE IF EXISTS `graft_b_lineitem`")
+      s.sql(s"DROP TABLE IF EXISTS `${o.table}`")
+      s.sql(s"DROP TABLE IF EXISTS `${l.table}`")
       org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(dir))
       out
     }),
@@ -1519,10 +1543,10 @@ object SparkEntry {
       import s.implicits._
       val paras = Dedup.explodeParagraphs(Tables.documents(s, d), 10)
         .select(col("para"),
-          (col("doc_id") * Dedup.ParaPosEncode + col("pos")).as("enc"))
+          Dedup.encodePos(col("doc_id"), col("pos")).as("enc"))
         .as[(String, Long)]
-      val mm = paras.agg(min(col("enc")), max(col("enc"))).head()
-      val mid = mm.getLong(0) / 2 + mm.getLong(1) / 2
+      val mid = midOf(paras.agg(min(col("enc")), max(col("enc"))).head(),
+        "exploded paragraphs (q108)")
       StreamHarness.runFiles(s,
           Seq(paras.where(col("enc") <= mid), paras.where(col("enc") > mid)))(ds =>
         StatefulOps.firstPerKey(ds).toDF())

@@ -518,8 +518,22 @@ object Dedup {
 
   /** The (doc, pos) → encoded-long keeper key shared by the paragraph
     * ops and their oracles: needs pos < 10⁵ (docs under 10⁶ words at the
-    * default width) — caller contract; widen for longer docs. */
+    * default width) — enforced per row by [[encodePos]]; widen for longer
+    * docs. */
   val ParaPosEncode = 100000L
+
+  /** The guarded (doc, pos) keeper-key encode: id·[[ParaPosEncode]]+pos,
+    * failing PER ROW (codegen'd `raise_error`, no extra action) when a
+    * paragraph position reaches the encode width — an unguarded overflow
+    * would silently alias keeper keys into other docs' key space, and the
+    * DuckDB oracles use the same constant, so the gates would agree on the
+    * wrong answer. Every encode site (paragraph ops and gates) must go
+    * through this. */
+  def encodePos(id: Column, pos: Column): Column =
+    id * ParaPosEncode + when(pos >= ParaPosEncode,
+      raise_error(concat(
+        lit(s"paragraph pos >= ParaPosEncode ($ParaPosEncode) — widen the encode; pos="),
+        pos.cast("string")))).otherwise(pos)
 
   /** Explode docs into fixed-width word-window "paragraphs" —
     * (idCol, pos, para) rows, the shared front half of
@@ -562,15 +576,14 @@ object Dedup {
       wordsPerPara: Int = 10,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val posEncode = ParaPosEncode
     val ws = split(col(textCol), " ")
     val nParas = ceil(size(ws).cast("double") / wordsPerPara).cast("long")
     val paras = explodeParagraphs(docs, wordsPerPara, idCol, textCol)
     val firsts = paras
       .groupBy(col("para"))
-      .agg(min(col(idCol) * posEncode + col("pos")).as("keep"))
+      .agg(min(encodePos(col(idCol), col("pos"))).as("keep"))
     val kept = paras.join(firsts, "para")
-      .where(col(idCol) * posEncode + col("pos") === col("keep"))
+      .where(encodePos(col(idCol), col("pos")) === col("keep"))
     val reassembled = kept.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(

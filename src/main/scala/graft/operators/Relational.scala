@@ -272,7 +272,14 @@ object Relational {
     * day on the same key amortizes that shuffle across all downstream
     * runs (the `repartition()/bucketing for co-located joins` line of the
     * design brief). `path` keeps the data external to the session
-    * catalog's warehouse; the table name is replaced if present.
+    * catalog's warehouse.
+    *
+    * `table` is a BASE name: the registered catalog name gets a per-run
+    * nonce suffix (returned in [[Bucketed.table]]) because `saveAsTable`
+    * writes the SHARED session catalog — two concurrent runs using the
+    * same fixed name would race each other's DROP/create. A failed write
+    * drops the half-registered table and deletes `path` before
+    * rethrowing, so error paths leak neither catalog entries nor files.
     *
     * PlanSpec pins the no-Exchange property with broadcasting disabled. */
   def bucketize(
@@ -280,15 +287,28 @@ object Relational {
       table: String,
       key: String,
       nBuckets: Int,
-      path: String): DataFrame = {
+      path: String): Bucketed = {
     require(nBuckets > 0, "nBuckets must be positive")
     val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    df.write.format("parquet").option("path", path)
-      .bucketBy(nBuckets, key).sortBy(key)
-      .saveAsTable(table)
-    spark.table(table)
+    val name = s"${table}_n${bucketNonce.incrementAndGet()}"
+    try {
+      df.write.format("parquet").option("path", path)
+        .bucketBy(nBuckets, key).sortBy(key)
+        .saveAsTable(name)
+      Bucketed(spark.table(name), name)
+    } catch {
+      case e: Throwable =>
+        try spark.sql(s"DROP TABLE IF EXISTS `$name`")
+        finally org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(path))
+        throw e
+    }
   }
+
+  /** [[bucketize]]'s handle: the re-read bucketed frame plus the resolved
+    * (nonce-suffixed) catalog name — callers drop by `table` when done. */
+  final case class Bucketed(df: DataFrame, table: String)
+
+  private val bucketNonce = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Partition-pruned layout — [[bucketize]]'s sibling for
     * LOW-cardinality keys (date, source, language): write hive-style

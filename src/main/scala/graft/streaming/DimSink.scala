@@ -150,34 +150,85 @@ object DimSink {
     * a replayed batch overwrites its own epoch dir — including its
     * tombstones — so crash-redelivery cannot resurrect a deleted key. */
   def processBatchCdc(parsed: DataFrame, root: String,
-      routes: Map[String, TableConfig], epochId: Long): Unit = {
+      routes: Map[String, TableConfig], epochId: Long): CdcBatchStats = {
     parsed.persist()
-    try routes.foreach { case (sourceTable, cfg) =>
-      val forTable = parsed.where(col("source.table") === sourceTable)
-      val ups = forTable.where(col("op").isin("c", "r", "u"))
-        .select(cfg.sinkColumns.map(c => element_at(col("after"), c).as(c)) :+
-          col("ts_ms").as("ts"): _*)
-      // the tombstone carries ts_ms so a delete landing in the SAME
-      // micro-batch as an earlier upsert of its key still retires it —
-      // in-epoch resolution follows changelog order (DeltaStore.append)
-      val dels = forTable.where(col("op") === "d")
-        .select(element_at(col("before"), cfg.sinkPk).as(cfg.sinkPk),
-          col("ts_ms").as("ts"))
-      if (!ups.isEmpty || !dels.isEmpty)
-        DeltaStore.append(ups, Seq(cfg.sinkPk), "ts",
-          s"$root/${cfg.sinkTable}", epochId, deleteKeys = Some(dels))
+    try {
+      val tables = routes.keys.toSeq
+      val corrupt =
+        if (parsed.columns.contains(graft.core.Envelopes.Corrupt))
+          col(graft.core.Envelopes.Corrupt).isNotNull
+        else lit(false)
+      // a clean row with a NULL/unknown source.table has no route — the
+      // coalesce keeps the null case counted (isin(null) is null, not true)
+      val unrouted = !corrupt && (
+        if (tables.isEmpty) lit(true)
+        else coalesce(!col("source.table").isin(tables: _*), lit(true)))
+      // ONE aggregate action carries the dirty-side observability counts
+      // AND every routed table's emptiness probe — this used to be two
+      // extra Spark actions per (table, epoch)
+      val aggs =
+        count(lit(1)).as("_total") +:
+          count(when(corrupt, 1)).as("_corrupt") +:
+          count(when(unrouted, 1)).as("_unrouted") +:
+          tables.zipWithIndex.flatMap { case (t, i) =>
+            Seq(
+              count(when(col("source.table") === t
+                && col("op").isin("c", "r", "u"), 1)).as(s"_u$i"),
+              count(when(col("source.table") === t
+                && col("op") === "d", 1)).as(s"_d$i"))
+          }
+      val st = parsed.agg(aggs.head, aggs.tail: _*).head()
+      val stats = CdcBatchStats(st.getLong(0), st.getLong(1), st.getLong(2))
+      // the reference keeps a dirty side output (TableProcessFunction's
+      // unrouted records just vanish; BaseLogApp routes dirty JSON to a
+      // side topic) — surface the drop instead of silently eating it
+      if (stats.corrupt > 0 || stats.unrouted > 0)
+        log.warn(s"processBatchCdc epoch $epochId: dropping ${stats.corrupt} " +
+          s"corrupt + ${stats.unrouted} unrouted of ${stats.total} rows")
+      tables.zipWithIndex.foreach { case (sourceTable, i) =>
+        if (st.getLong(3 + 2 * i) > 0 || st.getLong(4 + 2 * i) > 0) {
+          val cfg = routes(sourceTable)
+          val forTable = parsed.where(col("source.table") === sourceTable)
+          val ups = forTable.where(col("op").isin("c", "r", "u"))
+            .select(cfg.sinkColumns.map(c => element_at(col("after"), c).as(c)) :+
+              col("ts_ms").as("ts"): _*)
+          // the tombstone carries ts_ms so a delete landing in the SAME
+          // micro-batch as an earlier upsert of its key still retires it —
+          // in-epoch resolution follows changelog order (DeltaStore.append)
+          val dels = forTable.where(col("op") === "d")
+            .select(element_at(col("before"), cfg.sinkPk).as(cfg.sinkPk),
+              col("ts_ms").as("ts"))
+          DeltaStore.append(ups, Seq(cfg.sinkPk), "ts",
+            s"$root/${cfg.sinkTable}", epochId, deleteKeys = Some(dels))
+        }
+      }
+      stats
     } finally { parsed.unpersist(); () }
   }
+
+  /** [[processBatchCdc]]'s per-batch routing observability: `corrupt` =
+    * JSON-parse failures, `unrouted` = clean rows whose `source.table` has
+    * no configured route — both logged (the reference keeps a dirty side
+    * output) and returned for specs/monitors. */
+  final case class CdcBatchStats(total: Long, corrupt: Long, unrouted: Long)
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.streaming.DimSink")
 
   /** [[processBatchCdc]] as a checkpointed streaming sink: the engine's
     * epochId keys each delta dir, so a restart's replayed batch rewrites
     * its own epoch — the same exactly-once contract as
-    * [[DeltaStore.sink]]. */
+    * [[DeltaStore.sink]]. `onEpoch` observes each batch's REAL engine
+    * epochId (driver-side, in commit order) — a crash-replay simulation
+    * must re-deliver under the id the engine actually assigned, never a
+    * hardcoded guess about feed/batch alignment. */
   def cdcSink(parsed: DataFrame, root: String, routes: Map[String, TableConfig],
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String,
+      onEpoch: Long => Unit = _ => ()): org.apache.spark.sql.streaming.StreamingQuery =
     parsed.writeStream.option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        onEpoch(epochId)
         processBatchCdc(batch, root, routes, epochId)
+        ()
       }
       .start()
 

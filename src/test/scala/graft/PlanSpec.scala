@@ -143,14 +143,16 @@ class PlanSpec extends SparkTestBase {
       val l = Relational.bucketize(
         Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_extendedprice")),
         "graft_spec_b_lineitem", "l_orderkey", 4, s"$dir/lineitem")
-      val p = plan(o.join(l, col("o_orderkey") === col("l_orderkey")))
+      assert(o.table.startsWith("graft_spec_b_orders_n"),
+        "bucketize must nonce-suffix the base name: " + o.table)
+      val p = plan(o.df.join(l.df, col("o_orderkey") === col("l_orderkey")))
       assert(p.contains("SortMergeJoin"), "expected a sort-merge bucket join:\n" + p)
       assert(!p.contains("Exchange"),
         "bucketed sides must co-locate without a shuffle:\n" + p)
+      spark.sql(s"DROP TABLE IF EXISTS `${o.table}`")
+      spark.sql(s"DROP TABLE IF EXISTS `${l.table}`")
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-      spark.sql("DROP TABLE IF EXISTS `graft_spec_b_orders`")
-      spark.sql("DROP TABLE IF EXISTS `graft_spec_b_lineitem`")
       org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(dir))
     }
   }
