@@ -228,18 +228,47 @@ object StatefulOps {
     * key's FIRST batch (feed batches id-ascending and that is the global
     * min — how the q103 gate stays oracle-deterministic). State is one
     * boolean per distinct key: at 100 TB that is the irreducible cost of
-    * exact ingest dedup — production bounds it with the state TTL
-    * (dedup-within-retention) or swaps in the Bloom screen
-    * ([[graft.operators.Dedup.incrementalDedup]]) when approximate
-    * suppression is acceptable. */
-  def firstPerKey(rows: Dataset[(String, Long)]): Dataset[(String, Long)] = {
+    * exact ingest dedup — production bounds it by passing `ttl` (the
+    * stream's retention window): a key unseen for `ttl` is dropped from
+    * state at the next fired batch and its next occurrence RE-ADMITS —
+    * dedup-within-retention. The window slides from the key's most recent
+    * sighting (a still-arriving duplicate stays suppressed), matching the
+    * reference's keyed-state TTL refresh (X4,
+    * app/dwd/DwdTrafficUniqueVisitorDetail.java:62-65
+    * OnCreateAndWrite+refresh semantics). Approximate suppression can
+    * instead swap in the Bloom screen
+    * ([[graft.operators.Dedup.incrementalDedup]]).
+    *
+    * The bound rides a processing-time GroupState timeout, NOT a
+    * transformWithState TTLConfig: a TTL clock forces
+    * TimeMode.ProcessingTime, whose periodic maintenance batches never
+    * quiesce — `processAllAvailable` AND Trigger.AvailableNow both hang
+    * (measured: 3 000+ empty micro-batches in 500 s) — while a GroupState
+    * timeout fires lazily at whatever batch next runs, so bounded
+    * gates/tests settle. q103/q108 run `ttl = None` (same contract as
+    * before). */
+  def firstPerKey(
+      rows: Dataset[(String, Long)],
+      ttl: Option[Duration] = None): Dataset[(String, Long)] = {
     import rows.sparkSession.implicits._
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     rows.groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         (key: String, it: Iterator[(String, Long)], state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
-          else {
+          if (state.hasTimedOut) {
+            // retention lapsed with no new sighting: forget the key
+            state.remove()
+            Iterator.empty
+          } else if (state.exists) {
+            // a GroupState timeout cancels on every invocation — re-arm, so
+            // retention slides from the latest sighting
+            ttl.foreach(d => state.setTimeoutDuration(d.toMillis))
+            Iterator.empty
+          } else {
             state.update(true)
+            ttl.foreach(d => state.setTimeoutDuration(d.toMillis))
             Iterator.single((key, it.map(_._2).min))
           })
   }

@@ -119,4 +119,49 @@ class StatefulOpsSpec extends SparkTestBase {
       .as[(String, Long)].collect().toSet
     assert(out === Set(("fpA", 1L), ("fpB", 2L), ("fpC", 7L)))
   }
+
+  test("firstPerKey TTL: an expired fingerprint re-admits (dedup-within-retention)") {
+    // With a processing-time GroupState timeout armed, the micro-batch
+    // engine busy-loops (timeout-pending batches) and `processAllAvailable`
+    // never settles — so progress is observed by POLLING the memory sink
+    // with generous deadlines; the continuously-running engine drains each
+    // addData and fires lapsed timers on its own.
+    val session = spark.newSession()
+    session.conf.set("spark.sql.shuffle.partitions", "2")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = session.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import session.implicits._
+    val stream = MemoryStream[(String, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fpk_ttl_").toString
+    val query = StatefulOps.firstPerKey(stream.toDS(),
+        ttl = Some(java.time.Duration.ofSeconds(3))).toDF()
+      .writeStream.format("memory").queryName("graft_fpk_ttl")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    def awaitRows(n: Long): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (session.table("graft_fpk_ttl").count() < n
+          && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(session.table("graft_fpk_ttl").count() >= n,
+        s"sink never reached $n rows")
+    }
+    try {
+      stream.addData(Seq(("fpA", 1L), ("fpB", 2L)))
+      awaitRows(2)
+      stream.addData(Seq(("fpA", 5L))) // within retention → suppressed
+      Thread.sleep(1500)               // engine cycles many batches in this
+      stream.addData(Seq(("fpC", 6L))) // proves the fpA@5 batch was consumed
+      awaitRows(3)
+      Thread.sleep(4500)               // let the 3 s retention lapse + fire
+      stream.addData(Seq(("fpA", 9L))) // forgotten → re-admitted, fresh min
+      awaitRows(4)
+      val out = session.table("graft_fpk_ttl").as[(String, Long)].collect().toSeq
+      assert(out.sorted ===
+        Seq(("fpA", 1L), ("fpA", 9L), ("fpB", 2L), ("fpC", 6L)))
+    } finally {
+      try query.stop()
+      finally {
+        org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(ckpt)); ()
+      }
+    }
+  }
 }
