@@ -88,6 +88,10 @@ object SparkEntry {
       .toDS()
   }
 
+  /** (band, bandkey) bucket df cap shared by the q112 gate and its oracle
+    * — chosen ACTIVE at the gate SFs (sf0.01 has 7 buckets of 3 docs). */
+  private val LshBucketCap = 2
+
   // ------------------------------------------------------------------ queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -206,6 +210,17 @@ object SparkEntry {
     // the q21 skew knob under its own gate.
     "q56_jaccard_capped" -> ((s, d) =>
       Dedup.ngramJaccardPairsCapped(Tables.documents(s, d), maxDocFreq = 100)
+        .orderBy(col("a"), col("b"))),
+
+    // hot-BUCKET-capped LSH (VERDICT r6 #4) — q18's candidate generator
+    // with (band, bandkey) buckets holding more than LshBucketCap docs
+    // dropped: the single-reducer pile-up guard for degenerate bands. The
+    // cap is ACTIVE at this SF (buckets of 3 exist and are dropped) and
+    // the oracle mirrors it; the planted degenerate-band bound lives in
+    // DedupGraphSpec.
+    "q112_lsh_capped" -> ((s, d) =>
+      Dedup.lshCandidatesCapped(
+          Dedup.minhashSignatures(Tables.documents(s, d)), LshBucketCap)
         .orderBy(col("a"), col("b"))),
 
     "q22_jaccard_verify" -> ((s, d) => {
@@ -1946,6 +1961,22 @@ object SparkEntry {
       s"""WITH $shCte,
          |$sigCte
          |SELECT a, b FROM cand ORDER BY a, b""".stripMargin,
+
+    // q18's banding with the (bd, bandkey) df cap mirrored — buckets over
+    // LshBucketCap docs leave the index before pair generation, exactly
+    // like Dedup.lshCandidatesCapped's broadcast anti-join.
+    "q112_lsh_capped" ->
+      s"""WITH $shCte,
+         |$sigCte,
+         |hotb AS (SELECT bd, bandkey FROM banded
+         |  GROUP BY bd, bandkey HAVING count(*) > $LshBucketCap),
+         |cappedb AS (SELECT b.doc_id, b.bd, b.bandkey FROM banded b
+         |  LEFT JOIN hotb h ON b.bd = h.bd AND b.bandkey = h.bandkey
+         |  WHERE h.bd IS NULL),
+         |ccand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM cappedb l
+         |  JOIN cappedb r ON l.bd = r.bd AND l.bandkey = r.bandkey
+         |    AND l.doc_id < r.doc_id)
+         |SELECT a, b FROM ccand ORDER BY a, b""".stripMargin,
 
     "q19_simhash_sig" ->
       s"""WITH $shCte,

@@ -126,22 +126,63 @@ object Dedup {
         numPerms)).as("sig"))
   }
 
+  /** (id, band, bandkey) rows — the banding shared by [[lshCandidates]]
+    * and [[lshCandidatesCapped]]: `bands` bands of numPerms/bands
+    * signature rows each, keyed by the band's joined values. */
+  private def bandedSigs(sigs: DataFrame, idCol: String, bands: Int): DataFrame =
+    sigs.select(
+      col(idCol),
+      posexplode(expr(s"transform(sequence(0, $bands - 1), " +
+        s"b -> concat_ws(',', slice(sig, b * (size(sig) div $bands) + 1, size(sig) div $bands)))"))
+        .as(Seq("band", "bandkey")))
+
   /** LSH banding: split each signature into `bands` bands of
     * numPerms/bands rows; docs sharing any band hash become candidates.
     * Self-join is on (band, bandHash) — the classic O(n) candidate
     * generator. Emits distinct candidate pairs (a < b).
     *
-    * Skew note: a degenerate band (e.g. all-empty docs) can create a hot
-    * bucket; cap bucket size upstream or salt if observed at scale.
-    */
+    * Skew note: a degenerate band (e.g. all-empty docs) creates a hot
+    * bucket whose pair space is O(df²) on a single reducer —
+    * [[lshCandidatesCapped]] is the production form with that bucket
+    * df-capped. */
   def lshCandidates(sigs: DataFrame, idCol: String = "doc_id", bands: Int = 8): DataFrame = {
-    val banded = sigs.select(
-      col(idCol),
-      posexplode(expr(s"transform(sequence(0, $bands - 1), " +
-        s"b -> concat_ws(',', slice(sig, b * (size(sig) div $bands) + 1, size(sig) div $bands)))"))
-        .as(Seq("band", "bandkey")))
+    val banded = bandedSigs(sigs, idCol, bands)
     val l = banded.select(col(idCol).as("a"), col("band"), col("bandkey"))
     val r = banded.select(col(idCol).as("b"), col("band"), col("bandkey"))
+    l.join(r, Seq("band", "bandkey"))
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** [[lshCandidates]] with the hot-bucket knob — the same df cap
+    * [[ngramJaccardPairsCapped]] applies to hot shingles, applied to
+    * (band, bandkey) buckets: buckets holding more than `maxBucket` docs
+    * are dropped from candidate generation. A degenerate band (every
+    * empty doc shares all 8 band keys; boilerplate-heavy corpora collide
+    * likewise) otherwise piles O(df²) pair rows onto one reducer — at
+    * 100 TB a single all-empty-docs bucket is a job-killer, and its pairs
+    * carry no similarity signal a downstream verifier would keep anyway.
+    * Only pairs whose EVERY shared band is hot can be missed, and such
+    * pairs still meet in any surviving band (the cap is per (band, key),
+    * not per doc).
+    *
+    * The hot list is tiny by construction (df > maxBucket can hold at
+    * most n/maxBucket buckets) — one aggregate + a broadcast anti-join
+    * screens the index, exactly the capped-inverted-index shape. */
+  def lshCandidatesCapped(
+      sigs: DataFrame,
+      maxBucket: Int,
+      idCol: String = "doc_id",
+      bands: Int = 8): DataFrame = {
+    require(maxBucket >= 2, "maxBucket < 2 would drop every candidate pair")
+    val banded = bandedSigs(sigs, idCol, bands)
+    val hot = banded.groupBy(col("band"), col("bandkey"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") > maxBucket)
+      .select(col("band"), col("bandkey"))
+    val idx = banded.join(broadcast(hot), Seq("band", "bandkey"), "left_anti")
+    val l = idx.select(col(idCol).as("a"), col("band"), col("bandkey"))
+    val r = idx.select(col(idCol).as("b"), col("band"), col("bandkey"))
     l.join(r, Seq("band", "bandkey"))
       .where(col("a") < col("b"))
       .select("a", "b").distinct()

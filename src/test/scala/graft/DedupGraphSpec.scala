@@ -45,6 +45,43 @@ class DedupGraphSpec extends SparkTestBase {
     assert(out.length === 121 && out.forall(_._2 == 0L))
   }
 
+  test("lshCandidatesCapped with an inactive cap equals lshCandidates") {
+    // 3 near-identical docs + 2 distinct: no bucket can exceed 5 docs, so
+    // a cap of 5 must be a no-op — the capped path's screen is pure
+    // plumbing until a bucket actually overflows
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "completely different words in this document here"),
+      (5L, "unrelated content again nothing shared at all")).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs)
+    val plain = Dedup.lshCandidates(sigs).as[(Long, Long)].collect().toSet
+    val capped = Dedup.lshCandidatesCapped(sigs, maxBucket = 5)
+      .as[(Long, Long)].collect().toSet
+    assert(plain.nonEmpty && capped === plain)
+  }
+
+  test("lshCandidatesCapped bounds a planted degenerate band (all-empty docs)") {
+    // 30 empty docs share EVERY band key (identical signatures): uncapped
+    // that is 30·29/2 = 435 pure-noise pairs through one bucket per band;
+    // capped at 5 the degenerate buckets drop, while a genuine near-dup
+    // pair — whose buckets hold only 2 docs — must survive
+    val empty = (100L until 130L).map(i => (i, ""))
+    val docs = (empty ++ Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog today")))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs)
+    val uncapped = Dedup.lshCandidates(sigs).count()
+    val capped = Dedup.lshCandidatesCapped(sigs, maxBucket = 5)
+      .as[(Long, Long)].collect().toSet
+    assert(uncapped >= 435L, s"degenerate band should explode uncapped: $uncapped")
+    assert(capped.contains((1L, 2L)), "the real near-dup pair must survive the cap")
+    assert(!capped.exists(p => p._1 >= 100L && p._2 >= 100L),
+      s"empty-doc noise pairs must be capped away: $capped")
+  }
+
   test("contaminationProfile counts shared distinct shingles against the benchmark") {
     val bench = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val cand = Seq(
