@@ -1570,6 +1570,16 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // Paragraph-grain FUZZY dedup (VERDICT r6 #1) — q101's removal with
+    // MinHash grouping: near-identical paragraph variants (a date or
+    // username swapped — what exact hashing misses) collapse to one
+    // survivor via distinct-text MinHash → LSH candidates → exact-Jaccard
+    // verify (≥ 0.4) → star components; reassembly contract identical to
+    // q101. With zero fuzzy groups this degrades to q101 exactly.
+    "q109_paragraph_dedup_fuzzy" -> ((s, d) =>
+      Dedup.paragraphDedupFuzzy(Tables.documents(s, d), 10, 0.4)
+        .orderBy(col("doc_id"))),
+
     // END-TO-END curation pipeline — the composition proof: paragraph
     // dedup (q101) feeds language-ID + token counting (q15/q16) feeds
     // hash-gated stratified sampling (q60), all over the DEDUPED text.
@@ -1638,6 +1648,51 @@ object SparkEntry {
        |k AS (SELECT para, min(doc_id*100000+pos) AS keep FROM p GROUP BY para),
        |kept AS (SELECT p.doc_id, p.pos, p.para FROM p JOIN k ON p.para = k.para
        |  AND p.doc_id*100000+p.pos = k.keep)""".stripMargin
+
+  /** [[paraCtes]] + the FUZZY keeper selection — mirrors
+    * Dedup.paragraphDedupFuzzy stage for stage: distinct texts keyed by
+    * their min encoded instance (pid), MinHash over the distinct texts
+    * (same 32 perms/8 bands as [[sigCte]], coefficients shared via
+    * [[minhashCoeffSql]]), exact-Jaccard verification at ≥ 0.4, components
+    * via the recursive reach CTE (q76/q84's shape), keeper = group min
+    * pid, survivors in `fkept`. Embedding oracle must open WITH RECURSIVE. */
+  private lazy val paraFuzzyKeeperCtes: String =
+    s"""$paraCtes,
+       |pf AS (SELECT para, min(doc_id*100000+pos) AS pid FROM p GROUP BY para),
+       |ptk AS (SELECT pid, para,
+       |  list_filter(string_split_regex(trim(para), '\\s+'), x -> len(x) > 0) AS w
+       |  FROM pf),
+       |psh AS (SELECT pid, unnest(list_distinct($sh3Sql)) AS sh FROM ptk),
+       |ph AS (SELECT pid, ${hexLongSql("sh")} AS h FROM psh),
+       |coeff AS (SELECT * FROM (VALUES $minhashCoeffSql) t(i, ca, cb)),
+       |ppm AS (SELECT pid, i,
+       |  min(CAST((CAST(h AS HUGEINT) * ca + cb) % 2305843009213693951 AS BIGINT)) AS m
+       |  FROM ph CROSS JOIN coeff GROUP BY pid, i),
+       |psig AS (SELECT pid, list(m ORDER BY i) AS sig FROM ppm GROUP BY pid),
+       |pbd AS (SELECT pid, bd,
+       |  array_to_string(array_slice(sig, bd*4+1, bd*4+4), ',') AS bandkey
+       |  FROM psig CROSS JOIN range(8) t(bd)),
+       |pcand AS (SELECT DISTINCT l.pid AS a, r.pid AS b FROM pbd l
+       |  JOIN pbd r ON l.bd = r.bd AND l.bandkey = r.bandkey AND l.pid < r.pid),
+       |psz AS (SELECT pid, count(*) AS sz FROM psh GROUP BY pid),
+       |ppr AS (SELECT pcand.a, pcand.b, count(*) AS common
+       |  FROM pcand JOIN psh x ON x.pid = pcand.a
+       |  JOIN psh y ON y.pid = pcand.b AND x.sh = y.sh GROUP BY 1, 2),
+       |pe AS (SELECT a, b FROM (
+       |  SELECT ppr.a, ppr.b,
+       |   round(CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE), 6) AS j
+       |  FROM ppr JOIN psz sa ON ppr.a = sa.pid JOIN psz sb ON ppr.b = sb.pid)
+       |  WHERE j >= 0.4),
+       |pee AS (SELECT a, b FROM pe UNION SELECT b, a FROM pe),
+       |preach(a, b) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM pee)
+       |  UNION
+       |  SELECT r.a, e2.b FROM preach r JOIN pee e2 ON r.b = e2.a),
+       |pcomp AS (SELECT a AS pid, min(b) AS comp FROM preach GROUP BY a),
+       |plabel AS (SELECT pf.para, COALESCE(pcomp.comp, pf.pid) AS keep
+       |  FROM pf LEFT JOIN pcomp ON pf.pid = pcomp.pid),
+       |fkept AS (SELECT p.doc_id, p.pos, p.para FROM p JOIN plabel
+       |  ON p.para = plabel.para AND p.doc_id*100000+p.pos = plabel.keep)""".stripMargin
 
   /** Hex chars [from, from+14] of md5(e) as a non-negative 60-bit long —
     * MUST mirror graft.operators.Dedup.md5Long / Multimodal.hexSeg. */
@@ -1738,12 +1793,15 @@ object SparkEntry {
   /** MinHash signatures + LSH band candidates — mirrors Dedup.minhashSignatures
     * (32 perms) + Dedup.lshCandidates (8 bands of 4) with the identical affine
     * coefficients. */
+  /** The 32 (i, a, b) MinHash perm coefficients as DuckDB VALUES rows —
+    * shared by [[sigCte]] (doc grain) and the q109 paragraph-grain twin. */
+  private lazy val minhashCoeffSql: String = (0 until 32).map { i =>
+    val (a, b) = Dedup.permCoeff(i); s"($i, $a, $b)"
+  }.mkString(", ")
+
   private val sigCte: String = {
-    val coeffVals = (0 until 32).map { i =>
-      val (a, b) = Dedup.permCoeff(i); s"($i, $a, $b)"
-    }.mkString(", ")
     s"""h AS (SELECT doc_id, ${hexLongSql("sh")} AS h FROM sh),
-       |coeff AS (SELECT * FROM (VALUES $coeffVals) t(i, ca, cb)),
+       |coeff AS (SELECT * FROM (VALUES $minhashCoeffSql) t(i, ca, cb)),
        |pm AS (SELECT doc_id, i, min(CAST((CAST(h AS HUGEINT) * ca + cb) % 2305843009213693951 AS BIGINT)) AS m
        |  FROM h CROSS JOIN coeff GROUP BY doc_id, i),
        |sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM pm GROUP BY doc_id),
@@ -2117,6 +2175,19 @@ object SparkEntry {
     "q108_stream_paragraph_dedup" ->
       s"""WITH $paraKeeperCtes
          |SELECT doc_id, pos FROM kept ORDER BY doc_id, pos""".stripMargin,
+
+    // Fuzzy paragraph replay: the full MinHash→LSH→Jaccard→components
+    // chain over distinct paragraph texts (paraFuzzyKeeperCtes), then
+    // q101's reassembly over the fuzzy survivor set.
+    "q109_paragraph_dedup_fuzzy" ->
+      s"""WITH RECURSIVE $paraFuzzyKeeperCtes,
+         |agg AS (SELECT doc_id, count(*) AS n_kept,
+         |   string_agg(para, ' ' ORDER BY pos) AS kept_text FROM fkept GROUP BY doc_id),
+         |np AS (SELECT doc_id, CAST(ceil(len(ws)/10.0) AS BIGINT) AS n_paras FROM w)
+         |SELECT np.doc_id, np.n_paras,
+         |  COALESCE(agg.n_kept, 0) AS n_kept, COALESCE(agg.kept_text, '') AS kept_text
+         |FROM np LEFT JOIN agg ON np.doc_id = agg.doc_id
+         |ORDER BY np.doc_id""".stripMargin,
 
     // SemDeDup replay: seed-centroid assignment (shared ivfAssignCte),
     // within-cell cosine ≥ 0.35 pairs, components via the same recursive

@@ -637,6 +637,77 @@ object Dedup {
         coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
 
+  /** Paragraph-grain FUZZY dedup — [[paragraphDedup]] with MinHash
+    * grouping, the pass that catches the near-identical boilerplate
+    * variants exact hashing misses (dates, usernames, counters swapped —
+    * the C4/RefinedWeb templated-lines case). The full near-dup stack runs
+    * at paragraph grain over DISTINCT paragraph texts only:
+    *
+    *  1. explode into word windows ([[explodeParagraphs]]) and collapse
+    *     exact copies first — each distinct text is represented by its
+    *     earliest instance's encoded (doc, pos) key `pid`
+    *     ([[encodePos]] — the exact-dedup min-agg, map-side combinable);
+    *  2. MinHash signatures over the distinct texts
+    *     ([[minhashSignatures]]), LSH band candidates
+    *     ([[lshCandidates]] / [[lshCandidatesCapped]] when `maxBucket`
+    *     is set), exact Jaccard verification of candidates only
+    *     ([[jaccardVerify]]);
+    *  3. verified pairs collapse into groups
+    *     ([[connectedComponentsStar]], O(log n) rounds at any diameter);
+    *     each distinct text's keeper key = its group's min pid (untouched
+    *     texts keep their own pid);
+    *  4. an INSTANCE survives iff its encoded key IS its text's keeper —
+    *     one survivor per fuzzy group, the corpus-wide earliest instance
+    *     of the group's earliest text — and docs reassemble from
+    *     survivors in position order, exactly [[paragraphDedup]]'s
+    *     contract: (idCol, n_paras, n_kept, kept_text).
+    *
+    * Scale: everything is paragraph-grain or candidate-grain — signature
+    * pass is narrow per-row math over distinct texts, banding is
+    * O(n·bands), verification touches candidates only, components are
+    * O(log n) shuffle rounds, and the instance join is one equi-join on
+    * the text. Never paragraph×paragraph. With zero fuzzy pairs this
+    * degrades to exactly [[paragraphDedup]].
+    */
+  def paragraphDedupFuzzy(
+      docs: DataFrame,
+      wordsPerPara: Int = 10,
+      threshold: Double = 0.4,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleN: Int = 3,
+      numPerms: Int = 32,
+      bands: Int = 8,
+      maxBucket: Option[Int] = None): DataFrame = {
+    val ws = split(col(textCol), " ")
+    val nParas = ceil(size(ws).cast("double") / wordsPerPara).cast("long")
+    val paras = explodeParagraphs(docs, wordsPerPara, idCol, textCol)
+    val firsts = paras.groupBy(col("para"))
+      .agg(min(encodePos(col(idCol), col("pos"))).as("pid"))
+    val sigs = minhashSignatures(firsts, "pid", "para", shingleN, numPerms)
+    val cands = maxBucket match {
+      case Some(cap) => lshCandidatesCapped(sigs, cap, "pid", bands)
+      case None      => lshCandidates(sigs, "pid", bands)
+    }
+    val pairs = jaccardVerify(firsts, cands, "pid", "para", shingleN, threshold)
+    val comps = connectedComponentsStar(pairs)
+    val label = firsts
+      .join(comps.withColumnRenamed("id", "pid"), Seq("pid"), "left")
+      .select(col("para"), coalesce(col("comp"), col("pid")).as("keep"))
+    val kept = paras.join(label, "para")
+      .where(encodePos(col(idCol), col("pos")) === col("keep"))
+    val reassembled = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("para")))),
+          x => x.getField("para")), " ").as("kept_text"))
+    docs.select(col(idCol), nParas.as("n_paras"))
+      .join(reassembled, Seq(idCol), "left")
+      .select(col(idCol), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
   /** Boilerplate profile — the template-detection signal next to
     * [[paragraphDedup]]'s removal: per doc, how much of it is made of
     * paragraphs that recur across the corpus (nav bars, license footers,

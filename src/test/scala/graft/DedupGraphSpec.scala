@@ -82,6 +82,26 @@ class DedupGraphSpec extends SparkTestBase {
       s"empty-doc noise pairs must be capped away: $capped")
   }
 
+  test("paragraphDedupFuzzy removes a date-swapped variant that exact dedup keeps") {
+    // p2 = p1 with the final word (a year) swapped: 7 of 9 word-3-grams
+    // survive → jaccard 0.777778 ≥ 0.4, so fuzzy groups them and keeps
+    // only doc 1's instance; exact hashing sees two distinct paragraphs
+    val p1 = "alpha beta gamma delta epsilon zeta eta theta iota 2023"
+    val p2 = "alpha beta gamma delta epsilon zeta eta theta iota 2024"
+    val docs = Seq(
+      (1L, p1), (2L, p2),
+      (3L, "completely different content nothing shared here at all ok fine"))
+      .toDF("doc_id", "text")
+    val fuzzy = Dedup.paragraphDedupFuzzy(docs, 10, 0.4).orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(fuzzy(0) === ((1L, 1L, 1L, p1)))
+    assert(fuzzy(1) === ((2L, 1L, 0L, ""))) // variant collapsed into doc 1's
+    assert(fuzzy(2)._3 === 1L)              // unrelated doc untouched
+    val exact = Dedup.paragraphDedup(docs, 10)
+      .where(col("doc_id") === 2L).select("n_kept").as[Long].head()
+    assert(exact === 1L, "exact dedup must NOT catch the variant — that gap is the point")
+  }
+
   test("contaminationProfile counts shared distinct shingles against the benchmark") {
     val bench = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val cand = Seq(
