@@ -301,6 +301,23 @@ object SparkEntry {
         .orderBy(col("cell"))
     }),
 
+    // ITERATED k-means (VERDICT r6 #6) — one REAL Lloyd round under the
+    // oracle gate (q59/q102 run iterations=0 for determinism; the update
+    // step was spec-only until now). The input embeddings are quantized to
+    // INTEGER-valued floats (round(x·8)) so the Lloyd mean's sums are
+    // exact in every summation order — the one float hazard that made
+    // iterations un-oracle-able — while round-2 assignment's dot products
+    // stay fixed-fold-order doubles both engines replay bit-equal.
+    "q111_kmeans_lloyd" -> ((s, d) => {
+      val q = Tables.embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 8).cast("float")).as("embedding"))
+      Similarity.assignCells(q, Similarity.kmeansCentroids(q, 16, 1))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("vec_id")).as("sum_ids"))
+        .orderBy(col("cell"))
+    }),
+
     // deterministic hash-gated stratified sampling (corpus mixture
     // weights): membership is a pure function of doc_id — reproducible
     // across runs/engines/retries, no RNG.
@@ -1828,6 +1845,10 @@ object SparkEntry {
   private val dotSql =
     "list_reduce(list_transform(range(64), i -> CAST(va.e[i+1] AS DOUBLE) * CAST(vb.e[i+1] AS DOUBLE)), (p, q) -> p + q)"
 
+  /** [[dotSql]] parameterized over the two list expressions (same fold). */
+  private def dotOf(a: String, b: String, dim: Int = 64): String =
+    s"list_reduce(list_transform(range($dim), i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)), (p, q) -> p + q)"
+
   /** Hyperplane matrix + per-vector LSH bucket for q53 — mirrors
     * VectorExpressions.HyperplaneBucketF (4 planes × 64 dims): the plane
     * components are the exact same planeComp doubles inlined as literals
@@ -2668,6 +2689,35 @@ object SparkEntry {
       s"""WITH $ivfAssignCte
          |SELECT cell, count(*) AS n_vecs, CAST(sum(vec_id) AS BIGINT) AS sum_ids
          |FROM assign GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // One Lloyd round replayed exactly: integer-quantized inputs (exact
+    // sums in any order), 16 lowest-id seeds, argmin assignment (ties by
+    // cell), per-(cell,dim) mean cast to REAL, re-assignment against the
+    // trained centroids. Mirrors Similarity.kmeansCentroids(16, 1) +
+    // assignCells over the same quantized frame.
+    "q111_kmeans_lloyd" ->
+      s"""WITH q AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 8) AS REAL)) AS e
+         | FROM embeddings),
+         |seeds AS (SELECT vec_id AS cell, e AS ce, ${dotOf("e", "e")} AS cn2
+         | FROM q WHERE vec_id IN (SELECT vec_id FROM q ORDER BY vec_id LIMIT 16)),
+         |d1 AS (SELECT v.vec_id, s.cell, s.cn2 - 2 * ${dotOf("v.e", "s.ce")} AS dist
+         | FROM q v CROSS JOIN seeds s),
+         |a1 AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |  FROM d1) WHERE rn = 1),
+         |mem AS (SELECT a1.cell, q.e FROM a1 JOIN q USING (vec_id)),
+         |upd AS (SELECT cell, i, avg(CAST(e[i+1] AS DOUBLE)) AS m
+         | FROM mem CROSS JOIN range(64) t(i) GROUP BY 1, 2),
+         |cents AS (SELECT cell, list(CAST(m AS REAL) ORDER BY i) AS ce FROM upd GROUP BY cell),
+         |cents2 AS (SELECT cell, ce, ${dotOf("ce", "ce")} AS cn2 FROM cents),
+         |d2 AS (SELECT v.vec_id, c.cell, c.cn2 - 2 * ${dotOf("v.e", "c.ce")} AS dist
+         | FROM q v CROSS JOIN cents2 c),
+         |a2 AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |  FROM d2) WHERE rn = 1)
+         |SELECT cell, count(*) AS n_vecs, CAST(sum(vec_id) AS BIGINT) AS sum_ids
+         |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q62_dws_register_window" ->
       """SELECT strftime(make_timestamp((c_custkey+1)//10*10*1000000), '%Y-%m-%d %H:%M:%S') AS stt,
