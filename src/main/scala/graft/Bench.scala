@@ -112,7 +112,10 @@ object Bench {
       "q80_topn_window" -> "q87_topn_window_stream",
       "q81_hll_distinct" -> "q83_hll_distinct_stream",
       "q82_hist_quantile" -> "q91_hist_quantile_stream",
-      "q93_funnel" -> "q95_funnel_stream")
+      "q93_funnel" -> "q95_funnel_stream",
+      // the warehouse DAG's streamed outputs vs their batch/harness forms
+      "q36_dwd_cart" -> "q113_dag_dwd_cart",
+      "q40_dws_traffic" -> "q114_dag_dws_traffic")
     twins.foreach { case (a, b) =>
       if (counts(a) != counts(b)) {
         System.err.println(

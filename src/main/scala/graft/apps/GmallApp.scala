@@ -56,14 +56,18 @@ object GmallApp {
     * `<inRoot>/topic_db`, `<inRoot>/topic_log` and
     * `<inRoot>/table_process_config` flow through the IDENTICAL wiring,
     * one fresh file-source consumer per query exactly like the Kafka
-    * binding ([[Sources.fileValues]]). */
-  def startFromFiles(spark: SparkSession, inRoot: String, warehouse: String): Seq[StreamingQuery] =
+    * binding ([[Sources.fileValues]]). `joinTtlSec` sizes the trade
+    * joins' event-time bound for the replayed data's timestamp span (a
+    * REPLAY's event-time range is the whole history, not the reference's
+    * live ±15 min). */
+  def startFromFiles(spark: SparkSession, inRoot: String, warehouse: String,
+      joinTtlSec: Long = 900L): Seq[StreamingQuery] =
     wire(spark,
       () => Envelopes.cleanDirty(Envelopes.parseMaxwell(
         Sources.fileValues(spark, s"$inRoot/topic_db")))._1,
       () => Envelopes.cleanDirty(Envelopes.parseLog(
         Sources.fileValues(spark, s"$inRoot/topic_log")))._1,
-      warehouse) :+
+      warehouse, joinTtlSec) :+
       configQuery(spark, Sources.projectConfig(Envelopes.cleanDirty(
           Envelopes.parseDebeziumConfig(
             Sources.fileValues(spark, s"$inRoot/table_process_config")))._1),

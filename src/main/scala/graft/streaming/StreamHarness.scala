@@ -45,7 +45,7 @@ object StreamHarness {
     * (`newSession`: same SparkContext + cache, isolated SQLConf), so
     * concurrent harness runs never race on shared session state and the
     * caller's conf is never mutated. */
-  private def prepared(spark: SparkSession): SparkSession = {
+  private[graft] def prepared(spark: SparkSession): SparkSession = {
     val session = spark.newSession()
     // newSession starts from the BUILDER's options; carry over any conf the
     // caller set at runtime (e.g. the RocksDB state-store provider) so the
