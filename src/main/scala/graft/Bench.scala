@@ -20,6 +20,12 @@ import org.apache.spark.sql.SparkSession
   * rounds running (BENCH_r0{1,2,3}.json `parsed: null`). The full map
   * lives in bench_result.json, and the line prints LAST so only sbt's
   * ~60-byte success trailer follows it in the tail buffer.
+  *
+  * The three warehouse-DAG gates (q110/q113/q114) share ONE cached
+  * `startFromFiles` run: whichever of them the Map iterates first pays
+  * the whole ~10-query streaming DAG (~100 s at sf0.1) and the other two
+  * read cached warehouse dirs in <1 s — the retry pass self-discloses
+  * this (the payer re-measures at ~0.1 s).
   */
 object Bench {
   private def r2(v: Double): Double = math.rint(v * 100) / 100
@@ -47,6 +53,11 @@ object Bench {
     try {
       graft.core.TopicDb(spark, sfDir).count()
       graft.apps.GmallPipelines.tradeOrderPreProcessCached(spark, sfDir).count()
+      // documents + events feed ~40 gates each; their session-cached
+      // persist (Tables.scala) materializes here so per-query times stop
+      // carrying the first-touch scan of whichever gate runs first
+      graft.core.Tables.documents(spark, sfDir).count()
+      graft.core.Tables.events(spark, sfDir).count()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] FATAL: shared-table warmup failed: $e")
       spark.stop()
@@ -132,11 +143,18 @@ object Bench {
     // consumers can separate the two without reading doc comments
     val queriesOnly = results.values.sum
     val total = queriesOnly + warmup
+    // best_of_2_sec: warmup + Σ min(first pass, retry) — the host-noise-
+    // adjudicated comparison as a first-class number, so round-over-round
+    // review stops doing manual retry arithmetic over retry_sec
+    val bestOf2 = warmup + results.map { case (name, first) =>
+      math.min(first, retries.getOrElse(name, first))
+    }.sum
     def qJson(qs: Iterable[(String, Double)]): String =
       qs.map { case (k, v) => "\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
     def common =
       s""""metric":"total","value":${r2(total)},"unit":"sec","warmup_sec":${r2(warmup)},""" +
-        s""""queries_only_sec":${r2(queriesOnly)},"n_queries":${results.size},""" +
+        s""""queries_only_sec":${r2(queriesOnly)},"best_of_2_sec":${r2(bestOf2)},""" +
+        s""""n_queries":${results.size},""" +
         s""""sf_twin_rowcheck":"$rowcheck""""
     val full =
       s"""{$common,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd",""" +

@@ -210,16 +210,20 @@ object SparkEntry {
           """{"op":"c","ts_ms":10,"after":{"source_table":"payment_info","sink_table":"dim_payment_info","sink_columns":"id,payment_type"}}""")
           .toDF("value"))
         sync()
-        val raw = TopicDb.raw(session, d)
-        val part = pmod(hash(col("value")), lit(2))
-        val logChunks = timeSplitDs(Tables.events(session, d), "ts")
-          .map(trafficLogJson)
-        drop("topic_db", raw.where(part === 0))
-        drop("topic_log", logChunks(0))
-        sync()
-        drop("topic_db", raw.where(part === 1))
-        drop("topic_log", logChunks(1))
-        sync()
+        // persist: the CPU-heavy to_json synthesis runs once, not once per
+        // chunk filter (the two drops below each scan it)
+        val raw = TopicDb.raw(session, d).persist()
+        try {
+          val part = pmod(hash(col("value")), lit(2))
+          val logChunks = timeSplitDs(Tables.events(session, d), "ts")
+            .map(trafficLogJson)
+          drop("topic_db", raw.where(part === 0))
+          drop("topic_log", logChunks(0))
+          sync()
+          drop("topic_db", raw.where(part === 1))
+          drop("topic_log", logChunks(1))
+          sync()
+        } finally { raw.unpersist(); () }
         drop("topic_db", flushSentinels.toDF("value"))
         drop("topic_log", Seq(TrafficLogSentinel).toDF("value"))
         sync()

@@ -40,7 +40,14 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = loadNanoTs(s, d, "events")
-  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  /** events + documents feed ~40 gates each (every dedup/text/window
+    * query) — cached per session like TopicDb's parse, so a bench run
+    * scans and decodes each ONCE (warmed + disclosed in Bench's
+    * warmup_sec) instead of per query. The other tables are joined
+    * at-most-once per gate and stay plain scans (pushdown-friendly). */
+  def events(s: SparkSession, d: String): DataFrame =
+    SessionCache(s, "events|" + d)(loadNanoTs(s, d, "events"))
+  def documents(s: SparkSession, d: String): DataFrame =
+    SessionCache(s, "documents|" + d)(load(s, d, "documents"))
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }
