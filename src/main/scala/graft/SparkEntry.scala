@@ -121,6 +121,17 @@ object SparkEntry {
         col("is_new"), col("pv_ct"), col("sv_ct"), col("dur_sum"))
       .orderBy(col("stt"), col("vc"), col("ch"), col("ar"), col("is_new"))
 
+  /** The q39 aggregate over a trade-order-pre-process-shaped frame —
+    * shared with the q115 DAG replay so both pin one oracle. */
+  private def orderPreAgg(df: DataFrame): DataFrame =
+    df.groupBy(col("op_type"), col("source_type_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("split_total_amount").cast("decimal(18,2)")).cast("double").as("sum_amount"),
+        sum(col("total_amount").cast("decimal(18,2)")).cast("double").as("sum_oi_amount"),
+        count(col("activity_id")).as("n_act"),
+        count(col("coupon_id")).as("n_cpn"))
+      .orderBy(col("op_type"), col("source_type_name"))
+
   /** The q36 full-select-list aggregate over a tradeCartAdd-shaped frame
     * — shared with the q113 DAG replay so both pin one oracle. */
   private def cartAddAgg(df: DataFrame): DataFrame =
@@ -671,14 +682,7 @@ object SparkEntry {
     // the reference writes it to the dwd_trade_order_pre_process topic
     // ONCE (DwdTradeOrderPreProcess.java:275) and q41/q42 consume it.
     "q39_dwd_order_pre" -> ((s, d) =>
-      GmallPipelines.tradeOrderPreProcessCached(s, d)
-        .groupBy(col("op_type"), col("source_type_name"))
-        .agg(count(lit(1)).as("n_rows"),
-          sum(col("split_total_amount").cast("decimal(18,2)")).cast("double").as("sum_amount"),
-          sum(col("total_amount").cast("decimal(18,2)")).cast("double").as("sum_oi_amount"),
-          count(col("activity_id")).as("n_act"),
-          count(col("coupon_id")).as("n_cpn"))
-        .orderBy(col("op_type"), col("source_type_name"))),
+      orderPreAgg(GmallPipelines.tradeOrderPreProcessCached(s, d))),
 
     // DWS keyword window end-to-end (the reference's flagship hybrid app,
     // SURVEY §3.3): behavior-log JSON → parse → search-hit filter →
@@ -1744,6 +1748,17 @@ object SparkEntry {
     "q113_dag_dwd_cart" -> ((s, d) =>
       cartAddAgg(s.read.parquet(s"${DagRun(s, d)}/dwd/cart_add"))),
 
+    // DAG gate — the TRADE family's wide table: order_pre epoch dirs
+    // written by the DAG's watermarked detail⋈info⋈activity⋈coupon
+    // interval-join query, with constituent rows of one order hash-split
+    // ACROSS micro-batches (the join state carries the boundary), pushed
+    // through q39's aggregate — the streamed cross-batch join content
+    // must equal the batch wide table's oracle. Sentinel rows never
+    // reach this output (the detail⋈info core is an inner join; the
+    // flush rows' order ids join nothing).
+    "q115_dag_dwd_order_pre" -> ((s, d) =>
+      orderPreAgg(s.read.parquet(s"${DagRun(s, d)}/dwd/order_pre"))),
+
     // DAG gate 3/3 — a DWS window table: the traffic 1 h tumbling window
     // parquet written by the DAG's own streaming query, sharing q40's
     // oracle (same log synthesis, same sentinel strip).
@@ -1879,6 +1894,27 @@ object SparkEntry {
       s"ELSE list_transform(range(0, len(w) - ${n - 1}), i -> concat_ws(' ', $parts)) END"
   }
   private val sh3Sql = shNSql(3)
+
+  /** Shared by q39 (batch wide table) and q115 (the warehouse DAG's
+    * streamed order_pre epoch dirs) — ONE oracle: the cross-batch
+    * interval-join content must equal the batch joins exactly. */
+  private lazy val orderPreOracle: String =
+    """WITH det AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |  CAST(l_extendedprice AS DECIMAL(18,2)) AS amt,
+      |  concat('240', l_linenumber % 2 + 1) AS source_type FROM lineitem),
+      |act AS (SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_linenumber % 3 = 0),
+      |cpn AS (SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_partkey % 4 = 0)
+      |SELECT CASE WHEN o.o_orderstatus = 'O' THEN 'insert' ELSE 'update' END AS op_type,
+      | CASE WHEN d.source_type = '2401' THEN 'promo' ELSE 'search' END AS source_type_name,
+      | count(*) AS n_rows,
+      | CAST(sum(d.amt) AS DOUBLE) AS sum_amount,
+      | CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_oi_amount,
+      | count(a.l_orderkey) AS n_act,
+      | count(c.l_orderkey) AS n_cpn
+      |FROM det d JOIN orders o ON d.l_orderkey = o.o_orderkey
+      |LEFT JOIN act a ON d.l_orderkey = a.l_orderkey AND d.l_linenumber = a.l_linenumber
+      |LEFT JOIN cpn c ON d.l_orderkey = c.l_orderkey AND d.l_linenumber = c.l_linenumber
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Shared by q36 (batch pipeline) and q113 (the warehouse DAG's
     * streamed dwd/cart_add dirs) — ONE oracle, since the stateless cart
@@ -2646,23 +2682,9 @@ object SparkEntry {
 
     "q36_dwd_cart" -> cartAddOracle,
 
-    "q39_dwd_order_pre" ->
-      """WITH det AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-        |  CAST(l_extendedprice AS DECIMAL(18,2)) AS amt,
-        |  concat('240', l_linenumber % 2 + 1) AS source_type FROM lineitem),
-        |act AS (SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_linenumber % 3 = 0),
-        |cpn AS (SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_partkey % 4 = 0)
-        |SELECT CASE WHEN o.o_orderstatus = 'O' THEN 'insert' ELSE 'update' END AS op_type,
-        | CASE WHEN d.source_type = '2401' THEN 'promo' ELSE 'search' END AS source_type_name,
-        | count(*) AS n_rows,
-        | CAST(sum(d.amt) AS DOUBLE) AS sum_amount,
-        | CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_oi_amount,
-        | count(a.l_orderkey) AS n_act,
-        | count(c.l_orderkey) AS n_cpn
-        |FROM det d JOIN orders o ON d.l_orderkey = o.o_orderkey
-        |LEFT JOIN act a ON d.l_orderkey = a.l_orderkey AND d.l_linenumber = a.l_linenumber
-        |LEFT JOIN cpn c ON d.l_orderkey = c.l_orderkey AND d.l_linenumber = c.l_linenumber
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q39_dwd_order_pre" -> orderPreOracle,
+
+    "q115_dag_dwd_order_pre" -> orderPreOracle,
 
     // q39's insert branch only (o_orderstatus = 'O'), grouped by source
     "q92_dwd_order_detail" ->
