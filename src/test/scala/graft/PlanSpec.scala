@@ -173,6 +173,26 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("fuzzy paragraph dedup candidates ride the (band, bandkey) equi-join — never para×para") {
+    // the q109 pair-generation chain up to (but not through) the eager
+    // connected-components loop: distinct-text pids → MinHash sigs → LSH
+    // band candidates → exact-Jaccard verify. The pair space must hash-
+    // join on the band key; the verify joins are id equi-joins.
+    import graft.operators.Dedup
+    val paras = Dedup.explodeParagraphs(Tables.documents(spark, sf), 10)
+    val firsts = paras.groupBy(col("para"))
+      .agg(min(Dedup.encodePos(col("doc_id"), col("pos"))).as("pid"))
+    val pairs = Dedup.jaccardVerify(firsts,
+      Dedup.lshCandidates(Dedup.minhashSignatures(firsts, "pid", "para"), "pid"),
+      "pid", "para", 3, 0.4)
+    val p = plan(pairs)
+    assert(!p.contains("CartesianProduct"), "no unbounded product:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), "no nested-loop pair space:\n" + p)
+    assert("(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) \\[band".r
+        .findFirstIn(p).isDefined,
+      "candidate generation must equi-join on the band key:\n" + p)
+  }
+
   test("semDedup generates pairs through a cell equi-join — no cross-cell pair space") {
     val emb = Tables.embeddings(spark, sf)
     val cents = Similarity.kmeansCentroids(emb, 16, 0)
