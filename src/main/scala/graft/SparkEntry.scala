@@ -1765,6 +1765,39 @@ object SparkEntry {
     "q114_dag_dws_traffic" -> ((s, d) =>
       trafficWindowSelect(s.read.parquet(s"${DagRun(s, d)}/dws/traffic"))),
 
+    // q109's FUZZY grouping ON INGEST — the streaming twin (the same
+    // step up from q103/q108's exact firstPerKey that q109 is from
+    // q101): paragraph instances stream enc-ascending across two
+    // file-fed micro-batches through FuzzyIngest's per-epoch store — a
+    // batch-2 variant of a batch-1 paragraph must collapse via the LSH
+    // index in STATE, and a batch-2 text bridging two batch-1 groups
+    // relabels both (incremental union). Output = the keeper keys,
+    // sharing q109's oracle CTEs verbatim.
+    "q116_stream_paragraph_fuzzy" -> ((s, d) => {
+      import s.implicits._
+      val paras = Dedup.explodeParagraphs(Tables.documents(s, d), 10)
+        .select(Dedup.encodePos(col("doc_id"), col("pos")).as("enc"), col("para"))
+        .as[(Long, String)]
+      val mid = midOf(paras.agg(min(col("enc")), max(col("enc"))).head(),
+        "exploded paragraphs (q116)")
+      val root = java.nio.file.Files.createTempDirectory("graft_fuzzy_ingest_").toString
+      StreamHarness.runFilesSink(s,
+          Seq(paras.where(col("enc") <= mid), paras.where(col("enc") > mid))) {
+        (ds, ckpt) =>
+          ds.toDF().toDF("enc", "para").writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: DataFrame, epochId: Long) =>
+              graft.streaming.FuzzyIngest.processBatch(
+                b.toDF("enc", "para"), root, epochId, 0.4)
+            }.start()
+      }
+      val out = graft.streaming.FuzzyIngest.survivors(s, root)
+        .orderBy(col("doc_id"), col("pos"))
+        .localCheckpoint(true) // materialize before the store dir vanishes
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+      out
+    }),
+
     // END-TO-END curation pipeline — the composition proof: paragraph
     // dedup (q101) feeds language-ID + token counting (q15/q16) feeds
     // hash-gated stratified sampling (q60), all over the DEDUPED text.
@@ -2435,6 +2468,12 @@ object SparkEntry {
     "q113_dag_dwd_cart" -> cartAddOracle,
 
     "q114_dag_dws_traffic" -> trafficWindowOracle,
+
+    // The fuzzy keeper KEYS verbatim — the ingest twin reads them
+    // directly (fkept's rows are exactly the distinct group keepers).
+    "q116_stream_paragraph_fuzzy" ->
+      s"""WITH RECURSIVE $paraFuzzyKeeperCtes
+         |SELECT doc_id, pos FROM fkept ORDER BY doc_id, pos""".stripMargin,
 
     // Fuzzy paragraph replay: the full MinHash→LSH→Jaccard→components
     // chain over distinct paragraph texts (paraFuzzyKeeperCtes), then

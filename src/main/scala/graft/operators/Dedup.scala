@@ -126,10 +126,11 @@ object Dedup {
         numPerms)).as("sig"))
   }
 
-  /** (id, band, bandkey) rows — the banding shared by [[lshCandidates]]
-    * and [[lshCandidatesCapped]]: `bands` bands of numPerms/bands
+  /** (id, band, bandkey) rows — the banding shared by [[lshCandidates]],
+    * [[lshCandidatesCapped]] and the streaming ingest twin
+    * ([[graft.streaming.FuzzyIngest]]): `bands` bands of numPerms/bands
     * signature rows each, keyed by the band's joined values. */
-  private def bandedSigs(sigs: DataFrame, idCol: String, bands: Int): DataFrame =
+  private[graft] def bandedSigs(sigs: DataFrame, idCol: String, bands: Int): DataFrame =
     sigs.select(
       col(idCol),
       posexplode(expr(s"transform(sequence(0, $bands - 1), " +
