@@ -126,6 +126,7 @@ object Bench {
       "q93_funnel" -> "q95_funnel_stream",
       // the warehouse DAG's streamed outputs vs their batch/harness forms
       "q36_dwd_cart" -> "q113_dag_dwd_cart",
+      "q37_dws_keyword" -> "q117_dag_dws_keyword",
       "q39_dwd_order_pre" -> "q115_dag_dwd_order_pre",
       "q40_dws_traffic" -> "q114_dag_dws_traffic")
     twins.foreach { case (a, b) =>

@@ -108,6 +108,30 @@ object SparkEntry {
         round(col("value")).cast("long").as("during_time")).as("page"),
       unix_millis(col("ts")).as("ts"))).as("value"))
 
+  /** documents → keyword-search log JSON (doc_id, value) rows — ONE
+    * synthesis shared by the q37 harness gate and the q110/q117 DAG feed
+    * (to_json escaping; no vc/ch/ar so these rows never reach the gated
+    * traffic keys). */
+  private def keywordLogJson(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), to_json(struct(
+      struct(concat(lit("m"), col("doc_id")).as("mid")).as("common"),
+      struct(lit("good_list").as("page_id"), lit("search").as("last_page_id"),
+        concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 3)).as("item"),
+        lit("keyword").as("item_type")).as("page"),
+      (col("doc_id") * 3000).as("ts"))).as("value"))
+
+  /** Far-future keyword search hit: flushes the keyword windows; gates
+    * strip `word = 'zzsentinel'`. */
+  private def keywordSentinelJson(maxId: Long): String =
+    s"""{"common":{"mid":"zz"},"page":{"page_id":"good_list","last_page_id":"search","item_type":"keyword","item":"zzsentinel"},"ts":${(maxId + 1000000) * 3000}}"""
+
+  /** Sentinel-stripped column/order contract of the keyword window gates
+    * (q37 + the q117 DAG replay — one oracle). */
+  private def keywordWindowSelect(df: DataFrame): DataFrame =
+    df.where(col("word") =!= "zzsentinel")
+      .select(col("stt"), col("edt"), col("word"), col("keyword_count"))
+      .orderBy(col("stt"), col("word"))
+
   /** Far-future (9999999999999 ms) vc="zz" log row: flushes every traffic
     * window; [[trafficWindowSelect]] excludes it from gated output. */
   private val TrafficLogSentinel: String =
@@ -224,19 +248,29 @@ object SparkEntry {
         // persist: the CPU-heavy to_json synthesis runs once, not once per
         // chunk filter (the two drops below each scan it)
         val raw = TopicDb.raw(session, d).persist()
+        // keyword search hits ride the SAME topic_log stream (no vc → they
+        // never reach the gated traffic keys; traffic rows carry no
+        // item_type → they never reach the keyword filter)
+        val kw = keywordLogJson(Tables.documents(session, d))
+        val mm = kw.agg(min(col("doc_id")), max(col("doc_id"))).head()
+        val (midId, maxId) =
+          (midOf(mm, "documents keyword logs (DAG)"), mm.getLong(1))
         try {
           val part = pmod(hash(col("value")), lit(2))
           val logChunks = timeSplitDs(Tables.events(session, d), "ts")
             .map(trafficLogJson)
           drop("topic_db", raw.where(part === 0))
-          drop("topic_log", logChunks(0))
+          drop("topic_log", logChunks(0).select(col("value"))
+            .unionByName(kw.where(col("doc_id") <= midId).select(col("value"))))
           sync()
           drop("topic_db", raw.where(part === 1))
-          drop("topic_log", logChunks(1))
+          drop("topic_log", logChunks(1).select(col("value"))
+            .unionByName(kw.where(col("doc_id") > midId).select(col("value"))))
           sync()
         } finally { raw.unpersist(); () }
         drop("topic_db", flushSentinels.toDF("value"))
-        drop("topic_log", Seq(TrafficLogSentinel).toDF("value"))
+        drop("topic_log",
+          Seq(TrafficLogSentinel, keywordSentinelJson(maxId)).toDF("value"))
         sync()
         // left-join tails emit in the watermark-advanced batch AFTER the
         // sentinels' own batch
@@ -694,28 +728,18 @@ object SparkEntry {
       // to_json(struct(...)), not string concat: a token containing a quote
       // or backslash must be escaped, or Spark would route the row to the
       // dirty stream while the DuckDB oracle still counts it
-      val logs = Tables.documents(s, d).select(
-        col("doc_id"),
-        to_json(struct(
-          struct(concat(lit("m"), col("doc_id")).as("mid")).as("common"),
-          struct(lit("good_list").as("page_id"), lit("search").as("last_page_id"),
-            concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 3)).as("item"),
-            lit("keyword").as("item_type")).as("page"),
-          (col("doc_id") * 3000).as("ts"))).as("value"))
-        .as[(Long, String)]
+      val logs = keywordLogJson(Tables.documents(s, d)).as[(Long, String)]
       // event time is doc_id·3000 — an id-midpoint split IS a time split
       val mm = logs.agg(min(col("doc_id")), max(col("doc_id"))).head()
       val (midId, maxId) = (mm.getLong(0) / 2 + mm.getLong(1) / 2, mm.getLong(1))
-      val sentinel = Seq((maxId + 1, s"""{"common":{"mid":"zz"},"page":{"page_id":"good_list","last_page_id":"search","item_type":"keyword","item":"zzsentinel"},"ts":${(maxId + 1000000) * 3000}}""")).toDS()
+      val sentinel = Seq((maxId + 1, keywordSentinelJson(maxId))).toDS()
       val batches = Seq(logs.where(col("doc_id") <= midId),
         logs.where(col("doc_id") > midId), sentinel)
-      StreamHarness.runFiles(s, batches) { ds =>
+      keywordWindowSelect(StreamHarness.runFiles(s, batches) { ds =>
         val (clean, _) = Envelopes.cleanDirty(Envelopes.parseLog(ds.toDF()
           .withColumnRenamed("_2", "value")))
         graft.streaming.Windows.keywordCount(GmallPipelines.keywordHits(clean))
-      }.where(col("word") =!= "zzsentinel")
-        .select(col("stt"), col("edt"), col("word"), col("keyword_count"))
-        .orderBy(col("stt"), col("word"))
+      })
     }),
 
     // DWS traffic page-view window (A2/X7/W9): behavior-log JSON → page
@@ -1765,6 +1789,14 @@ object SparkEntry {
     "q114_dag_dws_traffic" -> ((s, d) =>
       trafficWindowSelect(s.read.parquet(s"${DagRun(s, d)}/dws/traffic"))),
 
+    // DAG gate — the OTHER DWS window: the keyword tokenizer chain
+    // (UDTF explode + 10 s tumble) written by the DAG's own streaming
+    // query over the same topic_log stream the traffic window reads,
+    // sharing q37's oracle. The two log row families are mutually
+    // invisible (keyword rows carry no vc; traffic rows no item_type).
+    "q117_dag_dws_keyword" -> ((s, d) =>
+      keywordWindowSelect(s.read.parquet(s"${DagRun(s, d)}/dws/keyword"))),
+
     // q109's FUZZY grouping ON INGEST — the streaming twin (the same
     // step up from q103/q108's exact firstPerKey that q109 is from
     // q101): paragraph instances stream enc-ascending across two
@@ -1927,6 +1959,17 @@ object SparkEntry {
       s"ELSE list_transform(range(0, len(w) - ${n - 1}), i -> concat_ws(' ', $parts)) END"
   }
   private val sh3Sql = shNSql(3)
+
+  /** Shared by q37 (harness-fed) and q117 (the warehouse DAG's own
+    * dws/keyword parquet) — ONE oracle over the shared log synthesis. */
+  private lazy val keywordWindowOracle: String =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+       |words AS (SELECT doc_id, unnest(w[1:3]) AS word FROM toks),
+       |win AS (SELECT word, (doc_id * 3) // 10 * 10 AS w0 FROM words)
+       |SELECT strftime(make_timestamp(w0 * 1000000), '%Y-%m-%d %H:%M:%S') AS stt,
+       | strftime(make_timestamp((w0 + 10) * 1000000), '%Y-%m-%d %H:%M:%S') AS edt,
+       | word, count(*) AS keyword_count
+       |FROM win GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin
 
   /** Shared by q39 (batch wide table) and q115 (the warehouse DAG's
     * streamed order_pre epoch dirs) — ONE oracle: the cross-batch
@@ -2703,14 +2746,9 @@ object SparkEntry {
         |  OR epoch_us(next_ts) - epoch_us(ts) > 30000000 OR next_entry)
         |ORDER BY event_id""".stripMargin,
 
-    "q37_dws_keyword" ->
-      s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
-         |words AS (SELECT doc_id, unnest(w[1:3]) AS word FROM toks),
-         |win AS (SELECT word, (doc_id * 3) // 10 * 10 AS w0 FROM words)
-         |SELECT strftime(make_timestamp(w0 * 1000000), '%Y-%m-%d %H:%M:%S') AS stt,
-         | strftime(make_timestamp((w0 + 10) * 1000000), '%Y-%m-%d %H:%M:%S') AS edt,
-         | word, count(*) AS keyword_count
-         |FROM win GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
+    "q37_dws_keyword" -> keywordWindowOracle,
+
+    "q117_dag_dws_keyword" -> keywordWindowOracle,
 
     "q40_dws_traffic" -> trafficWindowOracle,
 
