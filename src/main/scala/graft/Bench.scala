@@ -125,6 +125,7 @@ object Bench {
       "q82_hist_quantile" -> "q91_hist_quantile_stream",
       "q93_funnel" -> "q95_funnel_stream",
       // the warehouse DAG's streamed outputs vs their batch/harness forms
+      "q102_semdedup" -> "q118_stream_semdedup",
       "q36_dwd_cart" -> "q113_dag_dwd_cart",
       "q37_dws_keyword" -> "q117_dag_dws_keyword",
       "q39_dwd_order_pre" -> "q115_dag_dwd_order_pre",

@@ -1638,6 +1638,40 @@ object SparkEntry {
         .select(col("vec_id"), col("label"))
         .orderBy(col("vec_id"))),
 
+    // q102's SEMANTIC grouping ON INGEST — SemDeDup's streaming twin
+    // (FuzzyIngest's design with k-means cells for LSH bands): vectors
+    // stream id-ascending across two file-fed micro-batches; centroids
+    // freeze from batch 1's lowest ids (== the batch operator's seeds
+    // under the ascending feed), a batch-2 near-dup of a batch-1 vector
+    // collapses via the cell-indexed state, and bridging vectors relabel
+    // merged groups. Shares q102's oracle verbatim.
+    "q118_stream_semdedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val mid = midOf(emb.agg(min(col("vec_id")), max(col("vec_id"))).head(),
+        "embeddings (q118)")
+      val root = java.nio.file.Files.createTempDirectory("graft_sem_ingest_").toString
+      implicit val enc: org.apache.spark.sql.Encoder[(Long, Array[Float], Int)] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+      import s.implicits._
+      StreamHarness.runFilesSink(s,
+          Seq(emb.where(col("vec_id") <= mid).as[(Long, Array[Float], Int)],
+            emb.where(col("vec_id") > mid).as[(Long, Array[Float], Int)])) {
+        (ds, ckpt) =>
+          ds.toDF().toDF("vec_id", "embedding", "label").writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: DataFrame, epochId: Long) =>
+              graft.streaming.SemIngest.processBatch(
+                b.toDF("vec_id", "embedding", "label"), root, epochId, 16, 0.35)
+            }.start()
+      }
+      val out = graft.streaming.SemIngest.survivors(s, root)
+        .orderBy(col("vec_id"))
+        .localCheckpoint(true) // materialize before the store dir vanishes
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+      out
+    }),
+
     // Exact dedup ON INGEST — q17's semantics as a stateful stream
     // (StatefulOps.firstPerKey): one survivor per distinct fingerprint
     // across two id-ordered file-fed micro-batches, state carrying the
@@ -1959,6 +1993,27 @@ object SparkEntry {
       s"ELSE list_transform(range(0, len(w) - ${n - 1}), i -> concat_ws(' ', $parts)) END"
   }
   private val sh3Sql = shNSql(3)
+
+  /** Shared by q102 (batch SemDeDup) and q118 (the ingest twin) — ONE
+    * oracle: seed-centroid cells (ivfAssignCte), within-cell cosine
+    * pairs, recursive-reach components, min-id survivors. */
+  private lazy val semDedupOracle: String =
+    s"""WITH RECURSIVE $ivfAssignCte,
+       |v AS (SELECT m.vec_id, m.embedding AS e, $nrmSql AS nrm, a.cell
+       |  FROM embeddings m JOIN assign a ON m.vec_id = a.vec_id),
+       |e AS (SELECT va.vec_id AS a, vb.vec_id AS b
+       |  FROM v va JOIN v vb ON va.cell = vb.cell AND va.vec_id < vb.vec_id
+       |  WHERE $dotSql / (va.nrm * vb.nrm) >= 0.35),
+       |ee AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+       |reach(a, b) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM ee)
+       |  UNION
+       |  SELECT r.a, e2.b FROM reach r JOIN ee e2 ON r.b = e2.a),
+       |comp AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY a)
+       |SELECT m.vec_id, m.label FROM embeddings m
+       |LEFT JOIN comp ON m.vec_id = comp.id
+       |WHERE comp.comp IS NULL OR comp.comp = m.vec_id
+       |ORDER BY m.vec_id""".stripMargin
 
   /** Shared by q37 (harness-fed) and q117 (the warehouse DAG's own
     * dws/keyword parquet) — ONE oracle over the shared log synthesis. */
@@ -2534,23 +2589,9 @@ object SparkEntry {
     // SemDeDup replay: seed-centroid assignment (shared ivfAssignCte),
     // within-cell cosine ≥ 0.35 pairs, components via the same recursive
     // reach CTE as q76/q84/q97, min-id survivors.
-    "q102_semdedup" ->
-      s"""WITH RECURSIVE $ivfAssignCte,
-         |v AS (SELECT m.vec_id, m.embedding AS e, $nrmSql AS nrm, a.cell
-         |  FROM embeddings m JOIN assign a ON m.vec_id = a.vec_id),
-         |e AS (SELECT va.vec_id AS a, vb.vec_id AS b
-         |  FROM v va JOIN v vb ON va.cell = vb.cell AND va.vec_id < vb.vec_id
-         |  WHERE $dotSql / (va.nrm * vb.nrm) >= 0.35),
-         |ee AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
-         |reach(a, b) AS (
-         |  SELECT a, a FROM (SELECT DISTINCT a FROM ee)
-         |  UNION
-         |  SELECT r.a, e2.b FROM reach r JOIN ee e2 ON r.b = e2.a),
-         |comp AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY a)
-         |SELECT m.vec_id, m.label FROM embeddings m
-         |LEFT JOIN comp ON m.vec_id = comp.id
-         |WHERE comp.comp IS NULL OR comp.comp = m.vec_id
-         |ORDER BY m.vec_id""".stripMargin,
+    "q102_semdedup" -> semDedupOracle,
+
+    "q118_stream_semdedup" -> semDedupOracle,
 
     // First doc per fingerprint over the whole corpus — state suppression
     // across batches reduces to a global min per fp.

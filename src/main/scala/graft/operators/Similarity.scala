@@ -355,11 +355,12 @@ object Similarity {
   }
 
   /** The single pair-scoring contract behind [[nearDupPairs]] (exact and
-    * bucketed) and [[cellNearDupPairs]]: candidates carry
+    * bucketed), [[cellNearDupPairs]] and the streaming ingest twin
+    * ([[graft.streaming.SemIngest]]): candidates carry
     * (a, va, na) × (b, vb, nb); keep a < b, cosine ≥ threshold,
-    * round-6 score. The q23/q53/q102 oracles pin this text — change it
-    * once, here. */
-  private def scoredPairs(joined: DataFrame, threshold: Double): DataFrame =
+    * round-6 score. The q23/q53/q102/q118 oracles pin this text — change
+    * it once, here. */
+  private[graft] def scoredPairs(joined: DataFrame, threshold: Double): DataFrame =
     joined
       .where(col("a") < col("b"))
       .withColumn("score", dot(col("va"), col("vb")) / (col("na") * col("nb")))
