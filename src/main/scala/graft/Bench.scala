@@ -129,7 +129,11 @@ object Bench {
       "q36_dwd_cart" -> "q113_dag_dwd_cart",
       "q37_dws_keyword" -> "q117_dag_dws_keyword",
       "q39_dwd_order_pre" -> "q115_dag_dwd_order_pre",
-      "q40_dws_traffic" -> "q114_dag_dws_traffic")
+      "q40_dws_traffic" -> "q114_dag_dws_traffic",
+      "q41_dwd_pay_success" -> "q119_dag_dwd_pay_success",
+      "q42_dwd_cancel" -> "q120_dag_dwd_cancel",
+      "q43_dwd_order_refund" -> "q121_dag_dwd_order_refund",
+      "q44_dwd_refund_pay_suc" -> "q122_dag_dwd_refund_pay_suc")
     twins.foreach { case (a, b) =>
       if (counts(a) != counts(b)) {
         System.err.println(

@@ -156,6 +156,44 @@ object SparkEntry {
         count(col("coupon_id")).as("n_cpn"))
       .orderBy(col("op_type"), col("source_type_name"))
 
+  /** q41's aggregate over a tradePaySuccess-shaped frame — shared with
+    * the q119 DAG replay. */
+  private def paySuccessAgg(df: DataFrame): DataFrame =
+    df.groupBy(col("payment_type_name"), col("source_type_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("split_total_amount").cast("decimal(18,2)")).cast("double").as("sum_amount"),
+        count(col("activity_id")).as("n_act"),
+        count(col("coupon_id")).as("n_cpn"))
+      .orderBy(col("payment_type_name"), col("source_type_name"))
+
+  /** q42's aggregate over a tradeCancel-shaped frame — shared with the
+    * q120 DAG replay. */
+  private def cancelAgg(df: DataFrame): DataFrame =
+    df.groupBy(col("source_type_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("split_total_amount").cast("decimal(18,2)")).cast("double").as("sum_amount"),
+        count(col("activity_id")).as("n_act"),
+        count(col("coupon_id")).as("n_cpn"))
+      .orderBy(col("source_type_name"))
+
+  /** q43/q94's aggregate over a tradeOrderRefund-shaped frame — shared
+    * with the q121 DAG replay. */
+  private def orderRefundAgg(df: DataFrame): DataFrame =
+    df.groupBy(col("refund_type_name"), col("refund_reason_type_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("refund_amount").cast("decimal(18,2)")).cast("double").as("sum_amount"),
+        sum(col("refund_num").cast("int")).cast("long").as("sum_num"))
+      .orderBy(col("refund_type_name"), col("refund_reason_type_name"))
+
+  /** q44's aggregate over a tradeRefundPaySuccess-shaped frame — shared
+    * with the q122 DAG replay. */
+  private def refundPayAgg(df: DataFrame): DataFrame =
+    df.groupBy(col("payment_type_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("total_amount").cast("decimal(18,2)")).cast("double").as("sum_amount"),
+        sum(col("refund_num").cast("int")).cast("long").as("sum_num"))
+      .orderBy(col("payment_type_name"))
+
   /** The q36 full-select-list aggregate over a tradeCartAdd-shaped frame
     * — shared with the q113 DAG replay so both pin one oracle. */
   private def cartAddAgg(df: DataFrame): DataFrame =
@@ -790,16 +828,9 @@ object SparkEntry {
     // table comes from the session cache — the reference's apps consume
     // the materialized dwd_trade_order_pre_process topic, they don't
     // re-run the 5-way join.
-    "q41_dwd_pay_success" -> ((s, d) => {
-      GmallPipelines.tradePaySuccess(TopicDb(s, d),
-          GmallPipelines.tradeOrderPreProcessCached(s, d), TopicDb.baseDic(s))
-        .groupBy(col("payment_type_name"), col("source_type_name"))
-        .agg(count(lit(1)).as("n_rows"),
-          sum(col("split_total_amount").cast("decimal(18,2)")).cast("double").as("sum_amount"),
-          count(col("activity_id")).as("n_act"),
-          count(col("coupon_id")).as("n_cpn"))
-        .orderBy(col("payment_type_name"), col("source_type_name"))
-    }),
+    "q41_dwd_pay_success" -> ((s, d) =>
+      paySuccessAgg(GmallPipelines.tradePaySuccess(TopicDb(s, d),
+        GmallPipelines.tradeOrderPreProcessCached(s, d), TopicDb.baseDic(s)))),
 
     // DwdTradeOrderDetail (DwdTradeOrderDetail.java:91-92): order detail
     // facts = inserts from the session-cached pre-process wide table.
@@ -815,36 +846,21 @@ object SparkEntry {
 
     // DwdTradeCancelDetail (DwdTradeCancelDetail.java:65-92): cancelled
     // orders filtered from the session-cached pre-process wide table.
-    "q42_dwd_cancel" -> ((s, d) => {
-      GmallPipelines.tradeCancel(
-          GmallPipelines.tradeOrderPreProcessCached(s, d))
-        .groupBy(col("source_type_name"))
-        .agg(count(lit(1)).as("n_rows"),
-          sum(col("split_total_amount").cast("decimal(18,2)")).cast("double").as("sum_amount"),
-          count(col("activity_id")).as("n_act"),
-          count(col("coupon_id")).as("n_cpn"))
-        .orderBy(col("source_type_name"))
-    }),
+    "q42_dwd_cancel" -> ((s, d) =>
+      cancelAgg(GmallPipelines.tradeCancel(
+        GmallPipelines.tradeOrderPreProcessCached(s, d)))),
 
     // DwdTradeOrderRefund (DwdTradeOrderRefund.java:53-114): refund
     // requests ⋈ order_info(1005) ⋈ dic twice.
     "q43_dwd_order_refund" -> ((s, d) =>
-      GmallPipelines.tradeOrderRefund(TopicDb(s, d), TopicDb.baseDic(s))
-        .groupBy(col("refund_type_name"), col("refund_reason_type_name"))
-        .agg(count(lit(1)).as("n_rows"),
-          sum(col("refund_amount").cast("decimal(18,2)")).cast("double").as("sum_amount"),
-          sum(col("refund_num").cast("int")).cast("long").as("sum_num"))
-        .orderBy(col("refund_type_name"), col("refund_reason_type_name"))),
+      orderRefundAgg(GmallPipelines.tradeOrderRefund(
+        TopicDb(s, d), TopicDb.baseDic(s)))),
 
     // DwdTradeRefundPaySuc (DwdTradeRefundPaySuc.java:54-130): refund
     // payments done — two-key (order_id, sku_id) join.
     "q44_dwd_refund_pay_suc" -> ((s, d) =>
-      GmallPipelines.tradeRefundPaySuccess(TopicDb(s, d), TopicDb.baseDic(s))
-        .groupBy(col("payment_type_name"))
-        .agg(count(lit(1)).as("n_rows"),
-          sum(col("total_amount").cast("decimal(18,2)")).cast("double").as("sum_amount"),
-          sum(col("refund_num").cast("int")).cast("long").as("sum_num"))
-        .orderBy(col("payment_type_name"))),
+      refundPayAgg(GmallPipelines.tradeRefundPaySuccess(
+        TopicDb(s, d), TopicDb.baseDic(s)))),
 
     // DwdToolCouponGet (DwdToolCouponGet.java:51-52).
     "q45_dwd_coupon_get" -> ((s, d) =>
@@ -1465,13 +1481,8 @@ object SparkEntry {
     // joins even at autoBroadcastJoinThreshold defaults). Shares q43's
     // oracle verbatim: the strategy must not change a single row.
     "q94_lookup_join_shuffle" -> ((s, d) =>
-      GmallPipelines.tradeOrderRefund(TopicDb(s, d), TopicDb.baseDic(s),
-          GmallPipelines.shuffleDim)
-        .groupBy(col("refund_type_name"), col("refund_reason_type_name"))
-        .agg(count(lit(1)).as("n_rows"),
-          sum(col("refund_amount").cast("decimal(18,2)")).cast("double").as("sum_amount"),
-          sum(col("refund_num").cast("int")).cast("long").as("sum_num"))
-        .orderBy(col("refund_type_name"), col("refund_reason_type_name"))),
+      orderRefundAgg(GmallPipelines.tradeOrderRefund(
+        TopicDb(s, d), TopicDb.baseDic(s), GmallPipelines.shuffleDim))),
 
     // q93's funnel as a STREAMING pipeline (StatefulOps.FunnelProcessor):
     // per-user pruned candidate-list state recomputes the min-time
@@ -1817,6 +1828,22 @@ object SparkEntry {
     "q115_dag_dwd_order_pre" -> ((s, d) =>
       orderPreAgg(s.read.parquet(s"${DagRun(s, d)}/dwd/order_pre"))),
 
+    // DAG gates — the remaining trade-family outputs, each the DAG's own
+    // streamed parquet pushed through its batch gate's aggregate against
+    // the SHARED oracle. None needs a sentinel strip: every core join is
+    // inner and the flush rows' ids join nothing real.
+    "q119_dag_dwd_pay_success" -> ((s, d) =>
+      paySuccessAgg(s.read.parquet(s"${DagRun(s, d)}/dwd/pay_success"))),
+
+    "q120_dag_dwd_cancel" -> ((s, d) =>
+      cancelAgg(s.read.parquet(s"${DagRun(s, d)}/dwd/cancel"))),
+
+    "q121_dag_dwd_order_refund" -> ((s, d) =>
+      orderRefundAgg(s.read.parquet(s"${DagRun(s, d)}/dwd/order_refund"))),
+
+    "q122_dag_dwd_refund_pay_suc" -> ((s, d) =>
+      refundPayAgg(s.read.parquet(s"${DagRun(s, d)}/dwd/refund_pay_suc"))),
+
     // DAG gate 3/3 — a DWS window table: the traffic 1 h tumbling window
     // parquet written by the DAG's own streaming query, sharing q40's
     // oracle (same log synthesis, same sentinel strip).
@@ -1993,6 +2020,44 @@ object SparkEntry {
       s"ELSE list_transform(range(0, len(w) - ${n - 1}), i -> concat_ws(' ', $parts)) END"
   }
   private val sh3Sql = shNSql(3)
+
+  /** Shared by q41 (batch) and q119 (the DAG's streamed pay_success). */
+  private lazy val paySuccessOracle: String =
+    s"""WITH $preCte
+       |SELECT CASE WHEN o.o_orderkey%2=0 THEN 'alipay' ELSE 'wechat' END AS payment_type_name,
+       | d.stn AS source_type_name, count(*) AS n_rows,
+       | CAST(sum(d.amt) AS DOUBLE) AS sum_amount,
+       | count(a.k) AS n_act, count(c.k) AS n_cpn
+       |FROM det d JOIN orders o ON d.k=o.o_orderkey AND o.o_orderkey%3=0 AND o.o_orderkey%5<>0
+       |LEFT JOIN act a ON d.k=a.k AND d.n=a.n
+       |LEFT JOIN cpn c ON d.k=c.k AND d.n=c.n
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Shared by q42 (batch) and q120 (the DAG's streamed cancel). */
+  private lazy val cancelOracle: String =
+    s"""WITH $preCte
+       |SELECT d.stn AS source_type_name, count(*) AS n_rows,
+       | CAST(sum(d.amt) AS DOUBLE) AS sum_amount,
+       | count(a.k) AS n_act, count(c.k) AS n_cpn
+       |FROM det d JOIN orders o ON d.k=o.o_orderkey AND o.o_orderstatus<>'O' AND o.o_orderkey%5=1
+       |LEFT JOIN act a ON d.k=a.k AND d.n=a.n
+       |LEFT JOIN cpn c ON d.k=c.k AND d.n=c.n
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Shared by q44 (batch) and q122 (the DAG's streamed refund_pay_suc). */
+  private lazy val refundPayOracle: String =
+    """WITH rp AS (SELECT l_orderkey AS k, l_partkey AS p,
+      |  CAST(l_extendedprice AS DECIMAL(18,2)) AS amt
+      | FROM lineitem
+      | WHERE l_returnflag='R' AND l_linenumber%2=0 AND l_partkey%3<>0 AND l_partkey%5<>4),
+      |ri AS (SELECT l_orderkey AS k, l_partkey AS p, CAST(l_quantity AS INT) AS rn
+      | FROM lineitem WHERE l_returnflag='R')
+      |SELECT CASE WHEN rp.p%2=0 THEN 'alipay' ELSE 'wechat' END AS payment_type_name,
+      | count(*) AS n_rows, CAST(sum(rp.amt) AS DOUBLE) AS sum_amount,
+      | CAST(sum(ri.rn) AS BIGINT) AS sum_num
+      |FROM rp JOIN orders o ON rp.k=o.o_orderkey AND o.o_orderstatus<>'O' AND o.o_orderkey%5=3
+      |JOIN ri ON rp.k=ri.k AND rp.p=ri.p
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Shared by q102 (batch SemDeDup) and q118 (the ingest twin) — ONE
     * oracle: seed-centroid cells (ivfAssignCte), within-cell cosine
@@ -2885,26 +2950,9 @@ object SparkEntry {
     // ---- q41+ replicate graft.core.TopicDb's derivations (see its
     // ---- Scaladoc) composed with the reference pipelines' filters/joins.
 
-    "q41_dwd_pay_success" ->
-      s"""WITH $preCte
-         |SELECT CASE WHEN o.o_orderkey%2=0 THEN 'alipay' ELSE 'wechat' END AS payment_type_name,
-         | d.stn AS source_type_name, count(*) AS n_rows,
-         | CAST(sum(d.amt) AS DOUBLE) AS sum_amount,
-         | count(a.k) AS n_act, count(c.k) AS n_cpn
-         |FROM det d JOIN orders o ON d.k=o.o_orderkey AND o.o_orderkey%3=0 AND o.o_orderkey%5<>0
-         |LEFT JOIN act a ON d.k=a.k AND d.n=a.n
-         |LEFT JOIN cpn c ON d.k=c.k AND d.n=c.n
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q41_dwd_pay_success" -> paySuccessOracle,
 
-    "q42_dwd_cancel" ->
-      s"""WITH $preCte
-         |SELECT d.stn AS source_type_name, count(*) AS n_rows,
-         | CAST(sum(d.amt) AS DOUBLE) AS sum_amount,
-         | count(a.k) AS n_act, count(c.k) AS n_cpn
-         |FROM det d JOIN orders o ON d.k=o.o_orderkey AND o.o_orderstatus<>'O' AND o.o_orderkey%5=1
-         |LEFT JOIN act a ON d.k=a.k AND d.n=a.n
-         |LEFT JOIN cpn c ON d.k=c.k AND d.n=c.n
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q42_dwd_cancel" -> cancelOracle,
 
     "q43_dwd_order_refund" -> orderRefundOracle,
 
@@ -2912,19 +2960,14 @@ object SparkEntry {
     // shared oracle so the two J4 strategies can never silently diverge
     "q94_lookup_join_shuffle" -> orderRefundOracle,
 
-    "q44_dwd_refund_pay_suc" ->
-      """WITH rp AS (SELECT l_orderkey AS k, l_partkey AS p,
-        |  CAST(l_extendedprice AS DECIMAL(18,2)) AS amt
-        | FROM lineitem
-        | WHERE l_returnflag='R' AND l_linenumber%2=0 AND l_partkey%3<>0 AND l_partkey%5<>4),
-        |ri AS (SELECT l_orderkey AS k, l_partkey AS p, CAST(l_quantity AS INT) AS rn
-        | FROM lineitem WHERE l_returnflag='R')
-        |SELECT CASE WHEN rp.p%2=0 THEN 'alipay' ELSE 'wechat' END AS payment_type_name,
-        | count(*) AS n_rows, CAST(sum(rp.amt) AS DOUBLE) AS sum_amount,
-        | CAST(sum(ri.rn) AS BIGINT) AS sum_num
-        |FROM rp JOIN orders o ON rp.k=o.o_orderkey AND o.o_orderstatus<>'O' AND o.o_orderkey%5=3
-        |JOIN ri ON rp.k=ri.k AND rp.p=ri.p
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q44_dwd_refund_pay_suc" -> refundPayOracle,
+
+    // the warehouse DAG's streamed trade outputs — each shares its batch
+    // gate's oracle verbatim
+    "q119_dag_dwd_pay_success" -> paySuccessOracle,
+    "q120_dag_dwd_cancel" -> cancelOracle,
+    "q121_dag_dwd_order_refund" -> orderRefundOracle,
+    "q122_dag_dwd_refund_pay_suc" -> refundPayOracle,
 
     "q45_dwd_coupon_get" ->
       """SELECT 'cpn_' || CAST(o_orderkey%7 AS VARCHAR) AS coupon_id,
