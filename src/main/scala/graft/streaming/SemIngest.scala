@@ -12,35 +12,47 @@ import graft.operators.{Dedup, Similarity}
   * CELLS in place of LSH bands: a micro-batch's vectors must collapse
   * into semantic groups whose earlier members arrived batches ago.
   *
-  *  - `cents/` (written once, at epoch 0): the coarse cell centroids —
-  *    seeded from the FIRST batch's lowest ids, the streaming analogue
-  *    of training the quantizer on an initial sample and freezing it
-  *    (feed batches id-ascending and the seeds equal the batch
-  *    operator's corpus-wide lowest-id seeds, so the partitions match);
-  *  - `texts/epoch=N`: (vec_id, label, cell, canon, embedding, nrm) —
-  *    every vector seen through batch N with its group's canonical
-  *    min-id member.
+  *  - `cents/` (written at epoch 0, unconditionally overwritten on an
+  *    epoch-0 replay so a crash mid-write can never leave partial
+  *    centroids behind): the coarse cell centroids — seeded from the
+  *    FIRST batch's lowest ids, the streaming analogue of training the
+  *    quantizer on an initial sample and freezing it. FIRST-SEEN
+  *    CONTRACT: cell geometry is fixed by the first batch; feed batches
+  *    id-ascending and the seeds equal the batch operator's corpus-wide
+  *    lowest-id seeds, so the partitions match (q118 shares q102's
+  *    oracle under that feed). Under other orders the cells — and hence
+  *    which near-dup pairs are DISCOVERED — follow the first batch's
+  *    geometry; within any fixed geometry the keeper of each group is
+  *    still min(vec_id), order-independently (see [[survivors]]).
+  *  - `texts/` (key `vec_id`, an INCREMENTAL bucketed keyed store via
+  *    [[Sinks.upsertByKeyPartitioned]] — only touched hash buckets
+  *    rewrite, per-batch I/O is O(batch + relabeled groups), never
+  *    O(corpus)): (vec_id, label, cell, canon, embedding, nrm) — every
+  *    vector seen so far with its group's canonical min-id member.
   *
-  * Per batch: assign new vectors to their nearest frozen centroid, score
-  * candidate pairs new-vs-new and new-vs-state WITHIN cells only (cell
-  * equi-joins through [[Similarity.scoredPairs]] — the one scoring
-  * contract the oracles pin), then union groups by star components over
-  * canon-mapped merge edges, relabeling state when a new vector bridges
-  * two groups. Pair discovery is complete by induction (a within-cell
-  * pair is scored the batch its younger member arrives), so the final
-  * partition equals the batch operator's connected components and the
-  * survivor set (canon == own id) shares q102's oracle. Snapshot chain =
-  * checkpointed-replay exactly-once, as [[FuzzyIngest]].
+  * Per batch: drop already-stored vectors (replay idempotence on the
+  * in-place store), assign the rest to their nearest frozen centroid,
+  * score candidate pairs new-vs-new and new-vs-state WITHIN cells only
+  * (cell equi-joins through [[Similarity.scoredPairs]] — the one
+  * scoring contract the oracles pin), then union groups by star
+  * components over canon-mapped merge edges, relabeling state when a
+  * new vector bridges two groups. Pair discovery is complete by
+  * induction (a within-cell pair is scored the batch its younger member
+  * arrives), so the final partition equals the batch operator's
+  * connected components over the same pair graph. A feed starting
+  * mid-chain (missing store at epoch > 0) fails loudly instead of
+  * silently restarting dedup state from empty.
   */
 object SemIngest {
 
-  private def epochDir(root: String, epoch: Long) = s"$root/texts/epoch=$epoch"
-
-  private def readIf(spark: SparkSession, dir: String): Option[DataFrame] = {
+  private def existsDir(spark: SparkSession, dir: String): Boolean = {
     val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(dir)) else None
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
+
+  private def readStore(spark: SparkSession, dir: String): Option[DataFrame] =
+    if (existsDir(spark, dir)) Some(spark.read.parquet(dir).drop("_bucket", "_ver"))
+    else None
 
   /** Fold one micro-batch of (vec_id, embedding, label) rows into the
     * store under `root`. */
@@ -49,16 +61,35 @@ object SemIngest {
       root: String,
       epochId: Long,
       nCells: Int = 16,
-      threshold: Double = 0.35): Unit = {
+      threshold: Double = 0.35,
+      nBuckets: Int = 64): Unit = {
     val spark = batch.sparkSession
     val centsDir = s"$root/cents"
-    if (readIf(spark, centsDir).isEmpty)
+    val textsDir = s"$root/texts"
+    val state = readStore(spark, textsDir)
+    require(epochId == 0L || state.isDefined,
+      s"SemIngest: texts store missing at $textsDir for epoch $epochId — " +
+        "broken snapshot chain (lost store or non-contiguous feed); refusing " +
+        "to silently restart dedup state from empty")
+    if (epochId == 0L)
+      // unconditional overwrite: deterministic from the (replayed) first
+      // batch, so a crash mid-write can never leave partial centroids
+      // that a replay would silently trust
       Similarity.kmeansCentroids(batch, nCells, 0)
         .write.mode("overwrite").parquet(centsDir)
+    else require(existsDir(spark, centsDir),
+      s"SemIngest: centroids missing at $centsDir for epoch $epochId")
     val cents = spark.read.parquet(centsDir)
-    val prev = readIf(spark, epochDir(root, epochId - 1))
-    val newRows = batch
-      .join(Similarity.assignCells(batch, cents), "vec_id")
+    val stateTexts = state.getOrElse(
+      spark.range(0).select(col("id").as("vec_id"), lit(0).as("label"),
+        col("id").as("cell"), col("id").as("canon"),
+        lit(null).cast("array<float>").as("embedding"),
+        lit(0.0).as("nrm")))
+    // replay idempotence: vectors already in the in-place store are not
+    // re-admitted (their pairs were scored the batch they arrived)
+    val fresh = batch.join(stateTexts.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    val newRows = fresh
+      .join(Similarity.assignCells(fresh, cents), "vec_id")
       .select(col("vec_id"), col("label"), col("cell"),
         col("embedding"), norm(col("embedding")).as("nrm"))
       .localCheckpoint(true) // consumed by both pair sides and the union
@@ -69,19 +100,13 @@ object SemIngest {
       df.select(col("vec_id").as(tag), col("embedding").as(s"v$tag"),
         col("nrm").as(s"n$tag"), col("cell"))
     val pairCols = Seq(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
-    val all = prev match {
-      case Some(t) => newRows.select(pairCols: _*)
-        .unionByName(t.select(pairCols: _*))
-      case None    => newRows.select(pairCols: _*)
-    }
+    val all = newRows.select(pairCols: _*)
+      .unionByName(stateTexts.select(pairCols: _*))
     val joined = side(all, "a").join(side(newRows, "b"), Seq("cell"))
       .unionByName(side(newRows, "a").join(side(all, "b"), Seq("cell")))
     val pairs = Similarity.scoredPairs(joined, threshold)
       .select(col("a"), col("b")).distinct()
-    val canonOf = prev match {
-      case Some(t) => t.select(col("vec_id").as("sp"), col("canon").as("sc"))
-      case None    => spark.range(0).select(col("id").as("sp"), col("id").as("sc"))
-    }
+    val canonOf = stateTexts.select(col("vec_id").as("sp"), col("canon").as("sc"))
     val edges = pairs
       .join(canonOf.withColumnRenamed("sp", "a").withColumnRenamed("sc", "ca"),
         Seq("a"), "left")
@@ -91,34 +116,36 @@ object SemIngest {
         coalesce(col("cb"), col("b")).as("b"))
       .where(col("a") =!= col("b"))
     val comps =
-      if (edges.isEmpty) canonOf.select(col("sp").as("id"), col("sc").as("comp")).limit(0)
+      if (edges.isEmpty)
+        spark.range(0).select(col("id"), col("id").as("comp"))
       else Dedup.connectedComponentsStar(edges)
-    val relabel = comps.select(col("id").as("canon"), col("comp"))
     val newLabeled = newRows
       .join(comps.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
       .select(col("vec_id"), col("label"), col("cell"),
         coalesce(col("comp"), col("vec_id")).as("canon"),
         col("embedding"), col("nrm"))
-    val out = prev match {
-      case Some(t) => t.join(relabel, Seq("canon"), "left")
-        .select(col("vec_id"), col("label"), col("cell"),
-          coalesce(col("comp"), col("canon")).as("canon"),
-          col("embedding"), col("nrm"))
-        .unionByName(newLabeled)
-      case None => newLabeled
-    }
-    out.write.mode("overwrite").parquet(epochDir(root, epochId))
+    // touched state rows ONLY: groups whose canon actually changed
+    val relabel = comps.where(col("comp") =!= col("id"))
+      .select(col("id").as("canon"), col("comp"))
+    val touched = stateTexts.join(relabel, Seq("canon"))
+      .select(col("vec_id"), col("label"), col("cell"),
+        col("comp").as("canon"), col("embedding"), col("nrm"))
+    // materialize before mutating the store the lineage reads
+    val textsRows = touched.unionByName(newLabeled)
+      .withColumn("_ver", lit(epochId))
+      .localCheckpoint(true)
+    if (!textsRows.isEmpty)
+      Sinks.upsertByKeyPartitioned(textsRows, Seq("vec_id"), "_ver",
+        textsDir, nBuckets)
   }
 
-  /** The latest snapshot's survivors — each group's min-id member plus
-    * every untouched vector: exactly the batch operator's output. */
-  def survivors(spark: SparkSession, root: String): DataFrame = {
-    val base = new Path(s"$root/texts")
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val last = fs.listStatus(base).map(_.getPath.getName)
-      .filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toLong).max
-    spark.read.parquet(epochDir(root, last))
+  /** The store's survivors — each group's min-id member plus every
+    * untouched vector: the batch operator's output. Within any fixed
+    * cell geometry this is feed-order independent: star components
+    * min-label over vec_ids, and relabeling propagates a later-arriving
+    * smaller id through its whole group. */
+  def survivors(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"$root/texts")
       .where(col("canon") === col("vec_id"))
       .select(col("vec_id"), col("label"))
-  }
 }
