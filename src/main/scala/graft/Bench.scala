@@ -152,9 +152,19 @@ object Bench {
     val total = queriesOnly + warmup
     // best_of_2_sec: warmup + Σ min(first pass, retry) — the host-noise-
     // adjudicated comparison as a first-class number, so round-over-round
-    // review stops doing manual retry arithmetic over retry_sec
+    // review stops doing manual retry arithmetic over retry_sec.
+    // EXCEPT the warehouse-DAG gates: they share ONE cached startFromFiles
+    // run, so the paying gate's retry reads cached dirs in ~0.2 s — a
+    // cache hit, not a re-measure — and min() would erase the ~90 s of
+    // real streaming work from the headline. DAG gates keep their
+    // first-pass time so best_of_2_sec still covers all work performed.
+    val dagGates = Set("q110_dag_dim_store", "q113_dag_dwd_cart",
+      "q114_dag_dws_traffic", "q115_dag_dwd_order_pre", "q117_dag_dws_keyword",
+      "q119_dag_dwd_pay_success", "q120_dag_dwd_cancel",
+      "q121_dag_dwd_order_refund", "q122_dag_dwd_refund_pay_suc")
     val bestOf2 = warmup + results.map { case (name, first) =>
-      math.min(first, retries.getOrElse(name, first))
+      if (dagGates(name)) first
+      else math.min(first, retries.getOrElse(name, first))
     }.sum
     def qJson(qs: Iterable[(String, Double)]): String =
       qs.map { case (k, v) => "\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")

@@ -1798,12 +1798,18 @@ object SparkEntry {
     // not a batch projection.
     "q110_dag_dim_store" -> ((s, d) => {
       val wh = DagRun(s, d)
-      val u = s.read.parquet(s"$wh/dim/dim_user_info")
+      // read through the store's RESOLVING reader (base ∪ pending deltas,
+      // newest row per pk, tombstones hidden) — never the raw files, so
+      // the gate exercises the store's upsert/delete semantics instead of
+      // relying on the feed touching each key exactly once
+      val u = DimSink.readDelta(s, s"$wh/dim",
+          DimSink.TableConfig("dim_user_info", Seq("id", "name"), "id"))
         .select(lit("dim_user_info").as("store"), col("id"),
           col("name").as("v"), col("ts"))
       // ts < 4e9 strips the watermark-flush sentinel (the one payment_info
       // row with no real id), the DIM analogue of q40's vc != "zz"
-      val p = s.read.parquet(s"$wh/dim/dim_payment_info")
+      val p = DimSink.readDelta(s, s"$wh/dim",
+          DimSink.TableConfig("dim_payment_info", Seq("id", "payment_type"), "id"))
         .where(col("ts") < 4000000000L)
         .select(lit("dim_payment_info").as("store"), col("id"),
           col("payment_type").as("v"), col("ts"))

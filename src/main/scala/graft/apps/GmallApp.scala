@@ -223,13 +223,19 @@ object GmallApp {
   /** The DIM routing query: per micro-batch, merge the DYNAMIC routing
     * table (written by [[configQuery]], absent until the first config row)
     * with the static bootstrap configs, route + prune the CDC batch, and
-    * upsert each table's keyed store (created on first sight —
-    * checkAndCreateTable). A config row added mid-stream takes effect from
-    * the NEXT micro-batch, exactly like the reference's broadcast state. */
+    * fold each table's rows into its [[graft.streaming.DeltaStore]]-backed
+    * keyed store (created on first sight — checkAndCreateTable), then
+    * compact: one O(batch) epoch append per touched table plus a
+    * touched-bucket-only base merge ([[Sinks.upsertByKeyPartitioned]]) —
+    * a high-churn dim batch never rewrites a whole table. A config row
+    * added mid-stream takes effect from the NEXT micro-batch, exactly
+    * like the reference's broadcast state. Replayed epochs overwrite
+    * their own delta dir and re-merge idempotently (exactly-once per
+    * (table, epoch)); read the resolved view with [[DimSink.readDelta]]. */
   def dimQuery(spark: SparkSession, db: DataFrame, warehouse: String,
       static: Seq[DimSink.TableConfig], checkpoint: String): StreamingQuery =
     db.writeStream.option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val s = batch.sparkSession
         val dynamic: Seq[(String, DimSink.TableConfig)] = configLock.synchronized {
           // probe existence through the Hadoop FS (as Sinks.upsertByKey
@@ -258,7 +264,16 @@ object GmallApp {
         val cfgDf = s.createDataFrame(
           all.toSeq.map { case (src, c) => (src, c.sinkTable, c.sinkColumns.mkString(",")) })
           .toDF("source_table", "sink_table", "sink_columns")
-        DimSink.processBatch(
-          GmallPipelines.dimRouter(batch, cfgDf), s"$warehouse/dim", all.values.toSeq)
+        DimSink.processBatchDelta(
+          GmallPipelines.dimRouter(batch, cfgDf), s"$warehouse/dim",
+          all.values.toSeq, epochId)
+        // per-batch compaction keeps read amplification at zero for the
+        // gates; production can run it on any schedule — either way a
+        // compaction pass touches only the buckets the pending deltas'
+        // keys hash into (DimSinkSpec pins this)
+        all.values.foreach { cfg =>
+          graft.streaming.DeltaStore.compact(s, s"$warehouse/dim/${cfg.sinkTable}",
+            Seq(cfg.sinkPk), "ts")
+        }
       }.start()
 }

@@ -138,6 +138,52 @@ class DimSinkSpec extends SparkTestBase {
     assert(users === Map("u1" -> "ANN", "u2" -> "BOB"))
   }
 
+  test("compaction rewrites only the buckets the pending deltas touch") {
+    val root = Files.createTempDirectory("graft_dimcompact_").toString
+    val cfg = DimSink.TableConfig("dim_user_info", Seq("id", "name"), "id")
+    def batch(rows: Seq[(String, Map[String, String], Long)]) =
+      rows.toDF("sink_table", "data", "ts")
+    def fileState(dir: String): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      val base = new java.io.File(dir)
+      walk(base).filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getAbsolutePath.stripPrefix(base.getAbsolutePath),
+          (f.length(), f.lastModified()))).toMap
+    }
+    def bucketOf(rel: String): String =
+      rel.split('/').takeWhile(!_.startsWith("part-")).mkString("/")
+
+    // seed a base spread over most of 16 buckets, fully compacted
+    DimSink.processBatchDelta(
+      batch((0 until 120).map(i =>
+        ("dim_user_info", Map("id" -> s"u$i", "name" -> s"n$i"), 1L))),
+      root, Seq(cfg), epochId = 0L)
+    graft.streaming.DeltaStore.compact(spark, s"$root/dim_user_info",
+      Seq("id"), "ts", nBuckets = 16)
+    val before = fileState(s"$root/dim_user_info/base")
+    assert(before.keys.map(bucketOf).toSet.size >= 12,
+      "seed keys must spread over most buckets for the assertion to bite")
+
+    // one updated key → one dirty bucket; everything else byte-identical
+    DimSink.processBatchDelta(
+      batch(Seq(("dim_user_info", Map("id" -> "u7", "name" -> "N7"), 2L))),
+      root, Seq(cfg), epochId = 1L)
+    graft.streaming.DeltaStore.compact(spark, s"$root/dim_user_info",
+      Seq("id"), "ts", nBuckets = 16)
+    val after = fileState(s"$root/dim_user_info/base")
+    val changed = (after.keySet ++ before.keySet)
+      .filter(k => before.get(k) != after.get(k)).map(bucketOf)
+    assert(changed.size <= 1,
+      s"a one-key delta must compact into ≤ 1 dirty bucket, touched: $changed")
+    val untouched = before.keySet.filter(k => !changed.contains(bucketOf(k)))
+    assert(untouched.nonEmpty && untouched.forall(k => before(k) == after(k)),
+      "clean buckets must be byte-identical after compaction (no table rewrite)")
+    assert(DimSink.readDelta(spark, root, cfg)
+      .where(col("id") === "u7").select("name").as[String].collect().toSeq
+      === Seq("N7"))
+  }
+
   test("processBatchCdc routes Debezium c/u/d ops; delete tombstones survive epoch replay") {
     val root = Files.createTempDirectory("graft_cdc_spec_").toString
     val cfg = DimSink.TableConfig("dim_user", Seq("id", "uname"), "id")

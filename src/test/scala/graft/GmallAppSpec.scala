@@ -99,7 +99,8 @@ class GmallAppSpec extends SparkTestBase {
       queries.foreach(_.processAllAvailable())
 
       // ---- DIM: routed, pruned, dynamically-created keyed store --------
-      val dimUsers = spark.read.parquet(s"$wh/dim/dim_user_info")
+      val dimUsers = graft.streaming.DimSink.readDelta(spark, s"$wh/dim",
+        graft.streaming.DimSink.TableConfig("dim_user_info", Seq("id", "name"), "id"))
       assert(dimUsers.schema.fieldNames.toSeq === Seq("id", "name", "ts"))
       assert(dimUsers.count() === Tables.customer(spark, sf).count())
 
@@ -164,7 +165,9 @@ class GmallAppSpec extends SparkTestBase {
       // batch 2: rows route from the NEXT micro-batch on
       dbIn.addData(Seq(commentEnv(3), commentEnv(4)))
       dimQ.processAllAvailable()
-      val routed = spark.read.parquet(s"$wh/dim/dim_comment_info")
+      val commentCfg = graft.streaming.DimSink.TableConfig(
+        "dim_comment_info", Seq("id", "appraise"), "id")
+      val routed = graft.streaming.DimSink.readDelta(spark, s"$wh/dim", commentCfg)
       assert(routed.schema.fieldNames.toSeq === Seq("id", "appraise", "ts"))
       assert(routed.select("id").as[String].collect().toSet === Set("cm3", "cm4"))
       // the config row is DELETED (Debezium d op: row in `before`) →
@@ -174,7 +177,7 @@ class GmallAppSpec extends SparkTestBase {
       cfgQ.processAllAvailable()
       dbIn.addData(Seq(commentEnv(5)))
       dimQ.processAllAvailable()
-      assert(spark.read.parquet(s"$wh/dim/dim_comment_info")
+      assert(graft.streaming.DimSink.readDelta(spark, s"$wh/dim", commentCfg)
         .select("id").as[String].collect().toSet === Set("cm3", "cm4"),
         "routing continued after the config row was deleted")
     } finally { dimQ.stop(); cfgQ.stop() }
@@ -212,9 +215,11 @@ class GmallAppSpec extends SparkTestBase {
       queries.foreach(_.processAllAvailable())
       queries.foreach(_.processAllAvailable())
 
-      assert(spark.read.parquet(s"$wh/dim/dim_user_info")
+      assert(graft.streaming.DimSink.readDelta(spark, s"$wh/dim",
+          graft.streaming.DimSink.TableConfig("dim_user_info", Seq("id", "name"), "id"))
         .select("id").as[String].collect().toSet === Set("u1", "u2", "u3"))
-      assert(spark.read.parquet(s"$wh/dim/dim_comment_info")
+      assert(graft.streaming.DimSink.readDelta(spark, s"$wh/dim",
+          graft.streaming.DimSink.TableConfig("dim_comment_info", Seq("id", "appraise"), "id"))
         .select("id").as[String].collect().toSet === Set("cm7"))
       assert(spark.read.parquet(s"$wh/dwd/traffic_page").count() === 3L)
       assert(spark.read.parquet(s"$wh/dws/keyword")

@@ -133,8 +133,9 @@ class StatefulOpsSpec extends SparkTestBase {
     import session.implicits._
     val stream = MemoryStream[(String, Long)]
     val ckpt = java.nio.file.Files.createTempDirectory("graft_fpk_ttl_").toString
+    val ttlSec = 8L
     val query = StatefulOps.firstPerKey(stream.toDS(),
-        ttl = Some(java.time.Duration.ofSeconds(3))).toDF()
+        ttl = Some(java.time.Duration.ofSeconds(ttlSec))).toDF()
       .writeStream.format("memory").queryName("graft_fpk_ttl")
       .outputMode("append").option("checkpointLocation", ckpt).start()
     def awaitRows(n: Long): Unit = {
@@ -147,11 +148,21 @@ class StatefulOpsSpec extends SparkTestBase {
     try {
       stream.addData(Seq(("fpA", 1L), ("fpB", 2L)))
       awaitRows(2)
+      // fpA's retention clock armed no earlier than this instant
+      val armed = System.nanoTime()
       stream.addData(Seq(("fpA", 5L))) // within retention → suppressed
-      Thread.sleep(1500)               // engine cycles many batches in this
-      stream.addData(Seq(("fpC", 6L))) // proves the fpA@5 batch was consumed
+      stream.addData(Seq(("fpC", 6L)))
+      // fpC's OUTPUT gates the step: its batch commits at or after fpA@5's,
+      // so seeing fpC proves the suppressed row was consumed — and the
+      // elapsed check below proves it was consumed INSIDE the retention
+      // window. On a host stalled past the TTL the test is inconclusive
+      // (the timeout legitimately fired first) — cancel, don't flake.
       awaitRows(3)
-      Thread.sleep(4500)               // let the 3 s retention lapse + fire
+      val lapsedSec = (System.nanoTime() - armed) / 1e9
+      assume(lapsedSec < ttlSec - 1,
+        f"engine stalled $lapsedSec%.1f s before consuming the suppressed row " +
+          s"— TTL semantics unobservable on this host (ttl = $ttlSec s)")
+      Thread.sleep((ttlSec + 3) * 1000) // let the retention lapse + fire
       stream.addData(Seq(("fpA", 9L))) // forgotten → re-admitted, fresh min
       awaitRows(4)
       val out = session.table("graft_fpk_ttl").as[(String, Long)].collect().toSeq
