@@ -321,6 +321,14 @@ object SparkEntry {
     }
   }
 
+  /** SemDeDup cell count scaled with the corpus (q102/q118): ~√N cells
+    * keeps docs-per-cell ~√N, so the within-cell pair space stays
+    * ~O(N·√N) — the paper's clusters-grow-with-corpus regime (~10⁵ cells
+    * web-scale). A FIXED cell count silently degenerates to O(N²/k) pair
+    * volume at 100 TB. SimilaritySpec bounds the measured pair volume. */
+  private def semDedupCells(n: Long): Int =
+    math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
+
   // ------------------------------------------------------------------ queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1638,16 +1646,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
 
     // SemDeDup (VERDICT r5 #4) — semantic dedup over the embeddings table:
-    // 16 seed-centroid k-means cells (iterations=0 ⇒ the oracle replays
-    // assignment bit-exactly via the shared ivfAssignCte), near-dup pairs
-    // WITHIN cells only (PlanSpec pins no cartesian/nested-loop in the
-    // pair join), components collapsed to min-id canonicals, survivors
-    // passed through — kmeansCentroids + cellNearDupPairs +
-    // connectedComponentsStar + applyDedup composed.
-    "q102_semdedup" -> ((s, d) =>
-      Similarity.semDedup(Tables.embeddings(s, d), 16, 0, 0.35)
+    // ~√N seed-centroid k-means cells (the paper's docs-per-cell-constant
+    // regime — a FIXED cell count degenerates to O(N²/k) pair volume at
+    // scale; iterations=0 ⇒ the oracle replays assignment bit-exactly via
+    // the shared seed CTE at the same √N), near-dup pairs WITHIN cells
+    // only (PlanSpec pins no cartesian/nested-loop in the pair join),
+    // components collapsed to min-id canonicals, survivors passed through
+    // — kmeansCentroids + cellNearDupPairs + connectedComponentsStar +
+    // applyDedup composed.
+    "q102_semdedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.semDedup(emb, semDedupCells(emb.count()), 0, 0.35)
         .select(col("vec_id"), col("label"))
-        .orderBy(col("vec_id"))),
+        .orderBy(col("vec_id"))
+    }),
 
     // q102's SEMANTIC grouping ON INGEST — SemDeDup's streaming twin
     // (FuzzyIngest's design with k-means cells for LSH bands): vectors
@@ -1659,6 +1671,10 @@ object SparkEntry {
     "q118_stream_semdedup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"), col("label"))
+      // cell count from the expected corpus scale (the production knob a
+      // deployment sizes up front), same √N as the batch operator — the
+      // ascending feed then freezes the identical corpus-lowest-id seeds
+      val nCells = semDedupCells(emb.count())
       val mid = midOf(emb.agg(min(col("vec_id")), max(col("vec_id"))).head(),
         "embeddings (q118)")
       val root = java.nio.file.Files.createTempDirectory("graft_sem_ingest_").toString
@@ -1673,7 +1689,7 @@ object SparkEntry {
             .option("checkpointLocation", ckpt)
             .foreachBatch { (b: DataFrame, epochId: Long) =>
               graft.streaming.SemIngest.processBatch(
-                b.toDF("vec_id", "embedding", "label"), root, epochId, 16, 0.35)
+                b.toDF("vec_id", "embedding", "label"), root, epochId, nCells, 0.35)
             }.start()
       }
       val out = graft.streaming.SemIngest.survivors(s, root)
@@ -2066,10 +2082,11 @@ object SparkEntry {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Shared by q102 (batch SemDeDup) and q118 (the ingest twin) — ONE
-    * oracle: seed-centroid cells (ivfAssignCte), within-cell cosine
-    * pairs, recursive-reach components, min-id survivors. */
+    * oracle: √N seed-centroid cells (ivfAssignCteN — scaled exactly like
+    * the Spark side's [[semDedupCells]]), within-cell cosine pairs,
+    * recursive-reach components, min-id survivors. */
   private lazy val semDedupOracle: String =
-    s"""WITH RECURSIVE $ivfAssignCte,
+    s"""WITH RECURSIVE ${ivfAssignCteN(semDedupSeedLimitSql)},
        |v AS (SELECT m.vec_id, m.embedding AS e, $nrmSql AS nrm, a.cell
        |  FROM embeddings m JOIN assign a ON m.vec_id = a.vec_id),
        |e AS (SELECT va.vec_id AS a, vb.vec_id AS b
@@ -2295,18 +2312,31 @@ object SparkEntry {
        | GROUP BY vec_id)""".stripMargin
   }
 
-  /** Seed-centroid IVF assignment CTEs shared by q54/q59 — mirrors
-    * Similarity.kmeansCentroids(iterations = 0) + assignCells: 16
-    * lowest-id seeds, dist = ‖c‖² − 2·x·c, argmin ties by cell id. */
-  private val ivfAssignCte =
-    """seeds AS (SELECT vec_id AS cell, embedding AS ce,
+  /** Seed-centroid IVF assignment CTEs — mirrors
+    * Similarity.kmeansCentroids(iterations = 0) + assignCells: lowest-id
+    * seeds, dist = ‖c‖² − 2·x·c, argmin ties by cell id. `seedLimitSql`
+    * injects the seed count: the literal "16" for q54/q59, the √N scalar
+    * subquery for the SemDeDup pair (whose cell count must scale with the
+    * corpus — see [[semDedupCells]]). */
+  private def ivfAssignCteN(seedLimitSql: String): String =
+    s"""seeds AS (SELECT vec_id AS cell, embedding AS ce,
       |  list_reduce(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)), (a, b) -> a + b) AS cn2
-      | FROM embeddings WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+      | FROM embeddings WHERE vec_id IN (SELECT vec_id FROM (
+      |   SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn FROM embeddings)
+      |  WHERE rn <= $seedLimitSql)),
       |dd AS (SELECT v.vec_id, s.cell,
       |  s.cn2 - 2 * list_reduce(list_transform(range(64), i -> CAST(v.embedding[i+1] AS DOUBLE) * CAST(s.ce[i+1] AS DOUBLE)), (a, b) -> a + b) AS dist
       | FROM embeddings v CROSS JOIN seeds s),
       |assign AS (SELECT vec_id, cell FROM (
       |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM dd) WHERE rn = 1)""".stripMargin
+
+  /** Shared by q54/q59: the ANN/clustering gates keep a fixed 16-cell
+    * quantizer (nProbe/recall semantics are per-cell-count contracts). */
+  private val ivfAssignCte = ivfAssignCteN("16")
+
+  /** The SemDeDup oracle's seed count — the SQL twin of [[semDedupCells]]. */
+  private val semDedupSeedLimitSql =
+    "(SELECT GREATEST(4, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM embeddings)"
 
   /** Order wide-table CTEs mirroring TopicDb's order_detail / activity /
     * coupon derivations ⋈'d by q41/q42: source_type '240'||(n%2+1) → dic

@@ -177,6 +177,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall > 0.2, s"recall=$recall")
   }
 
+  test("semDedup at √N cells keeps the pair space ~O(N·√N), far below all-pairs") {
+    // the q102/q118 scale guard: with nCells = ceil(√N) the within-cell
+    // pair volume (Σ per-cell C(sz,2) — exactly what cellNearDupPairs'
+    // cell equi-join scores) must stay within a small constant of N^1.5,
+    // and an order of magnitude under the N²/2 a constant-cell-count
+    // configuration degenerates to as N grows
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = emb.count()
+    val nCells = math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val cents = Similarity.kmeansCentroids(emb, nCells, 0)
+    val sizes = Similarity.assignCells(emb, cents)
+      .groupBy(col("cell")).agg(count(lit(1)).as("sz"))
+      .select((col("sz") * (col("sz") - 1) / 2).cast("long").as("pairs"))
+      .agg(sum(col("pairs"))).as[Long].head()
+    val bound = 2.0 * n * math.sqrt(n.toDouble)
+    assert(sizes <= bound,
+      s"within-cell pair volume $sizes exceeds 2·N^1.5 = $bound — cells too skewed")
+    assert(sizes <= n * (n - 1) / 2 / 10,
+      s"pair volume $sizes is not meaningfully below all-pairs ${n * (n - 1) / 2}")
+  }
+
   test("multimodal extractFeatures is deterministic and batch-shaped (stub decoder)") {
     val docs = Seq((1L, "hello world"), (2L, ""), (3L, "αβγ multi-byte"))
       .toDF("doc_id", "text")
