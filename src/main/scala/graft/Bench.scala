@@ -126,6 +126,8 @@ object Bench {
       "q93_funnel" -> "q95_funnel_stream",
       // the warehouse DAG's streamed outputs vs their batch/harness forms
       "q102_semdedup" -> "q118_stream_semdedup",
+      "q102_semdedup" -> "q124_dag_semdedup",
+      "q116_stream_paragraph_fuzzy" -> "q123_dag_paragraph_fuzzy",
       "q36_dwd_cart" -> "q113_dag_dwd_cart",
       "q37_dws_keyword" -> "q117_dag_dws_keyword",
       "q39_dwd_order_pre" -> "q115_dag_dwd_order_pre",
@@ -161,7 +163,8 @@ object Bench {
     val dagGates = Set("q110_dag_dim_store", "q113_dag_dwd_cart",
       "q114_dag_dws_traffic", "q115_dag_dwd_order_pre", "q117_dag_dws_keyword",
       "q119_dag_dwd_pay_success", "q120_dag_dwd_cancel",
-      "q121_dag_dwd_order_refund", "q122_dag_dwd_refund_pay_suc")
+      "q121_dag_dwd_order_refund", "q122_dag_dwd_refund_pay_suc",
+      "q123_dag_paragraph_fuzzy", "q124_dag_semdedup")
     val bestOf2 = warmup + results.map { case (name, first) =>
       if (dagGates(name)) first
       else math.min(first, retries.getOrElse(name, first))

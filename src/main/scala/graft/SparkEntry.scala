@@ -270,8 +270,24 @@ object SparkEntry {
       // parallel; the file source takes all new files as ONE micro-batch)
       def drop(topic: String, df: DataFrame): Unit =
         df.select(col("value")).write.mode("append").parquet(s"$in/$topic")
+      // typed (non-envelope) chunk for the curation feeds
+      def dropDf(topic: String, df: DataFrame): Unit =
+        df.write.mode("append").parquet(s"$in/$topic")
+      // the curation leg's feeds: q116's paragraph instances and q118's
+      // embeddings, each split at its id midpoint into two ascending
+      // micro-batches exactly like the harness gates — so the DAG stores
+      // share q116/q118/q102's oracles verbatim
+      val paras = Dedup.explodeParagraphs(Tables.documents(session, d), 10)
+        .select(Dedup.encodePos(col("doc_id"), col("pos")).as("enc"), col("para"))
+      val paraMid = midOf(paras.agg(min(col("enc")), max(col("enc"))).head(),
+        "exploded paragraphs (DAG curation)")
+      val emb = Tables.embeddings(session, d)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val embMm = emb.agg(min(col("vec_id")), max(col("vec_id")),
+        count(lit(1))).head()
+      val embMid = midOf(embMm, "embeddings (DAG curation)")
       val queries = GmallApp.startFromFiles(session, in, wh,
-        joinTtlSec = 10000000L)
+        joinTtlSec = 10000000L, semCells = semDedupCells(embMm.getLong(2)))
       try {
         def sync(): Unit = queries.foreach(_.processAllAvailable())
         // payment_info, not e.g. comment_info: the lineitem-derived tables
@@ -300,10 +316,14 @@ object SparkEntry {
           drop("topic_db", raw.where(part === 0))
           drop("topic_log", logChunks(0).select(col("value"))
             .unionByName(kw.where(col("doc_id") <= midId).select(col("value"))))
+          dropDf("doc_paras", paras.where(col("enc") <= paraMid))
+          dropDf("embeddings", emb.where(col("vec_id") <= embMid))
           sync()
           drop("topic_db", raw.where(part === 1))
           drop("topic_log", logChunks(1).select(col("value"))
             .unionByName(kw.where(col("doc_id") > midId).select(col("value"))))
+          dropDf("doc_paras", paras.where(col("enc") > paraMid))
+          dropDf("embeddings", emb.where(col("vec_id") > embMid))
           sync()
         } finally { raw.unpersist(); () }
         drop("topic_db", flushSentinels.toDF("value"))
@@ -1913,6 +1933,20 @@ object SparkEntry {
       out
     }),
 
+    // DAG gates — the CURATION leg (VERDICT r7 #6): FuzzyIngest and
+    // SemIngest run as startFromFiles DAG members over the documents/
+    // embeddings feeds (checkpointed foreachBatch queries into their
+    // incremental bucketed stores), beside the reference warehouse graph.
+    // Each store's survivor set shares its harness twin's oracle verbatim
+    // (q116's keeper CTEs, q102/q118's SemDeDup oracle).
+    "q123_dag_paragraph_fuzzy" -> ((s, d) =>
+      graft.streaming.FuzzyIngest.survivors(s, s"${DagRun(s, d)}/curation/fuzzy")
+        .orderBy(col("doc_id"), col("pos"))),
+
+    "q124_dag_semdedup" -> ((s, d) =>
+      graft.streaming.SemIngest.survivors(s, s"${DagRun(s, d)}/curation/sem")
+        .orderBy(col("vec_id"))),
+
     // END-TO-END curation pipeline — the composition proof: paragraph
     // dedup (q101) feeds language-ID + token counting (q15/q16) feeds
     // hash-gated stratified sampling (q60), all over the DEDUPED text.
@@ -2673,6 +2707,14 @@ object SparkEntry {
     "q116_stream_paragraph_fuzzy" ->
       s"""WITH RECURSIVE $paraFuzzyKeeperCtes
          |SELECT doc_id, pos FROM fkept ORDER BY doc_id, pos""".stripMargin,
+
+    // the DAG curation twins replay the IDENTICAL oracles: the streamed
+    // store contents must equal the harness-fed and batch forms exactly
+    "q123_dag_paragraph_fuzzy" ->
+      s"""WITH RECURSIVE $paraFuzzyKeeperCtes
+         |SELECT doc_id, pos FROM fkept ORDER BY doc_id, pos""".stripMargin,
+
+    "q124_dag_semdedup" -> semDedupOracle,
 
     // Fuzzy paragraph replay: the full MinHash→LSH→Jaccard→components
     // chain over distinct paragraph texts (paraFuzzyKeeperCtes), then

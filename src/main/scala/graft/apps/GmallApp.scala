@@ -61,8 +61,8 @@ object GmallApp {
     * REPLAY's event-time range is the whole history, not the reference's
     * live ±15 min). */
   def startFromFiles(spark: SparkSession, inRoot: String, warehouse: String,
-      joinTtlSec: Long = 900L): Seq[StreamingQuery] =
-    wire(spark,
+      joinTtlSec: Long = 900L, semCells: Int = 16): Seq[StreamingQuery] =
+    (wire(spark,
       () => Envelopes.cleanDirty(Envelopes.parseMaxwell(
         Sources.fileValues(spark, s"$inRoot/topic_db")))._1,
       () => Envelopes.cleanDirty(Envelopes.parseLog(
@@ -71,7 +71,50 @@ object GmallApp {
       configQuery(spark, Sources.projectConfig(Envelopes.cleanDirty(
           Envelopes.parseDebeziumConfig(
             Sources.fileValues(spark, s"$inRoot/table_process_config")))._1),
-        warehouse, s"$warehouse/ckpt/config")
+        warehouse, s"$warehouse/ckpt/config")) ++
+      curationWire(spark, inRoot, warehouse, semCells)
+
+  /** The CURATION leg of the DAG — the LLM-data-pipeline extension
+    * running beside the reference warehouse graph: paragraph-grain fuzzy
+    * dedup ([[graft.streaming.FuzzyIngest]]) over a `doc_paras` feed of
+    * (enc, para) instances and SemDeDup ([[graft.streaming.SemIngest]])
+    * over an `embeddings` feed of (vec_id, embedding, label) — each a
+    * checkpointed foreachBatch query folding micro-batches into its
+    * incremental bucketed store under `warehouse/curation/`. `semCells`
+    * sizes the frozen quantizer from the expected corpus scale (the
+    * deployment knob; gates pass ~√N). Input dirs are created empty so
+    * the leg can idle until a producer starts dropping chunks. */
+  def curationWire(spark: SparkSession, inRoot: String, warehouse: String,
+      semCells: Int = 16): Seq[StreamingQuery] = {
+    import org.apache.spark.sql.types._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def ensure(dir: String): String = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(hconf).mkdirs(p)
+      dir
+    }
+    val paraSchema = StructType(Seq(
+      StructField("enc", LongType), StructField("para", StringType)))
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val fuzzy = spark.readStream.schema(paraSchema)
+      .parquet(ensure(s"$inRoot/doc_paras"))
+      .writeStream.option("checkpointLocation", s"$warehouse/ckpt/curation_fuzzy")
+      .foreachBatch { (b: DataFrame, epochId: Long) =>
+        graft.streaming.FuzzyIngest.processBatch(
+          b, s"$warehouse/curation/fuzzy", epochId)
+      }.start()
+    val sem = spark.readStream.schema(embSchema)
+      .parquet(ensure(s"$inRoot/embeddings"))
+      .writeStream.option("checkpointLocation", s"$warehouse/ckpt/curation_sem")
+      .foreachBatch { (b: DataFrame, epochId: Long) =>
+        graft.streaming.SemIngest.processBatch(
+          b, s"$warehouse/curation/sem", epochId, semCells)
+      }.start()
+    Seq(fuzzy, sem)
+  }
 
   /** The full DAG over ANY parsed clean (db, log) streaming frames — the
     * production path binds Kafka ([[start]]); GmallAppSpec drives the
