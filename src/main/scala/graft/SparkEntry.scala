@@ -1965,6 +1965,33 @@ object SparkEntry {
           sum(col("doc_id")).as("sum_ids"))
         .orderBy(col("lang_pred"))
     }),
+
+    // TTL-ACTIVE ingest dedup (the round-7 ask): retention-window dedup
+    // with the reference's 1-day state TTL actually EXPIRING state —
+    // StatefulOps.firstPerKeyRetention defines the window in EVENT time
+    // (admit iff first sighting or gap from the previous sighting > 1 day;
+    // every sighting refreshes), so the TTL path is decided by the data and
+    // the DuckDB LAG oracle checks it row-for-row. The events feed replays
+    // as three ts-range micro-batches; at sf0.01 the per-key gap median is
+    // ~1.45 days, so both suppression (~40 % of sightings) and
+    // TTL-expiry re-admission (~60 %) are exercised in bulk.
+    "q125_stream_retention_dedup" -> ((s, d) => {
+      import s.implicits._
+      val tUs = unix_micros(col("ts"))
+      val ev = Tables.events(s, d).select(
+        concat_ws(":", col("user_id"), col("event_type")).as("key"),
+        col("event_id").as("id"), col("ts"))
+      val mm = ev.agg(min(tUs), max(tUs)).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+      val batches = Seq(
+        ev.where(tUs <= c1), ev.where(tUs > c1 && tUs <= c2), ev.where(tUs > c2))
+        .map(_.as[(String, Long, java.sql.Timestamp)])
+      StreamHarness.runFiles(s, batches)(ds =>
+        StatefulOps.firstPerKeyRetention(ds, java.time.Duration.ofDays(1)).toDF())
+        .select(col("_2").as("id"), col("_1").as("key"))
+        .orderBy(col("id"))
+    }),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -3529,6 +3556,19 @@ object SparkEntry {
     // (counts add across micro-batches → identical bin counts).
     "q82_hist_quantile" -> histQuantileOracle,
     "q91_hist_quantile_stream" -> histQuantileOracle,
+
+    // TTL-active retention dedup: the event-time window is exactly a LAG —
+    // admit iff first sighting per key or the gap from the PREVIOUS
+    // sighting (admitted or suppressed — the window refreshes on every
+    // one) exceeds 1 day (86 400 000 000 µs). Ties break by id, matching
+    // the operator's (ts, id) sort.
+    "q125_stream_retention_dedup" ->
+      """WITH f AS (SELECT concat(user_id, ':', event_type) AS key,
+        |  event_id AS id, epoch_us(ts) AS ts_us FROM events),
+        |g AS (SELECT key, id, ts_us,
+        |  LAG(ts_us) OVER (PARTITION BY key ORDER BY ts_us, id) AS prev FROM f)
+        |SELECT id, key FROM g WHERE prev IS NULL OR ts_us - prev > 86400000000
+        |ORDER BY id""".stripMargin,
   )
 
   // step-by-step min-time chaining: strictly-after µs compare + 7-day

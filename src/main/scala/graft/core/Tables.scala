@@ -20,17 +20,27 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame =
     spark.read.parquet(s"$sfDir/$table.parquet")
 
-  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS) which Spark 4
-    * refuses to read natively ([PARQUET_TYPE_ILLEGAL]). Read it as long
-    * nanos (legacy conf) and convert to a µs timestamp — lossless here:
-    * the generated data is µs-precision (verified: epoch_ns % 1000 == 0
-    * for all rows), matching what the DuckDB oracle sees. */
+  /** events.parquet's `ts` encoding has varied across testdata
+    * generations: INT64 TIMESTAMP(NANOS) (which Spark 4 refuses to read
+    * natively — [PARQUET_TYPE_ILLEGAL]) and plain timestamp[us]. Branch on
+    * the decoded dtype so both generations load:
+    *  - LongType (nanos read via the legacy conf) → div 1000 to µs —
+    *    lossless: the generated data is µs-precision (epoch_ns % 1000 == 0).
+    *  - TimestampNTZType → cast to session-TZ timestamp; the session is
+    *    pinned UTC so the cast is an identity relabel, matching DuckDB.
+    *  - TimestampType → already what every downstream op expects.
+    * The nanosAsLong conf is a no-op for non-nanos columns, so setting it
+    * up front is safe for the modern encoding. */
   private def loadNanoTs(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/$table.parquet")
-    raw.withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")

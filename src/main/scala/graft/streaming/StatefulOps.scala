@@ -273,6 +273,66 @@ object StatefulOps {
           })
   }
 
+  /** Retention-window (TTL-ACTIVE) ingest dedup, in EVENT time — the
+    * production form of [[firstPerKey]]'s retention contract, made
+    * deterministic so it can carry an oracle gate (q125): a sighting of a
+    * key is ADMITTED iff it is the key's first ever, or the key's previous
+    * sighting is more than `ttl` older IN EVENT TIME; every sighting —
+    * admitted or suppressed — refreshes the window (the reference's
+    * OnCreateAndWrite + refresh, app/dwd/DwdTrafficUniqueVisitorDetail
+    * .java:62-65: retention slides from the most recent sighting, so a
+    * still-arriving duplicate stays suppressed indefinitely).
+    *
+    * Defining the window in event time instead of a wall-clock TTL is the
+    * design choice that makes this gateable: the output is a pure function
+    * of the data (`LAG(ts) OVER (PARTITION BY key ORDER BY ts)` — the
+    * DuckDB oracle runs exactly that), identical on live run and replay,
+    * independent of batch boundaries and host speed. The event-time TIMER
+    * is then pure state GC: a key silent past `ttl` (watermark passed
+    * lastSeen+ttl with no new data) has its one-long state dropped —
+    * output-invariant by construction, because the gap test alone decides
+    * re-admission; the timer only bounds the store to the keys active
+    * within the retention window (the 100 TB point: state is
+    * O(active keys), not O(all keys ever)).
+    *
+    * Feed contract: batches must be event-time ordered ACROSS batches
+    * (ts-range chunks — the replay/Kafka-log shape); within a batch any
+    * order is fine (sorted here). Rows carry (key, id, ts); ties on ts
+    * break by id, matching the oracle's ORDER BY ts, id. */
+  def firstPerKeyRetention(
+      rows: Dataset[(String, Long, Timestamp)],
+      ttl: Duration): Dataset[(String, Long)] = {
+    import rows.sparkSession.implicits._
+    val ttlUs = ttl.toMillis * 1000L
+    rows.toDF("key", "id", "ts")
+      .withWatermark("ts", "0 seconds")
+      .as[(String, Long, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: String, it: Iterator[(String, Long, Timestamp)],
+         state: GroupState[Long] /* lastSeen µs */) =>
+          if (state.hasTimedOut) {
+            state.remove() // GC only — re-admission is decided by the gap test
+            Iterator.empty
+          } else {
+            // µs from the Timestamp (getTime is ms-truncated): ms*1000 + sub-ms µs
+            def us(t: Timestamp): Long =
+              Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+            val sorted = it.map { case (_, id, t) => (us(t), id) }.toArray.sortInPlace()
+            var last = if (state.exists) state.get else Long.MinValue
+            val out = Seq.newBuilder[(String, Long)]
+            sorted.foreach { case (tsUs, id) =>
+              if (last == Long.MinValue || tsUs - last > ttlUs) out += ((key, id))
+              last = tsUs // refresh from EVERY sighting, admitted or not
+            }
+            state.update(last)
+            // lastSeen is in the current batch's ts-range, which is strictly
+            // above the watermark (= previous batch's max), so this is legal
+            state.setTimeoutTimestamp(Math.floorDiv(last, 1000L) + ttl.toMillis)
+            out.result().iterator
+          })
+  }
+
   /** Per-user funnel state: `ver` makes snapshots totally ordered per key
     * (latest wins downstream); `perStep(i)` is the pruned, sorted candidate
     * µs-timestamp list for step i (step 0 stores only its min). */

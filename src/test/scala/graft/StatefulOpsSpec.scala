@@ -120,6 +120,57 @@ class StatefulOpsSpec extends SparkTestBase {
     assert(out === Set(("fpA", 1L), ("fpB", 2L), ("fpC", 7L)))
   }
 
+  test("firstPerKeyRetention: event-time window slides from SUPPRESSED sightings; gap > ttl re-admits") {
+    def t(sec: Long) = new Timestamp(sec * 1000L)
+    val ttl = java.time.Duration.ofSeconds(10)
+    // Batches are event-time-ordered ts-range chunks (the feed contract).
+    // ts starts at 1, not 0: the engine's late-row filter drops rows at or
+    // below the watermark, and the INITIAL watermark is epoch 0 — an edge
+    // only a synthetic epoch-0 feed can hit.
+    val out = StreamHarness.run(spark, Seq(
+        Seq(("k1", 1L, t(1)), ("k1", 2L, t(4)), ("k2", 3L, t(5))),
+        // k1@12: gap from FIRST ADMIT (1) is 11 > 10, but from the last
+        // (suppressed) sighting (4) is 8 ≤ 10 → still suppressed: the
+        // window slides from every sighting. k2@20: gap 15 > 10 → re-admit.
+        Seq(("k1", 4L, t(12)), ("k2", 5L, t(20))),
+        // k1 silent; watermark reaches 30 → k1's GC timer (12+10=22) fires
+        Seq(("k3", 6L, t(30))),
+        // k1 returns after the timer dropped its state → first-sighting admit
+        Seq(("k1", 7L, t(40)))))
+      { ds => StatefulOps.firstPerKeyRetention(ds, ttl).toDF() }
+      .as[(String, Long)].collect().toSet
+    assert(out === Set(("k1", 1L), ("k2", 3L), ("k2", 5L), ("k3", 6L), ("k1", 7L)))
+  }
+
+  test("firstPerKeyRetention equals the batch LAG oracle on a multi-key feed") {
+    def t(sec: Long) = new Timestamp(sec * 1000L)
+    val ttl = java.time.Duration.ofSeconds(7)
+    // Deterministic pseudo-random feed: 5 keys × 30 sightings, gaps 1..13 s
+    // (both sides of the 7 s window), ids unique, ts-ordered batch split.
+    val rows = (0 until 5).flatMap { k =>
+      var ts = k.toLong
+      (0 until 30).map { i =>
+        ts += 1 + (k * 31 + i * 17) % 13
+        (s"k$k", (k * 100 + i).toLong, ts)
+      }
+    }
+    val sortedAll = rows.sortBy(_._3)
+    val batches = sortedAll.grouped(50).toSeq
+      .map(_.map { case (k, id, s) => (k, id, t(s)) })
+    val streamed = StreamHarness.run(spark, batches)(
+        ds => StatefulOps.firstPerKeyRetention(ds, ttl).toDF())
+      .as[(String, Long)].collect().toSet
+    val oracle = rows.groupBy(_._1).values.flatMap { ks =>
+      val s = ks.sortBy(r => (r._3, r._2))
+      s.zip((None: Option[Long]) +: s.map(r => Some(r._3))).collect {
+        case ((k, id, ts), prev) if prev.forall(p => ts - p > 7) => (k, id)
+      }
+    }.toSet
+    assert(streamed === oracle)
+    assert(streamed.size > 50 && streamed.size < rows.size,
+      s"feed must exercise both admits and suppressions (got ${streamed.size}/${rows.size})")
+  }
+
   test("firstPerKey TTL: an expired fingerprint re-admits (dedup-within-retention)") {
     // With a processing-time GroupState timeout armed, the micro-batch
     // engine busy-loops (timeout-pending batches) and `processAllAvailable`
