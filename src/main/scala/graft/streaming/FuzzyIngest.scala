@@ -16,7 +16,9 @@ import graft.operators.Dedup
   * as texts arrive — so it rides two INCREMENTAL bucketed keyed stores
   * ([[Sinks.upsertByKeyPartitioned]]: only the hash buckets a batch's
   * keys land in are rewritten; per-batch I/O is O(batch + touched
-  * groups), never O(corpus)):
+  * groups), never O(corpus) — and the store doubles its own bucket
+  * count as it grows, so a touched bucket stays `targetBucketBytes`-
+  * sized at any corpus scale):
   *
   *  - `texts/` (key `pid`): (pid, para, enc_min, canon) — every
   *    DISTINCT paragraph text seen so far. `pid` is the text's stable
@@ -81,7 +83,8 @@ object FuzzyIngest {
       shingleN: Int = 3,
       numPerms: Int = 32,
       bands: Int = 8,
-      nBuckets: Int = 64): Unit = {
+      nBuckets: Int = 64,
+      targetBucketBytes: Long = 256L << 20): Unit = {
     val spark = batch.sparkSession
     val textsDir = s"$root/texts"
     val bandsDir = s"$root/bands"
@@ -163,10 +166,10 @@ object FuzzyIngest {
     // bands FIRST (see crash/replay contract in the object doc)
     if (!bandsRows.isEmpty)
       Sinks.upsertByKeyPartitioned(bandsRows, Seq("pid", "band"), "_ver",
-        bandsDir, nBuckets)
+        bandsDir, nBuckets, targetBucketBytes = targetBucketBytes)
     if (!textsRows.isEmpty)
       Sinks.upsertByKeyPartitioned(textsRows, Seq("pid"), "_ver",
-        textsDir, nBuckets)
+        textsDir, nBuckets, targetBucketBytes = targetBucketBytes)
   }
 
   /** The surviving keeper keys, decoded to (doc_id, pos) — one per fuzzy

@@ -62,7 +62,8 @@ object SemIngest {
       epochId: Long,
       nCells: Int = 16,
       threshold: Double = 0.35,
-      nBuckets: Int = 64): Unit = {
+      nBuckets: Int = 64,
+      targetBucketBytes: Long = 256L << 20): Unit = {
     val spark = batch.sparkSession
     val centsDir = s"$root/cents"
     val textsDir = s"$root/texts"
@@ -136,7 +137,109 @@ object SemIngest {
       .localCheckpoint(true)
     if (!textsRows.isEmpty)
       Sinks.upsertByKeyPartitioned(textsRows, Seq("vec_id"), "_ver",
-        textsDir, nBuckets)
+        textsDir, nBuckets, targetBucketBytes = targetBucketBytes)
+  }
+
+  /** Periodic centroid maintenance for TRUE unbounded ingest — the answer
+    * to the first-seen contract's one weakness: cell geometry frozen at
+    * batch 1 drifts as the corpus outgrows its first batch, and dup pairs
+    * the stale cells SPLIT are never discovered. `recenter` refits the
+    * quantizer over everything seen (corpus-wide lowest-id seeds +
+    * `lloydRounds` Lloyd rounds — [[Similarity.kmeansCentroids]], the
+    * batch operator's own trainer, so with an id-ascending feed the refit
+    * geometry equals what batch SemDeDup would use at the CURRENT corpus),
+    * re-assigns every vector, scores pairs between MOVED vectors and their
+    * new cellmates (a pair with neither endpoint moved kept its co-cell
+    * status and was scored the batch its younger member arrived), and
+    * merges the resulting groups through the same canon-mapped star
+    * components as [[processBatch]] — existing groups can only MERGE,
+    * never split, so every previously-emitted suppression stays valid.
+    *
+    * Scale contract: one recenter is O(corpus) assignment + within-cell
+    * pair scoring — run it at geometrically-spaced epochs (corpus
+    * doublings), like [[Sinks.upsertByKeyPartitioned]]'s bucket resize,
+    * and the amortized cost per ingested vector is O(1). `nCells` is the
+    * refit cell count — pass ~√N for the SemDeDup paper's regime as the
+    * corpus grows. A crash between the texts upsert and the centroid swap
+    * leaves cells from the new geometry with the old centroids: pair
+    * DISCOVERY degrades (never corrupts — keepers stay min-id per group)
+    * until recenter is re-run, which converges; the centroid swap itself
+    * is rename-aside with recovery at the next call. */
+  def recenter(
+      spark: SparkSession,
+      root: String,
+      nCells: Int,
+      epochId: Long,
+      threshold: Double = 0.35,
+      lloydRounds: Int = 1,
+      nBuckets: Int = 64,
+      targetBucketBytes: Long = 256L << 20): Unit = {
+    val centsDir = s"$root/cents"
+    val textsDir = s"$root/texts"
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val centsOld = new Path(centsDir + "_old")
+    // recovery: an interrupted swap left the only centroids set aside
+    if (!existsDir(spark, centsDir) && fs.exists(centsOld) &&
+        !fs.rename(centsOld, new Path(centsDir)))
+      throw new java.io.IOException(s"SemIngest: cannot restore $centsOld")
+    val store = readStore(spark, textsDir).getOrElse(
+      throw new IllegalStateException(
+        s"SemIngest: no texts store at $textsDir to recenter"))
+      .localCheckpoint(true)
+    val vecs = store.select(col("vec_id"), col("embedding"))
+    val cents = Similarity.kmeansCentroids(vecs, nCells, lloydRounds)
+      .localCheckpoint(true)
+    val rows = store.drop("cell")
+      .join(Similarity.assignCells(vecs, cents), "vec_id")
+      .select(col("vec_id"), col("label"), col("cell"), col("canon"),
+        col("embedding"), col("nrm"))
+      .localCheckpoint(true)
+    val moved = rows
+      .join(store.select(col("vec_id"), col("cell").as("old_cell")), "vec_id")
+      .where(col("cell") =!= col("old_cell")).drop("old_cell")
+    def side(df: DataFrame, tag: String): DataFrame =
+      df.select(col("vec_id").as(tag), col("embedding").as(s"v$tag"),
+        col("nrm").as(s"n$tag"), col("cell"))
+    val joined = side(rows, "a").join(side(moved, "b"), Seq("cell"))
+      .unionByName(side(moved, "a").join(side(rows, "b"), Seq("cell")))
+    val pairs = Similarity.scoredPairs(joined, threshold)
+      .select(col("a"), col("b")).distinct()
+    val canonOf = rows.select(col("vec_id").as("sp"), col("canon").as("sc"))
+    val edges = pairs
+      .join(canonOf.withColumnRenamed("sp", "a").withColumnRenamed("sc", "ca"),
+        Seq("a"), "left")
+      .join(canonOf.withColumnRenamed("sp", "b").withColumnRenamed("sc", "cb"),
+        Seq("b"), "left")
+      .select(coalesce(col("ca"), col("a")).as("a"),
+        coalesce(col("cb"), col("b")).as("b"))
+      .where(col("a") =!= col("b"))
+    val relabeled =
+      if (edges.isEmpty) rows
+      else {
+        val comps = Dedup.connectedComponentsStar(edges)
+        val relabel = comps.where(col("comp") =!= col("id"))
+          .select(col("id").as("canon"), col("comp"))
+        rows.join(relabel, Seq("canon"), "left")
+          .select(col("vec_id"), col("label"), col("cell"),
+            coalesce(col("comp"), col("canon")).as("canon"),
+            col("embedding"), col("nrm"))
+      }
+    // texts first (canon merges are durable), centroids second — the crash
+    // window between them only degrades discovery, documented above
+    val textsRows = relabeled.withColumn("_ver", lit(epochId))
+      .localCheckpoint(true)
+    Sinks.upsertByKeyPartitioned(textsRows, Seq("vec_id"), "_ver",
+      textsDir, nBuckets, targetBucketBytes = targetBucketBytes)
+    val centsNew = new Path(centsDir + "_new")
+    cents.write.mode("overwrite").parquet(centsNew.toString)
+    fs.delete(centsOld, true)
+    if (!fs.rename(new Path(centsDir), centsOld))
+      throw new java.io.IOException(s"SemIngest: cannot set aside $centsDir")
+    if (!fs.rename(centsNew, new Path(centsDir))) {
+      fs.rename(centsOld, new Path(centsDir)) // restore
+      throw new java.io.IOException(s"SemIngest: cannot publish $centsNew")
+    }
+    fs.delete(centsOld, true)
   }
 
   /** The store's survivors — each group's min-id member plus every

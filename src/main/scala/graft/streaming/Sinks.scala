@@ -73,6 +73,32 @@ object Sinks {
     fs.delete(old, true)
   }
 
+  /** The store's live bucket count, persisted as `_NBUCKETS` inside the
+    * store dir (underscore prefix → invisible to parquet partition
+    * discovery, like `_SUCCESS`). The count is STORE state, not caller
+    * state: `pmod(hash(keys), n)` is baked into the layout, so every
+    * writer must use the count the store was written with — the caller's
+    * `nBuckets` argument only seeds a store that has no meta yet (creation,
+    * or a store from before this file existed). */
+  private def readBucketMeta(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_NBUCKETS")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt)
+      finally in.close()
+    }
+  }
+
+  private def writeBucketMeta(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, n: Int): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/_NBUCKETS"), true)
+    try out.write(n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** [[upsertByKey]] for stores too big to rewrite per batch: the store is
     * hash-partitioned into `_bucket = pmod(hash(keys), nBuckets)` dirs and a
     * micro-batch rewrites ONLY the buckets its keys touch — per-batch I/O is
@@ -80,6 +106,21 @@ object Sinks {
     * step the round-1 review asked for on the way to a real Delta MERGE.
     * Each touched bucket swaps via the same rename-aside protocol (crash
     * leaves that bucket's full old content at `_old`, recoverable).
+    *
+    * BUCKET GROWTH (the 100 TB knob): a fixed bucket count means per-batch
+    * I/O grows O(corpus/nBuckets) as the store fills. So after each merge,
+    * if the average bucket exceeds `targetBucketBytes` the store is
+    * re-hashed with the bucket count doubled (repeatedly, until the average
+    * fits) — the classic dynamic-hashing resize: whole-store rewrites
+    * happen only at geometrically-spaced sizes, so total resize I/O over a
+    * store's life is < 2× its final size, amortized O(1) per upserted row,
+    * and the steady-state touched-bucket rewrite stays
+    * O(touched × targetBucketBytes). The live count persists as `_NBUCKETS`
+    * in the store ([[readBucketMeta]]); the resize swap is its own
+    * rename-aside (`_resize` build → set the store aside at `_retired` →
+    * publish → drop), recovered at the top of every call, and the size
+    * probe is one driver-side `getContentSummary` of a dir this call just
+    * rewrote anyway.
     *
     * REPLAY CONTRACT for `deleteKeys`: recovery restores any set-aside
     * bucket whose publish did not complete — including a bucket a
@@ -94,12 +135,29 @@ object Sinks {
     */
   def upsertByKeyPartitioned(batch: DataFrame, keyCols: Seq[String],
       orderCol: String, path: String, nBuckets: Int = 64,
-      deleteKeys: Option[DataFrame] = None): Unit = {
+      deleteKeys: Option[DataFrame] = None,
+      targetBucketBytes: Long = 256L << 20): Unit = {
     val spark = batch.sparkSession
+    val dst0 = new org.apache.hadoop.fs.Path(path)
+    val fs = dst0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // resize-crash recovery FIRST (a resize runs strictly after the bucket
+    // swaps of its batch completed, so the two recovery scans never both
+    // apply): `_retired` is the pre-resize store set aside during the swap
+    val retiredRoot = new org.apache.hadoop.fs.Path(path + "_retired")
+    val resizeTmp = new org.apache.hadoop.fs.Path(path + "_resize")
+    if (fs.exists(retiredRoot)) {
+      if (!fs.exists(dst0) && !fs.rename(retiredRoot, dst0))
+        throw new java.io.IOException(
+          s"upsertByKeyPartitioned: cannot restore $retiredRoot")
+      fs.delete(retiredRoot, true) // no-op if the rename above consumed it
+    }
+    fs.delete(resizeTmp, true) // a half-built resize is never the only copy
+    // the STORE's bucket count wins over the caller's (layout is baked in)
+    val nB = readBucketMeta(fs, path).getOrElse(nBuckets)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(orderCol).desc)
     def bucketed(df: DataFrame) =
-      df.withColumn("_bucket", pmod(hash(keyCols.map(col): _*), lit(nBuckets)))
+      df.withColumn("_bucket", pmod(hash(keyCols.map(col): _*), lit(nB)))
     val compacted = bucketed(batch
         .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn"))
       .persist() // consumed twice: touched-bucket collect + the merge write
@@ -111,8 +169,7 @@ object Sinks {
     val tombstones = deleteKeys.map(dk =>
       bucketed(dk.select(keyCols.map(col): _*)).persist())
     try {
-      val dst = new org.apache.hadoop.fs.Path(path)
-      val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val dst = dst0
       // crash recovery FIRST: restore any bucket whose previous swap died
       // between set-aside and publish (bDst missing, set-aside present) —
       // including buckets the CURRENT batch does not touch
@@ -131,8 +188,10 @@ object Sinks {
       if (!fs.exists(dst)) {
         // nothing to create from a tombstone-only batch: an empty
         // partitioned write would leave a dir with no readable parquet
-        if (!compacted.isEmpty)
+        if (!compacted.isEmpty) {
           compacted.write.partitionBy("_bucket").mode("overwrite").parquet(path)
+          writeBucketMeta(fs, path, nB)
+        }
         return
       }
       val touchedDf = tombstones match {
@@ -179,6 +238,34 @@ object Sinks {
       }
       fs.delete(tmp, true)
       fs.delete(oldRoot, true)
+      // make sure a pre-meta (legacy) store records the count it is
+      // actually laid out with before any resize can change it
+      if (readBucketMeta(fs, path).isEmpty) writeBucketMeta(fs, path, nB)
+      // growth check: double the bucket count until the average bucket
+      // fits the target again (geometric resizes → amortized O(1)/row)
+      val storeBytes = fs.getContentSummary(dst).getLength
+      if (storeBytes / nB > targetBucketBytes) {
+        var newN = nB
+        while (storeBytes / newN > targetBucketBytes && newN < (1 << 20))
+          newN *= 2
+        val rehashed = spark.read.parquet(path).drop("_bucket")
+        rehashed
+          .withColumn("_bucket", pmod(hash(keyCols.map(col): _*), lit(newN)))
+          .write.partitionBy("_bucket").mode("overwrite")
+          .parquet(resizeTmp.toString)
+        writeBucketMeta(fs, resizeTmp.toString, newN)
+        // whole-store rename-aside swap; every crash window leaves a full
+        // copy at dst or _retired, replayed by the recovery at call start
+        if (!fs.rename(dst, retiredRoot))
+          throw new java.io.IOException(
+            s"upsertByKeyPartitioned: cannot set aside $dst for resize")
+        if (!fs.rename(resizeTmp, dst)) {
+          fs.rename(retiredRoot, dst) // restore
+          throw new java.io.IOException(
+            s"upsertByKeyPartitioned: cannot publish resized $resizeTmp")
+        }
+        fs.delete(retiredRoot, true)
+      }
     } finally {
       compacted.unpersist()
       tombstones.foreach(_.unpersist())

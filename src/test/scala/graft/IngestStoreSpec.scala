@@ -137,4 +137,57 @@ class IngestStoreSpec extends SparkTestBase {
       org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root)); ()
     }
   }
+
+  private def readMeta(path: String): Int =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$path/_NBUCKETS"))).trim.toInt
+
+  test("the bucketed store doubles its bucket count as it grows (amortized resize)") {
+    val root = Files.createTempDirectory("graft_resize_").toString
+    val path = s"$root/store"
+    // INCOMPRESSIBLE payloads (seeded random alphanumerics) — a constant
+    // pad RLE-compresses to nothing and the size probe never fires
+    def pay(i: Int) = new scala.util.Random(i).alphanumeric.take(400).mkString
+    def rows(r: Range) = r.map(i => (s"k$i", s"v$i${pay(i)}", i.toLong)).toDF("k", "v", "_ver")
+    // target 12 KB: ~123 KB of payload lands at 4 buckets ≈ 31 KB avg →
+    // one resize to 16 (≈ 8 KB avg), comfortably BELOW target afterwards
+    // so later small upserts don't creep into further resizes
+    try {
+      // creation: no resize on the create path — layout is the seed count
+      graft.streaming.Sinks.upsertByKeyPartitioned(
+        rows(0 until 300), Seq("k"), "_ver", path, nBuckets = 4,
+        targetBucketBytes = 12L << 10)
+      assert(readMeta(path) === 4)
+      // first MERGE: avg bucket ≫ 12 KB → the store re-hashes itself
+      graft.streaming.Sinks.upsertByKeyPartitioned(
+        rows(300 until 302), Seq("k"), "_ver", path, nBuckets = 4,
+        targetBucketBytes = 12L << 10)
+      val grown = readMeta(path)
+      assert(grown > 4 && (grown & (grown - 1)) == 0,
+        s"bucket count must have doubled past 4, got $grown")
+      // layout matches the meta: every row sits in pmod(hash(k), grown)
+      val store = spark.read.parquet(path)
+      assert(store.where(col("_bucket") =!=
+        pmod(hash(col("k")), lit(grown))).isEmpty,
+        "post-resize rows must be bucketed by the NEW count")
+      assert(store.count() === 302)
+      // a later writer still passing the stale seed count must follow the
+      // STORE's count (meta wins) — and keep rewrites touched-bucket-grain
+      val before = fileState(path)
+      graft.streaming.Sinks.upsertByKeyPartitioned(
+        rows(0 until 1), Seq("k"), "_ver", path, nBuckets = 4,
+        targetBucketBytes = 12L << 10)
+      assert(readMeta(path) === grown, "a stale caller count must not shrink the store")
+      val after = fileState(path)
+      val changed = (after.keySet ++ before.keySet)
+        .filter(k => before.get(k) != after.get(k)).map(bucketOf)
+      assert(changed.size <= 1,
+        s"one key must touch ≤ 1 of the $grown buckets, touched: $changed")
+      val out = spark.read.parquet(path).where(col("k") === "k0")
+        .select(col("v")).as[String].collect()
+      assert(out.toSeq === Seq(s"v0${pay(0)}"))
+    } finally {
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root)); ()
+    }
+  }
 }

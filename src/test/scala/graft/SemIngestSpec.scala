@@ -36,4 +36,41 @@ class SemIngestSpec extends SparkTestBase {
       org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root)); ()
     }
   }
+
+  test("recenter discovers dup pairs the frozen batch-1 geometry split, merging (never splitting) groups") {
+    val root = Files.createTempDirectory("graft_sem_recenter_").toString
+    try {
+      // Unrepresentative FIRST batch (high ids): seeds c100=(0,0.9),
+      // c101=(0,1.1) put the cell boundary exactly at y=1.
+      SemIngest.processBatch(
+        df((100L, Array(0f, 0.9f), 1), (101L, Array(0f, 1.1f), 1)),
+        root, 0L, nCells = 2, threshold = 0.99)
+      // v1=(0,0.999) lands in c100 with v100 (cosine 1 → group {1,100});
+      // v2=(0,1.001) lands in c101 with v101 (group {2,101}); the v1–v2
+      // pair (cosine 1.0) STRADDLES the stale boundary → never scored.
+      // v5=(9,0) is its own far cluster.
+      SemIngest.processBatch(
+        df((1L, Array(0f, 0.999f), 2), (2L, Array(0f, 1.001f), 2),
+           (5L, Array(9f, 0f), 3)),
+        root, 1L, nCells = 2, threshold = 0.99)
+      assert(surv(root) === Set(1L, 2L, 5L),
+        "frozen geometry must have split the colinear dups across cells")
+      // refit over the whole corpus: one Lloyd round pulls a centroid to
+      // the colinear cluster, co-celling all four (0,y) vectors — the
+      // moved×cellmates scoring bridges {1,100} and {2,101} into one group
+      SemIngest.recenter(spark, root, nCells = 2, epochId = 2L,
+        threshold = 0.99, lloydRounds = 1)
+      assert(surv(root) === Set(1L, 5L),
+        "recenter must merge the stale-split groups under the min id")
+      val store = spark.read.parquet(s"$root/texts")
+      assert(store.select("vec_id").as[Long].collect().toSet ===
+        Set(1L, 2L, 5L, 100L, 101L), "recenter must not add or drop vectors")
+      // a recenter replay (same refit over the merged store) is a no-op
+      SemIngest.recenter(spark, root, nCells = 2, epochId = 3L,
+        threshold = 0.99, lloydRounds = 1)
+      assert(surv(root) === Set(1L, 5L), "replayed recenter must be idempotent")
+    } finally {
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root)); ()
+    }
+  }
 }
