@@ -190,4 +190,50 @@ class IngestStoreSpec extends SparkTestBase {
       org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root)); ()
     }
   }
+
+  test("resize-crash recovery: every crash window leaves a store the next call restores") {
+    val root = Files.createTempDirectory("graft_resize_crash_").toString
+    def rows(r: Range) = r.map(i => (s"k$i", s"v$i", i.toLong)).toDF("k", "v", "_ver")
+    def mv(a: String, b: String): Unit = {
+      assert(new java.io.File(a).renameTo(new java.io.File(b)), s"rename $a -> $b")
+      ()
+    }
+    def contents(path: String): Set[String] =
+      spark.read.parquet(path).select(col("k")).as[String].collect().toSet
+
+    // window 1: crash BETWEEN set-aside and publish — the set-aside at
+    // `_retired` is the only copy; the next call must restore it
+    val p1 = s"$root/s1"
+    graft.streaming.Sinks.upsertByKeyPartitioned(rows(0 until 20), Seq("k"), "_ver", p1, 4)
+    mv(p1, p1 + "_retired") // dst gone, retired holds the full store
+    graft.streaming.Sinks.upsertByKeyPartitioned(rows(20 until 21), Seq("k"), "_ver", p1, 4)
+    assert(contents(p1) === (0 until 21).map(i => s"k$i").toSet,
+      "recovery must restore the set-aside store, then apply the batch")
+    assert(!new java.io.File(p1 + "_retired").exists())
+
+    // window 2: crash AFTER publish, before the retired copy's delete —
+    // both dirs exist; the published store wins, the stale copy is dropped
+    val p2 = s"$root/s2"
+    graft.streaming.Sinks.upsertByKeyPartitioned(rows(0 until 20), Seq("k"), "_ver", p2, 4)
+    val stale = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(p2 + "_retired/_bucket=0"))
+    assert(stale.toFile.isDirectory)
+    graft.streaming.Sinks.upsertByKeyPartitioned(rows(20 until 21), Seq("k"), "_ver", p2, 4)
+    assert(contents(p2) === (0 until 21).map(i => s"k$i").toSet)
+    assert(!new java.io.File(p2 + "_retired").exists(),
+      "a completed swap's stale retired copy must be dropped")
+
+    // window 3: crash mid-build of `_resize` — the half-built rehash is
+    // never the only copy and must simply be discarded
+    val p3 = s"$root/s3"
+    graft.streaming.Sinks.upsertByKeyPartitioned(rows(0 until 20), Seq("k"), "_ver", p3, 4)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(p3 + "_resize/_bucket=0"))
+    graft.streaming.Sinks.upsertByKeyPartitioned(rows(20 until 21), Seq("k"), "_ver", p3, 4)
+    assert(contents(p3) === (0 until 21).map(i => s"k$i").toSet)
+    assert(!new java.io.File(p3 + "_resize").exists(),
+      "a half-built resize must be discarded at the next call")
+
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root)); ()
+  }
 }
