@@ -289,7 +289,25 @@ object SparkEntry {
       val queries = GmallApp.startFromFiles(session, in, wh,
         joinTtlSec = 10000000L, semCells = semDedupCells(embMm.getLong(2)))
       try {
-        def sync(): Unit = queries.foreach(_.processAllAvailable())
+        // parallel settle: every wire()/curation query consumes the ods
+        // topic DIRS (or its own feed dir) directly — no query reads
+        // another query's output — so within a drop round their
+        // processAllAvailable waits are independent and can overlap. The
+        // queries run on their own engine threads either way; the serial
+        // foreach merely WAITED serially, leaving a 32-core host running
+        // one 8-partition micro-batch at a time (measured: the whole-DAG
+        // charge drops ~2× with the parallel settle). The one write-read
+        // edge (configQuery's store → dimQuery's router) is already
+        // serialized by the config drop's OWN sync() round below, before
+        // any data chunk is dropped.
+        def sync(): Unit = {
+          import scala.concurrent.{Await, ExecutionContext, Future, blocking}
+          import scala.concurrent.duration.Duration
+          implicit val ec: ExecutionContext = ExecutionContext.global
+          Await.result(
+            Future.traverse(queries)(q => Future(blocking(q.processAllAvailable()))),
+            Duration.Inf)
+        }
         // payment_info, not e.g. comment_info: the lineitem-derived tables
         // carry COLLIDING synthetic ids (duplicate (orderkey, linenumber)
         // rows in the test data) whose equal-ts upsert tie-break is
