@@ -2010,6 +2010,16 @@ object SparkEntry {
         .select(col("_2").as("id"), col("_1").as("key"))
         .orderBy(col("id"))
     }),
+
+    // Exact-substring duplication profile (Lee et al. 2022) — the
+    // character-window dedup method next to the paragraph-grain ops:
+    // 40-char windows at stride 10, cross-doc duplicated windows merged
+    // into spans per doc (gaps-and-islands). Catches boilerplate that
+    // straddles line boundaries, which q101/q104's paragraph hashing
+    // can't see. The oracle replays the identical window/df/island logic.
+    "q126_substring_dup" -> ((s, d) =>
+      Dedup.substringDupProfile(Tables.documents(s, d), 40, 10)
+        .orderBy(col("doc_id"))),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -3587,6 +3597,31 @@ object SparkEntry {
         |  LAG(ts_us) OVER (PARTITION BY key ORDER BY ts_us, id) AS prev FROM f)
         |SELECT id, key FROM g WHERE prev IS NULL OR ts_us - prev > 86400000000
         |ORDER BY id""".stripMargin,
+
+    // Same 40-char/stride-10 windows, same cross-doc df >= 2 screen, same
+    // merge-touching island rule (new span iff off STRICTLY past the
+    // running max end) as Dedup.substringDupProfile.
+    "q126_substring_dup" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 40),
+        |o0 AS (SELECT doc_id, text,
+        |    unnest(generate_series(0, (length(text) - 40) // 10)) * 10 AS off
+        |  FROM d),
+        |offs AS (SELECT doc_id, off, substring(text, off + 1, 40) AS win FROM o0),
+        |dup AS (SELECT win FROM offs GROUP BY win HAVING count(DISTINCT doc_id) >= 2),
+        |m AS (SELECT o.doc_id, o.off FROM offs o JOIN dup USING (win)),
+        |x AS (SELECT doc_id, off,
+        |    max(off + 40) OVER (PARTITION BY doc_id ORDER BY off
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM m),
+        |y AS (SELECT doc_id, off,
+        |    CASE WHEN prev_end IS NULL OR off > prev_end THEN 1 ELSE 0 END AS ni
+        |  FROM x),
+        |z AS (SELECT doc_id, off,
+        |    sum(ni) OVER (PARTITION BY doc_id ORDER BY off) AS span_id FROM y),
+        |sp AS (SELECT doc_id, span_id, min(off) AS s, max(off) + 40 AS e
+        |  FROM z GROUP BY 1, 2)
+        |SELECT doc_id, count(*) AS n_spans, CAST(sum(e - s) AS BIGINT) AS dup_chars
+        |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 
   // step-by-step min-time chaining: strictly-after µs compare + 7-day

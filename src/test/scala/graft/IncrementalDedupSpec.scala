@@ -89,4 +89,29 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(out === Seq(
       (0L, 2L, 1L, 0.5), (1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 1L, 0L, 0.0)))
   }
+
+  test("substring profile catches a span straddling line boundaries; merges overlapping windows") {
+    // a 32-char block with embedded newlines repeats across docs 0 and 1
+    // INSIDE different surrounding text — line/paragraph-grain hashing sees
+    // only non-repeating lines, but the character windows covering the
+    // block repeat cross-doc. The two occurrences sit at offsets 15 and 20
+    // (equal mod stride=5 — the operator's documented alignment condition
+    // for strided detection). doc 2 shares nothing.
+    val block = "Q" * 10 + "\n" + "R" * 10 + "\n" + "S" * 10
+    val docs = Seq(
+      (0L, "x" * 15 + block + " tail alpha padding here"),
+      (1L, "y" * 20 + block + " different ending words"),
+      (2L, "completely unrelated content with no repeats at all......")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDupProfile(docs, window = 20, stride = 5)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    // both carriers report EXACTLY ONE merged span (overlapping windows
+    // collapse), doc 2 reports nothing
+    assert(out.map(_._1) === Seq(0L, 1L), s"unexpected rows: $out")
+    assert(out.forall(_._2 == 1L), s"overlapping windows must merge to one span: $out")
+    // the merged span covers the block up to stride slack at each edge
+    assert(out.forall(r => r._3 >= block.length - 2 * 5 && r._3 <= block.length + 2 * 20),
+      s"$out")
+  }
 }

@@ -207,4 +207,18 @@ class PlanSpec extends SparkTestBase {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
       "only the two bounded centroid-assignment broadcasts may nested-loop:\n" + p)
   }
+
+  test("substring profile screens duplicated windows via a win equi-join, islands partition by doc") {
+    import graft.operators.Dedup
+    val p = plan(Dedup.substringDupProfile(Tables.documents(spark, sf), 40, 10))
+    assert(!p.contains("CartesianProduct"), "no unbounded product:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), "no nested-loop window screen:\n" + p)
+    assert("(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) \\[win".r
+        .findFirstIn(p).isDefined,
+      "the df screen must equi-join on the window text:\n" + p)
+    // the island pass must be doc-grain (a global sort would serialize it)
+    assert("partitionBy=\\[doc_id".r.findFirstIn(p).isDefined
+        || p.contains("hashpartitioning(doc_id"),
+      "the span merge must window PARTITION BY doc_id:\n" + p)
+  }
 }
