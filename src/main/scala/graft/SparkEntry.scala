@@ -2020,6 +2020,54 @@ object SparkEntry {
     "q126_substring_dup" -> ((s, d) =>
       Dedup.substringDupProfile(Tables.documents(s, d), 40, 10)
         .orderBy(col("doc_id"))),
+
+    // SemDeDup centroid RECENTERING under the oracle gate — q118's
+    // maintenance op for true unbounded ingest, no longer spec-only. The
+    // two halves stream DESCENDING, so the frozen batch-1 quantizer seeds
+    // from the HIGH half's lowest ids (an unrepresentative geometry —
+    // exactly the drift scenario); `recenter` then refits over the whole
+    // store with corpus-lowest-id seeds (lloydRounds = 0 → the same
+    // bit-replicable seed partitioning as q54/q102's oracles) and scores
+    // every moved vector against its new cellmates. Groups only MERGE, so
+    // the survivor set is the min-id members of the components of the
+    // UNION of both geometries' within-cell pair sets — which is exactly
+    // what the oracle replays (two assignment CTEs, one recursive reach).
+    // At the testdata SFs the stale lopsided geometry happens to
+    // OVER-discover (few hot cells → more within-cell pairs), so the
+    // union degenerates to the frozen set — the gate therefore pins the
+    // no-split direction (a full re-geometry must not lose one prior
+    // suppression) and the exact union-components contract; the
+    // merge-DISCOVERY direction is pinned by SemIngestSpec's planted
+    // stale-split pair.
+    "q127_semdedup_recenter" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val nCells = semDedupCells(emb.count())
+      val mid = midOf(emb.agg(min(col("vec_id")), max(col("vec_id"))).head(),
+        "embeddings (q127)")
+      val root = java.nio.file.Files.createTempDirectory("graft_sem_rec_").toString
+      implicit val enc: org.apache.spark.sql.Encoder[(Long, Array[Float], Int)] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+      import s.implicits._
+      StreamHarness.runFilesSink(s,
+          Seq(emb.where(col("vec_id") > mid).as[(Long, Array[Float], Int)],
+            emb.where(col("vec_id") <= mid).as[(Long, Array[Float], Int)])) {
+        (ds, ckpt) =>
+          ds.toDF().toDF("vec_id", "embedding", "label").writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: DataFrame, epochId: Long) =>
+              graft.streaming.SemIngest.processBatch(
+                b.toDF("vec_id", "embedding", "label"), root, epochId, nCells, 0.35)
+            }.start()
+      }
+      graft.streaming.SemIngest.recenter(s, root, nCells, epochId = 2L,
+        threshold = 0.35, lloydRounds = 0)
+      val out = graft.streaming.SemIngest.survivors(s, root)
+        .orderBy(col("vec_id"))
+        .localCheckpoint(true) // materialize before the store dir vanishes
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+      out
+    }),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -2422,6 +2470,22 @@ object SparkEntry {
   /** Shared by q54/q59: the ANN/clustering gates keep a fixed 16-cell
     * quantizer (nProbe/recall semantics are per-cell-count contracts). */
   private val ivfAssignCte = ivfAssignCteN("16")
+
+  /** [[ivfAssignCteN]] with TAGGED cte names and a seed-candidate filter —
+    * the q127 oracle needs TWO geometries side by side: the frozen
+    * ingest quantizer (seeds = √N lowest ids of the HIGH half) and the
+    * recenter refit (corpus-lowest seeds). Same dist/tie arithmetic. */
+  private def ivfAssignCteTagged(tag: String, seedWhere: String): String =
+    s"""seeds$tag AS (SELECT vec_id AS cell, embedding AS ce,
+      |  list_reduce(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)), (a, b) -> a + b) AS cn2
+      | FROM embeddings WHERE vec_id IN (SELECT vec_id FROM (
+      |   SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn FROM embeddings $seedWhere)
+      |  WHERE rn <= $semDedupSeedLimitSql)),
+      |dd$tag AS (SELECT v.vec_id, s.cell,
+      |  s.cn2 - 2 * list_reduce(list_transform(range(64), i -> CAST(v.embedding[i+1] AS DOUBLE) * CAST(s.ce[i+1] AS DOUBLE)), (a, b) -> a + b) AS dist
+      | FROM embeddings v CROSS JOIN seeds$tag s),
+      |assign$tag AS (SELECT vec_id, cell FROM (
+      |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM dd$tag) WHERE rn = 1)""".stripMargin
 
   /** The SemDeDup oracle's seed count — the SQL twin of [[semDedupCells]]. */
   private val semDedupSeedLimitSql =
@@ -3597,6 +3661,39 @@ object SparkEntry {
         |  LAG(ts_us) OVER (PARTITION BY key ORDER BY ts_us, id) AS prev FROM f)
         |SELECT id, key FROM g WHERE prev IS NULL OR ts_us - prev > 86400000000
         |ORDER BY id""".stripMargin,
+
+    // Two geometries, one component graph: assignA replays the frozen
+    // ingest quantizer (√N lowest ids of the HIGH half — the descending
+    // feed's first batch; mid uses the overflow-safe min/2 + max/2 the
+    // Spark side computes), assignB the recenter refit (corpus-lowest
+    // seeds); survivors = min-id members of the components of the UNION
+    // of both geometries' within-cell cosine pairs.
+    "q127_semdedup_recenter" -> {
+      val midSql = "(SELECT min(vec_id) // 2 + max(vec_id) // 2 FROM embeddings)"
+      s"""WITH RECURSIVE ${ivfAssignCteTagged("A", s"WHERE vec_id > $midSql")},
+         |${ivfAssignCteTagged("B", "")},
+         |vA AS (SELECT m.vec_id, m.embedding AS e, $nrmSql AS nrm, a.cell
+         |  FROM embeddings m JOIN assignA a ON m.vec_id = a.vec_id),
+         |vB AS (SELECT m.vec_id, m.embedding AS e, $nrmSql AS nrm, a.cell
+         |  FROM embeddings m JOIN assignB a ON m.vec_id = a.vec_id),
+         |eA AS (SELECT va.vec_id AS a, vb.vec_id AS b
+         |  FROM vA va JOIN vA vb ON va.cell = vb.cell AND va.vec_id < vb.vec_id
+         |  WHERE $dotSql / (va.nrm * vb.nrm) >= 0.35),
+         |eB AS (SELECT va.vec_id AS a, vb.vec_id AS b
+         |  FROM vB va JOIN vB vb ON va.cell = vb.cell AND va.vec_id < vb.vec_id
+         |  WHERE $dotSql / (va.nrm * vb.nrm) >= 0.35),
+         |ee AS (SELECT a, b FROM eA UNION SELECT b, a FROM eA
+         |  UNION SELECT a, b FROM eB UNION SELECT b, a FROM eB),
+         |reach(a, b) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM ee)
+         |  UNION
+         |  SELECT r.a, e2.b FROM reach r JOIN ee e2 ON r.b = e2.a),
+         |comp AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY a)
+         |SELECT m.vec_id, m.label FROM embeddings m
+         |LEFT JOIN comp ON m.vec_id = comp.id
+         |WHERE comp.comp IS NULL OR comp.comp = m.vec_id
+         |ORDER BY m.vec_id""".stripMargin
+    },
 
     // Same 40-char/stride-10 windows, same cross-doc df >= 2 screen, same
     // merge-touching island rule (new span iff off STRICTLY past the
