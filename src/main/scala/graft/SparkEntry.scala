@@ -2068,6 +2068,15 @@ object SparkEntry {
       org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
       out
     }),
+
+    // Unigram-LM surprisal — the perplexity-proxy quality filter
+    // (CCNet/Gopher-style, self-trained): per doc, the mean −ln p(token)
+    // under corpus unigram frequencies; production drops both tails.
+    // Per-token surprisals round to 6 dp before an exact DECIMAL
+    // summation, so the oracle compares bit-for-bit.
+    "q128_unigram_surprisal" -> ((s, d) =>
+      graft.operators.TextProfile.unigramSurprisal(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -3694,6 +3703,20 @@ object SparkEntry {
          |WHERE comp.comp IS NULL OR comp.comp = m.vec_id
          |ORDER BY m.vec_id""".stripMargin
     },
+
+    // Same whitespace tokens, same corpus unigram p, same per-token
+    // 6 dp rounding before exact DECIMAL summation as
+    // TextProfile.unigramSurprisal.
+    "q128_unigram_surprisal" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |v AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+         |n AS (SELECT count(*) AS n_total FROM t),
+         |s AS (SELECT doc_id,
+         |    CAST(round(-ln(CAST(cnt AS DOUBLE) / n_total), 6) AS DECIMAL(28,6)) AS s
+         |  FROM t JOIN v USING (tok) CROSS JOIN n)
+         |SELECT doc_id, count(*) AS n_toks,
+         |  round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS surprisal
+         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Same 40-char/stride-10 windows, same cross-doc df >= 2 screen, same
     // merge-touching island rule (new span iff off STRICTLY past the

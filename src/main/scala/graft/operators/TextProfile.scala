@@ -133,4 +133,36 @@ object TextProfile {
       .where(col("rank") <= k)
       .select(col(idCol), col("term"), round(col("score"), 6).as("score"), col("rank"))
   }
+
+  /** Unigram-LM surprisal score — the perplexity-proxy quality filter of
+    * the CCNet/Gopher pipelines, self-trained (no external model): per
+    * doc, the mean over its tokens of −ln p(token) with p = corpus
+    * unigram frequency. The LOW tail is common-word template text, the
+    * HIGH tail is rare-token soup (OCR noise, code, wrong-language) —
+    * production screens drop both tails by thresholding this column.
+    *
+    * Float determinism (the oracle compares exactly): each token's
+    * surprisal is rounded to 6 dp and the per-doc summation runs as
+    * exact DECIMAL arithmetic — raw double sums are partition-order
+    * dependent, the same discipline as every money aggregate here.
+    *
+    * Scale: one token-grain shuffle with map-side combine for the vocab,
+    * one token-keyed join back (a hot token costs one fat reduce task at
+    * worst — df rows are one per token), doc-grain aggregate out; the
+    * corpus token total is a broadcast scalar. */
+  def unigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val vocab = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val n = tok.agg(count(lit(1)).as("n_total"))
+    tok.join(vocab, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("s",
+        round(-log(col("cnt").cast("double") / col("n_total").cast("double")), 6)
+          .cast("decimal(28,6)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"), sum(col("s")).as("sum_s"))
+      .select(col(idCol), col("n_toks"),
+        round(col("sum_s").cast("double") / col("n_toks"), 6).as("surprisal"))
+  }
 }

@@ -297,8 +297,12 @@ object StatefulOps {
     *
     * Feed contract: batches must be event-time ordered ACROSS batches
     * (ts-range chunks — the replay/Kafka-log shape); within a batch any
-    * order is fine (sorted here). Rows carry (key, id, ts); ties on ts
-    * break by id, matching the oracle's ORDER BY ts, id. */
+    * order is fine (sorted here). The contract is ENFORCED, not assumed:
+    * the 0-second watermark makes the engine's late-row filter drop any
+    * cross-batch straggler (ts at or below the previous batch's max)
+    * before it reaches the operator, so state can never rewind. Rows
+    * carry (key, id, ts); ties on ts break by id, matching the oracle's
+    * ORDER BY ts, id. */
   def firstPerKeyRetention(
       rows: Dataset[(String, Long, Timestamp)],
       ttl: Duration): Dataset[(String, Long)] = {

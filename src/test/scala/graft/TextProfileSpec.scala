@@ -86,4 +86,16 @@ class TextProfileSpec extends SparkTestBase {
     // events 1,2,3 merged into ONE session despite the batch split
     assert(out.map(_._2).toSeq === Seq(3L, 1L))
   }
+
+  test("unigram surprisal scores by corpus frequency with decimal-exact per-doc sums") {
+    // vocab: a×3, b×3, c×1 over N=7 tokens
+    //   s(a) = s(b) = round(-ln(3/7), 6) = 0.847298
+    //   s(c) = round(-ln(1/7), 6) = 1.945910
+    val docs = Seq((0L, "a a b"), (1L, "a b b c")).toDF("doc_id", "text")
+    val out = graft.operators.TextProfile.unigramSurprisal(docs)
+      .orderBy($"doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      (0L, 3L, 0.847298),                               // 3·0.847298 / 3
+      (1L, 4L, 1.121951)))                              // (3·0.847298 + 1.945910) / 4
+  }
 }
