@@ -160,6 +160,56 @@ class PropertySpec extends SparkTestBase {
     assert(got === want)
   }
 
+  // -- 4b. substring dup profile == naive reference ------------------------
+
+  /** Brute-force reference: enumerate windows, find cross-doc duplicated
+    * window texts, merge offsets into islands (new island iff off strictly
+    * past the running max end), report (n_spans, dup_chars) per doc. */
+  private def naiveSubstringProfile(docs: Seq[(Long, String)], w: Int, st: Int)
+      : Map[Long, (Long, Long)] = {
+    val wins = docs.flatMap { case (id, t) =>
+      if (t.length < w) Seq.empty
+      else (0 to (t.length - w) by st).map(off => (id, off, t.substring(off, off + w)))
+    }
+    val dup = wins.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+    wins.filter(x => dup(x._3)).groupBy(_._1).map { case (id, xs) =>
+      var n = 0L; var covered = 0L; var curS = -1; var curE = -1
+      xs.map(_._2).sorted.foreach { o =>
+        if (curE < 0 || o > curE) {
+          if (curE >= 0) covered += curE - curS
+          n += 1; curS = o; curE = o + w
+        } else curE = math.max(curE, o + w)
+      }
+      covered += curE - curS
+      id -> (n, covered)
+    }
+  }
+
+  test("substringDupProfile equals the naive reference on random spliced docs") {
+    val rnd = new scala.util.Random(73)
+    // a pool of shared snippets long enough to carry whole windows, spliced
+    // into random filler at random (UNALIGNED) offsets — dup detection then
+    // depends on which splices happen to agree mod stride, exactly the
+    // operator's documented recall condition, so the reference must agree
+    // case by case, not just on "obvious" dups
+    (0 until 8).foreach { round =>
+      val pool = Vector.fill(3)(Vector.fill(30)(('a' + rnd.nextInt(3)).toChar).mkString)
+      val docs = (0L until 6L).map { id =>
+        val parts = (0 until rnd.nextInt(5)).map { _ =>
+          if (rnd.nextBoolean()) pool(rnd.nextInt(pool.size))
+          else Vector.fill(rnd.nextInt(40))(('a' + rnd.nextInt(3)).toChar).mkString
+        }
+        (id, parts.mkString)
+      }
+      val got = graft.operators.Dedup
+        .substringDupProfile(docs.toDF("doc_id", "text"), window = 12, stride = 4)
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      val want = naiveSubstringProfile(docs, 12, 4)
+      assert(got === want, s"round $round: docs=$docs")
+    }
+  }
+
   // -- 5. bounded-heap topN == naive sort-based reference ------------------
 
   test("topNPerWindow (bounded heap) equals the naive sort reference on random data") {
