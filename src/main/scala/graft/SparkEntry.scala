@@ -2077,6 +2077,17 @@ object SparkEntry {
     "q128_unigram_surprisal" -> ((s, d) =>
       graft.operators.TextProfile.unigramSurprisal(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
+
+    // Cross-source duplication matrix — the mixture-weights diagnostic
+    // next to q98's per-source profile: distinct shared fingerprints and
+    // set-Jaccard per source pair. Pair space is fp-equi-join bounded
+    // (≤ sources² rows per fingerprint), never doc×doc. The synthetic
+    // corpus's exact dups are within-source only, so the gate pins the
+    // diagonal + correct ABSENCE of cross rows; CorpusSpec plants the
+    // cross-source case.
+    "q129_cross_source_overlap" -> ((s, d) =>
+      graft.operators.Corpus.crossSourceOverlap(Tables.documents(s, d))
+        .orderBy(col("src_a"), col("src_b"))),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -3703,6 +3714,21 @@ object SparkEntry {
          |WHERE comp.comp IS NULL OR comp.comp = m.vec_id
          |ORDER BY m.vec_id""".stripMargin
     },
+
+    // Same md5(normalized text) fingerprints as every exact-dedup oracle;
+    // distinct (source, fp) grain, fp equi-join, a <= b pairs incl. the
+    // diagonal, Jaccard over the set sizes.
+    "q129_cross_source_overlap" ->
+      s"""WITH f AS (SELECT DISTINCT source AS src, md5($normalizedSql) AS fp
+         |  FROM documents),
+         |sz AS (SELECT src, count(*) AS n FROM f GROUP BY src),
+         |sh AS (SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_shared
+         |  FROM f a JOIN f b ON a.fp = b.fp AND a.src <= b.src
+         |  GROUP BY 1, 2)
+         |SELECT src_a, src_b, n_shared,
+         |  round(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 6) AS jaccard
+         |FROM sh JOIN sz sa ON sh.src_a = sa.src JOIN sz sb ON sh.src_b = sb.src
+         |ORDER BY src_a, src_b""".stripMargin,
 
     // Same whitespace tokens, same corpus unigram p, same per-token
     // 6 dp rounding before exact DECIMAL summation as

@@ -64,6 +64,37 @@ object Corpus {
       .join(dupVolume, Seq(sourceCol))
   }
 
+  /** Cross-source duplication matrix — the curation diagnostic behind
+    * mixture weights and dedup priorities ("how much of source B is
+    * already in source A?"): for every source pair (a ≤ b), the number
+    * of distinct content fingerprints present in BOTH, plus the Jaccard
+    * of the two fingerprint sets. Diagonal rows (a = b) carry each
+    * source's distinct-content count (Jaccard 1).
+    *
+    * Scale: the pair space rides the fingerprint equi-join over the
+    * DISTINCT (source, fp) grain — each fp contributes at most
+    * #sources² pair rows (sources are a small constant), never doc×doc;
+    * one fp-keyed shuffle plus a sources²-row aggregate out. */
+  def crossSourceOverlap(
+      docs: DataFrame,
+      sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val fps = docs.select(col(sourceCol).as("src"),
+      graft.functions.TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .distinct()
+    val sizes = fps.groupBy(col("src")).agg(count(lit(1)).as("n"))
+    fps.select(col("src").as("src_a"), col("fp"))
+      .join(fps.select(col("src").as("src_b"), col("fp")), "fp")
+      .where(col("src_a") <= col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared")) // (src, fp) rows are distinct
+      .join(sizes.select(col("src").as("src_a"), col("n").as("na")), "src_a")
+      .join(sizes.select(col("src").as("src_b"), col("n").as("nb")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        round(col("n_shared").cast("double")
+          / (col("na") + col("nb") - col("n_shared")), 6).as("jaccard"))
+  }
+
   /** Greedy contiguous sequence packing — assign documents to fixed-token
     * bins for training-batch assembly: per stratum, in id order, a doc
     * starts in the bin its cumulative-token offset falls in

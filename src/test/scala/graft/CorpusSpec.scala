@@ -33,4 +33,22 @@ class CorpusSpec extends SparkTestBase {
       Corpus.mixtureInterleave(docs, $"stratum", $"doc_id", Map("a" -> 0.0))
     }
   }
+
+  test("crossSourceOverlap counts shared fingerprints and Jaccard across sources") {
+    // A: {x, y, z}; B: {x, y, w} (x whitespace-variant — fingerprints
+    // normalize); C: {v} disjoint. A∩B = {x, y} → J = 2/(3+3-2) = 0.5.
+    // The synthetic gate corpus has only WITHIN-source dups, so the
+    // off-diagonal path is pinned here.
+    val docs = Seq(
+      (0L, "A", "x one"), (1L, "A", "y two"), (2L, "A", "z three"),
+      (3L, "B", "x  one "), (4L, "B", "y two"), (5L, "B", "w four"),
+      (6L, "B", "y two"), // in-source dup: distinct grain must not double-count
+      (7L, "C", "v five")).toDF("doc_id", "source", "text")
+    val out = Corpus.crossSourceOverlap(docs)
+      .orderBy($"src_a", $"src_b")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      ("A", "A", 3L, 1.0), ("A", "B", 2L, 0.5), ("B", "B", 3L, 1.0),
+      ("C", "C", 1L, 1.0)))
+  }
 }
