@@ -2088,6 +2088,100 @@ object SparkEntry {
     "q129_cross_source_overlap" -> ((s, d) =>
       graft.operators.Corpus.crossSourceOverlap(Tables.documents(s, d))
         .orderBy(col("src_a"), col("src_b"))),
+
+    // Temperature-flattened mixture sampling (T=2, α=½): the
+    // multilingual rebalance next to q60's FIXED-weight sample — per-lang
+    // keep fraction √(n_min/n_lang) derived from the observed counts, so
+    // the dominant language thins toward the flattened share while the
+    // smallest is kept whole. Gate pins the kept set per stratum (count +
+    // id checksum).
+    "q130_temperature_sample" -> ((s, d) =>
+      graft.operators.Corpus.temperatureSample(
+          Tables.documents(s, d), col("lang"), col("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("lang"))),
+
+    // Gopher-rule keep/drop filter: the decision layer over the quality
+    // signals (word-count bounds, mean-word-length bounds, ≥2 distinct
+    // stopwords, q68's repetition caps), with auditable per-rule reasons.
+    "q131_gopher_filter" -> ((s, d) =>
+      TextProfile.gopherFilter(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+
+    // DSIR-style importance weight: mean log-likelihood ratio of each
+    // doc's tokens under the target LM (en slice) vs the background LM
+    // (whole corpus), add-1 smoothed — the data-selection score next to
+    // q128's surprisal.
+    "q132_importance_weight" -> ((s, d) =>
+      TextProfile.importanceWeight(
+          Tables.documents(s, d), col("lang") === "en")
+        .orderBy(col("doc_id"))),
+
+    // Two-stage PQ retrieval: q90's ADC codes shortlist 50 candidates per
+    // query, exact cosine re-ranks to top-10 — the IVFADC refine step.
+    "q133_ann_pq_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqRerankTopK(emb, emb.where(col("vec_id") % 50 === 0),
+          10, 64, shortlist = 50)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // IVF index ON INGEST (AnnIngest): two ascending micro-batches
+    // accrete the cell-partitioned store (centroids frozen from batch 1's
+    // lowest-id seeds ≡ the corpus seeds under this feed; epoch-dir
+    // overwrites make replays idempotent), then the store-backed
+    // ivfSearch must equal the batch ivfTopK plan — shares q54's oracle
+    // verbatim.
+    "q134_stream_ann_ingest" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val mid = midOf(emb.agg(min(col("vec_id")), max(col("vec_id"))).head(),
+        "embeddings (q134)")
+      val root = java.nio.file.Files.createTempDirectory("graft_ann_ingest_").toString
+      implicit val enc: org.apache.spark.sql.Encoder[(Long, Array[Float])] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+      import s.implicits._
+      StreamHarness.runFilesSink(s,
+          Seq(emb.where(col("vec_id") <= mid).as[(Long, Array[Float])],
+            emb.where(col("vec_id") > mid).as[(Long, Array[Float])])) {
+        (ds, ckpt) =>
+          ds.toDF("vec_id", "embedding").writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: DataFrame, epochId: Long) =>
+              graft.streaming.AnnIngest.processBatch(
+                b.toDF("vec_id", "embedding"), root, epochId, nCells = 16)
+            }.start()
+      }
+      val out = graft.streaming.AnnIngest.searchStore(s, root,
+          Tables.embeddings(s, d).where(col("vec_id") % 50 === 0), 10, nProbe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+        .localCheckpoint(true) // materialize before the store dir vanishes
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+      out
+    }),
+
+    // Token-budget selection: q132's importance scores ranked into a
+    // half-the-corpus token budget via the distributed prefix scan — the
+    // DSIR selection step end-to-end.
+    "q135_budget_select" -> ((s, d) => {
+      val iw = TextProfile.importanceWeight(
+        Tables.documents(s, d), col("lang") === "en")
+      val budget = iw.agg(sum(col("n_toks"))).head().getLong(0) / 2
+      graft.operators.Corpus.selectByTokenBudget(
+          iw, "doc_id", "importance", "n_toks", budget)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-group cap: ≤10 docs per source by smallest md5(id) — the
+    // deterministic "max docs per domain" rule, bounded-heap aggregated
+    // (≤n rows per (partition, group) shuffle, no per-group sort window).
+    "q136_cap_per_group" -> ((s, d) =>
+      graft.operators.Corpus.capPerGroup(
+          Tables.documents(s, d), "source", "doc_id", 10)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -2442,6 +2536,39 @@ object SparkEntry {
   /** Σ va.e[i]·vb.e[i] with the same fold order as VectorFunctions.dot. */
   private val dotSql =
     "list_reduce(list_transform(range(64), i -> CAST(va.e[i+1] AS DOUBLE) * CAST(vb.e[i+1] AS DOUBLE)), (p, q) -> p + q)"
+
+  /** q90's PQ-ADC chain (codebook → codes → LUT → summed-term ranking),
+    * up to the `ranked` CTE — shared by q90 (plain ADC top-k) and q133
+    * (ADC shortlist → exact re-rank) so the twins can never silently
+    * diverge on the shortlist. */
+  private lazy val pqRankedCtes: String =
+    s"""WITH seeds AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16),
+       |cb AS (SELECT s.range AS sub, seeds.vec_id AS code,
+       |    array_slice(embedding, s.range*8+1, s.range*8+8) AS ce
+       |  FROM seeds CROSS JOIN range(8) s),
+       |cbn AS (SELECT sub, code, ce,
+       |    list_reduce(list_transform(range(8), i -> CAST(ce[i+1] AS DOUBLE)*CAST(ce[i+1] AS DOUBLE)), (p,q) -> p+q) AS cn2
+       |  FROM cb),
+       |ev AS (SELECT vec_id, s.range AS sub,
+       |    array_slice(embedding, s.range*8+1, s.range*8+8) AS xs
+       |  FROM embeddings CROSS JOIN range(8) s),
+       |dd AS (SELECT ev.vec_id, ev.sub, cbn.code,
+       |    cbn.cn2 - 2 * list_reduce(list_transform(range(8), i -> CAST(ev.xs[i+1] AS DOUBLE)*CAST(cbn.ce[i+1] AS DOUBLE)), (p,q) -> p+q) AS dist
+       |  FROM ev JOIN cbn ON ev.sub = cbn.sub),
+       |codes AS (SELECT vec_id, sub, code FROM (
+       |  SELECT vec_id, sub, code, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn FROM dd) WHERE rn = 1),
+       |lut AS (SELECT q.vec_id AS query_id, q.sub, cbn.code,
+       |    list_reduce(list_transform(range(8), i -> CAST(q.xs[i+1] AS DOUBLE)*CAST(cbn.ce[i+1] AS DOUBLE)), (p,q) -> p+q) AS tdot
+       |  FROM (SELECT * FROM ev WHERE vec_id % 50 = 0) q JOIN cbn ON q.sub = cbn.sub),
+       |pairs AS (SELECT l.query_id, c.vec_id AS neighbor_id,
+       |    ${(0 until 8).map(s => s"max(CASE WHEN c.sub = $s THEN l.tdot END) AS t$s").mkString(", ")}
+       |  FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+       |  WHERE l.query_id <> c.vec_id GROUP BY 1, 2),
+       |ranked AS (SELECT query_id, neighbor_id,
+       |    ${(0 until 8).map(s => s"t$s").reduceLeft((a, b) => s"($a + $b)")} AS score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY
+       |      ${(0 until 8).map(s => s"t$s").reduceLeft((a, b) => s"($a + $b)")} DESC, neighbor_id) AS "rank"
+       |  FROM pairs)""".stripMargin
 
   /** [[dotSql]] parameterized over the two list expressions (same fold). */
   private def dotOf(a: String, b: String, dim: Int = 64): String =
@@ -2931,34 +3058,24 @@ object SparkEntry {
     // argmin assignment (ties by code), per-query LUT dots, and the ADC
     // score as the same explicit left-to-right 8-term addition.
     "q90_ann_pq" ->
-      s"""WITH seeds AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16),
-         |cb AS (SELECT s.range AS sub, seeds.vec_id AS code,
-         |    array_slice(embedding, s.range*8+1, s.range*8+8) AS ce
-         |  FROM seeds CROSS JOIN range(8) s),
-         |cbn AS (SELECT sub, code, ce,
-         |    list_reduce(list_transform(range(8), i -> CAST(ce[i+1] AS DOUBLE)*CAST(ce[i+1] AS DOUBLE)), (p,q) -> p+q) AS cn2
-         |  FROM cb),
-         |ev AS (SELECT vec_id, s.range AS sub,
-         |    array_slice(embedding, s.range*8+1, s.range*8+8) AS xs
-         |  FROM embeddings CROSS JOIN range(8) s),
-         |dd AS (SELECT ev.vec_id, ev.sub, cbn.code,
-         |    cbn.cn2 - 2 * list_reduce(list_transform(range(8), i -> CAST(ev.xs[i+1] AS DOUBLE)*CAST(cbn.ce[i+1] AS DOUBLE)), (p,q) -> p+q) AS dist
-         |  FROM ev JOIN cbn ON ev.sub = cbn.sub),
-         |codes AS (SELECT vec_id, sub, code FROM (
-         |  SELECT vec_id, sub, code, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn FROM dd) WHERE rn = 1),
-         |lut AS (SELECT q.vec_id AS query_id, q.sub, cbn.code,
-         |    list_reduce(list_transform(range(8), i -> CAST(q.xs[i+1] AS DOUBLE)*CAST(cbn.ce[i+1] AS DOUBLE)), (p,q) -> p+q) AS tdot
-         |  FROM (SELECT * FROM ev WHERE vec_id % 50 = 0) q JOIN cbn ON q.sub = cbn.sub),
-         |pairs AS (SELECT l.query_id, c.vec_id AS neighbor_id,
-         |    ${(0 until 8).map(s => s"max(CASE WHEN c.sub = $s THEN l.tdot END) AS t$s").mkString(", ")}
-         |  FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
-         |  WHERE l.query_id <> c.vec_id GROUP BY 1, 2),
-         |ranked AS (SELECT query_id, neighbor_id,
-         |    ${(0 until 8).map(s => s"t$s").reduceLeft((a, b) => s"($a + $b)")} AS score,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY
-         |      ${(0 until 8).map(s => s"t$s").reduceLeft((a, b) => s"($a + $b)")} DESC, neighbor_id) AS "rank"
-         |  FROM pairs)
+      s"""$pqRankedCtes
          |SELECT query_id, neighbor_id, round(score, 6) AS score, "rank" FROM ranked
+         |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin,
+
+    // q90's ADC chain as the SHORTLIST (rank <= 50), then the exact
+    // cosine re-rank over only those pairs — mirrors
+    // Similarity.pqRerankTopK stage for stage.
+    "q133_ann_pq_rerank" ->
+      s"""$pqRankedCtes,
+         |short AS (SELECT query_id, neighbor_id FROM ranked WHERE "rank" <= 50),
+         |v AS (SELECT vec_id, embedding AS e, $nrmSql AS nrm FROM embeddings),
+         |ex AS (SELECT s.query_id, s.neighbor_id, $dotSql / (va.nrm * vb.nrm) AS score
+         |  FROM short s JOIN v va ON va.vec_id = s.query_id
+         |  JOIN v vb ON vb.vec_id = s.neighbor_id),
+         |rr AS (SELECT query_id, neighbor_id, score,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS "rank"
+         |  FROM ex)
+         |SELECT query_id, neighbor_id, round(score, 6) AS score, "rank" FROM rr
          |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin,
 
     // q24 on the int8-quantized-then-dequantized store: max-abs scale
@@ -3242,18 +3359,7 @@ object SparkEntry {
 
     // IVF with seed centroids: cell ranking uses dist = ‖c‖² − 2·x·c with
     // the identical left-fold dots; ties break by cell id in both engines.
-    "q54_ann_ivf" ->
-      s"""WITH $ivfAssignCte,
-         |probes AS (SELECT vec_id AS query_id, cell FROM (
-         |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM dd WHERE vec_id % 50 = 0) WHERE rn <= 4),
-         |v AS (SELECT vec_id, embedding AS e, $nrmSql AS nrm FROM embeddings),
-         |scored AS (SELECT p.query_id, a.vec_id AS neighbor_id, $dotSql / (va.nrm * vb.nrm) AS score
-         | FROM probes p JOIN assign a ON p.cell = a.cell AND p.query_id <> a.vec_id
-         | JOIN v va ON va.vec_id = p.query_id JOIN v vb ON vb.vec_id = a.vec_id),
-         |ranked AS (SELECT query_id, neighbor_id, score,
-         |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS "rank" FROM scored)
-         |SELECT query_id, neighbor_id, round(score, 6) AS score, "rank" FROM ranked
-         |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin,
+    "q54_ann_ivf" -> ivfTopKOracle,
 
     "q53_embed_neardup_lsh" ->
       s"""WITH ${lshBucketCte(4, 64)},
@@ -3768,7 +3874,119 @@ object SparkEntry {
         |  FROM z GROUP BY 1, 2)
         |SELECT doc_id, count(*) AS n_spans, CAST(sum(e - s) AS BIGINT) AS dup_chars
         |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // per-lang ppm threshold = round(1e6·√(n_min/n)) — sqrt is IEEE-exact
+    // in both engines, so the sampled set is bit-identical
+    "q130_temperature_sample" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         |m AS (SELECT min(n) AS n_min FROM c),
+         |f AS (SELECT lang, CAST(round(1000000.0 * sqrt(CAST(n_min AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT) AS ppm
+         |  FROM c CROSS JOIN m)
+         |SELECT d.lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM documents d JOIN f USING (lang)
+         |WHERE ${hexLongSql("CAST(doc_id AS VARCHAR)")} % 1000000 < ppm
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // signals mirror TextFunctions / q68's CTEs; every threshold compares
+    // the 6-dp-ROUNDED signal, same as the Spark side
+    "q131_gopher_filter" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |sig AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+         |  round($meanRawSql, 6) AS mean_word_len,
+         |  CAST(len(list_distinct(list_filter(toks, x -> lower(x) IN $stopListSql))) AS BIGINT) AS n_stop_distinct
+         | FROM t),
+         |toks2 AS (SELECT doc_id, toks AS w FROM t),
+         |g3 AS (SELECT doc_id, unnest($sh3Sql) AS sh FROM toks2),
+         |d3 AS (SELECT doc_id,
+         |  round(1.0 - CAST(count(DISTINCT sh) AS DOUBLE) / count(*), 6) AS dup_3gram_frac
+         | FROM g3 GROUP BY 1),
+         |g2 AS (SELECT doc_id, unnest($sh2Sql) AS sh FROM toks2),
+         |c2 AS (SELECT doc_id, sh, count(*) AS c FROM g2 GROUP BY 1, 2),
+         |t2 AS (SELECT doc_id,
+         |  round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_2gram_frac
+         | FROM c2 GROUP BY 1),
+         |j AS (SELECT sig.*, dup_3gram_frac, top_2gram_frac
+         | FROM sig JOIN d3 USING (doc_id) JOIN t2 USING (doc_id)),
+         |r AS (SELECT *,
+         |  (n_words >= 30 AND n_words <= 100000) AS ok_words,
+         |  (mean_word_len >= 3.0 AND mean_word_len <= 5.0) AS ok_word_len,
+         |  (n_stop_distinct >= 2) AS ok_stopwords,
+         |  (dup_3gram_frac <= 0.05) AS ok_dup,
+         |  (top_2gram_frac <= 0.10) AS ok_top
+         | FROM j)
+         |SELECT doc_id, n_words, mean_word_len, n_stop_distinct,
+         | dup_3gram_frac, top_2gram_frac,
+         | (ok_words AND ok_word_len AND ok_stopwords AND ok_dup AND ok_top) AS keep,
+         | CASE WHEN ok_words AND ok_word_len AND ok_stopwords AND ok_dup AND ok_top THEN '-'
+         |  ELSE array_to_string(list_filter(
+         |   [CASE WHEN NOT ok_words THEN 'words' END,
+         |    CASE WHEN NOT ok_word_len THEN 'word_len' END,
+         |    CASE WHEN NOT ok_stopwords THEN 'stopwords' END,
+         |    CASE WHEN NOT ok_dup THEN 'dup_3gram' END,
+         |    CASE WHEN NOT ok_top THEN 'top_2gram' END], x -> x IS NOT NULL), ',')
+         | END AS reasons
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // one fixed parenthesization of the smoothed ratio; per-token ln
+    // rounded to 6 dp then DECIMAL-summed — q128's exactness trick
+    "q132_importance_weight" ->
+      s"""$importanceCtes
+         |SELECT doc_id, n_toks, importance FROM iw ORDER BY doc_id""".stripMargin,
+
+    // the ingest-maintained IVF store must answer exactly like the batch
+    // plan — one shared oracle with q54
+    "q134_stream_ann_ingest" -> ivfTopKOracle,
+
+    // q132's scores ranked into a half-the-corpus token budget: global
+    // (importance desc, doc_id) prefix-sum, keep while cum ≤ budget
+    "q135_budget_select" ->
+      s"""$importanceCtes,
+         |bud AS (SELECT CAST(sum(n_toks) // 2 AS BIGINT) AS b FROM iw),
+         |w AS (SELECT doc_id, n_toks, importance,
+         |    sum(n_toks) OVER (ORDER BY importance DESC, doc_id) AS cum FROM iw)
+         |SELECT doc_id, n_toks, importance FROM w CROSS JOIN bud
+         |WHERE cum <= b ORDER BY doc_id""".stripMargin,
+
+    // smallest-10 md5(doc_id) per source, hash order with id tie-break —
+    // the exact integer sort the LONG-space heap mirrors
+    "q136_cap_per_group" ->
+      s"""WITH h AS (SELECT doc_id, source,
+         |    ${hexLongSql("CAST(doc_id AS VARCHAR)")} AS hh FROM documents),
+         |r AS (SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn FROM h)
+         |SELECT doc_id, source FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
   )
+
+  /** Seed-centroid IVF probe + exact in-cell scoring — shared by q54
+    * (batch ivfTopK) and q134 (the AnnIngest store-backed search, which
+    * must answer identically under the id-ascending feed). */
+  private lazy val ivfTopKOracle: String =
+    s"""WITH $ivfAssignCte,
+       |probes AS (SELECT vec_id AS query_id, cell FROM (
+       |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM dd WHERE vec_id % 50 = 0) WHERE rn <= 4),
+       |v AS (SELECT vec_id, embedding AS e, $nrmSql AS nrm FROM embeddings),
+       |scored AS (SELECT p.query_id, a.vec_id AS neighbor_id, $dotSql / (va.nrm * vb.nrm) AS score
+       | FROM probes p JOIN assign a ON p.cell = a.cell AND p.query_id <> a.vec_id
+       | JOIN v va ON va.vec_id = p.query_id JOIN v vb ON vb.vec_id = a.vec_id),
+       |ranked AS (SELECT query_id, neighbor_id, score,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS "rank" FROM scored)
+       |SELECT query_id, neighbor_id, round(score, 6) AS score, "rank" FROM ranked
+       |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin
+
+  /** q132's DSIR importance chain up to the per-doc `iw` CTE — shared
+    * with q135 so the selection step can never diverge from the scores. */
+  private lazy val importanceCtes: String =
+    s"""WITH t AS (SELECT doc_id, (lang = 'en') AS it, unnest($toksSql) AS tok FROM documents),
+       |v AS (SELECT tok, count(*) AS cb,
+       |    sum(CASE WHEN it THEN 1 ELSE 0 END) AS ct FROM t GROUP BY tok),
+       |tot AS (SELECT sum(cb) AS nb, sum(ct) AS nt, count(*) AS vv FROM v),
+       |s AS (SELECT doc_id,
+       |    CAST(round(ln((CAST(ct + 1 AS DOUBLE) / CAST(nt + vv AS DOUBLE))
+       |      / (CAST(cb + 1 AS DOUBLE) / CAST(nb + vv AS DOUBLE))), 6) AS DECIMAL(28,6)) AS s
+       |  FROM t JOIN v USING (tok) CROSS JOIN tot),
+       |iw AS (SELECT doc_id, count(*) AS n_toks,
+       |    round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS importance
+       |  FROM s GROUP BY doc_id)""".stripMargin
 
   // step-by-step min-time chaining: strictly-after µs compare + 7-day
   // horizon, counts per step — shared by q93 (batch) and q95 (streaming)

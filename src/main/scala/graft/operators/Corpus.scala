@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /** Corpus-composition operators for training-data pipelines: deterministic
@@ -32,6 +33,42 @@ object Corpus {
       case (acc, (stratum, f)) => when(stratumCol === stratum, lit(ppm(f))).otherwise(acc)
     }
     df.where(Dedup.md5Long(idCol.cast("string")) % 1000000L < threshold)
+  }
+
+  /** Temperature-flattened mixture sampling — the multilingual-corpus
+    * rebalance step (the `p_s^α` schedule of multilingual LM training):
+    * given the natural stratum shares, sample so the kept corpus follows
+    * `w_s ∝ n_s^α` with α = ½ (temperature T = 1/α = 2). Down-sampling
+    * only (no row duplication): the keep fraction is
+    * `f_s = (w_s/n_s) / max_t(w_t/n_t) = √(n_min / n_s)` — the smallest
+    * stratum is kept whole and every larger stratum is hash-thinned
+    * toward the flattened share.
+    *
+    * α is fixed at ½ because `sqrt` is IEEE-exact (correctly rounded) in
+    * every engine, so the per-stratum ppm thresholds — and therefore the
+    * sampled set — are bit-reproducible cross-engine; an arbitrary-α
+    * `pow` carries a ±1 ulp license that could flip a threshold.
+    * Membership itself is the same md5-ppm gate as [[stratifiedSample]]:
+    * a pure function of the row id, stable across runs and retries.
+    *
+    * Scale: one map-side-combined count per stratum (strata are few), a
+    * 1-row global min under a broadcast, and a broadcast join of the
+    * tiny per-stratum threshold table back onto the scan — the corpus
+    * itself is touched by exactly one narrow filter pass. */
+  def temperatureSample(
+      df: DataFrame,
+      stratumCol: Column,
+      idCol: Column): DataFrame = {
+    val counts = df.groupBy(stratumCol.as("_stratum"))
+      .agg(count(lit(1)).as("_n"))
+    val nMin = counts.agg(min(col("_n")).as("_n_min"))
+    val ppm = counts.crossJoin(broadcast(nMin))
+      .select(col("_stratum"),
+        round(lit(1000000.0) * sqrt(col("_n_min").cast("double")
+          / col("_n").cast("double"))).cast("long").as("_ppm"))
+    df.join(broadcast(ppm), stratumCol === col("_stratum"))
+      .where(Dedup.md5Long(idCol.cast("string")) % 1000000L < col("_ppm"))
+      .drop("_stratum", "_ppm")
   }
 
   /** Per-source curation profile — the domain-level filtering step of a
@@ -120,6 +157,106 @@ object Corpus {
       .withColumn("bin", floor((col("_cum") - col("_tok")) / lit(capacity.toDouble)))
       .drop("_cum")
       .withColumnRenamed("_tok", "n_tokens")
+  }
+
+  /** Bounded buffer of the `n` (hash, id) pairs with the smallest hash —
+    * [[capPerGroup]]'s per-group state. Same shape as Similarity's
+    * TopKAggregator: map-side partial combine, only ≤n rows per
+    * (partition, group) ever shuffle, and the hash ordering stays in
+    * LONG space end to end (a double-scored heap would lose ulps above
+    * 2⁵³ and could disagree with the oracle's exact integer sort). */
+  private class KeepNSmallest(n: Int)
+      extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
+    private def ins(buf: Seq[(Long, Long)], x: (Long, Long)): Seq[(Long, Long)] = {
+      import scala.math.Ordering.Implicits._
+      if (buf.size >= n && buf.last < x) buf
+      else {
+        val i = buf.indexWhere(e => x < e)
+        val merged = if (i < 0) buf :+ x else (buf.take(i) :+ x) ++ buf.drop(i)
+        if (merged.size > n) merged.take(n) else merged
+      }
+    }
+    override def zero: Seq[(Long, Long)] = Seq.empty
+    override def reduce(b: Seq[(Long, Long)], a: (Long, Long)): Seq[(Long, Long)] = ins(b, a)
+    override def merge(b1: Seq[(Long, Long)], b2: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      b2.foldLeft(b1)(ins)
+    override def finish(r: Seq[(Long, Long)]): Seq[(Long, Long)] = r
+    override def bufferEncoder: Encoder[Seq[(Long, Long)]] =
+      ExpressionEncoder[Seq[(Long, Long)]]()
+    override def outputEncoder: Encoder[Seq[(Long, Long)]] =
+      ExpressionEncoder[Seq[(Long, Long)]]()
+  }
+
+  /** Per-group document cap — the "max N docs per domain/source" curation
+    * rule: keep, per group, the `n` rows with the smallest md5(id) — a
+    * deterministic uniform-without-replacement subsample (hash order is
+    * independent of id order), reproducible across runs and engines.
+    *
+    * Scale: one groupBy with the bounded [[KeepNSmallest]] heap (map-side
+    * combine, ≤n rows per (partition, group) shuffle — never a per-group
+    * sort window over all rows), then one semi-join of the ≤ groups·n kept
+    * ids back onto the corpus (broadcast when it fits). A 10-billion-doc
+    * group costs the same shuffle bytes as a 100-doc group. */
+  def capPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      n: Int): DataFrame = {
+    val keep = udaf(new KeepNSmallest(n), ExpressionEncoder[(Long, Long)]())
+    val keptIds = df
+      .select(col(groupCol), col(idCol),
+        Dedup.md5Long(col(idCol).cast("string")).as("_h"))
+      .groupBy(col(groupCol))
+      .agg(keep(col("_h"), col(idCol)).as("_kept"))
+      .select(explode(col("_kept")).as("_k"))
+      .select(col("_k._2").as("_kid"))
+    df.join(keptIds, df(idCol) === col("_kid"), "left_semi")
+  }
+
+  /** Token-budget corpus selection — the final step of score-ranked data
+    * selection (DSIR/quality-classifier pipelines): keep documents in
+    * (score desc, id asc) order while the running token total stays
+    * within `budget`; the first doc that would cross the budget, and
+    * everything ranked below it, is dropped.
+    *
+    * A global ordered prefix-sum WITHOUT a single-task window: the rows
+    * are range-repartitioned in selection order, each partition's token
+    * subtotal is collected (one array bounded by the partition count —
+    * the same driver-visible-bound contract as the bucket-id collects),
+    * the exclusive prefix offsets broadcast back, and every partition
+    * then emits its kept prefix independently. Two narrow passes over a
+    * pinned partitioning; each partition's scan is sequential but
+    * partitions run in parallel — at 100 TB the range exchange is the
+    * only shuffle, and the driver holds #partitions longs, never rows. */
+  def selectByTokenBudget(
+      docs: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      tokenCol: String,
+      budget: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // pin the partitioning: the subtotal pass and the emit pass must see
+    // the identical range splits (range sampling re-runs otherwise)
+    val base = docs
+      .select(col(idCol).cast("long"), col(scoreCol).cast("double"),
+        col(tokenCol).cast("long"))
+      .as[(Long, Double, Long)]
+      .repartitionByRange(n, col(scoreCol).desc, col(idCol).asc)
+      .sortWithinPartitions(col(scoreCol).desc, col(idCol).asc)
+      .localCheckpoint(true)
+    val sums = base.mapPartitions { it =>
+      Iterator.single(
+        (org.apache.spark.TaskContext.getPartitionId(), it.map(_._3).sum))
+    }.collect().toMap
+    val offsets = (0 until base.rdd.getNumPartitions)
+      .scanLeft(0L)((acc, p) => acc + sums.getOrElse(p, 0L)).toArray
+    val bc = spark.sparkContext.broadcast(offsets)
+    base.mapPartitions { it =>
+      var cum = bc.value(org.apache.spark.TaskContext.getPartitionId())
+      it.takeWhile { r => cum += r._3; cum <= budget }
+    }.toDF(idCol, scoreCol, tokenCol)
   }
 
   /** Mixture interleave — the training-ORDER schedule that follows the

@@ -191,6 +191,41 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Two-stage PQ retrieval — the production shape of PQ search
+    * (IVFADC's "refine" step): [[pqTopK]]'s asymmetric-distance codes
+    * pick a SHORTLIST of `shortlist` candidates per query (cheap — LUT
+    * sums over 1-byte codes), then only those |Q|·shortlist pairs are
+    * re-scored with the EXACT cosine and re-ranked to top-k. Recovers
+    * most of the recall PQ's quantization loses while touching full
+    * vectors for a per-query constant, not the corpus.
+    *
+    * Scale: stage 1 is [[pqTopK]]'s bounded-aggregator plan; stage 2
+    * broadcasts the tiny (query, candidate) list against the corpus
+    * store — one equi-join probe per candidate row, never a second
+    * corpus scan per query. */
+  def pqRerankTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      dim: Int,
+      shortlist: Int = 50,
+      m: Int = 8,
+      nCodes: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cand = pqTopK(corpus, queries, shortlist, dim, m, nCodes, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
+    val scored = c.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("score"))
+    topKPerQuery(scored, k)
+  }
+
   /** Symmetric int8 quantization of embedding vectors — the standard 4×
     * memory cut for corpus-scale embedding stores: per-vector
     * scale = max |xᵢ| (so the largest component maps to ±127 exactly, no
@@ -291,17 +326,32 @@ object Similarity {
     val shufflePartitions =
       corpus.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val cents = kmeansCentroids(corpus, nCells, iterations, idCol, vecCol)
-    def dists(df: DataFrame): DataFrame =
-      df.crossJoin(broadcast(cents))
-        .withColumn("dist", col("cn2") - lit(2.0) * dot(col(vecCol), col("ce")))
     val corpusCells = corpus.join(assignCells(corpus, cents, idCol, vecCol), idCol)
       .select(col(idCol).as("neighbor_id"), col("cell"),
         col(vecCol).as("cv"), norm(col(vecCol)).as("cn"))
       .repartition(shufflePartitions, col("cell"))
+    ivfSearch(corpusCells, cents, queries, k, nProbe, idCol, vecCol)
+  }
+
+  /** The probe-and-score phase of IVF search, over an ALREADY-ASSIGNED
+    * corpus `(neighbor_id, cell, cv, cn)` — shared by [[ivfTopK]] (batch
+    * assignment inline) and the streaming ingest-maintained index
+    * (`graft.streaming.AnnIngest`, which persists the assigned store and
+    * reads only the probed cells back). Identical math either way, so the
+    * store-backed search is oracle-equal to the batch plan. */
+  def ivfSearch(
+      corpusCells: DataFrame,
+      cents: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
     // nProbe nearest cells per query: rank by (dist asc, cell asc) via the
     // bounded top-k aggregator on score = −dist
     val probes = topKPerQuery(
-        dists(queries)
+        queries.crossJoin(broadcast(cents))
+          .withColumn("dist", col("cn2") - lit(2.0) * dot(col(vecCol), col("ce")))
           .select(col(idCol).as("query_id"), (-col("dist")).as("score"),
             col("cell").as("neighbor_id")), nProbe)
       .select(col("query_id"), col("neighbor_id").as("cell"))

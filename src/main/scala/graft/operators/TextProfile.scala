@@ -74,6 +74,92 @@ object TextProfile {
     d3.join(t2, Seq(idCol))
   }
 
+  /** Gopher-style rule filter — the keep/drop decision the quality
+    * signals feed (Rae et al. 2021 §A1.1's document-level heuristics,
+    * re-thresholded for this corpus): word-count bounds, mean-word-length
+    * bounds, a minimum count of DISTINCT stopwords ("prose-ness" — the
+    * Gopher rule is ≥2 of a small closed list), and the repetition caps
+    * over [[repetitionProfile]]'s dup-3gram / top-2gram fractions.
+    *
+    * Emits every signal, the `keep` verdict, and `reasons` — the
+    * comma-joined labels of the rules that fired (`-` if none), so the
+    * filter is auditable (per-reason drop rates are one groupBy away).
+    * Thresholds compare against the 6-dp-ROUNDED signal in both engines,
+    * so a borderline doc can never flip between Spark and the oracle.
+    *
+    * Scale: the scalar signals are one narrow pass; the repetition
+    * signals are [[repetitionProfile]]'s (doc, shingle)-grain shuffles;
+    * the final join is aggregate-to-aggregate on doc_id. Never doc×doc. */
+  def gopherFilter(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text",
+      minWords: Int = 30, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 5.0,
+      minStopDistinct: Int = 2,
+      maxDup3: Double = 0.05, maxTop2: Double = 0.10): DataFrame = {
+    val stopDistinct = size(array_distinct(filter(tokens(col(textCol)),
+      t => lower(t).isin(graft.functions.TextFunctions.stopwords.map(lit(_)): _*))))
+    val scalars = docs.select(col(idCol),
+      tokenCount(col(textCol)).cast("long").as("n_words"),
+      round(meanTokenLen(col(textCol)), 6).as("mean_word_len"),
+      stopDistinct.cast("long").as("n_stop_distinct"))
+    val joined = scalars.join(repetitionProfile(docs, idCol, textCol), Seq(idCol))
+    val rules: Seq[(String, Column)] = Seq(
+      "words" -> (col("n_words") >= minWords && col("n_words") <= maxWords),
+      "word_len" -> (col("mean_word_len") >= minMeanLen
+        && col("mean_word_len") <= maxMeanLen),
+      "stopwords" -> (col("n_stop_distinct") >= minStopDistinct),
+      "dup_3gram" -> (col("dup_3gram_frac") <= maxDup3),
+      "top_2gram" -> (col("top_2gram_frac") <= maxTop2))
+    val failed = concat_ws(",",
+      rules.map { case (label, ok) => when(!ok, lit(label)) }: _*)
+    joined
+      .withColumn("keep", rules.map(_._2).reduceLeft(_ && _))
+      .withColumn("reasons", when(length(failed) === 0, lit("-")).otherwise(failed))
+  }
+
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * via Importance Resampling", reduced to its unigram-LM core): per
+    * document, the mean log-likelihood ratio of its tokens under a
+    * TARGET unigram LM (docs matching `targetPred` — the high-quality /
+    * in-domain slice) vs the BACKGROUND LM (the whole corpus), both
+    * add-1 smoothed over the corpus vocabulary. Positive ⇒ the doc looks
+    * more like the target than the background; production resamples with
+    * probability ∝ exp(weight). Self-trained — no external model, same
+    * stance as [[unigramSurprisal]].
+    *
+    * Cross-engine exactness: the ratio is assembled with one fixed
+    * parenthesization, each per-token `ln` is rounded to 6 dp, and the
+    * per-doc mean is an exact DECIMAL sum over those rounded terms
+    * (identical trick as [[unigramSurprisal]] — float summation order
+    * never matters).
+    *
+    * Scale: two token-grain count aggregates (map-side combined), three
+    * 1-row globals under broadcast, one token→vocab equi-join (vocab is
+    * term-grain; Catalyst broadcasts when it fits), one doc-grain
+    * aggregate out. Never doc×doc; linear in corpus tokens. */
+  def importanceWeight(docs: DataFrame, targetPred: Column,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol), targetPred.as("_is_target"),
+      explode(tokens(col(textCol))).as("tok"))
+    val vocab = tok.groupBy(col("tok")).agg(
+      count(lit(1)).as("cb"),
+      sum(when(col("_is_target"), 1L).otherwise(0L)).as("ct"))
+    val totals = vocab.agg(
+      sum(col("cb")).as("nb"), sum(col("ct")).as("nt"),
+      count(lit(1)).as("v"))
+    val r = (((col("ct") + lit(1L)).cast("double")
+        / (col("nt") + col("v")).cast("double"))
+      / ((col("cb") + lit(1L)).cast("double")
+        / (col("nb") + col("v")).cast("double")))
+    tok.join(vocab, "tok")
+      .crossJoin(broadcast(totals))
+      .withColumn("s", round(log(r), 6).cast("decimal(28,6)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"), sum(col("s")).as("sum_s"))
+      .select(col(idCol), col("n_toks"),
+        round(col("sum_s").cast("double") / col("n_toks"), 6).as("importance"))
+  }
+
   /** n-gram LM quality proxy (the last text-quality signal next to
     * [[repetitionProfile]]'s C4/Gopher rules): per-doc fraction of word
     * unigrams and bigrams NOT covered by a reference corpus's

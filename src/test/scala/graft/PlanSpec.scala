@@ -42,6 +42,22 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Window"), "ranking must use the bounded heap, not row_number")
   }
 
+  test("temperatureSample broadcasts the per-stratum threshold table onto the scan") {
+    val p = plan(graft.operators.Corpus.temperatureSample(
+      Tables.documents(spark, sf), col("lang"), col("doc_id")))
+    assert(p.contains("BroadcastHashJoin"),
+      "the tiny ppm table must broadcast — a shuffle here scans the corpus twice:\n" + p)
+    assert(!p.contains("SortMergeJoin"), "no sort-merge against the corpus side")
+  }
+
+  test("capPerGroup keeps per-group selection in a bounded aggregate, no sort window") {
+    val p = plan(graft.operators.Corpus.capPerGroup(
+      Tables.documents(spark, sf), "source", "doc_id", 10))
+    assert(!p.contains("Window"),
+      "a row_number per group sorts EVERY group member through one task:\n" + p)
+    assert(p.contains("Aggregate"), "expected the bounded-heap aggregate pair")
+  }
+
   test("trade order pre-process broadcasts dic and the small join sides") {
     val p = plan(GmallPipelines.tradeOrderPreProcess(
       TopicDb(spark, sf), TopicDb.baseDic(spark)))

@@ -88,6 +88,33 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.2, s"pq ANN recall $recall")
   }
 
+  test("pqRerankTopK: exact-scores its shortlist, and a full shortlist equals brute force") {
+    val df = corpus.toDF("vec_id", "embedding")
+    val queries = df.where(col("vec_id") < 10)
+    // with shortlist ≥ |corpus|−1 the ADC stage keeps everything, so the
+    // re-rank must reproduce bruteForceTopK exactly — scores, order, ranks
+    val full = Similarity.pqRerankTopK(df, queries, 10, dim,
+        shortlist = 300, m = 4, nCodes = 16)
+      .orderBy(col("query_id"), col("rank"))
+      .as[(Long, Long, Double, Int)].collect()
+    val brute = Similarity.bruteForceTopK(df, queries, 10)
+      .orderBy(col("query_id"), col("rank"))
+      .as[(Long, Long, Double, Int)].collect()
+    assert(full === brute)
+    // a tight shortlist re-ranks only ADC candidates, with exact scores:
+    // recall ≥ the ADC-only ranking's (refine can only promote true hits)
+    val exact = brute.map(r => (r._1, r._2)).toSet
+    val adc = Similarity.pqTopK(df, queries, 10, dim, m = 4, nCodes = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rr = Similarity.pqRerankTopK(df, queries, 10, dim,
+        shortlist = 50, m = 4, nCodes = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recallAdc = (exact & adc).size.toDouble / exact.size
+    val recallRr = (exact & rr).size.toDouble / exact.size
+    info(s"recall adc=$recallAdc rerank=$recallRr")
+    assert(recallRr >= recallAdc, s"rerank $recallRr < adc $recallAdc")
+  }
+
   test("lshTopK achieves useful recall against brute force") {
     val df = corpus.toDF("vec_id", "embedding")
     val queries = df.where(col("vec_id") < 10)

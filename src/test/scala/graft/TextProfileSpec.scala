@@ -38,6 +38,37 @@ class TextProfileSpec extends SparkTestBase {
     assert(out(1)._3 === 0.333333) // 3 distinct 2-grams, each 1/3 (round 6)
   }
 
+  test("gopherFilter fires the right rules and reports auditable reasons") {
+    // d1 passes every rule: 30 words, mean len 117/30 = 3.9, two distinct
+    // stopwords, no repeated 3-grams
+    val good = ((1 to 28).map(i => f"w$i%03d") ++ Seq("the", "of")).mkString(" ")
+    // d2: 5 words (< 30) of mean length 2.2 (< 3): words + word_len fire,
+    // and with only 4 distinct 2-grams the top share 1/4 > 0.10 fires too
+    val short = "the of a to and"
+    // d3: alternating 2-token spam: word_len, stopwords, and both
+    // repetition caps fire
+    val spam = Seq.fill(20)("x y").mkString(" ")
+    val docs = Seq((1L, good), (2L, short), (3L, spam)).toDF("doc_id", "text")
+    val out = TextProfile.gopherFilter(docs).orderBy("doc_id")
+      .select($"doc_id", $"keep", $"reasons")
+      .as[(Long, Boolean, String)].collect()
+    assert(out(0) === ((1L, true, "-")))
+    assert(out(1) === ((2L, false, "words,word_len,top_2gram")))
+    assert(out(2) === ((3L, false, "word_len,stopwords,dup_3gram,top_2gram")))
+  }
+
+  test("importanceWeight scores target-like docs positive, background-like negative") {
+    // target slice = {d1}: "aa aa"; background adds d2: "bb bb".
+    // vocab: aa (cb=2, ct=2), bb (cb=2, ct=0); nb=4, nt=2, V=2.
+    // aa: ln(((2+1)/(2+2)) / ((2+1)/(4+2))) = ln 1.5; bb: ln 0.5.
+    val docs = Seq((1L, "aa aa", true), (2L, "bb bb", false))
+      .toDF("doc_id", "text", "is_t")
+    val out = TextProfile.importanceWeight(docs, $"is_t")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    assert(out(0) === ((1L, 2L, 0.405465)))
+    assert(out(1) === ((2L, 2L, -0.693147)))
+  }
+
   test("tfIdfTopK ranks by score desc then term, k bounded") {
     // "rare" appears in 1 doc, "common" in all 3: rare outranks common
     val docs = Seq(
