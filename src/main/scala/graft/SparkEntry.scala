@@ -2182,6 +2182,35 @@ object SparkEntry {
           Tables.documents(s, d), "source", "doc_id", 10)
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))),
+
+    // Per-group cap ON INGEST (CapIngest): two DESCENDING micro-batches —
+    // min-n-by-hash is associative, so unlike the geometry-frozen ingest
+    // ops this twin is feed-order independent by construction; a batch-2
+    // smaller-hash arrival must EVICT a batch-1 keeper from the store.
+    // Shares q136's oracle verbatim.
+    "q137_stream_cap_per_group" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val mid = midOf(docs.agg(min(col("doc_id")), max(col("doc_id"))).head(),
+        "documents (q137)")
+      val root = java.nio.file.Files.createTempDirectory("graft_cap_ingest_").toString
+      import s.implicits._
+      StreamHarness.runFilesSink(s,
+          Seq(docs.where(col("doc_id") > mid).as[(Long, String)],
+            docs.where(col("doc_id") <= mid).as[(Long, String)])) {
+        (ds, ckpt) =>
+          ds.toDF("doc_id", "source").writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: DataFrame, epochId: Long) =>
+              graft.streaming.CapIngest.processBatch(
+                b.toDF("doc_id", "source"), root, epochId, 10, "source", "doc_id")
+            }.start()
+      }
+      val out = graft.streaming.CapIngest.survivors(s, root, "source", "doc_id")
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true) // materialize before the store dir vanishes
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+      out
+    }),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -3949,13 +3978,20 @@ object SparkEntry {
 
     // smallest-10 md5(doc_id) per source, hash order with id tie-break —
     // the exact integer sort the LONG-space heap mirrors
-    "q136_cap_per_group" ->
-      s"""WITH h AS (SELECT doc_id, source,
-         |    ${hexLongSql("CAST(doc_id AS VARCHAR)")} AS hh FROM documents),
-         |r AS (SELECT doc_id, source,
-         |    row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn FROM h)
-         |SELECT doc_id, source FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+    "q136_cap_per_group" -> capPerGroupOracle,
+
+    // the ingest-maintained cap store must equal the batch rule over the
+    // full corpus under ANY feed order — one shared oracle with q136
+    "q137_stream_cap_per_group" -> capPerGroupOracle,
   )
+
+  /** q136/q137's shared cap rule: smallest-10 md5(doc_id) per source. */
+  private lazy val capPerGroupOracle: String =
+    s"""WITH h AS (SELECT doc_id, source,
+       |    ${hexLongSql("CAST(doc_id AS VARCHAR)")} AS hh FROM documents),
+       |r AS (SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn FROM h)
+       |SELECT doc_id, source FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin
 
   /** Seed-centroid IVF probe + exact in-cell scoring — shared by q54
     * (batch ivfTopK) and q134 (the AnnIngest store-backed search, which
