@@ -2188,6 +2188,18 @@ object SparkEntry {
     // ops this twin is feed-order independent by construction; a batch-2
     // smaller-hash arrival must EVICT a batch-1 keeper from the store.
     // Shares q136's oracle verbatim.
+    // ANN index-quality monitor: recall@10 of the IVF path (q54's exact
+    // params) against the brute-force ranking (q24's), per sampled query —
+    // the continuous eval a production vector store runs on its index.
+    "q138_ann_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.where(col("vec_id") % 50 === 0)
+      Similarity.recallAtK(
+          Similarity.ivfTopK(emb, qs, 10, nCells = 16, nProbe = 4),
+          Similarity.bruteForceTopK(emb, qs, 10))
+        .orderBy(col("query_id"))
+    }),
+
     "q137_stream_cap_per_group" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
       val mid = midOf(docs.agg(min(col("doc_id")), max(col("doc_id"))).head(),
@@ -3983,7 +3995,32 @@ object SparkEntry {
     // the ingest-maintained cap store must equal the batch rule over the
     // full corpus under ANY feed order — one shared oracle with q136
     "q137_stream_cap_per_group" -> capPerGroupOracle,
+
+    // per-query IVF recall vs the exact ranking, both chains recomputed
+    "q138_ann_recall" -> annRecallOracle,
   )
+
+  /** q138: the IVF path (q54's chain) joined against the brute-force
+    * ranking (q24's chain) at k = 10 — per-query hit counts + recall. */
+  private lazy val annRecallOracle: String =
+    s"""WITH $ivfAssignCte,
+       |probes AS (SELECT vec_id AS query_id, cell FROM (
+       |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM dd WHERE vec_id % 50 = 0) WHERE rn <= 4),
+       |v AS (SELECT vec_id, embedding AS e, $nrmSql AS nrm FROM embeddings),
+       |iscored AS (SELECT p.query_id, a.vec_id AS neighbor_id, $dotSql / (va.nrm * vb.nrm) AS score
+       | FROM probes p JOIN assign a ON p.cell = a.cell AND p.query_id <> a.vec_id
+       | JOIN v va ON va.vec_id = p.query_id JOIN v vb ON vb.vec_id = a.vec_id),
+       |approx AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn FROM iscored) WHERE rn <= 10),
+       |escored AS (SELECT va.vec_id AS query_id, vb.vec_id AS neighbor_id, $dotSql / (va.nrm * vb.nrm) AS score
+       | FROM (SELECT * FROM v WHERE vec_id % 50 = 0) va JOIN v vb ON va.vec_id <> vb.vec_id),
+       |eranked AS (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn FROM escored),
+       |j AS (SELECT e.query_id, a.neighbor_id AS hitn
+       |  FROM (SELECT query_id, neighbor_id FROM eranked WHERE rn <= 10) e
+       |  LEFT JOIN approx a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id)
+       |SELECT query_id, count(*) AS n_exact, count(hitn) AS n_hit,
+       | round(CAST(count(hitn) AS DOUBLE) / count(*), 6) AS recall
+       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** q136/q137's shared cap rule: smallest-10 md5(doc_id) per source. */
   private lazy val capPerGroupOracle: String =

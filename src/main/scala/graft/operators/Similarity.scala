@@ -365,6 +365,29 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Recall@k of an approximate top-k result against the exact ranking —
+    * the index-quality monitor a production ANN deployment runs
+    * continuously (sampled queries through both paths, recall tracked
+    * over time): per query, |approx ∩ exact| / |exact|. Takes the two
+    * result sets in [[bruteForceTopK]]'s (query_id, neighbor_id, …)
+    * shape, so any pair of paths (LSH vs brute, IVF vs brute, PQ vs
+    * rerank) composes.
+    *
+    * Scale: one equi-join on (query_id, neighbor_id) over two ≤|Q|·k-row
+    * frames plus a query-grain aggregate — the eval cost is bounded by
+    * the SAMPLED query count, never the corpus. */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val hit = approx.select(col("query_id"), col("neighbor_id"))
+      .withColumn("_hit", lit(1L))
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(hit, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        count(col("_hit")).as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / col("n_exact").cast("double"), 6))
+  }
+
   /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold),
     * bucketed by hyperplane LSH so the pair space is per-bucket, not global.
     * For the exact (oracle-checkable) variant pass nPlanes = 0 → single

@@ -115,6 +115,16 @@ class SimilaritySpec extends SparkTestBase {
     assert(recallRr >= recallAdc, s"rerank $recallRr < adc $recallAdc")
   }
 
+  test("recallAtK scores per-query overlap of two top-k result sets") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 99L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "neighbor_id")
+    val out = Similarity.recallAtK(approx, exact).orderBy("query_id")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out === Array((1L, 2L, 1L, 0.5), (2L, 2L, 2L, 1.0)))
+  }
+
   test("lshTopK achieves useful recall against brute force") {
     val df = corpus.toDF("vec_id", "embedding")
     val queries = df.where(col("vec_id") < 10)
