@@ -2223,6 +2223,31 @@ object SparkEntry {
       org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
       out
     }),
+
+    // Token-window chunking: 32-token windows, stride 24, clamped tail —
+    // the sequence-prep step between curation and tokenization. Doc-local
+    // explode, zero shuffle; chunks pinned by md5 fingerprint.
+    "q139_token_chunk" -> ((s, d) =>
+      graft.operators.Corpus.chunkByTokens(Tables.documents(s, d))
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
+    // Leakage-free holdout split: split is a pure function of the CONTENT
+    // fingerprint, so exact dups can never straddle train/heldout. 10%
+    // heldout via the md5-ppm gate.
+    "q140_holdout_split" -> ((s, d) =>
+      graft.operators.Corpus.holdoutSplit(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+
+    // Cross-split 8-gram contamination audit over q140's split: per
+    // heldout doc, distinct grams / grams also in train / flag. All joins
+    // at gram grain, never doc×doc.
+    "q141_split_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Corpus.splitContamination(
+          docs, graft.operators.Corpus.holdoutSplit(docs))
+        .orderBy(col("doc_id"))
+    }),
+
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -3998,6 +4023,45 @@ object SparkEntry {
 
     // per-query IVF recall vs the exact ranking, both chains recomputed
     "q138_ann_recall" -> annRecallOracle,
+
+    // same 32/24 clamped-tail windows as Corpus.chunkByTokens; max(0,·)
+    // BEFORE the floor-division so engine division semantics never differ
+    "q139_token_chunk" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |n AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM t),
+         |k AS (SELECT doc_id, w, n, greatest(0, n - 32 + 23) // 24 AS k FROM n),
+         |c AS (SELECT doc_id, w, n,
+         |   unnest(generate_series(0, k)) AS chunk_id FROM k),
+         |s AS (SELECT doc_id, w, n, chunk_id,
+         |   least(chunk_id * 24, greatest(0, n - 32)) AS start_tok FROM c)
+         |SELECT doc_id, chunk_id, start_tok,
+         |  least(32, n - start_tok) AS n_tok_chunk,
+         |  md5(array_to_string(w[CAST(start_tok + 1 AS INT):CAST(start_tok + 32 AS INT)], ' ')) AS chunk_fp
+         |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // split = pure function of md5(normalized text): exact dups land on
+    // one side by construction; 10% heldout via the md5-ppm gate
+    "q140_holdout_split" ->
+      s"""SELECT doc_id, md5($normalizedSql) AS cluster_fp,
+         |  CASE WHEN ${hexLongSql(s"md5($normalizedSql)")} % 1000000 < 100000
+         |    THEN 'heldout' ELSE 'train' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q140's split recomputed, then distinct word-8-grams per heldout doc
+    // semi-joined against the train-side gram set — all at gram grain
+    "q141_split_contamination" ->
+      s"""WITH sp AS (SELECT doc_id, text,
+         |    CASE WHEN ${hexLongSql(s"md5($normalizedSql)")} % 1000000 < 100000
+         |      THEN 'heldout' ELSE 'train' END AS split FROM documents),
+         |t AS (SELECT doc_id, split, $toksSql AS w FROM sp),
+         |g AS (SELECT doc_id, split, unnest(list_distinct(${shNSql(8)})) AS gram FROM t),
+         |tr AS (SELECT DISTINCT gram FROM g WHERE split = 'train'),
+         |he AS (SELECT doc_id, gram FROM g WHERE split = 'heldout'),
+         |hit AS (SELECT doc_id, count(*) AS n_hit FROM he JOIN tr USING (gram) GROUP BY 1),
+         |ng AS (SELECT doc_id, count(*) AS n_grams FROM he GROUP BY 1)
+         |SELECT ng.doc_id, n_grams, COALESCE(n_hit, 0) AS n_hit,
+         |  COALESCE(n_hit, 0) > 0 AS contaminated
+         |FROM ng LEFT JOIN hit USING (doc_id) ORDER BY doc_id""".stripMargin,
   )
 
   /** q138: the IVF path (q54's chain) joined against the brute-force

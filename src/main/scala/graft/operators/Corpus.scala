@@ -287,4 +287,110 @@ object Corpus {
       .withColumn("mix_pos", round(col("_rank").cast("double") / weight, 6))
       .drop("_rank")
   }
+
+  /** Token-window chunking — the sequence-prep step that turns documents
+    * into fixed-size training/RAG chunks: whitespace tokens are cut into
+    * windows of `chunkSize` tokens advancing by `stride` (overlap =
+    * chunkSize − stride), and the final window is CLAMPED to end at the
+    * last token (the HF-tokenizer `return_overflowing_tokens` rule), so
+    * no trailing text is lost and no chunk is shorter than the remainder
+    * requires. Documents shorter than one window yield one short chunk.
+    *
+    * Chunk count per doc is `1 + max(0, ⌈(n − chunkSize)/stride⌉)`,
+    * computed with non-negative integer arithmetic (`max(0, ·)` BEFORE
+    * the division — floor-vs-truncate division of negatives differs
+    * across engines, clamped-at-zero division doesn't).
+    *
+    * Scale: doc-local `sequence` + `explode` — zero shuffle, stays in
+    * whole-stage codegen; a 100 TB corpus chunks at scan speed and the
+    * output partitioning inherits the input's. Emits the chunk md5
+    * fingerprint, not the text, so the audit output is fixed-width. */
+  def chunkByTokens(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      chunkSize: Int = 32,
+      stride: Int = 24): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      "need 0 < stride <= chunkSize")
+    val w = graft.functions.TextFunctions.tokens(col(textCol))
+    docs
+      .select(col(idCol), w.as("_w"))
+      .withColumn("_n", size(col("_w")).cast("long"))
+      .withColumn("_k",
+        floor(greatest(lit(0L), col("_n") - chunkSize + (stride - 1)) / stride)
+          .cast("long"))
+      .select(col(idCol), col("_w"), col("_n"),
+        explode(sequence(lit(0L), col("_k"))).as("chunk_id"))
+      .withColumn("start_tok",
+        least(col("chunk_id") * stride, greatest(lit(0L), col("_n") - chunkSize)))
+      .select(
+        col(idCol), col("chunk_id"), col("start_tok"),
+        least(lit(chunkSize.toLong), col("_n") - col("start_tok")).as("n_tok_chunk"),
+        md5(concat_ws(" ",
+          slice(col("_w"), (col("start_tok") + 1).cast("int"), lit(chunkSize))))
+          .as("chunk_fp"))
+  }
+
+  /** Leakage-free holdout split — train/heldout assignment that can never
+    * separate exact duplicates across the split boundary (the eval-
+    * contamination failure mode): the split is a pure function of the
+    * CONTENT fingerprint (md5 of normalized text), not of the row id, so
+    * every copy of a duplicated document lands on the same side by
+    * construction — no clustering pass needed. The hash-ppm gate is the
+    * same deterministic md5 rule as [[stratifiedSample]].
+    *
+    * Near-duplicate clusters need the connected-components labels
+    * ([[Dedup.dedupGroups]]) joined in as the fingerprint instead; this
+    * operator is the exact-dup tier that costs nothing.
+    *
+    * Scale: a pure per-row projection — zero shuffle, codegen'd, runs at
+    * scan speed on any corpus size. */
+  def holdoutSplit(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      heldoutPpm: Long = 100000L): DataFrame = {
+    require(heldoutPpm >= 0 && heldoutPpm <= 1000000L, "ppm in [0, 1e6]")
+    val fp = graft.functions.TextFunctions.fingerprint(col(textCol))
+    docs.select(
+      col(idCol),
+      fp.as("cluster_fp"),
+      when(Dedup.md5Long(fp) % 1000000L < heldoutPpm, "heldout")
+        .otherwise("train").as("split"))
+  }
+
+  /** Cross-split contamination screen — after [[holdoutSplit]], measure
+    * how much of each heldout document's content also appears in the
+    * train side as a word `n`-gram (the train/eval leakage audit; the
+    * benchmark-vocab variant is [[Dedup.contaminationScreen]]). Emits,
+    * per heldout doc, its distinct-gram count, how many of those grams
+    * occur anywhere in train, and the contaminated flag.
+    *
+    * Scale: all joins ride the GRAM key — per-doc distinct grams explode
+    * doc-locally, the train set is gram-distinct (one map-side-combined
+    * aggregate), and the hit test is a semi-join at gram grain; nothing
+    * is ever doc×doc. At 100 TB put a bloom filter of the train grams in
+    * front of the semi-join (the [[Dedup.bloomIncremental]] pattern) so
+    * only probable hits shuffle. */
+  def splitContamination(
+      docs: DataFrame,
+      splits: DataFrame,
+      n: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions.shingles
+    val g = docs.join(splits.select(col(idCol), col("split")), Seq(idCol))
+      .select(col(idCol), col("split"),
+        explode(array_distinct(shingles(col(textCol), n))).as("gram"))
+    val train = g.where(col("split") === "train").select(col("gram")).distinct()
+    val held = g.where(col("split") === "heldout")
+    val hits = held.join(train, Seq("gram"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("_hit"))
+    held.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("_hit"), lit(0L)) > 0).as("contaminated"))
+  }
 }

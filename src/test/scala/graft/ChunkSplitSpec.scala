@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Corpus
+
+/** Token-window chunking, leakage-free splits, and cross-split
+  * contamination — boundary semantics pinned on hand-built data.
+  */
+class ChunkSplitSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def text(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
+
+  test("chunkByTokens: clamped-tail windows cover every token exactly once per rule") {
+    // n=10 (< size): one short chunk; n=32: one exact chunk; n=33: clamp
+    // puts the tail at start 1 (not stride 24); n=56: starts 0,24 (24 = n-32
+    // exactly, no clamp); n=80: starts 0,24,48
+    val docs = Seq((1L, text(10)), (2L, text(32)), (3L, text(33)),
+      (4L, text(56)), (5L, text(80))).toDF("doc_id", "text")
+    val out = Corpus.chunkByTokens(docs, chunkSize = 32, stride = 24)
+      .orderBy($"doc_id", $"chunk_id")
+      .as[(Long, Long, Long, Long, String)].collect()
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc(1L).map(r => (r._3, r._4)).toSeq === Seq((0L, 10L)))
+    assert(byDoc(2L).map(r => (r._3, r._4)).toSeq === Seq((0L, 32L)))
+    assert(byDoc(3L).map(r => (r._3, r._4)).toSeq === Seq((0L, 32L), (1L, 32L)))
+    assert(byDoc(4L).map(r => (r._3, r._4)).toSeq === Seq((0L, 32L), (24L, 32L)))
+    assert(byDoc(5L).map(r => (r._3, r._4)).toSeq ===
+      Seq((0L, 32L), (24L, 32L), (48L, 32L)))
+    // every chunk's fingerprint is the md5 of exactly its token slice
+    val toks80 = (1 to 80).map(i => s"w$i")
+    assert(byDoc(5L).map(_._5).toSeq ===
+      Seq(0, 24, 48).map(s => md5hex(toks80.slice(s, s + 32).mkString(" "))))
+    // the last chunk always reaches the last token
+    byDoc.foreach { case (id, rows) =>
+      val n = Seq(10, 32, 33, 56, 80)(id.toInt - 1)
+      assert(rows.map(r => r._3 + r._4).max === n.toLong, s"doc $id tail")
+    }
+  }
+
+  test("holdoutSplit: exact duplicates always land on the same side") {
+    val docs = (1 to 200).map(i => (i.toLong, s"doc body number ${i % 40}"))
+      .toDF("doc_id", "text") // 5 copies of each of 40 distinct texts
+    val out = Corpus.holdoutSplit(docs)
+      .select($"cluster_fp", $"split").distinct().collect()
+    // one split per fingerprint — never both
+    assert(out.map(_.getString(0)).distinct.length === out.length)
+    // ppm extremes
+    assert(Corpus.holdoutSplit(docs, heldoutPpm = 0L)
+      .where($"split" === "heldout").count() === 0)
+    assert(Corpus.holdoutSplit(docs, heldoutPpm = 1000000L)
+      .where($"split" === "train").count() === 0)
+  }
+
+  test("splitContamination counts exactly the heldout grams present in train") {
+    val train = (1L, (1 to 12).map(i => s"t$i").mkString(" "))
+    // heldout A shares train's tokens 3..10 (one 8-gram); B shares none
+    val heldA = (2L, ((3 to 10).map(i => s"t$i") ++ Seq("x1", "x2")).mkString(" "))
+    val heldB = (3L, (1 to 10).map(i => s"u$i").mkString(" "))
+    val docs = Seq(train, heldA, heldB).toDF("doc_id", "text")
+    val splits = Seq((1L, "train"), (2L, "heldout"), (3L, "heldout"))
+      .toDF("doc_id", "split")
+    val out = Corpus.splitContamination(docs, splits)
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(2L) === ((2L, 3L, 1L, true)))  // 10 toks → 3 grams, 1 hit
+    assert(out(3L) === ((3L, 3L, 0L, false)))
+    assert(!out.contains(1L)) // train docs are not audited
+  }
+
+}
