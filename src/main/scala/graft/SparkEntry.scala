@@ -2248,6 +2248,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // NEAR-dup-aware holdout split: q140's rule keyed by q84/q97's
+    // simhash component representative, so paraphrase variants can't
+    // straddle train/heldout either. Shares q97's component chain.
+    "q142_neardup_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Corpus.holdoutSplitByClusters(docs,
+          Dedup.connectedComponentsStar(
+            Dedup.simhashNearDups(Dedup.simhash(docs))))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -4062,6 +4072,29 @@ object SparkEntry {
          |SELECT ng.doc_id, n_grams, COALESCE(n_hit, 0) AS n_hit,
          |  COALESCE(n_hit, 0) > 0 AS contaminated
          |FROM ng LEFT JOIN hit USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // q97's simhash component chain verbatim, then the md5-ppm gate on
+    // the component representative (own id when unclustered)
+    "q142_neardup_split" ->
+      s"""WITH RECURSIVE $shCte,
+         |$simhashCte,
+         |bkt AS (SELECT doc_id, simhash, simhash >> 44 AS bucket FROM ssig),
+         |e AS (SELECT l.doc_id AS a, r.doc_id AS b
+         | FROM bkt l JOIN bkt r ON l.bucket = r.bucket AND l.doc_id < r.doc_id
+         | WHERE bit_count(xor(l.simhash, r.simhash)) <= 8),
+         |ee AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+         |reach(a, b) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM ee)
+         |  UNION
+         |  SELECT r.a, e2.b FROM reach r JOIN ee e2 ON r.b = e2.a),
+         |comp AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY a),
+         |ck AS (SELECT d.doc_id,
+         |   CAST(COALESCE(comp.comp, d.doc_id) AS BIGINT) AS cluster_key
+         |  FROM documents d LEFT JOIN comp ON d.doc_id = comp.id)
+         |SELECT doc_id, cluster_key,
+         |  CASE WHEN ${hexLongSql("CAST(cluster_key AS VARCHAR)")} % 1000000 < 100000
+         |    THEN 'heldout' ELSE 'train' END AS split
+         |FROM ck ORDER BY doc_id""".stripMargin,
   )
 
   /** q138: the IVF path (q54's chain) joined against the brute-force

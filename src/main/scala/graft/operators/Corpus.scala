@@ -360,6 +360,33 @@ object Corpus {
         .otherwise("train").as("split"))
   }
 
+  /** NEAR-dup-aware holdout split — [[holdoutSplit]]'s stronger tier:
+    * the split key is the connected-component representative from a
+    * near-dup pair graph ([[Dedup.connectedComponentsStar]] over
+    * simhash/MinHash candidates), falling back to the doc's own id for
+    * docs in no component — so paraphrases and boilerplate variants land
+    * on one side together, not just byte-identical copies. The md5-ppm
+    * gate on the cluster key keeps assignment deterministic.
+    *
+    * Scale: one left equi-join of the corpus against the component
+    * labels (only docs that appear in a near-dup pair — typically a
+    * small fraction, AQE broadcasts it when it fits), then a per-row
+    * projection. The pair graph itself is the dedup stack's existing
+    * O(log n)-round star CC, not a new cost. */
+  def holdoutSplitByClusters(
+      docs: DataFrame,
+      clusters: DataFrame,
+      idCol: String = "doc_id",
+      heldoutPpm: Long = 100000L): DataFrame = {
+    require(heldoutPpm >= 0 && heldoutPpm <= 1000000L, "ppm in [0, 1e6]")
+    val key = coalesce(col("comp"), col(idCol)).cast("long")
+    docs
+      .join(clusters.select(col("id").as(idCol), col("comp")), Seq(idCol), "left")
+      .select(col(idCol), key.as("cluster_key"),
+        when(Dedup.md5Long(key.cast("string")) % 1000000L < heldoutPpm, "heldout")
+          .otherwise("train").as("split"))
+  }
+
   /** Cross-split contamination screen — after [[holdoutSplit]], measure
     * how much of each heldout document's content also appears in the
     * train side as a word `n`-gram (the train/eval leakage audit; the

@@ -56,6 +56,23 @@ class ChunkSplitSpec extends SparkTestBase {
       .where($"split" === "train").count() === 0)
   }
 
+  test("holdoutSplitByClusters: component members share a side, unclustered fall back to own id") {
+    val docs = (1 to 6).map(i => (i.toLong, s"text $i")).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (4L, 4L), (5L, 4L)).toDF("id", "comp")
+    val out = Corpus.holdoutSplitByClusters(docs, clusters)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L)._1 === 1L && out(2L)._1 === 1L && out(1L)._2 === out(2L)._2)
+    assert(out(4L)._1 === 4L && out(5L)._1 === 4L && out(4L)._2 === out(5L)._2)
+    assert(out(3L)._1 === 3L && out(6L)._1 === 6L)
+    // same ppm rule as holdoutSplit, applied to the cluster key
+    val gate = docs.select($"doc_id",
+        (graft.operators.Dedup.md5Long($"doc_id".cast("string")) % 1000000L < 100000L)
+          .as("h")).as[(Long, Boolean)].collect().toMap
+    Seq(1L, 3L, 4L, 6L).foreach { k =>
+      assert(out(k)._2 === (if (gate(k)) "heldout" else "train"), s"key $k")
+    }
+  }
+
   test("splitContamination counts exactly the heldout grams present in train") {
     val train = (1L, (1 to 12).map(i => s"t$i").mkString(" "))
     // heldout A shares train's tokens 3..10 (one 8-gram); B shares none

@@ -87,6 +87,23 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("*(1)"), "regex projection should be codegen'd:\n" + p)
   }
 
+  test("token chunking and holdout split are zero-shuffle projections") {
+    val docs = Tables.documents(spark, sf)
+    val pc = plan(graft.operators.Corpus.chunkByTokens(docs))
+    assert(!pc.contains("Exchange"), "doc-local explode must not shuffle:\n" + pc)
+    val ps = plan(graft.operators.Corpus.holdoutSplit(docs))
+    assert(!ps.contains("Exchange"), "content-hash split must not shuffle:\n" + ps)
+    assert(ps.contains("*(1)"), "split should be one codegen stage:\n" + ps)
+  }
+
+  test("split contamination joins at gram grain — never doc×doc") {
+    val docs = Tables.documents(spark, sf)
+    val p = plan(graft.operators.Corpus.splitContamination(
+      docs, graft.operators.Corpus.holdoutSplit(docs)))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "gram semi-join must stay an equi-join:\n" + p)
+  }
+
   test("capped jaccard verifies from slim count rows, never shingle arrays") {
     val p = plan(graft.operators.Dedup.ngramJaccardPairsCapped(
       Tables.documents(spark, sf), maxDocFreq = 100))
