@@ -2258,6 +2258,13 @@ object SparkEntry {
             Dedup.simhashNearDups(Dedup.simhash(docs))))
         .orderBy(col("doc_id"))
     }),
+
+    // CCNet perplexity banding: q128's surprisal ranked by the
+    // range-partitioned exact global rank (no single-task window), cut
+    // into equal-population head/middle/tail bands.
+    "q143_perplexity_bands" -> ((s, d) =>
+      TextProfile.perplexityBands(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -2288,6 +2295,21 @@ object SparkEntry {
     "CASE WHEN ascii_raw < 0.5 THEN 'cjk' WHEN stop_raw >= 0.05 THEN 'en' ELSE 'unknown' END"
   private val normalizedSql =
     "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  /** Corpus-unigram surprisal per doc — ONE text shared by q128 and the
+    * q143 banding oracle; mirrors TextProfile.unigramSurprisal (per-token
+    * 6 dp rounding before exact DECIMAL summation). Final table:
+    * `srp(doc_id, n_toks, surprisal)`. */
+  private lazy val surprisalCtes: String =
+    s"""t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+       |v AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+       |n AS (SELECT count(*) AS n_total FROM t),
+       |s AS (SELECT doc_id,
+       |    CAST(round(-ln(CAST(cnt AS DOUBLE) / n_total), 6) AS DECIMAL(28,6)) AS s
+       |  FROM t JOIN v USING (tok) CROSS JOIN n),
+       |srp AS (SELECT doc_id, count(*) AS n_toks,
+       |  round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS surprisal
+       |FROM s GROUP BY doc_id)""".stripMargin
 
   /** 10-word paragraph windows — ONE text shared by the four paragraph
     * oracles (q101/q104/q107/q108) so the twins can never silently
@@ -3916,15 +3938,18 @@ object SparkEntry {
     // 6 dp rounding before exact DECIMAL summation as
     // TextProfile.unigramSurprisal.
     "q128_unigram_surprisal" ->
-      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
-         |v AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
-         |n AS (SELECT count(*) AS n_total FROM t),
-         |s AS (SELECT doc_id,
-         |    CAST(round(-ln(CAST(cnt AS DOUBLE) / n_total), 6) AS DECIMAL(28,6)) AS s
-         |  FROM t JOIN v USING (tok) CROSS JOIN n)
-         |SELECT doc_id, count(*) AS n_toks,
-         |  round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS surprisal
-         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $surprisalCtes
+         |SELECT doc_id, n_toks, surprisal FROM srp ORDER BY doc_id""".stripMargin,
+
+    // q128's surprisal ranked by (surprisal, doc_id) — a total order, so
+    // row_number is deterministic — then equal-population integer banding
+    "q143_perplexity_bands" ->
+      s"""WITH $surprisalCtes,
+         |r AS (SELECT doc_id, surprisal,
+         |    row_number() OVER (ORDER BY surprisal, doc_id) AS rank,
+         |    count(*) OVER () AS n FROM srp)
+         |SELECT doc_id, surprisal, rank, 1 + ((rank - 1) * 3) // n AS band
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     // Same 40-char/stride-10 windows, same cross-doc df >= 2 screen, same
     // merge-touching island rule (new span iff off STRICTLY past the

@@ -259,6 +259,48 @@ object Corpus {
     }.toDF(idCol, scoreCol, tokenCol)
   }
 
+  /** Exact global rank WITHOUT a global window — the distributed form of
+    * `row_number() OVER (ORDER BY score, id)`: rows are range-partitioned
+    * in rank order, each partition's row count is collected (one array
+    * bounded by the partition count — the driver-visible-bound contract
+    * of [[selectByTokenBudget]]), the exclusive prefix offsets broadcast
+    * back, and every partition then numbers its rows independently. A
+    * plain window with no PARTITION BY plans as a single-task sort — the
+    * classic 100 TB cliff this avoids; here the range exchange is the
+    * only shuffle and partitions rank in parallel. (score, id) is a total
+    * order (ids unique), so ranks are deterministic and engine-exact. */
+  def rankByScore(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      ascending: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ord =
+      if (ascending) Seq(col(scoreCol).asc, col(idCol).asc)
+      else Seq(col(scoreCol).desc, col(idCol).asc)
+    // pinned partitioning: the count pass and the emit pass must see the
+    // identical range splits (range sampling re-runs otherwise)
+    val base = df
+      .select(col(idCol).cast("long"), col(scoreCol).cast("double"))
+      .as[(Long, Double)]
+      .repartitionByRange(n, ord: _*)
+      .sortWithinPartitions(ord: _*)
+      .localCheckpoint(true)
+    val counts = base.mapPartitions { it =>
+      Iterator.single(
+        (org.apache.spark.TaskContext.getPartitionId(), it.length.toLong))
+    }.collect().toMap
+    val offsets = (0 until base.rdd.getNumPartitions)
+      .scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L)).toArray
+    val bc = spark.sparkContext.broadcast(offsets)
+    base.mapPartitions { it =>
+      var r = bc.value(org.apache.spark.TaskContext.getPartitionId())
+      it.map { case (id, s) => r += 1; (id, s, r) }
+    }.toDF(idCol, scoreCol, "rank")
+  }
+
   /** Mixture interleave — the training-ORDER schedule that follows the
     * mixture-weights sample: per stratum in id order, a doc's schedule
     * position is `rank / weight`, so a weight-3 stream appears three

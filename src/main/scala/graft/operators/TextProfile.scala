@@ -251,4 +251,26 @@ object TextProfile {
       .select(col(idCol), col("n_toks"),
         round(col("sum_s").cast("double") / col("n_toks"), 6).as("surprisal"))
   }
+
+  /** CCNet-style perplexity banding: rank every document by its
+    * [[unigramSurprisal]] (ascending — low surprisal ≈ low perplexity ≈
+    * "head") and cut the ranking into `nBands` equal-population bands
+    * (head/middle/tail at the default 3). Downstream corpus builds keep
+    * the head, subsample the middle, and drop or audit the tail — the
+    * CCNet recipe with the self-trained LM.
+    *
+    * The ranking is [[Corpus.rankByScore]] — range-partitioned exact
+    * global ranks, never a single-task `row_number()` window; the band
+    * is pure integer arithmetic on (rank, N), so the assignment is
+    * engine-exact (ties impossible: (surprisal, id) totally orders). */
+  def perplexityBands(docs: DataFrame, nBands: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(nBands >= 2, "need at least two bands")
+    val ranked = Corpus.rankByScore(
+      unigramSurprisal(docs, idCol, textCol), idCol, "surprisal")
+    ranked
+      .crossJoin(broadcast(ranked.agg(count(lit(1)).as("_n"))))
+      .withColumn("band", expr(s"1 + ((rank - 1) * $nBands) div _n"))
+      .select(col(idCol), col("surprisal"), col("rank"), col("band"))
+  }
 }

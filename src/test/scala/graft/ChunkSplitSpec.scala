@@ -73,6 +73,33 @@ class ChunkSplitSpec extends SparkTestBase {
     }
   }
 
+  test("rankByScore assigns exact global ranks across range partitions") {
+    val df = (1 to 100).map(i => (i.toLong, (i * 37 % 25).toDouble))
+      .toDF("id", "score") // heavy score ties → id tie-break must decide
+    val out = Corpus.rankByScore(df, "id", "score")
+      .as[(Long, Double, Long)].collect()
+    val expected = out.map(r => (r._2, r._1)).sorted.zipWithIndex
+      .map { case ((_, id), i) => id -> (i + 1L) }.toMap
+    out.foreach { case (id, _, r) => assert(r === expected(id), s"id $id") }
+    val desc = Corpus.rankByScore(df, "id", "score", ascending = false)
+      .as[(Long, Double, Long)].collect()
+    val expDesc = desc.map(r => (-r._2, r._1)).sorted.zipWithIndex
+      .map { case ((_, id), i) => id -> (i + 1L) }.toMap
+    desc.foreach { case (id, _, r) => assert(r === expDesc(id), s"desc id $id") }
+  }
+
+  test("perplexityBands: equal-population bands, monotone in rank") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = graft.operators.TextProfile.perplexityBands(docs)
+      .as[(Long, Double, Long, Long)].collect().sortBy(_._3)
+    val n = out.length
+    assert(out.map(_._4).toSeq === out.map(r => 1 + ((r._3 - 1) * 3) / n).toSeq)
+    val sizes = out.groupBy(_._4).view.mapValues(_.length).values.toSeq
+    assert(sizes.max - sizes.min <= 1, s"band sizes $sizes")
+    // band order follows surprisal order
+    assert(out.map(_._2).toSeq === out.map(_._2).sorted.toSeq)
+  }
+
   test("splitContamination counts exactly the heldout grams present in train") {
     val train = (1L, (1 to 12).map(i => s"t$i").mkString(" "))
     // heldout A shares train's tokens 3..10 (one 8-gram); B shares none
