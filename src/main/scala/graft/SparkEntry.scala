@@ -2265,6 +2265,35 @@ object SparkEntry {
     "q143_perplexity_bands" -> ((s, d) =>
       TextProfile.perplexityBands(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
+
+    // Quality-aware dedup apply: q97's components, but the keeper is the
+    // LOWEST-surprisal member (best copy survives, not first copy) —
+    // keeper election via one bounded min_by aggregate.
+    "q144_dedup_best_keeper" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.applyDedupBestKeeper(docs,
+          Dedup.connectedComponentsStar(
+            Dedup.simhashNearDups(Dedup.simhash(docs))),
+          TextProfile.unigramSurprisal(docs))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Count-min sketch heavy hitters: 4×256 counter table over the token
+    // stream, point estimates vs exact counts — est ≥ exact pinned in the
+    // output (overcount column), sketch size O(d·w) at any corpus.
+    "q145_cms_heavyhitters" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact"))
+      graft.operators.Sketches.cmsEstimate(
+          graft.operators.Sketches.cmsTable(toks, col("tok")),
+          exact.select(col("tok")), col("tok"))
+        .join(exact.select(col("tok").as("key"), col("exact")), Seq("key"))
+        .select(col("key"), col("est"), col("exact"),
+          (col("est") - col("exact")).as("overcount"))
+        .orderBy(col("key"))
+    }),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -3950,6 +3979,50 @@ object SparkEntry {
          |    count(*) OVER () AS n FROM srp)
          |SELECT doc_id, surprisal, rank, 1 + ((rank - 1) * 3) // n AS band
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    // q97's component chain + q128's surprisal: keeper = the member with
+    // the lowest (surprisal, id) tuple per component
+    "q144_dedup_best_keeper" ->
+      s"""WITH RECURSIVE $shCte,
+         |$simhashCte,
+         |bkt AS (SELECT doc_id, simhash, simhash >> 44 AS bucket FROM ssig),
+         |e AS (SELECT l.doc_id AS a, r.doc_id AS b
+         | FROM bkt l JOIN bkt r ON l.bucket = r.bucket AND l.doc_id < r.doc_id
+         | WHERE bit_count(xor(l.simhash, r.simhash)) <= 8),
+         |ee AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+         |reach(a, b) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM ee)
+         |  UNION
+         |  SELECT r.a, e2.b FROM reach r JOIN ee e2 ON r.b = e2.a),
+         |comp AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY a),
+         |$surprisalCtes,
+         |kq AS (SELECT comp.comp AS cmp, comp.id AS id, srp.surprisal AS s2
+         |  FROM comp JOIN srp ON comp.id = srp.doc_id),
+         |keep AS (SELECT cmp, id FROM (
+         |  SELECT cmp, id, row_number() OVER (PARTITION BY cmp ORDER BY s2, id) AS rn
+         |  FROM kq) WHERE rn = 1)
+         |SELECT d.doc_id, d.lang FROM documents d
+         |LEFT JOIN comp ON d.doc_id = comp.id
+         |LEFT JOIN keep ON comp.comp = keep.cmp AND d.doc_id = keep.id
+         |WHERE comp.comp IS NULL OR keep.id IS NOT NULL
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // the 4×256 counter table + min-over-rows point estimates, salted
+    // row hashes replayed via the shared hexLong form
+    "q145_cms_heavyhitters" ->
+      s"""WITH ti AS (SELECT unnest($toksSql) AS tok FROM documents),
+         |cells AS (SELECT j,
+         |    ${hexLongSql("CAST(j AS VARCHAR) || ':' || tok")} % 256 AS b,
+         |    count(*) AS c
+         |  FROM ti CROSS JOIN range(4) t(j) GROUP BY 1, 2),
+         |exact AS (SELECT tok, count(*) AS exact FROM ti GROUP BY 1),
+         |probes AS (SELECT tok, j,
+         |    ${hexLongSql("CAST(j AS VARCHAR) || ':' || tok")} % 256 AS b
+         |  FROM (SELECT DISTINCT tok FROM ti) CROSS JOIN range(4) t(j)),
+         |est AS (SELECT p.tok, min(c.c) AS est
+         |  FROM probes p JOIN cells c ON p.j = c.j AND p.b = c.b GROUP BY 1)
+         |SELECT e.tok AS key, est, exact, est - exact AS overcount
+         |FROM est e JOIN exact USING (tok) ORDER BY key""".stripMargin,
 
     // Same 40-char/stride-10 windows, same cross-doc df >= 2 screen, same
     // merge-touching island rule (new span iff off STRICTLY past the

@@ -556,6 +556,35 @@ object Dedup {
       .where(col("comp").isNull || col("comp") === col(idCol))
       .drop("comp")
 
+  /** Dedup APPLY with QUALITY-AWARE keeper selection — [[applyDedup]]
+    * keeps the min-id doc per near-dup component; real curation keeps the
+    * BEST copy: here the keeper is the component member with the lowest
+    * (score, id) tuple (pass a quality score where lower = better, e.g.
+    * unigram surprisal; ties break to the smaller id, so keeper choice is
+    * total-ordered and deterministic). Docs in no component survive
+    * untouched. `scores` must cover every clustered doc (inner-join
+    * contract — an unscored member simply can't win).
+    *
+    * Scale: keeper election is ONE bounded `min_by` aggregate at
+    * component grain (map-side combinable — never a per-component sort
+    * window), then an anti-join (unclustered) + semi-join (keepers)
+    * against the corpus, both key equi-joins. Same cost shape as
+    * [[applyDedup]] plus the score join. */
+  def applyDedupBestKeeper(
+      docs: DataFrame,
+      components: DataFrame,
+      scores: DataFrame,
+      idCol: String = "doc_id",
+      scoreCol: String = "surprisal"): DataFrame = {
+    val keepers = components
+      .join(scores.select(col(idCol).as("id"), col(scoreCol).as("_s")), Seq("id"))
+      .groupBy(col("comp"))
+      .agg(min_by(col("id"), struct(col("_s"), col("id"))).as(idCol))
+      .select(col(idCol))
+    docs.join(components.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+      .unionByName(docs.join(keepers, Seq(idCol), "left_semi"))
+  }
+
   // ---------------------------------------------------- paragraph grain --
 
   /** The (doc, pos) → encoded-long keeper key shared by the paragraph

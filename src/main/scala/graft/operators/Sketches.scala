@@ -203,4 +203,56 @@ object Sketches {
     }
     picked.groupBy(col(groupName)).agg(estCols.head, estCols.tail: _*)
   }
+
+  // ------------------------------------------------------------ count-min --
+
+  /** Count-min row hash: item → bucket in hash row `j`, built from the
+    * engine-portable md5-long (row index salted into the digest input so
+    * the d rows are independent). MUST mirror the oracle's hexLong form. */
+  private def cmsBucket(j: Int, key: Column, width: Int): Column =
+    pmod(Dedup.md5Long(concat_ws(":", lit(j.toString), key)), lit(width.toLong))
+
+  /** Count-min sketch TABLE: `depth × width` counters over one pass of
+    * the items — the constant-memory frequency summary (Cormode &
+    * Muthukrishnan 2005) a 100 TB stream can afford where an exact
+    * per-key count can't. One row per touched (row, bucket) cell; cells
+    * are plain sums, so sketches of partitions/batches MERGE by adding
+    * cells — the property that makes this a streaming/distributed sketch.
+    *
+    * Scale: the only shuffle is the (depth·width)-bounded cell groupBy,
+    * map-side combined — output size is O(d·w) regardless of input rows. */
+  def cmsTable(
+      items: DataFrame,
+      keyCol: Column,
+      depth: Int = 4,
+      width: Int = 256): DataFrame = {
+    require(depth >= 1 && width >= 2, "need depth >= 1, width >= 2")
+    val rows = (0 until depth).map { j =>
+      items.select(lit(j).as("j"), cmsBucket(j, keyCol, width).as("b"))
+    }.reduce(_ unionByName _)
+    rows.groupBy(col("j"), col("b")).agg(count(lit(1)).as("c"))
+  }
+
+  /** Count-min point estimate for each queried key: min over the d row
+    * counters the key hashes to. Never underestimates (every counter the
+    * key touches holds its true count plus collisions); the gate emits
+    * the exact count next to it so `est ≥ exact` is pinned, not assumed.
+    *
+    * Scale: queries × depth (tiny) joined against the O(d·w) sketch —
+    * broadcast both ways at any corpus size; the corpus itself is only
+    * touched by the one [[cmsTable]] pass. */
+  def cmsEstimate(
+      sketch: DataFrame,
+      queries: DataFrame,
+      keyCol: Column,
+      depth: Int = 4,
+      width: Int = 256): DataFrame = {
+    val probes = (0 until depth).map { j =>
+      queries.select(keyCol.as("key"), lit(j).as("j"),
+        cmsBucket(j, keyCol, width).as("b"))
+    }.reduce(_ unionByName _)
+    probes.join(sketch, Seq("j", "b"))
+      .groupBy(col("key"))
+      .agg(min(col("c")).as("est"))
+  }
 }

@@ -112,4 +112,15 @@ class DedupGraphSpec extends SparkTestBase {
     assert(out(0) === ((50L, 2L, 2L, 1.0))) // 2 distinct 3-grams, both hit
     assert(out(1)._4 === 0.0)
   }
+
+  test("applyDedupBestKeeper keeps the best-scored member, not the min id") {
+    val docs = (1 to 6).map(i => (i.toLong, s"d$i")).toDF("doc_id", "text")
+    // component {1,2,3}: doc 3 has the best (lowest) score; {4,5}: tie → min id
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L)).toDF("id", "comp")
+    val scores = Seq((1L, 5.0), (2L, 4.0), (3L, 1.0), (4L, 2.0), (5L, 2.0), (6L, 9.0))
+      .toDF("doc_id", "surprisal")
+    val kept = Dedup.applyDedupBestKeeper(docs, comps, scores)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(3L, 4L, 6L)) // best of {1,2,3}; tie-min of {4,5}; untouched 6
+  }
 }

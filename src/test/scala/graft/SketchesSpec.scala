@@ -117,4 +117,29 @@ class SketchesSpec extends SparkTestBase {
     // 64-int array per (partition, group) at 100 TB.
     assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
   }
+
+  test("count-min: never underestimates, exact at collision-free width, cells merge") {
+    val items = (1 to 500).map(i => Tuple1(s"k${i % 7}")).toDF("k")
+    val exact = items.groupBy($"k").count().as[(String, Long)].collect().toMap
+    // wide sketch: 7 keys in 4x256 cells → collisions vanishingly unlikely
+    val est = Sketches.cmsEstimate(
+        Sketches.cmsTable(items, $"k"), items.select($"k").distinct(), $"k")
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, c) => assert(est(k) === c, s"key $k") }
+    // narrow sketch: collisions forced, estimate must still dominate exact
+    val narrow = Sketches.cmsEstimate(
+        Sketches.cmsTable(items, $"k", depth = 2, width = 2),
+        items.select($"k").distinct(), $"k", depth = 2, width = 2)
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, c) => assert(narrow(k) >= c, s"key $k") }
+    // mergeability: sketch(a ∪ b) == cell-wise sum of the part sketches
+    val (a, b) = (items.limit(200), items.exceptAll(items.limit(200)))
+    val merged = Sketches.cmsTable(a, $"k")
+      .unionByName(Sketches.cmsTable(b, $"k"))
+      .groupBy($"j", $"b").agg(sum($"c").as("c"))
+      .as[(Int, Long, Long)].collect().toSet
+    val whole = Sketches.cmsTable(items, $"k")
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged === whole)
+  }
 }
