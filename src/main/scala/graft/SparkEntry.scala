@@ -2294,6 +2294,44 @@ object SparkEntry {
           (col("est") - col("exact")).as("overcount"))
         .orderBy(col("key"))
     }),
+
+    // q145's CMS built ON INGEST: counter cells are additive, so the
+    // per-key histogram state processor (q91's HistSketchProcessor, keyed
+    // by hash row) IS a streaming count-min — no new operator, pure
+    // composition. Three doc-hash micro-batches accrete the cells; the
+    // latest snapshot per row must estimate exactly like the one-pass
+    // batch table. Shares q145's oracle verbatim.
+    "q146_cms_stream" -> ((s, d) => {
+      import s.implicits._
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      val obs = (0 until 4).map(j => toks.select(
+          lit(s"cms$j").as("g"),
+          pmod(Dedup.md5Long(concat_ws(":", lit(j.toString), col("tok"))),
+            lit(256L)).cast("int").as("bin"),
+          pmod(col("doc_id"), lit(3)).as("slice")))
+        .reduce(_ unionByName _)
+      val batches = (0 to 2).map(i => obs.where(col("slice") === i)
+        .select(col("g"), col("bin")).as[SketchStream.BinRow])
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val snaps = StreamHarness.runFiles(s, batches)(ds =>
+          SketchStream.histSketchStream(ds, 256).toDF())
+        val sketch = snaps.groupBy(col("_1").as("g"))
+          .agg(max_by(col("_3"), col("_2")).as("cells"))
+          .select(substring(col("g"), 4, 10).cast("int").as("j"),
+            posexplode(col("cells")).as(Seq("b", "c")))
+          .where(col("c") > 0)
+          .select(col("j"), col("b").cast("long").as("b"), col("c"))
+        val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact"))
+        graft.operators.Sketches.cmsEstimate(sketch, exact.select(col("tok")), col("tok"))
+          .join(exact.select(col("tok").as("key"), col("exact")), Seq("key"))
+          .select(col("key"), col("est"), col("exact"),
+            (col("est") - col("exact")).as("overcount"))
+          .orderBy(col("key"))
+      } finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -2324,6 +2362,25 @@ object SparkEntry {
     "CASE WHEN ascii_raw < 0.5 THEN 'cjk' WHEN stop_raw >= 0.05 THEN 'en' ELSE 'unknown' END"
   private val normalizedSql =
     "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  /** Count-min table + estimates vs exact counts — ONE text shared by
+    * q145 (batch one-pass table) and q146 (ingest-accreted cells), both
+    * of which must produce identical estimates; mirrors
+    * Sketches.cmsTable/cmsEstimate (d=4, w=256, salted md5-long rows). */
+  private lazy val cmsOracle: String =
+    s"""WITH ti AS (SELECT unnest($toksSql) AS tok FROM documents),
+       |cells AS (SELECT j,
+       |    ${hexLongSql("CAST(j AS VARCHAR) || ':' || tok")} % 256 AS b,
+       |    count(*) AS c
+       |  FROM ti CROSS JOIN range(4) t(j) GROUP BY 1, 2),
+       |exact AS (SELECT tok, count(*) AS exact FROM ti GROUP BY 1),
+       |probes AS (SELECT tok, j,
+       |    ${hexLongSql("CAST(j AS VARCHAR) || ':' || tok")} % 256 AS b
+       |  FROM (SELECT DISTINCT tok FROM ti) CROSS JOIN range(4) t(j)),
+       |est AS (SELECT p.tok, min(c.c) AS est
+       |  FROM probes p JOIN cells c ON p.j = c.j AND p.b = c.b GROUP BY 1)
+       |SELECT e.tok AS key, est, exact, est - exact AS overcount
+       |FROM est e JOIN exact USING (tok) ORDER BY key""".stripMargin
 
   /** Corpus-unigram surprisal per doc — ONE text shared by q128 and the
     * q143 banding oracle; mirrors TextProfile.unigramSurprisal (per-token
@@ -4009,20 +4066,12 @@ object SparkEntry {
 
     // the 4×256 counter table + min-over-rows point estimates, salted
     // row hashes replayed via the shared hexLong form
-    "q145_cms_heavyhitters" ->
-      s"""WITH ti AS (SELECT unnest($toksSql) AS tok FROM documents),
-         |cells AS (SELECT j,
-         |    ${hexLongSql("CAST(j AS VARCHAR) || ':' || tok")} % 256 AS b,
-         |    count(*) AS c
-         |  FROM ti CROSS JOIN range(4) t(j) GROUP BY 1, 2),
-         |exact AS (SELECT tok, count(*) AS exact FROM ti GROUP BY 1),
-         |probes AS (SELECT tok, j,
-         |    ${hexLongSql("CAST(j AS VARCHAR) || ':' || tok")} % 256 AS b
-         |  FROM (SELECT DISTINCT tok FROM ti) CROSS JOIN range(4) t(j)),
-         |est AS (SELECT p.tok, min(c.c) AS est
-         |  FROM probes p JOIN cells c ON p.j = c.j AND p.b = c.b GROUP BY 1)
-         |SELECT e.tok AS key, est, exact, est - exact AS overcount
-         |FROM est e JOIN exact USING (tok) ORDER BY key""".stripMargin,
+    "q145_cms_heavyhitters" -> cmsOracle,
+
+    // the ingest-accreted CMS cells must estimate exactly like the
+    // one-pass batch table — counters are additive, so feed slicing is
+    // invisible; one shared oracle with q145
+    "q146_cms_stream" -> cmsOracle,
 
     // Same 40-char/stride-10 windows, same cross-doc df >= 2 screen, same
     // merge-touching island rule (new span iff off STRICTLY past the
