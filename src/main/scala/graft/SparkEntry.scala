@@ -2332,6 +2332,14 @@ object SparkEntry {
           .orderBy(col("key"))
       } finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }),
+
+    // Substring dedup APPLY: q126's merged spans spliced OUT of the text
+    // (the Lee et al. cleaning step q126 only measures) — one codegen'd
+    // aggregate fold over each doc's sorted span array; no-span docs pass
+    // through. Audit rows: cleaned fingerprint + before/after chars.
+    "q147_substring_dedup_apply" -> ((s, d) =>
+      Dedup.substringDedupApply(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -2362,6 +2370,30 @@ object SparkEntry {
     "CASE WHEN ascii_raw < 0.5 THEN 'cjk' WHEN stop_raw >= 0.05 THEN 'en' ELSE 'unknown' END"
   private val normalizedSql =
     "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  /** The merged duplicated-span table (40-char windows, stride 10,
+    * cross-doc df ≥ 2, touching windows merged) — ONE text shared by
+    * q126 (profile) and q147 (apply); mirrors Dedup.dupSpans. Final
+    * table: `sp(doc_id, span_id, s, e)`, s inclusive / e exclusive. */
+  private lazy val substringSpanCtes: String =
+    """d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 40),
+      |o0 AS (SELECT doc_id, text,
+      |    unnest(generate_series(0, (length(text) - 40) // 10)) * 10 AS off
+      |  FROM d),
+      |offs AS (SELECT doc_id, off, substring(text, off + 1, 40) AS win FROM o0),
+      |dup AS (SELECT win FROM offs GROUP BY win HAVING count(DISTINCT doc_id) >= 2),
+      |m AS (SELECT o.doc_id, o.off FROM offs o JOIN dup USING (win)),
+      |x AS (SELECT doc_id, off,
+      |    max(off + 40) OVER (PARTITION BY doc_id ORDER BY off
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      |  FROM m),
+      |y AS (SELECT doc_id, off,
+      |    CASE WHEN prev_end IS NULL OR off > prev_end THEN 1 ELSE 0 END AS ni
+      |  FROM x),
+      |z AS (SELECT doc_id, off,
+      |    sum(ni) OVER (PARTITION BY doc_id ORDER BY off) AS span_id FROM y),
+      |sp AS (SELECT doc_id, span_id, min(off) AS s, max(off) + 40 AS e
+      |  FROM z GROUP BY 1, 2)""".stripMargin
 
   /** Count-min table + estimates vs exact counts — ONE text shared by
     * q145 (batch one-pass table) and q146 (ingest-accreted cells), both
@@ -4077,26 +4109,27 @@ object SparkEntry {
     // merge-touching island rule (new span iff off STRICTLY past the
     // running max end) as Dedup.substringDupProfile.
     "q126_substring_dup" ->
-      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 40),
-        |o0 AS (SELECT doc_id, text,
-        |    unnest(generate_series(0, (length(text) - 40) // 10)) * 10 AS off
-        |  FROM d),
-        |offs AS (SELECT doc_id, off, substring(text, off + 1, 40) AS win FROM o0),
-        |dup AS (SELECT win FROM offs GROUP BY win HAVING count(DISTINCT doc_id) >= 2),
-        |m AS (SELECT o.doc_id, o.off FROM offs o JOIN dup USING (win)),
-        |x AS (SELECT doc_id, off,
-        |    max(off + 40) OVER (PARTITION BY doc_id ORDER BY off
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
-        |  FROM m),
-        |y AS (SELECT doc_id, off,
-        |    CASE WHEN prev_end IS NULL OR off > prev_end THEN 1 ELSE 0 END AS ni
-        |  FROM x),
-        |z AS (SELECT doc_id, off,
-        |    sum(ni) OVER (PARTITION BY doc_id ORDER BY off) AS span_id FROM y),
-        |sp AS (SELECT doc_id, span_id, min(off) AS s, max(off) + 40 AS e
-        |  FROM z GROUP BY 1, 2)
-        |SELECT doc_id, count(*) AS n_spans, CAST(sum(e - s) AS BIGINT) AS dup_chars
-        |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $substringSpanCtes
+         |SELECT doc_id, count(*) AS n_spans, CAST(sum(e - s) AS BIGINT) AS dup_chars
+         |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the same span table SPLICED OUT of the text: per doc, string_agg of
+    // the inter-span gaps in order + the tail; no-span docs pass through
+    "q147_substring_dedup_apply" ->
+      s"""WITH $substringSpanCtes,
+         |wsp AS (SELECT dd.doc_id, dd.text, sp.s, sp.e
+         |  FROM documents dd JOIN sp ON dd.doc_id = sp.doc_id),
+         |gaps AS (SELECT doc_id, text, s, e,
+         |    COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS ps FROM wsp),
+         |mid AS (SELECT doc_id,
+         |    string_agg(substring(text, ps + 1, s - ps), '' ORDER BY s) AS midtxt,
+         |    max(e) AS maxe, any_value(text) AS text FROM gaps GROUP BY doc_id),
+         |cln AS (SELECT doc_id,
+         |    midtxt || substring(text, maxe + 1, length(text) - maxe) AS clean FROM mid)
+         |SELECT d2.doc_id, md5(COALESCE(cln.clean, d2.text)) AS clean_fp,
+         |  CAST(length(d2.text) AS BIGINT) AS orig_chars,
+         |  CAST(length(COALESCE(cln.clean, d2.text)) AS BIGINT) AS clean_chars
+         |FROM documents d2 LEFT JOIN cln USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // per-lang ppm threshold = round(1e6·√(n_min/n)) — sqrt is IEEE-exact
     // in both engines, so the sampled set is bit-identical

@@ -800,7 +800,23 @@ object Dedup {
       window: Int = 40,
       stride: Int = 10,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    dupSpans(docs, window, stride, idCol, textCol)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s")).cast("long").as("dup_chars"))
+
+  /** The merged duplicated-span table shared by [[substringDupProfile]]
+    * (analysis) and [[substringDedupApply]] (cleaning): strided character
+    * windows, cross-doc df ≥ 2 screen, touching windows merged into
+    * disjoint per-doc spans (idCol, span_id, s, e) with s inclusive / e
+    * exclusive, ascending and non-touching by construction. */
+  private def dupSpans(
+      docs: DataFrame,
+      window: Int,
+      stride: Int,
+      idCol: String,
+      textCol: String): DataFrame = {
     val offs = docs
       .where(length(col(textCol)) >= window)
       .select(col(idCol),
@@ -826,8 +842,47 @@ object Dedup {
       .withColumn("span_id", sum(col("new_span")).over(byOff))
     islands.groupBy(col(idCol), col("span_id"))
       .agg(min(col("off")).as("s"), (max(col("off")) + lit(window)).as("e"))
+  }
+
+  /** Substring dedup APPLY — the cleaning step [[substringDupProfile]]
+    * only measures (Lee et al. 2022 deduplicate-text-datasets): splice
+    * every merged duplicated span OUT of the text, keeping the segments
+    * between spans in order. Span finding is the shared [[dupSpans]]
+    * chain, so profile and apply can never disagree on what counts as
+    * duplicated. Emits the cleaned text's fingerprint + before/after
+    * char counts (fixed-width audit rows, not the text itself).
+    *
+    * The splice is one codegen'd `aggregate` fold over the doc's sorted
+    * span array — spans per doc are few (merged + disjoint), the fold is
+    * doc-local, and docs without spans pass through untouched via the
+    * left join. No shuffle beyond dupSpans' own ones + the span
+    * collect_list at doc grain. */
+  def substringDedupApply(
+      docs: DataFrame,
+      window: Int = 40,
+      stride: Int = 10,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spans = dupSpans(docs, window, stride, idCol, textCol)
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_spans"),
-        sum(col("e") - col("s")).cast("long").as("dup_chars"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("_spans"))
+    val clean = expr(
+      s"""aggregate(
+         |  _spans,
+         |  named_struct('buf', '', 'pos', CAST(0 AS BIGINT)),
+         |  (acc, sp) -> named_struct(
+         |    'buf', concat(acc.buf,
+         |      substring($textCol, CAST(acc.pos AS INT) + 1, CAST(sp.s - acc.pos AS INT))),
+         |    'pos', sp.e),
+         |  acc -> concat(acc.buf,
+         |    substring($textCol, CAST(acc.pos AS INT) + 1,
+         |      length($textCol) - CAST(acc.pos AS INT))))""".stripMargin)
+    docs.join(spans, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("_spans").isNull, col(textCol)).otherwise(clean).as("_clean"),
+        col(textCol))
+      .select(col(idCol), md5(col("_clean")).as("clean_fp"),
+        length(col(textCol)).cast("long").as("orig_chars"),
+        length(col("_clean")).cast("long").as("clean_chars"))
   }
 }

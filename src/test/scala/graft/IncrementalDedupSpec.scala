@@ -114,4 +114,34 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(out.forall(r => r._3 >= block.length - 2 * 5 && r._3 <= block.length + 2 * 20),
       s"$out")
   }
+
+  test("substring dedup APPLY splices exactly the profiled spans out of the text") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // aligned carriers: block at offset 10 in BOTH docs (mod-stride equal),
+    // so the windows covering the block repeat cross-doc exactly
+    val block = "B" * 20
+    val d0 = "x" * 10 + block + "abcdefghij"
+    val d1 = "z" * 10 + block + "0123456789"
+    val d2 = "nothing shared here at all, pure unique."
+    val docs = Seq((0L, d0), (1L, d1), (2L, d2)).toDF("doc_id", "text")
+    val spans = Dedup.substringDupProfile(docs, window = 10, stride = 5)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    val out = Dedup.substringDedupApply(docs, window = 10, stride = 5)
+      .orderBy($"doc_id")
+      .as[(Long, String, Long, Long)].collect()
+    out.foreach { case (id, fp, orig, clean) =>
+      val t = Seq(d0, d1, d2)(id.toInt)
+      assert(orig === t.length.toLong, s"doc $id")
+      // chars removed == chars the profile reported as duplicated
+      assert(orig - clean === spans.getOrElse(id, 0L), s"doc $id")
+    }
+    // doc 2 untouched: fingerprint is the original text's
+    assert(out(2)._2 === md5hex(d2))
+    // exact splice: only windows FULLY inside the block repeat cross-doc
+    // (offsets 10/15/20), so the merged span is [10, 30) in both carriers
+    assert(out(0)._2 === md5hex(d0.substring(0, 10) + d0.substring(30)))
+    assert(out(1)._2 === md5hex(d1.substring(0, 10) + d1.substring(30)))
+  }
 }
