@@ -2340,6 +2340,19 @@ object SparkEntry {
     "q147_substring_dedup_apply" -> ((s, d) =>
       Dedup.substringDedupApply(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
+
+    // Distribution-drift monitor: PSI of the value distribution per
+    // event_type between the first and second half of the time range —
+    // 32 global bins, add-1 smoothing over the full grid, DECIMAL-exact
+    // term summation. One scan of the corpus; O(groups·bins) beyond it.
+    "q148_drift_psi" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val mm = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+      val mid = (mm.getLong(0) + mm.getLong(1)) / 2
+      Sketches.driftPsi(ev, col("event_type"), "event_type", col("value"),
+          unix_micros(col("ts")) <= mid)
+        .orderBy(col("event_type"))
+    }),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -4112,6 +4125,43 @@ object SparkEntry {
       s"""WITH $substringSpanCtes
          |SELECT doc_id, count(*) AS n_spans, CAST(sum(e - s) AS BIGINT) AS dup_chars
          |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same global [min,max] 32-bin grid, slice at the integer-µs time
+    // midpoint, add-1 smoothing over the FULL grid (empty bins count),
+    // per-term 6 dp round into DECIMAL before the sum
+    "q148_drift_psi" ->
+      """WITH mm AS (SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid,
+        |    CAST(min(value) AS DOUBLE) AS lo, CAST(max(value) AS DOUBLE) AS hi
+        |  FROM events),
+        |bb AS (SELECT event_type AS g, epoch_us(ts) <= mid AS sl,
+        |    least(CAST(floor((CAST(value AS DOUBLE) - lo) / (hi - lo) * 32.0e0)
+        |      AS BIGINT), 31) AS bin
+        |  FROM events, mm),
+        |cnt AS (SELECT g, sl, bin, count(*) AS c FROM bb GROUP BY 1, 2, 3),
+        |tot AS (SELECT g, sl, sum(c) AS n FROM cnt GROUP BY 1, 2),
+        |grid AS (SELECT g, t.bin FROM (SELECT DISTINCT g FROM bb) CROSS JOIN range(32) t(bin)),
+        |j AS (SELECT grid.g, grid.bin,
+        |    COALESCE(ca.c, 0) AS ca, COALESCE(cb.c, 0) AS cb,
+        |    COALESCE(na.n, 0) AS na, COALESCE(nb.n, 0) AS nb
+        |  FROM grid
+        |  LEFT JOIN (SELECT g, bin, c FROM cnt WHERE sl) ca
+        |    ON grid.g = ca.g AND grid.bin = ca.bin
+        |  LEFT JOIN (SELECT g, bin, c FROM cnt WHERE NOT sl) cb
+        |    ON grid.g = cb.g AND grid.bin = cb.bin
+        |  LEFT JOIN (SELECT g, n FROM tot WHERE sl) na ON grid.g = na.g
+        |  LEFT JOIN (SELECT g, n FROM tot WHERE NOT sl) nb ON grid.g = nb.g),
+        |t2 AS (SELECT g, na, nb,
+        |    CAST(round(
+        |      (CAST(ca + 1 AS DOUBLE) / CAST(na + 32 AS DOUBLE)
+        |        - CAST(cb + 1 AS DOUBLE) / CAST(nb + 32 AS DOUBLE))
+        |      * ln((CAST(ca + 1 AS DOUBLE) / CAST(na + 32 AS DOUBLE))
+        |        / (CAST(cb + 1 AS DOUBLE) / CAST(nb + 32 AS DOUBLE))), 6)
+        |      AS DECIMAL(28,6)) AS term
+        |  FROM j)
+        |SELECT g AS event_type,
+        |  CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+        |  round(CAST(sum(term) AS DOUBLE), 6) AS psi
+        |FROM t2 GROUP BY g ORDER BY event_type""".stripMargin,
 
     // the same span table SPLICED OUT of the text: per doc, string_agg of
     // the inter-span gaps in order + the tail; no-span docs pass through

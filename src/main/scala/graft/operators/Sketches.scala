@@ -204,6 +204,60 @@ object Sketches {
     picked.groupBy(col(groupName)).agg(estCols.head, estCols.tail: _*)
   }
 
+  // ------------------------------------------------------- drift monitor --
+
+  /** Distribution drift between two slices of a dataset — the population
+    * stability index (PSI) per group, the standard production check that
+    * yesterday's data still looks like today's (PSI ≲ 0.1 stable, ≳ 0.25
+    * shifted). Values are histogrammed into `bins` fixed buckets over the
+    * GLOBAL [min, max] (one 2-value aggregate), per-bin shares are add-1
+    * smoothed over the full bin grid (empty bins included — that's what
+    * the grid join is for; unsmoothed PSI is undefined on an empty bin),
+    * and `PSI = Σ (p_i − q_i)·ln(p_i/q_i)` with the per-term 6 dp
+    * rounding + DECIMAL summation trick, so the result is
+    * partition-order-independent and oracle-exact.
+    *
+    * Scale: one scan to bin (the slice predicate rides the same scan),
+    * counts at (group, slice, bin) grain with map-side combine, and the
+    * grid/total joins touch only O(groups·bins) rows — the corpus is
+    * read once. */
+  def driftPsi(
+      df: DataFrame,
+      groupCol: Column,
+      groupName: String,
+      valueCol: Column,
+      sliceA: Column,
+      bins: Int = 32): DataFrame = {
+    require(bins >= 2, "need at least two bins")
+    val mm = df.agg(min(valueCol).cast("double"), max(valueCol).cast("double")).head()
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val binned = df.select(groupCol.as(groupName), sliceA.as("_a"),
+      binOf(valueCol, lo, hi, bins).as("bin"))
+    val cnt = binned.groupBy(col(groupName), col("_a"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy(col(groupName), col("_a")).agg(sum(col("c")).as("n"))
+    val grid = binned.select(col(groupName)).distinct()
+      .select(col(groupName),
+        explode(sequence(lit(0L), lit((bins - 1).toLong))).as("bin"))
+    def side(flag: Boolean, cn: String) = cnt.where(col("_a") === flag)
+      .select(col(groupName), col("bin"), col("c").as(cn))
+    def tside(flag: Boolean, nn: String) = tot.where(col("_a") === flag)
+      .select(col(groupName), col("n").as(nn))
+    val j = grid
+      .join(side(true, "ca"), Seq(groupName, "bin"), "left")
+      .join(side(false, "cb"), Seq(groupName, "bin"), "left")
+      .join(tside(true, "na"), Seq(groupName), "left")
+      .join(tside(false, "nb"), Seq(groupName), "left")
+      .na.fill(0L, Seq("ca", "cb", "na", "nb"))
+    val pA = (col("ca") + 1L).cast("double") / (col("na") + bins).cast("double")
+    val pB = (col("cb") + 1L).cast("double") / (col("nb") + bins).cast("double")
+    val term = round((pA - pB) * log(pA / pB), 6).cast("decimal(28,6)")
+    j.select(col(groupName), col("na"), col("nb"), term.as("term"))
+      .groupBy(col(groupName))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        round(sum(col("term")).cast("double"), 6).as("psi"))
+  }
+
   // ------------------------------------------------------------ count-min --
 
   /** Count-min row hash: item → bucket in hash row `j`, built from the

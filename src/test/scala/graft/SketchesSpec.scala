@@ -118,6 +118,23 @@ class SketchesSpec extends SparkTestBase {
     assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
   }
 
+  test("driftPsi: identical slices score zero, a shifted slice scores positive") {
+    // group "flat": both slices uniform over the same values → every
+    // (p_i − q_i) is 0 → psi exactly 0. group "shift": slice B moves all
+    // mass to the top of the range → psi > 0.
+    val rows =
+      (1 to 100).map(i => ("flat", true, (i % 10).toDouble)) ++
+      (1 to 100).map(i => ("flat", false, (i % 10).toDouble)) ++
+      (1 to 100).map(i => ("shift", true, (i % 10).toDouble)) ++
+      (1 to 100).map(i => ("shift", false, 90.0 + (i % 10)))
+    val df = rows.toDF("g", "a", "v")
+    val out = Sketches.driftPsi(df, $"g", "g", $"v", $"a")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out("flat")._4 === 0.0)
+    assert(out("shift")._4 > 0.25, s"shifted slice must flag: ${out("shift")}")
+    assert(out("flat")._2 === 100L && out("flat")._3 === 100L)
+  }
+
   test("count-min: never underestimates, exact at collision-free width, cells merge") {
     val items = (1 to 500).map(i => Tuple1(s"k${i % 7}")).toDF("k")
     val exact = items.groupBy($"k").count().as[(String, Long)].collect().toMap
