@@ -2353,6 +2353,14 @@ object SparkEntry {
           unix_micros(col("ts")) <= mid)
         .orderBy(col("event_type"))
     }),
+
+    // Blob-store dedup accounting per mime: payload counts, distinct
+    // payloads by content md5, and the CAS byte savings — content bytes
+    // hashed at the scan, never shuffled.
+    "q149_media_dedup_accounting" -> ((s, d) =>
+      Multimodal.dedupAccounting(
+          Multimodal.ingestDocsAsMedia(Tables.documents(s, d)))
+        .orderBy(col("mime"))),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -4162,6 +4170,20 @@ object SparkEntry {
         |  CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
         |  round(CAST(sum(term) AS DOUBLE), 6) AS psi
         |FROM t2 GROUP BY g ORDER BY event_type""".stripMargin,
+
+    // same mime cycle, same md5-of-bytes fingerprint, same two-level
+    // (mime, fp) → mime aggregation as Multimodal.dedupAccounting
+    "q149_media_dedup_accounting" ->
+      """WITH b AS (SELECT doc_id AS media_id,
+        |   (['image/png', 'audio/wav', 'video/mp4'])[CAST(doc_id % 3 + 1 AS INT)] AS mime,
+        |   md5(text) AS fp, octet_length(encode(text)) AS len FROM documents),
+        |g AS (SELECT mime, fp, count(*) AS c, max(len) AS blen FROM b GROUP BY 1, 2)
+        |SELECT mime, CAST(sum(c) AS BIGINT) AS n_blobs, count(*) AS n_distinct,
+        |  CAST(sum(c * blen) AS BIGINT) AS bytes_total,
+        |  CAST(sum(blen) AS BIGINT) AS bytes_distinct,
+        |  round(1.0 - CAST(sum(blen) AS DOUBLE) / CAST(sum(c * blen) AS DOUBLE), 6)
+        |    AS savings_frac
+        |FROM g GROUP BY mime ORDER BY mime""".stripMargin,
 
     // the same span table SPLICED OUT of the text: per doc, string_agg of
     // the inter-span gaps in order + the tail; no-span docs pass through

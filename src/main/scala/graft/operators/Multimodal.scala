@@ -136,4 +136,28 @@ object Multimodal {
       }
     }.toDF("media_id", "mime", "features")
   }
+
+  /** Content-addressed dedup accounting per mime — the blob-store audit a
+    * multimodal corpus runs before ingest: how many payloads, how many
+    * DISTINCT payloads (by content md5), and the byte savings a CAS/
+    * hardlink layout would realize. Purely a storage diagnostic; the
+    * actual dedup apply is the same keeper semantics as [[Dedup.exact]].
+    *
+    * Scale: content bytes are hashed AT THE SCAN and never shuffle — only
+    * (mime, fp, len) rows move; two map-side-combined aggregates. */
+  def dedupAccounting(media: DataFrame): DataFrame = {
+    val g = media
+      .select(col("mime"), md5(col("content")).as("fp"),
+        length(col("content")).cast("long").as("len"))
+      .groupBy(col("mime"), col("fp"))
+      .agg(count(lit(1)).as("c"), max(col("len")).as("blen"))
+    g.groupBy(col("mime"))
+      .agg(sum(col("c")).as("n_blobs"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * col("blen")).as("bytes_total"),
+        sum(col("blen")).as("bytes_distinct"))
+      .withColumn("savings_frac",
+        round(lit(1.0) -
+          col("bytes_distinct").cast("double") / col("bytes_total").cast("double"), 6))
+  }
 }

@@ -261,4 +261,17 @@ class SimilaritySpec extends SparkTestBase {
     assert(frames.count(_._1 == 5L) === 3)
     assert(!frames.exists(_._1 == 1L))
   }
+
+  test("media dedup accounting: CAS savings count duplicate payload bytes once") {
+    // doc_ids 0/3 (both mime image/png under %3 cycling) share one payload
+    val docs = Seq((0L, "same payload"), (3L, "same payload"),
+      (6L, "unique one"), (1L, "audio x")).toDF("doc_id", "text")
+    val out = Multimodal.dedupAccounting(Multimodal.ingestDocsAsMedia(docs))
+      .orderBy($"mime")
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    val png = out.find(_._1 == "image/png").get
+    assert(png === (("image/png", 3L, 2L, 34L, 22L, 0.352941)))
+    val wav = out.find(_._1 == "audio/wav").get
+    assert(wav._2 === 1L && wav._5 === wav._4 && wav._6 === 0.0)
+  }
 }
