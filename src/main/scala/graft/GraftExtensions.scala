@@ -24,10 +24,15 @@ import graft.functions.{TokenizeGenerator, VectorExpressions}
   * already-running session (tests, spark-shell).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // optimizer guard: global row_number()-top-k filters feed the window
+    // a distributed Sort+Limit (TakeOrderedAndProject) instead of a
+    // single-task full sort — see graft.plans.GlobalWindowTopK
+    ext.injectOptimizerRule(_ => graft.plans.GlobalWindowTopK)
+  }
 }
 
 object GraftExtensions {
@@ -131,8 +136,12 @@ object GraftExtensions {
 
   /** Apply the same registrations to a live session (the extensions conf
     * only takes effect at session build). */
-  def registerAll(spark: SparkSession): Unit =
+  def registerAll(spark: SparkSession): Unit = {
     functions.foreach { case (name, inf, builder) =>
       FunctionBridge.register(spark, name, inf, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.GlobalWindowTopK))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.GlobalWindowTopK
+  }
 }

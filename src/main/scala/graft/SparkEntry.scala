@@ -2361,6 +2361,26 @@ object SparkEntry {
       Multimodal.dedupAccounting(
           Multimodal.ingestDocsAsMedia(Tables.documents(s, d)))
         .orderBy(col("mime"))),
+
+    // The GlobalWindowTopK optimizer rule under the oracle: the naive
+    // global row_number()-top-k SQL (the single-task-sort antipattern)
+    // runs through graft's injected rewrite — planned as distributed
+    // partial-heap TakeOrderedAndProject — and must still produce the
+    // exact ranking ((value DESC, event_id) totally orders, so ties
+    // can't hide in the rewrite's tie license).
+    "q150_topk_sql" -> ((s, d) => {
+      graft.GraftExtensions.registerAll(s)
+      Tables.events(s, d).createOrReplaceTempView("events_q150")
+      val out = s.sql(
+        """SELECT event_id, value, rn FROM (
+          |  SELECT event_id, value,
+          |    row_number() OVER (ORDER BY value DESC, event_id) AS rn
+          |  FROM events_q150) WHERE rn <= 100""".stripMargin)
+      val phys = out.queryExecution.executedPlan.toString
+      require(phys.contains("TakeOrderedAndProject"),
+        "GlobalWindowTopK must have rewritten the single-task window:\n" + phys)
+      out.withColumn("rn", col("rn").cast("long")).orderBy(col("rn"))
+    }),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -4170,6 +4190,14 @@ object SparkEntry {
         |  CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
         |  round(CAST(sum(term) AS DOUBLE), 6) AS psi
         |FROM t2 GROUP BY g ORDER BY event_type""".stripMargin,
+
+    // the same naive ranking SQL the rewrite accelerates — DuckDB runs it
+    // as written; (value DESC, event_id) is a total order
+    "q150_topk_sql" ->
+      """SELECT event_id, value, rn FROM (
+        |  SELECT event_id, value,
+        |    row_number() OVER (ORDER BY value DESC, event_id) AS rn
+        |  FROM events) WHERE rn <= 100 ORDER BY rn""".stripMargin,
 
     // same mime cycle, same md5-of-bytes fingerprint, same two-level
     // (mime, fp) → mime aggregation as Multimodal.dedupAccounting

@@ -84,6 +84,38 @@ class ExtensionsSpec extends SparkTestBase {
     assert(merged === Seq(3, 5, 0))
   }
 
+  test("GlobalWindowTopK rewrites global row_number top-k to a distributed TakeOrdered") {
+    GraftExtensions.registerAll(spark) // installs the optimizer rule too
+    val df = (1 to 1000).map(i => (i.toLong, ((i * 7919) % 1000).toDouble))
+      .toDF("id", "v")
+    df.createOrReplaceTempView("topk_t")
+    val sql =
+      """SELECT id, v, rn FROM (
+        |  SELECT id, v, row_number() OVER (ORDER BY v DESC, id) AS rn FROM topk_t)
+        |WHERE rn <= 50""".stripMargin
+    val rewritten = spark.sql(sql)
+    val phys = rewritten.queryExecution.executedPlan.toString
+    assert(phys.contains("TakeOrderedAndProject"),
+      "global top-k must plan as partial heaps, not a full single-task sort:\n" + phys)
+    // identical rows to the in-memory reference ((v desc, id) totally orders)
+    val expect = df.as[(Long, Double)].collect()
+      .sortBy { case (id, v) => (-v, id) }.take(50)
+      .zipWithIndex.map { case ((id, v), i) => (id, v, i + 1) }.toSeq
+    assert(rewritten.orderBy($"rn").as[(Long, Double, Int)].collect().toSeq === expect)
+    // narrowness: a PARTITIONED row_number (already parallel) is untouched
+    val keyed = spark.sql(
+      """SELECT * FROM (
+        |  SELECT id, v, row_number() OVER (PARTITION BY id % 7 ORDER BY v DESC) AS rn
+        |  FROM topk_t) WHERE rn <= 3""".stripMargin)
+    assert(!keyed.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+    // narrowness: rank() needs peers of row k — untouched
+    val ranked = spark.sql(
+      """SELECT * FROM (
+        |  SELECT id, v, rank() OVER (ORDER BY v DESC) AS rn FROM topk_t)
+        |WHERE rn <= 50""".stripMargin)
+    assert(!ranked.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+
   test("tokenizeGen generator matches the UDF tokenizer on the documents table") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     import org.apache.spark.sql.functions._
