@@ -324,4 +324,33 @@ class PropertySpec extends SparkTestBase {
       assert(got(id) === ((id, np, nk, txt)), s"doc $id") }
     assert(got.size === texts.size)
   }
+
+  // -- 8. chunkByTokens equals the naive clamped-tail windowing ----------
+
+  test("chunkByTokens equals the naive reference for random lengths and strides") {
+    val lens = sample(Gen.listOfN(60, Gen.choose(0, 130)), 4242L)
+    val docs = lens.zipWithIndex
+      .map { case (n, i) => (i.toLong, (1 to n).map(j => s"t$j").mkString(" ")) }
+      .toDF("doc_id", "text")
+    def naive(n: Int, cs: Int, st: Int): Seq[(Long, Long)] = {
+      val k = math.max(0, (n - cs + st - 1) / st)
+      (0 to k).map { i =>
+        val s = math.min(i.toLong * st, math.max(0, n - cs).toLong)
+        (s, math.min(cs.toLong, n - s))
+      }
+    }
+    Seq((32, 24), (8, 8), (5, 3)).foreach { case (cs, st) =>
+      val got = graft.operators.Corpus
+        .chunkByTokens(docs, chunkSize = cs, stride = st)
+        .select($"doc_id", $"start_tok", $"n_tok_chunk")
+        .as[(Long, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).sortBy(_._1).toSeq).toMap
+      lens.zipWithIndex.foreach { case (n, i) =>
+        val exp = naive(n, cs, st)
+        assert(got(i.toLong) === exp, s"doc $i n=$n cs=$cs st=$st")
+        // invariant: the windows cover [0, n) with no gap (tail clamps)
+        if (n > 0) assert(exp.map(c => c._1 + c._2).max === n.toLong)
+      }
+    }
+  }
 }
