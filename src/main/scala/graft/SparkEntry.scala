@@ -2305,12 +2305,14 @@ object SparkEntry {
       import s.implicits._
       val toks = Tables.documents(s, d).select(col("doc_id"),
         explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
-      val obs = (0 until 4).map(j => toks.select(
-          lit(s"cms$j").as("g"),
-          pmod(Dedup.md5Long(concat_ws(":", lit(j.toString), col("tok"))),
-            lit(256L)).cast("int").as("bin"),
-          pmod(col("doc_id"), lit(3)).as("slice")))
-        .reduce(_ unionByName _)
+      // all 4 row-hashes in one pass over the cached tokens (posexplode,
+      // not a 4-way union) — mirrors the cmsTable one-pass shape
+      val obs = toks.select(
+          posexplode(array((0 until 4).map(j =>
+            pmod(Dedup.md5Long(concat_ws(":", lit(j.toString), col("tok"))),
+              lit(256L)).cast("int")): _*)).as(Seq("j", "bin")),
+          pmod(col("doc_id"), lit(3)).as("slice"))
+        .select(concat(lit("cms"), col("j")).as("g"), col("bin"), col("slice"))
       val batches = (0 to 2).map(i => obs.where(col("slice") === i)
         .select(col("g"), col("bin")).as[SketchStream.BinRow])
       s.conf.set("spark.sql.streaming.stateStore.providerClass",

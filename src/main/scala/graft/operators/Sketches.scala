@@ -233,10 +233,14 @@ object Sketches {
     val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
     val binned = df.select(groupCol.as(groupName), sliceA.as("_a"),
       binOf(valueCol, lo, hi, bins).as("bin"))
+    // materialize the O(groups·bins·2) cell counts: four consumers read
+    // them (both sides, both totals, the grid) — without this each branch
+    // re-runs the corpus scan, turning "one pass" into five at 100 TB
     val cnt = binned.groupBy(col(groupName), col("_a"), col("bin"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val tot = cnt.groupBy(col(groupName), col("_a")).agg(sum(col("c")).as("n"))
-    val grid = binned.select(col(groupName)).distinct()
+    val grid = cnt.select(col(groupName)).distinct()
       .select(col(groupName),
         explode(sequence(lit(0L), lit((bins - 1).toLong))).as("bin"))
     def side(flag: Boolean, cn: String) = cnt.where(col("_a") === flag)
@@ -281,9 +285,10 @@ object Sketches {
       depth: Int = 4,
       width: Int = 256): DataFrame = {
     require(depth >= 1 && width >= 2, "need depth >= 1, width >= 2")
-    val rows = (0 until depth).map { j =>
-      items.select(lit(j).as("j"), cmsBucket(j, keyCol, width).as("b"))
-    }.reduce(_ unionByName _)
+    // all d row-hashes in ONE pass: posexplode of the per-row hash array
+    // (a d-way union would scan the corpus d times)
+    val rows = items.select(posexplode(
+      array((0 until depth).map(j => cmsBucket(j, keyCol, width)): _*)).as(Seq("j", "b")))
     rows.groupBy(col("j"), col("b")).agg(count(lit(1)).as("c"))
   }
 

@@ -96,6 +96,19 @@ class PlanSpec extends SparkTestBase {
     assert(ps.contains("*(1)"), "split should be one codegen stage:\n" + ps)
   }
 
+  test("driftPsi and cmsTable read the corpus exactly once") {
+    val ev = Tables.events(spark, sf)
+    val psi = plan(graft.operators.Sketches.driftPsi(
+      ev, col("event_type"), "event_type", col("value"),
+      col("event_id") % 2 === 0))
+    assert("Scan parquet|FileScan".r.findAllIn(psi).size <= 1,
+      "PSI branches must read the materialized cells, not re-scan:\n" + psi)
+    val cms = plan(graft.operators.Sketches.cmsTable(
+      Tables.documents(spark, sf), col("text")))
+    assert("Scan parquet|FileScan".r.findAllIn(cms).size == 1,
+      "d row hashes must ride one posexplode pass, not d unions:\n" + cms)
+  }
+
   test("split contamination joins at gram grain — never doc×doc") {
     val docs = Tables.documents(spark, sf)
     val p = plan(graft.operators.Corpus.splitContamination(
