@@ -2364,6 +2364,35 @@ object SparkEntry {
           Multimodal.ingestDocsAsMedia(Tables.documents(s, d)))
         .orderBy(col("mime"))),
 
+    // DeltaStore TIME TRAVEL: epochs 0-2 upsert the events changelog
+    // (sliced by event_id % 3), epoch 3 is a tombstone-only batch
+    // retiring user_id % 7 == 0, epoch 4 re-upserts those keys. Then
+    // readAsOf(3) must show the retired keys HIDDEN (their newest ≤3 row
+    // is the tombstone) and the epoch-4 resurrection INVISIBLE (epoch
+    // cap) — both travel behaviors in one view.
+    "q151_delta_time_travel" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("value"), unix_micros(col("ts")).as("ts_us"),
+          pmod(col("event_id"), lit(3)).as("_ep"))
+      val root = java.nio.file.Files.createTempDirectory("graft_tt_").toString
+      (0L to 2L).foreach { e =>
+        graft.streaming.DeltaStore.append(
+          ev.where(col("_ep") === e).drop("_ep"), Seq("user_id"), "ts_us", root, e)
+      }
+      val sevens = ev.where(col("user_id") % 7 === 0)
+      graft.streaming.DeltaStore.append(
+        ev.where(lit(false)).drop("_ep"), Seq("user_id"), "ts_us", root, 3L,
+        deleteKeys = Some(sevens.select(col("user_id")).distinct()))
+      graft.streaming.DeltaStore.append(
+        sevens.where(col("_ep") === 0).drop("_ep"), Seq("user_id"), "ts_us", root, 4L)
+      val out = graft.streaming.DeltaStore
+        .readAsOf(s, root, Seq("user_id"), "ts_us", epoch = 3L)
+        .orderBy(col("user_id"))
+        .localCheckpoint(true) // materialize before the store dir vanishes
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+      out
+    }),
+
     // The GlobalWindowTopK optimizer rule under the oracle: the naive
     // global row_number()-top-k SQL (the single-task-sort antipattern)
     // runs through graft's injected rewrite — planned as distributed
@@ -4192,6 +4221,21 @@ object SparkEntry {
         |  CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
         |  round(CAST(sum(term) AS DOUBLE), 6) AS psi
         |FROM t2 GROUP BY g ORDER BY event_type""".stripMargin,
+
+    // the epochs ≤ 3 changelog replayed in one window: (ep DESC, op DESC,
+    // ord DESC NULLS LAST) — the store's cross-epoch merge; the
+    // tombstone-only epoch 3 tops every %7 key (hidden), epoch 4 is
+    // beyond the cap and never enters
+    "q151_delta_time_travel" ->
+      """WITH ch AS (SELECT event_id % 3 AS ep, user_id, value,
+        |    epoch_us(ts) AS ts_us, 'u' AS op FROM events),
+        |tmb AS (SELECT DISTINCT 3 AS ep, user_id, CAST(NULL AS DOUBLE) AS value,
+        |    CAST(NULL AS BIGINT) AS ts_us, 'd' AS op FROM events WHERE user_id % 7 = 0),
+        |al AS (SELECT * FROM ch UNION ALL SELECT * FROM tmb),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ep DESC, op DESC, ts_us DESC NULLS LAST) AS rn FROM al)
+        |SELECT user_id, value, ts_us FROM r WHERE rn = 1 AND op <> 'd'
+        |ORDER BY user_id""".stripMargin,
 
     // the same naive ranking SQL the rewrite accelerates — DuckDB runs it
     // as written; (value DESC, event_id) is a total order

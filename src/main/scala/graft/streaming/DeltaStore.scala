@@ -85,8 +85,26 @@ object DeltaStore {
     * (delta epochs beat the base, higher epochs beat lower, `orderCol`
     * breaks ties within an epoch), tombstoned keys hidden. */
   def read(spark: SparkSession, path: String, keyCols: Seq[String],
-      orderCol: String): DataFrame = {
-    val (baseOpt, deltaOpt) = (readBase(spark, path), readDeltas(spark, path))
+      orderCol: String): DataFrame =
+    merged(spark, path, keyCols, orderCol, asOf = None)
+
+  /** TIME-TRAVEL read: the compacted view as it stood after `epoch` —
+    * delta epochs newer than `epoch` are ignored; the bucketed base
+    * (epoch −1: everything already compacted away) always participates.
+    * The addressable history is therefore exactly the un-compacted delta
+    * log: after [[compact]], older versions are squashed and no longer
+    * reachable — the same travel-vs-VACUUM contract Delta/Iceberg
+    * expose. Scale cost is identical to [[read]] (the epoch cap is a
+    * partition filter on the `epoch=` directory layout). */
+  def readAsOf(spark: SparkSession, path: String, keyCols: Seq[String],
+      orderCol: String, epoch: Long): DataFrame =
+    merged(spark, path, keyCols, orderCol, asOf = Some(epoch))
+
+  private def merged(spark: SparkSession, path: String, keyCols: Seq[String],
+      orderCol: String, asOf: Option[Long]): DataFrame = {
+    val baseOpt = readBase(spark, path)
+    val deltaOpt = readDeltas(spark, path)
+      .map(d => asOf.fold(d)(e => d.where(col("_epoch") <= e)))
     val all = (baseOpt, deltaOpt) match {
       case (Some(b), Some(d)) => b.unionByName(d)
       case (Some(b), None)    => b

@@ -33,6 +33,25 @@ class DeltaStoreSpec extends SparkTestBase {
     assert(snapshot(path) === expected)
   }
 
+  test("readAsOf reconstructs each epoch's view; compaction squashes the history") {
+    val path = tmp()
+    def asOf(e: Long): Map[Long, (String, Long)] =
+      DeltaStore.readAsOf(spark, path, keys, "ts", e)
+        .select($"k", $"v", $"ts").as[(Long, String, Long)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    DeltaStore.append(df((1L, "a1", 10L), (2L, "b1", 10L)), keys, "ts", path, 0L)
+    DeltaStore.append(df((1L, "a2", 20L)), keys, "ts", path, 1L,
+      deleteKeys = Some(Seq(Tuple1(2L)).toDF("k")))
+    DeltaStore.append(df((1L, "a3", 30L), (3L, "c1", 30L)), keys, "ts", path, 2L)
+    assert(asOf(0L) === Map(1L -> (("a1", 10L)), 2L -> (("b1", 10L))))
+    assert(asOf(1L) === Map(1L -> (("a2", 20L)))) // key 2 tombstoned at 1
+    assert(asOf(2L) === snapshot(path))           // as-of head == read
+    // travel-vs-VACUUM: after compaction the old versions are squashed —
+    // every as-of resolves to the compacted head (base = epoch −1)
+    DeltaStore.compact(spark, path, keys, "ts", nBuckets = 4)
+    assert(asOf(0L) === snapshot(path))
+  }
+
   test("compact folds deltas into the bucketed base; view unchanged; epochs retired") {
     val path = tmp()
     DeltaStore.append(df((1L, "a1", 10L), (2L, "b1", 10L)), keys, "ts", path, 0L)
