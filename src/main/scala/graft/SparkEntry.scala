@@ -2393,6 +2393,32 @@ object SparkEntry {
       out
     }),
 
+    // DeltaStore CHANGE DATA FEED over the same changelog: the net
+    // effect of epochs (1, 3] — every key's newest epoch-2 upsert,
+    // except the %7 keys whose epoch-3 tombstone wins and surfaces as an
+    // op='d' row (nulled data) for downstream incremental consumers.
+    "q152_delta_cdf" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("value"), unix_micros(col("ts")).as("ts_us"),
+          pmod(col("event_id"), lit(3)).as("_ep"))
+      val root = java.nio.file.Files.createTempDirectory("graft_cdf_").toString
+      (0L to 2L).foreach { e =>
+        graft.streaming.DeltaStore.append(
+          ev.where(col("_ep") === e).drop("_ep"), Seq("user_id"), "ts_us", root, e)
+      }
+      graft.streaming.DeltaStore.append(
+        ev.where(lit(false)).drop("_ep"), Seq("user_id"), "ts_us", root, 3L,
+        deleteKeys = Some(ev.where(col("user_id") % 7 === 0)
+          .select(col("user_id")).distinct()))
+      val out = graft.streaming.DeltaStore
+        .readChanges(s, root, Seq("user_id"), "ts_us", fromEpoch = 1L, toEpoch = 3L)
+        .withColumnRenamed("_op", "op")
+        .orderBy(col("user_id"))
+        .localCheckpoint(true) // materialize before the store dir vanishes
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+      out
+    }),
+
     // The GlobalWindowTopK optimizer rule under the oracle: the naive
     // global row_number()-top-k SQL (the single-task-sort antipattern)
     // runs through graft's injected rewrite — planned as distributed
@@ -4235,6 +4261,19 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
         |    ORDER BY ep DESC, op DESC, ts_us DESC NULLS LAST) AS rn FROM al)
         |SELECT user_id, value, ts_us FROM r WHERE rn = 1 AND op <> 'd'
+        |ORDER BY user_id""".stripMargin,
+
+    // the net-change window over epochs (1, 3]: epoch-2 upserts for every
+    // touched key, the %7 keys' epoch-3 tombstones on top as 'd' rows
+    "q152_delta_cdf" ->
+      """WITH ch AS (SELECT event_id % 3 AS ep, user_id, value,
+        |    epoch_us(ts) AS ts_us, 'u' AS op FROM events),
+        |tmb AS (SELECT DISTINCT 3 AS ep, user_id, CAST(NULL AS DOUBLE) AS value,
+        |    CAST(NULL AS BIGINT) AS ts_us, 'd' AS op FROM events WHERE user_id % 7 = 0),
+        |al AS (SELECT * FROM ch WHERE ep = 2 UNION ALL SELECT * FROM tmb),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ep DESC, op DESC, ts_us DESC NULLS LAST) AS rn FROM al)
+        |SELECT user_id, value, ts_us, op FROM r WHERE rn = 1
         |ORDER BY user_id""".stripMargin,
 
     // the same naive ranking SQL the rewrite accelerates — DuckDB runs it

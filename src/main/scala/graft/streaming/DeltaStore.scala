@@ -100,6 +100,30 @@ object DeltaStore {
       orderCol: String, epoch: Long): DataFrame =
     merged(spark, path, keyCols, orderCol, asOf = Some(epoch))
 
+  /** CHANGE-DATA-FEED read: the NET effect of the delta epochs in
+    * `(fromEpoch, toEpoch]` — one row per key TOUCHED in the range,
+    * newest write wins, with `_op` retained (`u` upsert / `d` delete,
+    * data columns null on deletes) — what a downstream incremental
+    * consumer applies to stay in sync without re-reading the store
+    * (Delta CDF's net-changes form). Same retention contract as
+    * [[readAsOf]]: the range must still be in the un-compacted log.
+    *
+    * Scale: a partition filter on the `epoch=` layout + one keyed
+    * window over only the range's rows — cost is O(changes), not
+    * O(store). */
+  def readChanges(spark: SparkSession, path: String, keyCols: Seq[String],
+      orderCol: String, fromEpoch: Long, toEpoch: Long): DataFrame = {
+    require(fromEpoch <= toEpoch, "need fromEpoch <= toEpoch")
+    val deltas = readDeltas(spark, path).getOrElse(
+      throw new java.io.IOException(s"DeltaStore.readChanges: no delta log at $path"))
+      .where(col("_epoch") > fromEpoch && col("_epoch") <= toEpoch)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_epoch").desc, desc(OpCol), col(orderCol).desc)
+    deltas
+      .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .drop("_rn", "_epoch")
+  }
+
   private def merged(spark: SparkSession, path: String, keyCols: Seq[String],
       orderCol: String, asOf: Option[Long]): DataFrame = {
     val baseOpt = readBase(spark, path)

@@ -52,6 +52,22 @@ class DeltaStoreSpec extends SparkTestBase {
     assert(asOf(0L) === snapshot(path))
   }
 
+  test("readChanges emits the net per-key effect of exactly the epoch range") {
+    val path = tmp()
+    DeltaStore.append(df((1L, "a1", 10L), (2L, "b1", 10L)), keys, "ts", path, 0L)
+    DeltaStore.append(df((1L, "a2", 20L)), keys, "ts", path, 1L,
+      deleteKeys = Some(Seq(Tuple1(2L)).toDF("k")))
+    DeltaStore.append(df((3L, "c1", 30L)), keys, "ts", path, 2L)
+    def changes(from: Long, to: Long): Map[Long, (Option[String], String)] =
+      DeltaStore.readChanges(spark, path, keys, "ts", from, to)
+        .select($"k", $"v", $"_op").as[(Long, Option[String], String)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(changes(0L, 2L) === Map(
+      1L -> ((Some("a2"), "u")), 2L -> ((None, "d")), 3L -> ((Some("c1"), "u"))))
+    assert(changes(1L, 2L) === Map(3L -> ((Some("c1"), "u"))))
+    // untouched keys never appear; epoch-0 state is outside every range above
+  }
+
   test("compact folds deltas into the bucketed base; view unchanged; epochs retired") {
     val path = tmp()
     DeltaStore.append(df((1L, "a1", 10L), (2L, "b1", 10L)), keys, "ts", path, 0L)
