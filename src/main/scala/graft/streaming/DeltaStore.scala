@@ -130,7 +130,11 @@ object DeltaStore {
     val deltaOpt = readDeltas(spark, path)
       .map(d => asOf.fold(d)(e => d.where(col("_epoch") <= e)))
     val all = (baseOpt, deltaOpt) match {
-      case (Some(b), Some(d)) => b.unionByName(d)
+      // allowMissingColumns: ADDITIVE schema evolution — an epoch that
+      // introduces a column reads fine against an older base (and vice
+      // versa after compaction); absent sides surface null, the
+      // Delta-style additive-evolution contract
+      case (Some(b), Some(d)) => b.unionByName(d, allowMissingColumns = true)
       case (Some(b), None)    => b
       case (None, Some(d))    => d
       case (None, None) =>
@@ -210,7 +214,10 @@ object DeltaStore {
     val p = new org.apache.hadoop.fs.Path(s"$path/delta")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("epoch=")))
-      Some(spark.read.parquet(p.toString)
+      // mergeSchema: epochs may carry additively-evolved schemas; without
+      // the merge the scan would silently pin one epoch's footer and DROP
+      // the newer columns
+      Some(spark.read.option("mergeSchema", "true").parquet(p.toString)
         .withColumn("_epoch", col("epoch").cast("long")).drop("epoch"))
     else None
   }

@@ -52,6 +52,22 @@ class DeltaStoreSpec extends SparkTestBase {
     assert(asOf(0L) === snapshot(path))
   }
 
+  test("additive schema evolution: a new column appears with nulls for old rows") {
+    val path = tmp()
+    DeltaStore.append(df((1L, "a1", 10L), (2L, "b1", 10L)), keys, "ts", path, 0L)
+    // epoch 1 evolves the schema: adds `src`
+    DeltaStore.append(
+      Seq((3L, "c1", 20L, "web")).toDF("k", "v", "ts", "src"), keys, "ts", path, 1L)
+    val out = DeltaStore.read(spark, path, keys, "ts")
+      .select($"k", $"v", $"src").as[(Long, String, Option[String])]
+      .collect().map(r => r._1 -> r._3).toMap
+    assert(out === Map(1L -> None, 2L -> None, 3L -> Some("web")))
+    // time travel to BEFORE the evolution still reads (no src values exist)
+    val before = DeltaStore.readAsOf(spark, path, keys, "ts", 0L)
+    assert(!before.columns.contains("src") ||
+      before.select($"src").as[Option[String]].collect().forall(_.isEmpty))
+  }
+
   test("readChanges emits the net per-key effect of exactly the epoch range") {
     val path = tmp()
     DeltaStore.append(df((1L, "a1", 10L), (2L, "b1", 10L)), keys, "ts", path, 0L)
