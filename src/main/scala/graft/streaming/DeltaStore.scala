@@ -152,8 +152,20 @@ object DeltaStore {
     * touched buckets rewrite) and retire the consumed epoch dirs.
     * Safe to re-run after a crash at any point — see object doc. */
   def compact(spark: SparkSession, path: String, keyCols: Seq[String],
-      orderCol: String, nBuckets: Int = 64): Unit = {
-    readDeltas(spark, path) match {
+      orderCol: String, nBuckets: Int = 64): Unit =
+    compactThrough(spark, path, keyCols, orderCol, Long.MaxValue, nBuckets)
+
+  /** RETENTION-AWARE compaction: squash only the epochs `<= upToEpoch`
+    * into the base, leaving newer delta dirs in place — so
+    * [[readAsOf]]/[[readChanges]] keep the recent history addressable
+    * while read amplification stays bounded (Delta's log-retention
+    * knob expressed as an epoch cutoff). `compact` is the
+    * retain-nothing special case. Correctness is unchanged: epochs fold
+    * oldest-first and the base is "epoch −1", so folding a prefix of the
+    * log preserves every remaining epoch's merge order. */
+  def compactThrough(spark: SparkSession, path: String, keyCols: Seq[String],
+      orderCol: String, upToEpoch: Long, nBuckets: Int = 64): Unit = {
+    readDeltas(spark, path).map(_.where(col("_epoch") <= upToEpoch)) match {
       case None => ()
       case Some(deltas) =>
         // consume only the epochs present NOW: a concurrent-looking append
@@ -161,6 +173,7 @@ object DeltaStore {
         // must survive this compaction's delta retirement
         val epochs = deltas.select(col("_epoch")).distinct()
           .collect().map(_.getLong(0)).sorted
+        if (epochs.isEmpty) return // nothing at or below the cutoff
         val w = Window.partitionBy(keyCols.map(col): _*)
           .orderBy(col("_epoch").desc, desc(OpCol), col(orderCol).desc)
         val squashed = deltas

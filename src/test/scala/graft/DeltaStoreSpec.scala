@@ -68,6 +68,27 @@ class DeltaStoreSpec extends SparkTestBase {
       before.select($"src").as[Option[String]].collect().forall(_.isEmpty))
   }
 
+  test("compactThrough squashes only the prefix; the retained tail stays addressable") {
+    val path = tmp()
+    def asOf(e: Long): Map[Long, (String, Long)] =
+      DeltaStore.readAsOf(spark, path, keys, "ts", e)
+        .select($"k", $"v", $"ts").as[(Long, String, Long)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    DeltaStore.append(df((1L, "a1", 10L), (2L, "b1", 10L)), keys, "ts", path, 0L)
+    DeltaStore.append(df((1L, "a2", 20L)), keys, "ts", path, 1L)
+    DeltaStore.append(df((1L, "a3", 30L), (3L, "c1", 30L)), keys, "ts", path, 2L)
+    val headBefore = snapshot(path)
+    DeltaStore.compactThrough(spark, path, keys, "ts", upToEpoch = 1L, nBuckets = 4)
+    // head view unchanged; epoch 2 still addressable as itself; epochs
+    // 0/1 squashed into the base (as-of 1 now resolves to the base view)
+    assert(snapshot(path) === headBefore)
+    assert(asOf(2L) === headBefore)
+    assert(asOf(1L) === Map(1L -> (("a2", 20L)), 2L -> (("b1", 10L))))
+    // a cutoff below every remaining epoch is a no-op
+    DeltaStore.compactThrough(spark, path, keys, "ts", upToEpoch = 1L, nBuckets = 4)
+    assert(snapshot(path) === headBefore)
+  }
+
   test("readChanges emits the net per-key effect of exactly the epoch range") {
     val path = tmp()
     DeltaStore.append(df((1L, "a1", 10L), (2L, "b1", 10L)), keys, "ts", path, 0L)
