@@ -2419,6 +2419,19 @@ object SparkEntry {
       out
     }),
 
+    // Curation FUNNEL: the per-stage drop accounting of the full build —
+    // simhash NEAR-dup dedup (q97's components) → Gopher quality →
+    // per-source cap → decontamination (benchmark docs retire with their
+    // overlaps). Every stage is the real operator; the gate pins all
+    // four in/out counts at once.
+    "q153_curation_funnel" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Corpus.curationFunnel(docs,
+          components = Some(Dedup.connectedComponentsStar(
+            Dedup.simhashNearDups(Dedup.simhash(docs)))))
+        .orderBy(col("stage"))
+    }),
+
     // The GlobalWindowTopK optimizer rule under the oracle: the naive
     // global row_number()-top-k SQL (the single-task-sort antipattern)
     // runs through graft's injected rewrite — planned as distributed
@@ -2492,6 +2505,39 @@ object SparkEntry {
       |    sum(ni) OVER (PARTITION BY doc_id ORDER BY off) AS span_id FROM y),
       |sp AS (SELECT doc_id, span_id, min(off) AS s, max(off) + 40 AS e
       |  FROM z GROUP BY 1, 2)""".stripMargin
+
+  /** The Gopher-rule signal + per-rule flag chain over `documents` — ONE
+    * text shared by q131 (details + reasons) and q153 (the funnel's
+    * quality stage); mirrors TextProfile.gopherFilter (6-dp-ROUNDED
+    * signals compared to the thresholds). Final table: `r(doc_id,
+    * n_words, mean_word_len, n_stop_distinct, dup_3gram_frac,
+    * top_2gram_frac, ok_words, ok_word_len, ok_stopwords, ok_dup,
+    * ok_top)`. Per-doc-local signals ⇒ subset-independent flags. */
+  private lazy val gopherCtes: String =
+    s"""t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+       |sig AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+       |  round($meanRawSql, 6) AS mean_word_len,
+       |  CAST(len(list_distinct(list_filter(toks, x -> lower(x) IN $stopListSql))) AS BIGINT) AS n_stop_distinct
+       | FROM t),
+       |toks2 AS (SELECT doc_id, toks AS w FROM t),
+       |g3 AS (SELECT doc_id, unnest($sh3Sql) AS sh FROM toks2),
+       |d3 AS (SELECT doc_id,
+       |  round(1.0 - CAST(count(DISTINCT sh) AS DOUBLE) / count(*), 6) AS dup_3gram_frac
+       | FROM g3 GROUP BY 1),
+       |g2 AS (SELECT doc_id, unnest($sh2Sql) AS sh FROM toks2),
+       |c2 AS (SELECT doc_id, sh, count(*) AS c FROM g2 GROUP BY 1, 2),
+       |t2 AS (SELECT doc_id,
+       |  round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_2gram_frac
+       | FROM c2 GROUP BY 1),
+       |j AS (SELECT sig.*, dup_3gram_frac, top_2gram_frac
+       | FROM sig JOIN d3 USING (doc_id) JOIN t2 USING (doc_id)),
+       |r AS (SELECT *,
+       |  (n_words >= 30 AND n_words <= 100000) AS ok_words,
+       |  (mean_word_len >= 3.0 AND mean_word_len <= 5.0) AS ok_word_len,
+       |  (n_stop_distinct >= 2) AS ok_stopwords,
+       |  (dup_3gram_frac <= 0.05) AS ok_dup,
+       |  (top_2gram_frac <= 0.10) AS ok_top
+       | FROM j)""".stripMargin
 
   /** Count-min table + estimates vs exact counts — ONE text shared by
     * q145 (batch one-pass table) and q146 (ingest-accreted cells), both
@@ -4248,6 +4294,58 @@ object SparkEntry {
         |  round(CAST(sum(term) AS DOUBLE), 6) AS psi
         |FROM t2 GROUP BY g ORDER BY event_type""".stripMargin,
 
+    // the four stages replayed sequentially: q97's simhash component
+    // min-id keepers, the shared gopher flags (per-doc-local ⇒
+    // subset-independent), the cap's (md5-hash, id) ranking over the
+    // gopher survivors, and the distinct-8-gram screen vs the id<50
+    // benchmark (bench docs retire)
+    "q153_curation_funnel" ->
+      s"""WITH RECURSIVE $shCte,
+         |$simhashCte,
+         |bkt AS (SELECT doc_id, simhash, simhash >> 44 AS bucket FROM ssig),
+         |e AS (SELECT l.doc_id AS a, rt.doc_id AS b
+         | FROM bkt l JOIN bkt rt ON l.bucket = rt.bucket AND l.doc_id < rt.doc_id
+         | WHERE bit_count(xor(l.simhash, rt.simhash)) <= 8),
+         |ee AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+         |reach(a, b) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM ee)
+         |  UNION
+         |  SELECT rr.a, e2.b FROM reach rr JOIN ee e2 ON rr.b = e2.a),
+         |comp AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY a),
+         |$gopherCtes,
+         |keep1 AS (SELECT d.doc_id AS id FROM documents d
+         |  LEFT JOIN comp ON d.doc_id = comp.id
+         |  WHERE comp.comp IS NULL OR comp.comp = d.doc_id),
+         |k2 AS (SELECT id FROM keep1 JOIN r ON id = r.doc_id
+         |  WHERE ok_words AND ok_word_len AND ok_stopwords AND ok_dup AND ok_top),
+         |ch AS (SELECT d.doc_id, d.source,
+         |    ${hexLongSql("CAST(d.doc_id AS VARCHAR)")} AS hh
+         |  FROM documents d JOIN k2 ON d.doc_id = k2.id),
+         |k3 AS (SELECT doc_id FROM (SELECT doc_id,
+         |    row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn
+         |  FROM ch) WHERE rn <= 10),
+         |tw AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |bg AS (SELECT DISTINCT gram FROM
+         |  (SELECT unnest(list_distinct(${shNSql(8)})) AS gram FROM tw WHERE doc_id < 50)),
+         |cand AS (SELECT doc_id FROM k3 WHERE doc_id >= 50),
+         |cg AS (SELECT tw.doc_id, unnest(list_distinct(${shNSql(8)})) AS gram
+         |  FROM tw JOIN cand ON tw.doc_id = cand.doc_id),
+         |contam AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (gram)),
+         |k4 AS (SELECT doc_id FROM cand
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         |c0 AS (SELECT count(*) AS n FROM documents),
+         |c1 AS (SELECT count(*) AS n FROM keep1),
+         |cq AS (SELECT count(*) AS n FROM k2),
+         |c3 AS (SELECT count(*) AS n FROM k3),
+         |c4 AS (SELECT count(*) AS n FROM k4)
+         |SELECT * FROM (
+         | SELECT 'a_neardup_dedup' AS stage, c0.n AS n_in, c1.n AS n_out,
+         |   c0.n - c1.n AS n_dropped FROM c0, c1
+         | UNION ALL SELECT 'b_gopher_quality', c1.n, cq.n, c1.n - cq.n FROM c1, cq
+         | UNION ALL SELECT 'c_cap_per_source', cq.n, c3.n, cq.n - c3.n FROM cq, c3
+         | UNION ALL SELECT 'd_decontamination', c3.n, c4.n, c3.n - c4.n FROM c3, c4
+         |) ORDER BY stage""".stripMargin,
+
     // the epochs ≤ 3 changelog replayed in one window: (ep DESC, op DESC,
     // ord DESC NULLS LAST) — the store's cross-epoch merge; the
     // tombstone-only epoch 3 tops every %7 key (hidden), epoch 4 is
@@ -4331,30 +4429,7 @@ object SparkEntry {
     // signals mirror TextFunctions / q68's CTEs; every threshold compares
     // the 6-dp-ROUNDED signal, same as the Spark side
     "q131_gopher_filter" ->
-      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
-         |sig AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
-         |  round($meanRawSql, 6) AS mean_word_len,
-         |  CAST(len(list_distinct(list_filter(toks, x -> lower(x) IN $stopListSql))) AS BIGINT) AS n_stop_distinct
-         | FROM t),
-         |toks2 AS (SELECT doc_id, toks AS w FROM t),
-         |g3 AS (SELECT doc_id, unnest($sh3Sql) AS sh FROM toks2),
-         |d3 AS (SELECT doc_id,
-         |  round(1.0 - CAST(count(DISTINCT sh) AS DOUBLE) / count(*), 6) AS dup_3gram_frac
-         | FROM g3 GROUP BY 1),
-         |g2 AS (SELECT doc_id, unnest($sh2Sql) AS sh FROM toks2),
-         |c2 AS (SELECT doc_id, sh, count(*) AS c FROM g2 GROUP BY 1, 2),
-         |t2 AS (SELECT doc_id,
-         |  round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_2gram_frac
-         | FROM c2 GROUP BY 1),
-         |j AS (SELECT sig.*, dup_3gram_frac, top_2gram_frac
-         | FROM sig JOIN d3 USING (doc_id) JOIN t2 USING (doc_id)),
-         |r AS (SELECT *,
-         |  (n_words >= 30 AND n_words <= 100000) AS ok_words,
-         |  (mean_word_len >= 3.0 AND mean_word_len <= 5.0) AS ok_word_len,
-         |  (n_stop_distinct >= 2) AS ok_stopwords,
-         |  (dup_3gram_frac <= 0.05) AS ok_dup,
-         |  (top_2gram_frac <= 0.10) AS ok_top
-         | FROM j)
+      s"""WITH $gopherCtes
          |SELECT doc_id, n_words, mean_word_len, n_stop_distinct,
          | dup_3gram_frac, top_2gram_frac,
          | (ok_words AND ok_word_len AND ok_stopwords AND ok_dup AND ok_top) AS keep,

@@ -259,6 +259,67 @@ object Corpus {
     }.toDF(idCol, scoreCol, tokenCol)
   }
 
+  /** Curation FUNNEL — the per-stage accounting of a full corpus build,
+    * the report a pipeline owner reads before shipping a dataset: how
+    * many documents each curation stage admitted and dropped, with the
+    * stages chained in the production order
+    *
+    *   exact dedup → Gopher quality filter → per-source cap →
+    *   benchmark decontamination (the benchmark docs themselves retire
+    *   here too — eval data must not be trained on)
+    *
+    * Each stage runs the REAL operator ([[Dedup.exact]] keepers,
+    * [[TextProfile.gopherFilter]], [[capPerGroup]], the distinct-8-gram
+    * semi-join of the contamination screens), so the funnel can never
+    * drift from what the operators actually do. Stage outputs are
+    * localCheckpoint'ed — each feeds the next stage AND a count, and
+    * recomputation would re-run every upstream stage twice per reuse.
+    * The driver sees 5 longs; everything else stays distributed.
+    */
+  def curationFunnel(
+      docs: DataFrame,
+      capPerSource: Int = 10,
+      benchPred: Column = col("doc_id") < 50,
+      contamN: Int = 8,
+      components: Option[DataFrame] = None): DataFrame = {
+    import graft.functions.TextFunctions.shingles
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val n0 = docs.count()
+    // dedup stage: near-dup components when the caller supplies them
+    // (min-id keeper via Dedup.applyDedup), plain exact-content keepers
+    // otherwise
+    val s1 = (components match {
+      case Some(c) => Dedup.applyDedup(docs, c)
+      case None =>
+        docs.join(Dedup.exact(docs).select(col("keeper_id").as("doc_id")),
+          Seq("doc_id"), "left_semi")
+    }).localCheckpoint(true)
+    val n1 = s1.count()
+    val s2 = s1.join(
+        graft.operators.TextProfile.gopherFilter(s1).where(col("keep"))
+          .select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    val n2 = s2.count()
+    val s3 = capPerGroup(s2, "source", "doc_id", capPerSource).localCheckpoint(true)
+    val n3 = s3.count()
+    val grams = (df: DataFrame) => df.select(col("doc_id"),
+      explode(array_distinct(shingles(col("text"), contamN))).as("gram"))
+    val cand = s3.where(!benchPred)
+    val contaminated = grams(cand)
+      .join(grams(docs.where(benchPred)).select(col("gram")).distinct(),
+        Seq("gram"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val n4 = cand.join(contaminated, Seq("doc_id"), "left_anti").count()
+    Seq(
+      (if (components.isDefined) "a_neardup_dedup" else "a_exact_dedup", n0, n1),
+      ("b_gopher_quality", n1, n2),
+      ("c_cap_per_source", n2, n3),
+      ("d_decontamination", n3, n4))
+      .toDF("stage", "n_in", "n_out")
+      .withColumn("n_dropped", col("n_in") - col("n_out"))
+  }
+
   /** Exact global rank WITHOUT a global window — the distributed form of
     * `row_number() OVER (ORDER BY score, id)`: rows are range-partitioned
     * in rank order, each partition's row count is collected (one array
