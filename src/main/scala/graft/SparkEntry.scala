@@ -2432,6 +2432,24 @@ object SparkEntry {
         .orderBy(col("stage"))
     }),
 
+    // Declared data-quality EXPECTATIONS over lineitem: not-null / unique
+    // key / ranges / enums / FK-to-orders, exact violation counts — two
+    // of them (price range, single-status enum) intentionally FAIL so
+    // the counting path is pinned, not just the all-green one. All
+    // scalar checks fold into ONE aggregate pass.
+    "q154_expectations" -> ((s, d) => {
+      import graft.operators.Expectations._
+      check(Tables.lineitem(s, d), Seq(
+          NotNull("l_orderkey"),
+          UniqueKey(Seq("l_orderkey", "l_linenumber")),
+          InRange("l_quantity", 1, 50),
+          InRange("l_extendedprice", 0, 1000),
+          InSet("l_returnflag", Seq("A", "N", "R")),
+          InSet("l_linestatus", Seq("O")),
+          RefIntegrity("l_orderkey", Tables.orders(s, d), "o_orderkey")))
+        .orderBy(col("expectation"))
+    }),
+
     // The GlobalWindowTopK optimizer rule under the oracle: the naive
     // global row_number()-top-k SQL (the single-task-sort antipattern)
     // runs through graft's injected rewrite — planned as distributed
@@ -4293,6 +4311,40 @@ object SparkEntry {
         |  CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
         |  round(CAST(sum(term) AS DOUBLE), 6) AS psi
         |FROM t2 GROUP BY g ORDER BY event_type""".stripMargin,
+
+    // each audit row recomputed as written; violation semantics (NULL
+    // violates range/enum/FK) mirrored in the CASE predicates
+    "q154_expectations" ->
+      """SELECT expectation, n_checked, n_violations, n_violations = 0 AS pass
+        |FROM (
+        | SELECT 'not_null_l_orderkey' AS expectation, count(*) AS n_checked,
+        |   CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        | FROM lineitem
+        | UNION ALL SELECT 'unique_l_orderkey_l_linenumber', count(*),
+        |   count(*) - (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber
+        |     FROM lineitem WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL))
+        | FROM lineitem
+        | UNION ALL SELECT 'range_l_quantity', count(*),
+        |   CAST(sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50
+        |     THEN 1 ELSE 0 END) AS BIGINT)
+        | FROM lineitem
+        | UNION ALL SELECT 'range_l_extendedprice', count(*),
+        |   CAST(sum(CASE WHEN l_extendedprice IS NULL OR l_extendedprice < 0
+        |     OR l_extendedprice > 1000 THEN 1 ELSE 0 END) AS BIGINT)
+        | FROM lineitem
+        | UNION ALL SELECT 'in_set_l_returnflag', count(*),
+        |   CAST(sum(CASE WHEN l_returnflag IS NULL
+        |     OR l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS BIGINT)
+        | FROM lineitem
+        | UNION ALL SELECT 'in_set_l_linestatus', count(*),
+        |   CAST(sum(CASE WHEN l_linestatus IS NULL
+        |     OR l_linestatus NOT IN ('O') THEN 1 ELSE 0 END) AS BIGINT)
+        | FROM lineitem
+        | UNION ALL SELECT 'ref_l_orderkey', count(*),
+        |   CAST(sum(CASE WHEN o._k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        | FROM lineitem l LEFT JOIN
+        |   (SELECT DISTINCT o_orderkey AS _k FROM orders) o ON l.l_orderkey = o._k
+        |) ORDER BY expectation""".stripMargin,
 
     // the four stages replayed sequentially: q97's simhash component
     // min-id keepers, the shared gopher flags (per-doc-local ⇒

@@ -73,6 +73,36 @@ class ChunkSplitSpec extends SparkTestBase {
     }
   }
 
+  test("expectations: exact violation counts for every kind, incl. NULL semantics") {
+    import graft.operators.Expectations._
+    val rows: Seq[(java.lang.Long, java.lang.Long, java.lang.Double, String)] = Seq(
+      (1L, 1L, 10.0, "A"),
+      (1L, 1L, 20.0, "B"),    // duplicate (id, k2) key
+      (null, 2L, 99.0, "A"),  // null id; 99 out of range
+      (3L, 3L, null, "C"),    // null value violates range; C not in enum
+      (4L, 9L, 5.0, "A"))     // k2=9 dangling FK
+    val df = rows.toDF("id", "k2", "v", "s")
+    val dim = Seq(1L, 2L, 3L).toDF("k")
+    val out = check(df, Seq(
+        NotNull("id"),
+        UniqueKey(Seq("id", "k2")),
+        InRange("v", 0.0, 50.0),
+        InSet("s", Seq("A", "B")),
+        RefIntegrity("k2", dim, "k")))
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("not_null_id") === ((5L, 1L, false)))
+    // the duplicate pair contributes 1, the null-keyed row 1 more
+    assert(out("unique_id_k2") === ((5L, 2L, false)))
+    assert(out("range_v") === ((5L, 2L, false)))   // 99 + NULL
+    assert(out("in_set_s") === ((5L, 1L, false)))  // C
+    assert(out("ref_k2") === ((5L, 1L, false)))    // 9
+    // all-green path
+    val clean = check(df.where($"id" === 4L), Seq(NotNull("id"), InSet("s", Seq("A"))))
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(clean.forall(_._4))
+  }
+
   test("rankByScore assigns exact global ranks across range partitions") {
     val df = (1 to 100).map(i => (i.toLong, (i * 37 % 25).toDouble))
       .toDF("id", "score") // heavy score ties → id tie-break must decide
