@@ -2450,6 +2450,42 @@ object SparkEntry {
         .orderBy(col("expectation"))
     }),
 
+    // Expectations ON INGEST: the same contract checks run per
+    // micro-batch inside foreachBatch, audit rows landing per epoch —
+    // the fail-fast data-quality monitor a streaming pipeline runs on
+    // every drop. Three event slices; per-epoch counts must equal the
+    // batch operator on each slice.
+    "q155_stream_expectations" -> ((s, d) => {
+      import s.implicits._
+      import graft.operators.Expectations._
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val root = java.nio.file.Files.createTempDirectory("graft_exp_").toString
+      StreamHarness.runFilesSink(s, (0 to 2).map(i =>
+          ev.where(pmod(col("event_id"), lit(3)) === i)
+            .as[(Long, Long, String, Double)])) {
+        (ds, ckpt) =>
+          ds.toDF("event_id", "user_id", "event_type", "value").writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: DataFrame, epochId: Long) =>
+              check(b, Seq(
+                  NotNull("user_id"),
+                  InRange("value", 0, 100),
+                  InSet("event_type", Seq("view", "click", "purchase"))))
+                .withColumn("epoch", lit(epochId))
+                .write.mode("overwrite").parquet(s"$root/audit/epoch_id=$epochId")
+              ()
+            }.start()
+      }
+      val out = s.read.parquet(s"$root/audit")
+        .select(col("epoch"), col("expectation"), col("n_checked"),
+          col("n_violations"), col("pass"))
+        .orderBy(col("epoch"), col("expectation"))
+        .localCheckpoint(true) // materialize before the audit dir vanishes
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+      out
+    }),
+
     // The GlobalWindowTopK optimizer rule under the oracle: the naive
     // global row_number()-top-k SQL (the single-task-sort antipattern)
     // runs through graft's injected rewrite — planned as distributed
@@ -4311,6 +4347,26 @@ object SparkEntry {
         |  CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
         |  round(CAST(sum(term) AS DOUBLE), 6) AS psi
         |FROM t2 GROUP BY g ORDER BY event_type""".stripMargin,
+
+    // per-epoch slices recomputed with the same CASE predicates — the
+    // ingest audit must equal the batch operator on every slice
+    "q155_stream_expectations" ->
+      """WITH b AS (SELECT event_id % 3 AS ep, user_id, event_type, value FROM events)
+        |SELECT ep AS epoch, expectation, n_checked, n_violations,
+        |  n_violations = 0 AS pass FROM (
+        | SELECT ep, 'not_null_user_id' AS expectation, count(*) AS n_checked,
+        |   CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        | FROM b GROUP BY ep
+        | UNION ALL SELECT ep, 'range_value', count(*),
+        |   CAST(sum(CASE WHEN value IS NULL OR value < 0 OR value > 100
+        |     THEN 1 ELSE 0 END) AS BIGINT)
+        | FROM b GROUP BY ep
+        | UNION ALL SELECT ep, 'in_set_event_type', count(*),
+        |   CAST(sum(CASE WHEN event_type IS NULL
+        |     OR event_type NOT IN ('view', 'click', 'purchase')
+        |     THEN 1 ELSE 0 END) AS BIGINT)
+        | FROM b GROUP BY ep
+        |) ORDER BY epoch, expectation""".stripMargin,
 
     // each audit row recomputed as written; violation semantics (NULL
     // violates range/enum/FK) mirrored in the CASE predicates
