@@ -109,6 +109,17 @@ class PlanSpec extends SparkTestBase {
       "d row hashes must ride one posexplode pass, not d unions:\n" + cms)
   }
 
+  test("expectations: all scalar checks ride one aggregate pass over one scan") {
+    import graft.operators.Expectations._
+    val p = plan(check(Tables.lineitem(spark, sf), Seq(
+      NotNull("l_orderkey"),
+      UniqueKey(Seq("l_orderkey", "l_linenumber")),
+      InRange("l_quantity", 1, 50),
+      InSet("l_returnflag", Seq("A", "N", "R")))))
+    assert("Scan parquet|FileScan".r.findAllIn(p).size <= 1,
+      "scalar expectations must fold into one pass, not one scan each:\n" + p)
+  }
+
   test("split contamination joins at gram grain — never doc×doc") {
     val docs = Tables.documents(spark, sf)
     val p = plan(graft.operators.Corpus.splitContamination(
