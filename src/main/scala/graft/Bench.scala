@@ -167,7 +167,11 @@ object Bench {
       "q80_topn_window", "q101_paragraph_dedup", "q102_semdedup",
       "q116_stream_paragraph_fuzzy", "q118_stream_semdedup",
       "q122_dag_dwd_refund_pay_suc", "q123_dag_paragraph_fuzzy",
-      "q124_dag_semdedup", "q125_stream_retention_dedup")
+      "q124_dag_semdedup", "q125_stream_retention_dedup",
+      // newer gates with scale-sensitive shapes: gram-grain contamination
+      // join, CC-chain funnel, one-pass CMS, token chunking
+      "q141_split_contamination", "q139_token_chunk",
+      "q145_cms_heavyhitters", "q153_curation_funnel")
     val sf2Twins = Seq(
       "q102_semdedup" -> "q118_stream_semdedup",
       "q102_semdedup" -> "q124_dag_semdedup",
