@@ -116,9 +116,13 @@ object Corpus {
       docs: DataFrame,
       sourceCol: String = "source",
       textCol: String = "text"): DataFrame = {
+    // materialized: three consumers (sizes + both self-join sides) would
+    // otherwise each re-run the scan+md5+distinct chain — the fp set is
+    // the unavoidable working set of the self-join anyway
     val fps = docs.select(col(sourceCol).as("src"),
       graft.functions.TextFunctions.fingerprint(col(textCol)).as("fp"))
       .distinct()
+      .localCheckpoint(true)
     val sizes = fps.groupBy(col("src")).agg(count(lit(1)).as("n"))
     fps.select(col("src").as("src_a"), col("fp"))
       .join(fps.select(col("src").as("src_b"), col("fp")), "fp")

@@ -141,9 +141,13 @@ object TextProfile {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val tok = docs.select(col(idCol), targetPred.as("_is_target"),
       explode(tokens(col(textCol))).as("tok"))
+    // vocab materialized (term-grain): the totals and the token join both
+    // read it — unmaterialized, each would re-run the corpus explode +
+    // aggregate
     val vocab = tok.groupBy(col("tok")).agg(
       count(lit(1)).as("cb"),
       sum(when(col("_is_target"), 1L).otherwise(0L)).as("ct"))
+      .localCheckpoint(true)
     val totals = vocab.agg(
       sum(col("cb")).as("nb"), sum(col("ct")).as("nt"),
       count(lit(1)).as("v"))
@@ -239,8 +243,13 @@ object TextProfile {
   def unigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    // vocab materialized (term-grain — tiny next to the corpus): the
+    // total-count branch then derives from it instead of re-exploding the
+    // corpus, and the token join reads it without re-aggregating — two
+    // corpus passes total instead of three
     val vocab = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    val n = tok.agg(count(lit(1)).as("n_total"))
+      .localCheckpoint(true)
+    val n = vocab.agg(sum(col("cnt")).as("n_total"))
     tok.join(vocab, "tok")
       .crossJoin(broadcast(n))
       .withColumn("s",
