@@ -2450,6 +2450,14 @@ object SparkEntry {
         .orderBy(col("expectation"))
     }),
 
+    // Deterministic weighted sampling without replacement (A-ES): docs
+    // weighted by n_chars, top-100 of the md5-derived ln(u)/w keys —
+    // reproducible across engines, weight-faithful, no single-task sort.
+    "q156_weighted_sample" -> ((s, d) =>
+      graft.operators.Corpus.weightedSample(
+          Tables.documents(s, d), "doc_id", col("n_chars"), 100)
+        .orderBy(col("rank"))),
+
     // Expectations ON INGEST: the same contract checks run per
     // micro-batch inside foreachBatch, audit rows landing per epoch —
     // the fail-fast data-quality monitor a streaming pipeline runs on
@@ -4347,6 +4355,19 @@ object SparkEntry {
         |  CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
         |  round(CAST(sum(term) AS DOUBLE), 6) AS psi
         |FROM t2 GROUP BY g ORDER BY event_type""".stripMargin,
+
+    // same dyadic u from the md5 hash, same ln(u)/w key rounded to 6 dp,
+    // same (key DESC, id) cut — the A-ES ordering replayed
+    "q156_weighted_sample" ->
+      s"""WITH h AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+         |    (CAST(${hexLongSql("CAST(doc_id AS VARCHAR)")} % 9007199254740992 AS DOUBLE) + 1)
+         |      / 9007199254740992.0 AS u
+         |  FROM documents),
+         |kk AS (SELECT doc_id, weight, round(ln(u) / weight, 6) AS key FROM h),
+         |rr AS (SELECT doc_id, weight, key,
+         |    row_number() OVER (ORDER BY key DESC, doc_id) AS rank FROM kk)
+         |SELECT doc_id, weight, key, rank FROM rr WHERE rank <= 100
+         |ORDER BY rank""".stripMargin,
 
     // per-epoch slices recomputed with the same CASE predicates — the
     // ingest audit must equal the batch operator on every slice

@@ -324,6 +324,39 @@ object Corpus {
       .withColumn("n_dropped", col("n_in") - col("n_out"))
   }
 
+  /** Weighted sampling WITHOUT replacement — the Efraimidis–Spirakis
+    * A-ES scheme (Inf. Proc. Letters 2006) made DETERMINISTIC: each row
+    * draws its "uniform" from the md5 of its id (u ∈ (0,1], a dyadic
+    * rational — exactly representable, engine-identical), its selection
+    * key is `ln(u)/w` (the monotone log form of u^(1/w); higher = more
+    * likely kept, heavier rows get keys nearer 0), and the sample is the
+    * top-k keys. Reproducible across runs, partitionings, and engines —
+    * the property RNG-based `sampleBy` can't give — and weight-faithful:
+    * inclusion probability ∝ the A-ES guarantee. Keys are rounded to
+    * 6 dp with the id as tiebreak so the cross-engine ±1 ulp license of
+    * `ln` can't reorder the cut.
+    *
+    * Scale: one narrow projection computes the keys, then
+    * [[rankByScore]]'s range-partitioned ranking takes the top k — no
+    * single-task sort, no per-group window. */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: Column,
+      k: Int): DataFrame = {
+    require(k > 0, "need k > 0")
+    val M = 9007199254740992L // 2^53: u is a dyadic rational, division exact
+    val u = (pmod(Dedup.md5Long(col(idCol).cast("string")), lit(M)) + 1L)
+      .cast("double") / lit(M.toDouble)
+    val keyed = df.select(col(idCol), weightCol.cast("double").as("weight"),
+      round(log(u) / weightCol.cast("double"), 6).as("key"))
+    rankByScore(keyed.select(col(idCol), col("key")), idCol, "key",
+        ascending = false)
+      .where(col("rank") <= k)
+      .join(keyed.select(col(idCol), col("weight")), Seq(idCol))
+      .select(col(idCol), col("weight"), col("key"), col("rank"))
+  }
+
   /** Exact global rank WITHOUT a global window — the distributed form of
     * `row_number() OVER (ORDER BY score, id)`: rows are range-partitioned
     * in rank order, each partition's row count is collected (one array

@@ -103,6 +103,28 @@ class ChunkSplitSpec extends SparkTestBase {
     assert(clean.forall(_._4))
   }
 
+  test("weightedSample: A-ES ordering equals the in-JVM reference; heavy rows dominate") {
+    val docs = (1 to 200).map(i => (i.toLong, if (i == 7) 1e9 else 1.0 + i % 5))
+      .toDF("doc_id", "w")
+    val out = Corpus.weightedSample(docs, "doc_id", $"w", 50)
+      .orderBy($"rank").as[(Long, Double, Double, Long)].collect()
+    assert(out.length === 50)
+    assert(out.exists(_._1 == 7L), "an astronomically heavy row must be sampled")
+    // in-JVM replay: same md5-derived dyadic u, same key, same rounding
+    val M = 9007199254740992L
+    def md5l(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = (1 to 200).map { i =>
+      val w = if (i == 7) 1e9 else 1.0 + i % 5
+      val u = ((md5l(i.toString) % M) + 1).toDouble / M.toDouble
+      (i.toLong, r6(math.log(u) / w))
+    }.sortBy { case (id, key) => (-key, id) }.take(50).map(_._1)
+    assert(out.map(_._1).toSeq === expect)
+  }
+
   test("rankByScore assigns exact global ranks across range partitions") {
     val df = (1 to 100).map(i => (i.toLong, (i * 37 % 25).toDouble))
       .toDF("id", "score") // heavy score ties → id tie-break must decide
