@@ -2458,6 +2458,55 @@ object SparkEntry {
           Tables.documents(s, d), "doc_id", col("n_chars"), 100)
         .orderBy(col("rank"))),
 
+    // ONLINE drift monitor: the events stream in three time-tercile
+    // micro-batches; epoch 0 freezes the reference distribution, every
+    // later epoch computes its per-event-type PSI against it under
+    // FIXED global bin bounds (data-derived bounds would move the grid
+    // under the comparison) — the production data-drift alarm, one audit
+    // row per (epoch, group).
+    "q157_stream_drift" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+      val mm = ev.agg(min(col("ts_us")), max(col("ts_us")),
+        min(col("value")).cast("double"), max(col("value")).cast("double")).head()
+      val (tlo, thi) = (mm.getLong(0), mm.getLong(1))
+      val (vlo, vhi) = (mm.getDouble(2), mm.getDouble(3))
+      // integer `div`, not `/`: Column `/` is DOUBLE division and a
+      // boundary row could floor differently from the oracle's exact `//`
+      val terc = expr(s"((ts_us - ${tlo}L) * 3L) div ${thi - tlo + 1}L")
+      val root = java.nio.file.Files.createTempDirectory("graft_drift_").toString
+      StreamHarness.runFilesSink(s, (0 to 2).map(e =>
+          ev.where(terc === e.toLong)
+            .select(col("event_type"), col("value"))
+            .as[(String, Double)])) {
+        (ds, ckpt) =>
+          ds.toDF("event_type", "value").writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: DataFrame, epochId: Long) =>
+              if (epochId == 0L)
+                b.write.mode("overwrite").parquet(s"$root/ref")
+              else {
+                val ref = b.sparkSession.read.parquet(s"$root/ref")
+                graft.operators.Sketches.driftPsiBounded(
+                    ref.withColumn("_ra", lit(true))
+                      .unionByName(b.withColumn("_ra", lit(false))),
+                    col("event_type"), "event_type", col("value"), col("_ra"),
+                    vlo, vhi, 32)
+                  .withColumn("epoch", lit(epochId))
+                  .write.mode("overwrite").parquet(s"$root/audit/epoch_id=$epochId")
+              }
+              ()
+            }.start()
+      }
+      val out = s.read.parquet(s"$root/audit")
+        .select(col("epoch"), col("event_type"), col("n_a"), col("n_b"), col("psi"))
+        .orderBy(col("epoch"), col("event_type"))
+        .localCheckpoint(true) // materialize before the audit dir vanishes
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+      out
+    }),
+
     // Expectations ON INGEST: the same contract checks run per
     // micro-batch inside foreachBatch, audit rows landing per epoch —
     // the fail-fast data-quality monitor a streaming pipeline runs on
@@ -4355,6 +4404,48 @@ object SparkEntry {
         |  CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
         |  round(CAST(sum(term) AS DOUBLE), 6) AS psi
         |FROM t2 GROUP BY g ORDER BY event_type""".stripMargin,
+
+    // q148's smoothed-grid PSI parameterized over the (ref=tercile-0,
+    // epoch) pairs; global value bounds + exact integer terciling
+    "q157_stream_drift" ->
+      """WITH mm AS (SELECT epoch_us(min(ts)) AS tlo, epoch_us(max(ts)) AS thi,
+        |    CAST(min(value) AS DOUBLE) AS lo, CAST(max(value) AS DOUBLE) AS hi
+        |  FROM events),
+        |base AS (SELECT event_type AS g, value,
+        |    ((epoch_us(ts) - tlo) * 3) // (thi - tlo + 1) AS terc FROM events, mm),
+        |eps AS (SELECT 1 AS ep UNION ALL SELECT 2),
+        |bb AS (SELECT e.ep, b.g, (b.terc = 0) AS sl,
+        |    least(CAST(floor((CAST(value AS DOUBLE) - lo) / (hi - lo) * 32.0e0)
+        |      AS BIGINT), 31) AS bin
+        |  FROM base b CROSS JOIN mm JOIN eps e ON b.terc = 0 OR b.terc = e.ep),
+        |cnt AS (SELECT ep, g, sl, bin, count(*) AS c FROM bb GROUP BY 1, 2, 3, 4),
+        |tot AS (SELECT ep, g, sl, sum(c) AS n FROM cnt GROUP BY 1, 2, 3),
+        |grid AS (SELECT gg.ep, gg.g, t.bin FROM
+        |  (SELECT DISTINCT ep, g FROM bb) gg CROSS JOIN range(32) t(bin)),
+        |j AS (SELECT grid.ep, grid.g, grid.bin,
+        |    COALESCE(ca.c, 0) AS ca, COALESCE(cb.c, 0) AS cb,
+        |    COALESCE(na.n, 0) AS na, COALESCE(nb.n, 0) AS nb
+        |  FROM grid
+        |  LEFT JOIN (SELECT ep, g, bin, c FROM cnt WHERE sl) ca
+        |    ON grid.ep = ca.ep AND grid.g = ca.g AND grid.bin = ca.bin
+        |  LEFT JOIN (SELECT ep, g, bin, c FROM cnt WHERE NOT sl) cb
+        |    ON grid.ep = cb.ep AND grid.g = cb.g AND grid.bin = cb.bin
+        |  LEFT JOIN (SELECT ep, g, n FROM tot WHERE sl) na
+        |    ON grid.ep = na.ep AND grid.g = na.g
+        |  LEFT JOIN (SELECT ep, g, n FROM tot WHERE NOT sl) nb
+        |    ON grid.ep = nb.ep AND grid.g = nb.g),
+        |t2 AS (SELECT ep, g, na, nb,
+        |    CAST(round(
+        |      (CAST(ca + 1 AS DOUBLE) / CAST(na + 32 AS DOUBLE)
+        |        - CAST(cb + 1 AS DOUBLE) / CAST(nb + 32 AS DOUBLE))
+        |      * ln((CAST(ca + 1 AS DOUBLE) / CAST(na + 32 AS DOUBLE))
+        |        / (CAST(cb + 1 AS DOUBLE) / CAST(nb + 32 AS DOUBLE))), 6)
+        |      AS DECIMAL(28,6)) AS term
+        |  FROM j)
+        |SELECT CAST(ep AS BIGINT) AS epoch, g AS event_type,
+        |  CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+        |  round(CAST(sum(term) AS DOUBLE), 6) AS psi
+        |FROM t2 GROUP BY ep, g ORDER BY epoch, event_type""".stripMargin,
 
     // same dyadic u from the md5 hash, same ln(u)/w key rounded to 6 dp,
     // same (key DESC, id) cut — the A-ES ordering replayed

@@ -228,9 +228,26 @@ object Sketches {
       valueCol: Column,
       sliceA: Column,
       bins: Int = 32): DataFrame = {
-    require(bins >= 2, "need at least two bins")
     val mm = df.agg(min(valueCol).cast("double"), max(valueCol).cast("double")).head()
-    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    driftPsiBounded(df, groupCol, groupName, valueCol, sliceA,
+      mm.getDouble(0), mm.getDouble(1), bins)
+  }
+
+  /** [[driftPsi]] with CALLER-FIXED bin bounds — required whenever PSIs
+    * must be comparable across invocations (the online monitor computes
+    * one PSI per incoming batch vs a frozen reference; data-derived
+    * bounds would move the grid under the comparison). */
+  def driftPsiBounded(
+      df: DataFrame,
+      groupCol: Column,
+      groupName: String,
+      valueCol: Column,
+      sliceA: Column,
+      lo: Double,
+      hi: Double,
+      bins: Int = 32): DataFrame = {
+    require(bins >= 2, "need at least two bins")
+    require(lo < hi, "need lo < hi")
     val binned = df.select(groupCol.as(groupName), sliceA.as("_a"),
       binOf(valueCol, lo, hi, bins).as("bin"))
     // materialize the O(groups·bins·2) cell counts: four consumers read
