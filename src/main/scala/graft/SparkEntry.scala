@@ -4340,8 +4340,9 @@ object SparkEntry {
          |  SELECT r.a, e2.b FROM reach r JOIN ee e2 ON r.b = e2.a),
          |comp AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY a),
          |$surprisalCtes,
-         |kq AS (SELECT comp.comp AS cmp, comp.id AS id, srp.surprisal AS s2
-         |  FROM comp JOIN srp ON comp.id = srp.doc_id),
+         |kq AS (SELECT comp.comp AS cmp, comp.id AS id,
+         |    coalesce(srp.surprisal, CAST('infinity' AS DOUBLE)) AS s2
+         |  FROM comp LEFT JOIN srp ON comp.id = srp.doc_id),
          |keep AS (SELECT cmp, id FROM (
          |  SELECT cmp, id, row_number() OVER (PARTITION BY cmp ORDER BY s2, id) AS rn
          |  FROM kq) WHERE rn = 1)

@@ -348,8 +348,19 @@ object Corpus {
     val M = 9007199254740992L // 2^53: u is a dyadic rational, division exact
     val u = (pmod(Dedup.md5Long(col(idCol).cast("string")), lit(M)) + 1L)
       .cast("double") / lit(M.toDouble)
-    val keyed = df.select(col(idCol), weightCol.cast("double").as("weight"),
-      round(log(u) / weightCol.cast("double"), 6).as("key"))
+    // A-ES is defined only for w > 0: a zero weight degenerates to
+    // -Infinity (never sampled — arguably fine) but a NEGATIVE weight
+    // flips ln(u)/w positive so bad rows rank FIRST, and a null weight
+    // produces a null key with undefined rank placement. Fail loudly at
+    // runtime rather than silently corrupting the sample.
+    val w = weightCol.cast("double")
+    val guarded = when(w.isNull || w <= 0.0,
+        raise_error(concat(lit(s"weightedSample: weight must be > 0, got "),
+          coalesce(w.cast("string"), lit("NULL")), lit(s" for $idCol="),
+          col(idCol).cast("string"))))
+      .otherwise(w)
+    val keyed = df.select(col(idCol), guarded.as("weight"),
+      round(log(u) / guarded, 6).as("key"))
     rankByScore(keyed.select(col(idCol), col("key")), idCol, "key",
         ascending = false)
       .where(col("rank") <= k)

@@ -562,8 +562,12 @@ object Dedup {
     * (score, id) tuple (pass a quality score where lower = better, e.g.
     * unigram surprisal; ties break to the smaller id, so keeper choice is
     * total-ordered and deterministic). Docs in no component survive
-    * untouched. `scores` must cover every clustered doc (inner-join
-    * contract — an unscored member simply can't win).
+    * untouched. Scores may be PARTIAL: members are joined LEFT against
+    * `scores` and an unscored member's key coalesces to +Infinity, so it
+    * can't beat any scored sibling but a fully-unscored component still
+    * keeps its min-id member — an inner join here would silently drop the
+    * whole cluster when the scorer skips it (e.g. unigramSurprisal emits
+    * no row for zero-token docs), which is data loss, not dedup.
     *
     * Scale: keeper election is ONE bounded `min_by` aggregate at
     * component grain (map-side combinable — never a per-component sort
@@ -577,9 +581,11 @@ object Dedup {
       idCol: String = "doc_id",
       scoreCol: String = "surprisal"): DataFrame = {
     val keepers = components
-      .join(scores.select(col(idCol).as("id"), col(scoreCol).as("_s")), Seq("id"))
+      .join(scores.select(col(idCol).as("id"), col(scoreCol).as("_s")),
+        Seq("id"), "left")
       .groupBy(col("comp"))
-      .agg(min_by(col("id"), struct(col("_s"), col("id"))).as(idCol))
+      .agg(min_by(col("id"),
+        struct(coalesce(col("_s"), lit(Double.PositiveInfinity)), col("id"))).as(idCol))
       .select(col(idCol))
     docs.join(components.select(col("id").as(idCol)), Seq(idCol), "left_anti")
       .unionByName(docs.join(keepers, Seq(idCol), "left_semi"))

@@ -59,6 +59,12 @@ object Expectations {
     * key-column) scan + left join against the distinct dim keys. */
   def check(df: DataFrame, exps: Seq[Expectation]): DataFrame = {
     require(exps.nonEmpty, "no expectations declared")
+    // agg output columns are named by e.name; two expectations with the
+    // same derived name (e.g. two InRange on one column with different
+    // bounds) would collide in the shared aggregate and col(e.name)
+    // resolves ambiguously — fail loudly at declaration instead
+    require(exps.map(_.name).distinct.size == exps.size,
+      s"duplicate expectation names: ${exps.map(_.name).diff(exps.map(_.name).distinct).distinct.mkString(", ")}")
     def violations(e: Expectation): Column = e match {
       case NotNull(c) => count(when(col(c).isNull, 1))
       case UniqueKey(cs) => count(lit(1)) - countDistinct(cs.head, cs.tail: _*)

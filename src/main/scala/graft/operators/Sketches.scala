@@ -165,11 +165,19 @@ object Sketches {
   }
 
   /** The bin index of a value for the global [lo, hi] edges — shared by
-    * the one-pass batch path and the streaming register twin. */
+    * the one-pass batch path and the streaming register twin. Clamped on
+    * BOTH ends: with caller-fixed bounds (the online drift monitor) a
+    * later batch can drift below `lo` just as easily as above `hi`; an
+    * unclamped floor would emit negative bin ids that never join the
+    * 0..bins-1 grid, silently dropping that mass from the PSI while still
+    * inflating the totals. Under-lo mass lands in bin 0, over-hi in the
+    * top bin, so per-bin shares always sum to 1. */
   def binOf(value: Column, lo: Double, hi: Double, bins: Int): Column =
-    least(
-      floor((value.cast("double") - lit(lo)) / (lit(hi) - lit(lo)) * lit(bins.toDouble)),
-      lit((bins - 1).toLong)).cast("long")
+    greatest(
+      least(
+        floor((value.cast("double") - lit(lo)) / (lit(hi) - lit(lo)) * lit(bins.toDouble)),
+        lit((bins - 1).toLong)),
+      lit(0L)).cast("long")
 
   /** Interpolated quantiles from per-(group, bin) counts — the digest
     * half of [[histogramQuantiles]], usable on counts accumulated
@@ -229,8 +237,24 @@ object Sketches {
       sliceA: Column,
       bins: Int = 32): DataFrame = {
     val mm = df.agg(min(valueCol).cast("double"), max(valueCol).cast("double")).head()
-    driftPsiBounded(df, groupCol, groupName, valueCol, sliceA,
-      mm.getDouble(0), mm.getDouble(1), bins)
+    if (mm.isNullAt(0)) {
+      // empty input / all-null value column: a monitoring operator must
+      // degrade to "nothing to report", not NPE — return the empty audit
+      // frame with the output schema intact
+      val spark = df.sparkSession
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(
+          df.select(groupCol.as(groupName)).schema.fields ++ Seq(
+            org.apache.spark.sql.types.StructField("n_a", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("n_b", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("psi", org.apache.spark.sql.types.DoubleType))))
+    }
+    // constant-valued column: widen hi by an epsilon so lo < hi holds and
+    // every value lands in bin 0 (PSI 0 between identical constants)
+    val (lo, hi0) = (mm.getDouble(0), mm.getDouble(1))
+    val hi = if (hi0 > lo) hi0 else lo + math.max(math.abs(lo) * 1e-9, 1e-9)
+    driftPsiBounded(df, groupCol, groupName, valueCol, sliceA, lo, hi, bins)
   }
 
   /** [[driftPsi]] with CALLER-FIXED bin bounds — required whenever PSIs

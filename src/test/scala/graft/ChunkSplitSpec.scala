@@ -103,6 +103,16 @@ class ChunkSplitSpec extends SparkTestBase {
     assert(clean.forall(_._4))
   }
 
+  test("expectations: colliding declared names are refused at declaration") {
+    import graft.operators.Expectations._
+    val df = Seq((1L, 5.0)).toDF("id", "v")
+    // two InRange on one column derive the same agg output name — ambiguous
+    val e = intercept[IllegalArgumentException] {
+      check(df, Seq(InRange("v", 0.0, 10.0), InRange("v", 2.0, 3.0)))
+    }
+    assert(e.getMessage.contains("duplicate expectation names"))
+  }
+
   test("weightedSample: A-ES ordering equals the in-JVM reference; heavy rows dominate") {
     val docs = (1 to 200).map(i => (i.toLong, if (i == 7) 1e9 else 1.0 + i % 5))
       .toDF("doc_id", "w")

@@ -93,6 +93,24 @@ class CorpusSpec extends SparkTestBase {
     }
   }
 
+  test("weightedSample refuses null and non-positive weights at runtime") {
+    // A-ES is defined only for w > 0: a negative weight flips ln(u)/w
+    // positive so bad rows would rank FIRST — must fail, never sample.
+    val neg = Seq((1L, 2.0), (2L, -1.0)).toDF("doc_id", "w")
+    val e1 = intercept[Exception] {
+      Corpus.weightedSample(neg, "doc_id", $"w", 1).collect()
+    }
+    assert(e1.getMessage.contains("weight must be > 0"))
+    val nul = Seq((1L, Some(2.0)), (2L, None)).toDF("doc_id", "w")
+    val e2 = intercept[Exception] {
+      Corpus.weightedSample(nul, "doc_id", $"w", 1).collect()
+    }
+    assert(e2.getMessage.contains("weight must be > 0"))
+    // valid weights still sample exactly k
+    val ok = Seq((1L, 2.0), (2L, 1.0), (3L, 5.0)).toDF("doc_id", "w")
+    assert(Corpus.weightedSample(ok, "doc_id", $"w", 2).count() === 2L)
+  }
+
   test("crossSourceOverlap counts shared fingerprints and Jaccard across sources") {
     // A: {x, y, z}; B: {x, y, w} (x whitespace-variant — fingerprints
     // normalize); C: {v} disjoint. A∩B = {x, y} → J = 2/(3+3-2) = 0.5.

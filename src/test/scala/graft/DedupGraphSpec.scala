@@ -123,4 +123,16 @@ class DedupGraphSpec extends SparkTestBase {
       .select($"doc_id").as[Long].collect().sorted.toSeq
     assert(kept === Seq(3L, 4L, 6L)) // best of {1,2,3}; tie-min of {4,5}; untouched 6
   }
+
+  test("applyDedupBestKeeper: partial/absent scores never drop a component") {
+    val docs = (1 to 5).map(i => (i.toLong, s"d$i")).toDF("doc_id", "text")
+    // component {1,2}: only 2 scored → 2 wins despite higher id;
+    // component {3,4}: NO member scored → min-id 3 survives (the old
+    // inner-join contract dropped the whole cluster — data loss)
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L)).toDF("id", "comp")
+    val scores = Seq((2L, 4.0), (5L, 9.0)).toDF("doc_id", "surprisal")
+    val kept = Dedup.applyDedupBestKeeper(docs, comps, scores)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(2L, 3L, 5L))
+  }
 }

@@ -135,6 +135,33 @@ class SketchesSpec extends SparkTestBase {
     assert(out("flat")._2 === 100L && out("flat")._3 === 100L)
   }
 
+  test("driftPsiBounded: mass drifting BELOW the frozen lo is detected, not dropped") {
+    // frozen reference grid over [0, 10); the monitored slice drifts LOW
+    // (all values negative). Unclamped binning would map those rows to
+    // negative bin ids that never join the grid — psi would read ~0 while
+    // the distribution completely shifted.
+    val rows =
+      (1 to 100).map(i => ("g", true, (i % 10).toDouble)) ++
+      (1 to 100).map(i => ("g", false, -5.0 - (i % 10)))
+    val out = Sketches.driftPsiBounded(rows.toDF("g", "a", "v"),
+        $"g", "g", $"v", $"a", 0.0, 10.0, bins = 10)
+      .as[(String, Long, Long, Double)].head()
+    assert(out._4 > 0.25, s"downward drift must flag: $out")
+    assert(out._2 === 100L && out._3 === 100L)
+  }
+
+  test("driftPsi: empty/all-null input degrades to an empty audit frame; constant input scores 0") {
+    val empty = Seq.empty[(String, Boolean, Double)].toDF("g", "a", "v")
+    assert(Sketches.driftPsi(empty, $"g", "g", $"v", $"a").count() === 0L)
+    val allNull = Seq(("g", true), ("g", false)).toDF("g", "a")
+      .withColumn("v", lit(null).cast("double"))
+    assert(Sketches.driftPsi(allNull, $"g", "g", $"v", $"a").count() === 0L)
+    val const = Seq(("g", true, 7.5), ("g", false, 7.5)).toDF("g", "a", "v")
+    val out = Sketches.driftPsi(const, $"g", "g", $"v", $"a")
+      .as[(String, Long, Long, Double)].head()
+    assert(out._4 === 0.0, s"identical constants must not drift: $out")
+  }
+
   test("count-min: never underestimates, exact at collision-free width, cells merge") {
     val items = (1 to 500).map(i => Tuple1(s"k${i % 7}")).toDF("k")
     val exact = items.groupBy($"k").count().as[(String, Long)].collect().toMap
