@@ -1,0 +1,315 @@
+package graft.entry
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Envelopes, Tables, TopicDb}
+import graft.apps.{GmallApp, GmallPipelines}
+import graft.operators.{Dedup, EventOps, Multimodal, Relational, Similarity, Sketches, TextProfile}
+import graft.functions.TextFunctions
+import graft.streaming.{DimSink, SketchStream, StatefulOps, StreamHarness}
+
+import GateSupport._
+import OracleSupport._
+
+/** Multimodal blobs, DeltaStore time travel, expectations contracts.
+  *
+  * One gate family of [[graft.SparkEntry]]: `queries` runs each operator
+  * over the driver's parquet tables; `oracleSql` is the DuckDB twin the
+  * driver hash-compares against (columns aliased identically on both
+  * sides — the compare sorts columns by name before hashing). */
+private[graft] object MiscGates {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --------------------------- multimodal --------------------------------
+
+    "q30_media_meta" -> ((s, d) =>
+      Multimodal.resizePlan(Multimodal.decodeMeta(
+          Multimodal.ingestDocsAsMedia(Tables.documents(s, d))))
+        .select(col("media_id"), col("mime"), col("n_bytes"), col("width"),
+          col("height"), col("out_w"), col("out_h"), col("duration_ms"))
+        .orderBy(col("media_id"))),
+
+    "q31_media_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(Multimodal.decodeMeta(
+          Multimodal.ingestDocsAsMedia(Tables.documents(s, d))))
+        .orderBy(col("media_id"), col("frame_no"))),
+
+    // batched per-partition decode (mapInPandas analogue). The raw
+    // array<float> features column is not hashable by the driver's oracle
+    // (pandas can't sort ndarray cells), so the gate projects each feature
+    // to a rounded scalar column; the DuckDB oracle replicates
+    // StubDecoder's byte statistics from hex(encode(text)).
+    "q32_media_features" -> ((s, d) => {
+      val feats = Multimodal.extractFeatures(
+        Multimodal.ingestDocsAsMedia(Tables.documents(s, d)))
+      val fCols = (0 until 8).map(i =>
+        round(element_at(col("features"), i + 1).cast("double"), 6).as(s"f$i"))
+      feats.select((col("media_id") +: col("mime") +: fCols): _*)
+        .orderBy(col("media_id"))
+    }),
+
+    // Blob-store dedup accounting per mime: payload counts, distinct
+    // payloads by content md5, and the CAS byte savings — content bytes
+    // hashed at the scan, never shuffled.
+    "q149_media_dedup_accounting" -> ((s, d) =>
+      Multimodal.dedupAccounting(
+          Multimodal.ingestDocsAsMedia(Tables.documents(s, d)))
+        .orderBy(col("mime"))),
+
+    // DeltaStore TIME TRAVEL: epochs 0-2 upsert the events changelog
+    // (sliced by event_id % 3), epoch 3 is a tombstone-only batch
+    // retiring user_id % 7 == 0, epoch 4 re-upserts those keys. Then
+    // readAsOf(3) must show the retired keys HIDDEN (their newest ≤3 row
+    // is the tombstone) and the epoch-4 resurrection INVISIBLE (epoch
+    // cap) — both travel behaviors in one view.
+    "q151_delta_time_travel" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("value"), unix_micros(col("ts")).as("ts_us"),
+          pmod(col("event_id"), lit(3)).as("_ep"))
+      val root = java.nio.file.Files.createTempDirectory("graft_tt_").toString
+      (0L to 2L).foreach { e =>
+        graft.streaming.DeltaStore.append(
+          ev.where(col("_ep") === e).drop("_ep"), Seq("user_id"), "ts_us", root, e)
+      }
+      val sevens = ev.where(col("user_id") % 7 === 0)
+      graft.streaming.DeltaStore.append(
+        ev.where(lit(false)).drop("_ep"), Seq("user_id"), "ts_us", root, 3L,
+        deleteKeys = Some(sevens.select(col("user_id")).distinct()))
+      graft.streaming.DeltaStore.append(
+        sevens.where(col("_ep") === 0).drop("_ep"), Seq("user_id"), "ts_us", root, 4L)
+      val out = graft.streaming.DeltaStore
+        .readAsOf(s, root, Seq("user_id"), "ts_us", epoch = 3L)
+        .orderBy(col("user_id"))
+        .localCheckpoint(true) // materialize before the store dir vanishes
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+      out
+    }),
+
+    // DeltaStore CHANGE DATA FEED over the same changelog: the net
+    // effect of epochs (1, 3] — every key's newest epoch-2 upsert,
+    // except the %7 keys whose epoch-3 tombstone wins and surfaces as an
+    // op='d' row (nulled data) for downstream incremental consumers.
+    "q152_delta_cdf" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("value"), unix_micros(col("ts")).as("ts_us"),
+          pmod(col("event_id"), lit(3)).as("_ep"))
+      val root = java.nio.file.Files.createTempDirectory("graft_cdf_").toString
+      (0L to 2L).foreach { e =>
+        graft.streaming.DeltaStore.append(
+          ev.where(col("_ep") === e).drop("_ep"), Seq("user_id"), "ts_us", root, e)
+      }
+      graft.streaming.DeltaStore.append(
+        ev.where(lit(false)).drop("_ep"), Seq("user_id"), "ts_us", root, 3L,
+        deleteKeys = Some(ev.where(col("user_id") % 7 === 0)
+          .select(col("user_id")).distinct()))
+      val out = graft.streaming.DeltaStore
+        .readChanges(s, root, Seq("user_id"), "ts_us", fromEpoch = 1L, toEpoch = 3L)
+        .withColumnRenamed("_op", "op")
+        .orderBy(col("user_id"))
+        .localCheckpoint(true) // materialize before the store dir vanishes
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+      out
+    }),
+
+    // Declared data-quality EXPECTATIONS over lineitem: not-null / unique
+    // key / ranges / enums / FK-to-orders, exact violation counts — two
+    // of them (price range, single-status enum) intentionally FAIL so
+    // the counting path is pinned, not just the all-green one. All
+    // scalar checks fold into ONE aggregate pass.
+    "q154_expectations" -> ((s, d) => {
+      import graft.operators.Expectations._
+      check(Tables.lineitem(s, d), Seq(
+          NotNull("l_orderkey"),
+          UniqueKey(Seq("l_orderkey", "l_linenumber")),
+          InRange("l_quantity", 1, 50),
+          InRange("l_extendedprice", 0, 1000),
+          InSet("l_returnflag", Seq("A", "N", "R")),
+          InSet("l_linestatus", Seq("O")),
+          RefIntegrity("l_orderkey", Tables.orders(s, d), "o_orderkey")))
+        .orderBy(col("expectation"))
+    }),
+
+    // Expectations ON INGEST: the same contract checks run per
+    // micro-batch inside foreachBatch, audit rows landing per epoch —
+    // the fail-fast data-quality monitor a streaming pipeline runs on
+    // every drop. Three event slices; per-epoch counts must equal the
+    // batch operator on each slice.
+    "q155_stream_expectations" -> ((s, d) => {
+      import s.implicits._
+      import graft.operators.Expectations._
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val root = java.nio.file.Files.createTempDirectory("graft_exp_").toString
+      StreamHarness.runFilesSink(s, (0 to 2).map(i =>
+          ev.where(pmod(col("event_id"), lit(3)) === i)
+            .as[(Long, Long, String, Double)])) {
+        (ds, ckpt) =>
+          ds.toDF("event_id", "user_id", "event_type", "value").writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: DataFrame, epochId: Long) =>
+              check(b, Seq(
+                  NotNull("user_id"),
+                  InRange("value", 0, 100),
+                  InSet("event_type", Seq("view", "click", "purchase"))))
+                .withColumn("epoch", lit(epochId))
+                .write.mode("overwrite").parquet(s"$root/audit/epoch_id=$epochId")
+              ()
+            }.start()
+      }
+      val out = s.read.parquet(s"$root/audit")
+        .select(col("epoch"), col("expectation"), col("n_checked"),
+          col("n_violations"), col("pass"))
+        .orderBy(col("epoch"), col("expectation"))
+        .localCheckpoint(true) // materialize before the audit dir vanishes
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+      out
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q30_media_meta" ->
+      s"""WITH $mediaCte,
+         |r AS (SELECT *, 224.0 / CAST(greatest(width, height) AS DOUBLE) AS scale FROM m)
+         |SELECT media_id, mime, n_bytes, width, height,
+         | greatest(1, CAST(floor(CAST(width AS DOUBLE) * scale) AS BIGINT)) AS out_w,
+         | greatest(1, CAST(floor(CAST(height AS DOUBLE) * scale) AS BIGINT)) AS out_h,
+         | CASE WHEN mime <> 'image/png' THEN n_bytes * 10 END AS duration_ms
+         |FROM r ORDER BY media_id""".stripMargin,
+
+    "q32_media_features" ->
+      """WITH b AS (
+        | SELECT doc_id AS media_id,
+        |  (['image/png', 'audio/wav', 'video/mp4'])[CAST(doc_id % 3 + 1 AS INT)] AS mime,
+        |  hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+        | FROM documents),
+        |bl AS (
+        | SELECT media_id, mime, n,
+        |  list_transform(range(n), i ->
+        |   (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS BIGINT), 1)) - 1) * 16
+        |   + (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS BIGINT), 1)) - 1)) AS bs
+        | FROM b),
+        |st AS (SELECT *, CAST(list_reduce(bs, (a, x) -> a + x) AS DOUBLE) / n AS mean FROM bl),
+        |v AS (SELECT *,
+        |  list_reduce(list_transform(bs, x -> (x - mean) * (x - mean)), (a, x) -> a + x) / n AS varr
+        | FROM st)
+        |SELECT media_id, mime,
+        | round(CAST(CAST(n AS FLOAT) AS DOUBLE), 6) AS f0,
+        | round(CAST(CAST(mean AS FLOAT) AS DOUBLE), 6) AS f1,
+        | round(CAST(CAST(sqrt(varr) AS FLOAT) AS DOUBLE), 6) AS f2,
+        | round(CAST(CAST(bs[1] AS FLOAT) AS DOUBLE), 6) AS f3,
+        | round(CAST(CAST(bs[n] AS FLOAT) AS DOUBLE), 6) AS f4,
+        | round(CAST(CAST(list_aggregate(bs, 'min') AS FLOAT) AS DOUBLE), 6) AS f5,
+        | round(CAST(CAST(list_aggregate(bs, 'max') AS FLOAT) AS DOUBLE), 6) AS f6,
+        | round(CAST(CAST(len(mime) AS FLOAT) AS DOUBLE), 6) AS f7
+        |FROM v ORDER BY media_id""".stripMargin,
+
+    "q31_media_frames" ->
+      s"""WITH $mediaCte,
+         |vid AS (SELECT media_id, text, n_bytes, 1 + n_bytes % 7 AS n_frames
+         |  FROM m WHERE mime = 'video/mp4')
+         |SELECT media_id, frame_no,
+         | md5(substr(text, CAST(frame_no * (n_bytes // n_frames) + 1 AS BIGINT), 32)) AS frame_fp
+         |FROM (SELECT media_id, text, n_bytes, n_frames,
+         |  unnest(range(n_frames)) AS frame_no FROM vid)
+         |ORDER BY media_id, frame_no""".stripMargin,
+
+    // per-epoch slices recomputed with the same CASE predicates — the
+    // ingest audit must equal the batch operator on every slice
+    "q155_stream_expectations" ->
+      """WITH b AS (SELECT event_id % 3 AS ep, user_id, event_type, value FROM events)
+        |SELECT ep AS epoch, expectation, n_checked, n_violations,
+        |  n_violations = 0 AS pass FROM (
+        | SELECT ep, 'not_null_user_id' AS expectation, count(*) AS n_checked,
+        |   CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        | FROM b GROUP BY ep
+        | UNION ALL SELECT ep, 'range_value', count(*),
+        |   CAST(sum(CASE WHEN value IS NULL OR value < 0 OR value > 100
+        |     THEN 1 ELSE 0 END) AS BIGINT)
+        | FROM b GROUP BY ep
+        | UNION ALL SELECT ep, 'in_set_event_type', count(*),
+        |   CAST(sum(CASE WHEN event_type IS NULL
+        |     OR event_type NOT IN ('view', 'click', 'purchase')
+        |     THEN 1 ELSE 0 END) AS BIGINT)
+        | FROM b GROUP BY ep
+        |) ORDER BY epoch, expectation""".stripMargin,
+
+    // each audit row recomputed as written; violation semantics (NULL
+    // violates range/enum/FK) mirrored in the CASE predicates
+    "q154_expectations" ->
+      """SELECT expectation, n_checked, n_violations, n_violations = 0 AS pass
+        |FROM (
+        | SELECT 'not_null_l_orderkey' AS expectation, count(*) AS n_checked,
+        |   CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        | FROM lineitem
+        | UNION ALL SELECT 'unique_l_orderkey_l_linenumber', count(*),
+        |   count(*) - (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber
+        |     FROM lineitem WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL))
+        | FROM lineitem
+        | UNION ALL SELECT 'range_l_quantity', count(*),
+        |   CAST(sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50
+        |     THEN 1 ELSE 0 END) AS BIGINT)
+        | FROM lineitem
+        | UNION ALL SELECT 'range_l_extendedprice', count(*),
+        |   CAST(sum(CASE WHEN l_extendedprice IS NULL OR l_extendedprice < 0
+        |     OR l_extendedprice > 1000 THEN 1 ELSE 0 END) AS BIGINT)
+        | FROM lineitem
+        | UNION ALL SELECT 'in_set_l_returnflag', count(*),
+        |   CAST(sum(CASE WHEN l_returnflag IS NULL
+        |     OR l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS BIGINT)
+        | FROM lineitem
+        | UNION ALL SELECT 'in_set_l_linestatus', count(*),
+        |   CAST(sum(CASE WHEN l_linestatus IS NULL
+        |     OR l_linestatus NOT IN ('O') THEN 1 ELSE 0 END) AS BIGINT)
+        | FROM lineitem
+        | UNION ALL SELECT 'ref_l_orderkey', count(*),
+        |   CAST(sum(CASE WHEN o._k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        | FROM lineitem l LEFT JOIN
+        |   (SELECT DISTINCT o_orderkey AS _k FROM orders) o ON l.l_orderkey = o._k
+        |) ORDER BY expectation""".stripMargin,
+
+    // the epochs ≤ 3 changelog replayed in one window: (ep DESC, op DESC,
+    // ord DESC NULLS LAST) — the store's cross-epoch merge; the
+    // tombstone-only epoch 3 tops every %7 key (hidden), epoch 4 is
+    // beyond the cap and never enters
+    "q151_delta_time_travel" ->
+      """WITH ch AS (SELECT event_id % 3 AS ep, user_id, value,
+        |    epoch_us(ts) AS ts_us, 'u' AS op FROM events),
+        |tmb AS (SELECT DISTINCT 3 AS ep, user_id, CAST(NULL AS DOUBLE) AS value,
+        |    CAST(NULL AS BIGINT) AS ts_us, 'd' AS op FROM events WHERE user_id % 7 = 0),
+        |al AS (SELECT * FROM ch UNION ALL SELECT * FROM tmb),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ep DESC, op DESC, ts_us DESC NULLS LAST) AS rn FROM al)
+        |SELECT user_id, value, ts_us FROM r WHERE rn = 1 AND op <> 'd'
+        |ORDER BY user_id""".stripMargin,
+
+    // the net-change window over epochs (1, 3]: epoch-2 upserts for every
+    // touched key, the %7 keys' epoch-3 tombstones on top as 'd' rows
+    "q152_delta_cdf" ->
+      """WITH ch AS (SELECT event_id % 3 AS ep, user_id, value,
+        |    epoch_us(ts) AS ts_us, 'u' AS op FROM events),
+        |tmb AS (SELECT DISTINCT 3 AS ep, user_id, CAST(NULL AS DOUBLE) AS value,
+        |    CAST(NULL AS BIGINT) AS ts_us, 'd' AS op FROM events WHERE user_id % 7 = 0),
+        |al AS (SELECT * FROM ch WHERE ep = 2 UNION ALL SELECT * FROM tmb),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ep DESC, op DESC, ts_us DESC NULLS LAST) AS rn FROM al)
+        |SELECT user_id, value, ts_us, op FROM r WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+
+    // same mime cycle, same md5-of-bytes fingerprint, same two-level
+    // (mime, fp) → mime aggregation as Multimodal.dedupAccounting
+    "q149_media_dedup_accounting" ->
+      """WITH b AS (SELECT doc_id AS media_id,
+        |   (['image/png', 'audio/wav', 'video/mp4'])[CAST(doc_id % 3 + 1 AS INT)] AS mime,
+        |   md5(text) AS fp, octet_length(encode(text)) AS len FROM documents),
+        |g AS (SELECT mime, fp, count(*) AS c, max(len) AS blen FROM b GROUP BY 1, 2)
+        |SELECT mime, CAST(sum(c) AS BIGINT) AS n_blobs, count(*) AS n_distinct,
+        |  CAST(sum(c * blen) AS BIGINT) AS bytes_total,
+        |  CAST(sum(blen) AS BIGINT) AS bytes_distinct,
+        |  round(1.0 - CAST(sum(blen) AS DOUBLE) / CAST(sum(c * blen) AS DOUBLE), 6)
+        |    AS savings_frac
+        |FROM g GROUP BY mime ORDER BY mime""".stripMargin,
+  )
+}

@@ -1,0 +1,253 @@
+package graft.entry
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Envelopes, Tables, TopicDb}
+import graft.apps.{GmallApp, GmallPipelines}
+import graft.operators.{Dedup, EventOps, Multimodal, Relational, Similarity, Sketches, TextProfile}
+import graft.functions.TextFunctions
+import graft.streaming.{DimSink, SketchStream, StatefulOps, StreamHarness}
+
+import GateSupport._
+import OracleSupport._
+
+/** Per-document text analysis: tokens, language, quality, surprisal.
+  *
+  * One gate family of [[graft.SparkEntry]]: `queries` runs each operator
+  * over the driver's parquet tables; `oracleSql` is the DuckDB twin the
+  * driver hash-compares against (columns aliased identically on both
+  * sides — the compare sorts columns by name before hashing). */
+private[graft] object TextGates {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q14_top_tokens" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n_hits"))
+        .orderBy(col("n_hits").desc, col("word")).limit(50)),
+
+    "q15_text_stats" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextFunctions.bpeishCount(col("text")).cast("long").as("n_bpeish"),
+        round(TextFunctions.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(TextFunctions.stopwordRatio(col("text")), 6).as("stop_ratio"),
+        round(TextFunctions.meanTokenLen(col("text")), 6).as("mean_tok_len"),
+        TextFunctions.qualityScore(col("text")).as("quality"),
+        TextFunctions.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+
+    "q16_lang_dist" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(TextFunctions.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang_pred")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang_pred"))),
+
+    // ------------- per-doc profiling / sessionization (round 3) ------------
+
+    // PII redaction over deterministically PII-augmented text (the raw
+    // corpus carries no PII; the augmentation is mirrored verbatim in the
+    // oracle, so the thing under test is the redaction itself).
+    "q67_pii_redact" -> ((s, d) => {
+      val aug = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@mail.example.com or 10."),
+        pmod(col("doc_id"), lit(200)).cast("string"), lit(".0."),
+        pmod(col("doc_id"), lit(256)).cast("string"), lit(" now"))
+      TextProfile.piiProfile(
+          Tables.documents(s, d).select(col("doc_id"), aug.as("text")))
+        .orderBy(col("doc_id"))
+    }),
+
+    // C4/Gopher-style intra-document repetition quality signals.
+    "q68_repetition" -> ((s, d) =>
+      TextProfile.repetitionProfile(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+
+    // TF-IDF top-3 terms per document (smoothed idf, lexicographic ties).
+    "q69_tfidf" -> ((s, d) =>
+      TextProfile.tfIdfTopK(Tables.documents(s, d), 3)
+        .orderBy(col("doc_id"), col("rank"))),
+
+    // n-gram LM quality screen (TextProfile.oovProfile): candidate docs
+    // (id ≥ 50) scored for unigram+bigram vocabulary coverage against the
+    // reference corpus (id < 50) — the integer/ratio form of a backoff-LM
+    // perplexity filter (same split as the q77 contamination audit).
+    "q96_oov_quality" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextProfile.oovProfile(
+          docs.where(col("doc_id") >= 50), docs.where(col("doc_id") < 50))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Unigram-LM surprisal — the perplexity-proxy quality filter
+    // (CCNet/Gopher-style, self-trained): per doc, the mean −ln p(token)
+    // under corpus unigram frequencies; production drops both tails.
+    // Per-token surprisals round to 6 dp before an exact DECIMAL
+    // summation, so the oracle compares bit-for-bit.
+    "q128_unigram_surprisal" -> ((s, d) =>
+      graft.operators.TextProfile.unigramSurprisal(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+
+    // Gopher-rule keep/drop filter: the decision layer over the quality
+    // signals (word-count bounds, mean-word-length bounds, ≥2 distinct
+    // stopwords, q68's repetition caps), with auditable per-rule reasons.
+    "q131_gopher_filter" -> ((s, d) =>
+      TextProfile.gopherFilter(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+
+    // DSIR-style importance weight: mean log-likelihood ratio of each
+    // doc's tokens under the target LM (en slice) vs the background LM
+    // (whole corpus), add-1 smoothed — the data-selection score next to
+    // q128's surprisal.
+    "q132_importance_weight" -> ((s, d) =>
+      TextProfile.importanceWeight(
+          Tables.documents(s, d), col("lang") === "en")
+        .orderBy(col("doc_id"))),
+
+    // CCNet perplexity banding: q128's surprisal ranked by the
+    // range-partitioned exact global rank (no single-task window), cut
+    // into equal-population head/middle/tail bands.
+    "q143_perplexity_bands" -> ((s, d) =>
+      TextProfile.perplexityBands(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q14_top_tokens" ->
+      s"""SELECT word, count(*) AS n_hits FROM (
+         | SELECT unnest($toksSql) AS word FROM documents)
+         |GROUP BY word ORDER BY n_hits DESC, word LIMIT 50""".stripMargin,
+
+    "q15_text_stats" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, text, toks,
+         |  $punctRawSql AS punct_raw,
+         |  $stopRawSql AS stop_raw,
+         |  $meanRawSql AS mean_raw,
+         |  $asciiRawSql AS ascii_raw
+         | FROM t)
+         |SELECT doc_id,
+         | CAST(len(toks) AS BIGINT) AS n_tokens,
+         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpeish,
+         | round(punct_raw, 6) AS punct_ratio,
+         | round(stop_raw, 6) AS stop_ratio,
+         | round(mean_raw, 6) AS mean_tok_len,
+         | round(least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 0.4
+         |   + greatest(0.0, 1.0 - punct_raw * 4) * 0.4
+         |   + least(stop_raw * 5, 1.0) * 0.2, 6) AS quality,
+         | $langSql AS lang_pred
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q16_lang_dist" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |s AS (SELECT $stopRawSql AS stop_raw, $asciiRawSql AS ascii_raw FROM t)
+         |SELECT $langSql AS lang_pred, count(*) AS n_docs
+         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // ------------- per-doc profiling / sessionization (round 3) ------------
+
+    "q67_pii_redact" ->
+      s"""WITH a AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |  || '@mail.example.com or 10.' || CAST(doc_id % 200 AS VARCHAR)
+         |  || '.0.' || CAST(doc_id % 256 AS VARCHAR) || ' now' AS text FROM documents),
+         |e AS (SELECT doc_id,
+         |  regexp_replace(text, '${TextProfile.EmailRe}', '<EMAIL>', 'g') AS t1,
+         |  len(regexp_extract_all(text, '${TextProfile.EmailRe}')) AS n_email FROM a)
+         |SELECT doc_id, CAST(n_email AS BIGINT) AS n_email,
+         | CAST(len(regexp_extract_all(t1, '${TextProfile.Ipv4Re}')) AS BIGINT) AS n_ip,
+         | md5(regexp_replace(t1, '${TextProfile.Ipv4Re}', '<IP>', 'g')) AS redacted_fp
+         |FROM e ORDER BY doc_id""".stripMargin,
+
+    "q68_repetition" ->
+      s"""WITH toks2 AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |g3 AS (SELECT doc_id, unnest($sh3Sql) AS sh FROM toks2),
+         |d3 AS (SELECT doc_id,
+         |  round(1.0 - CAST(count(DISTINCT sh) AS DOUBLE) / count(*), 6) AS dup_3gram_frac
+         | FROM g3 GROUP BY 1),
+         |g2 AS (SELECT doc_id, unnest($sh2Sql) AS sh FROM toks2),
+         |c2 AS (SELECT doc_id, sh, count(*) AS c FROM g2 GROUP BY 1, 2),
+         |t2 AS (SELECT doc_id,
+         |  round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_2gram_frac
+         | FROM c2 GROUP BY 1)
+         |SELECT doc_id, dup_3gram_frac, top_2gram_frac
+         |FROM d3 JOIN t2 USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q69_tfidf" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |sc AS (SELECT doc_id, term, CAST(tf AS DOUBLE) *
+         |   (ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) + 1.0) AS score
+         | FROM tf JOIN df USING (term) CROSS JOIN n),
+         |r AS (SELECT doc_id, term, score,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM sc)
+         |SELECT doc_id, term, round(score, 6) AS score, rank
+         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // unigram/bigram vocabulary coverage, token-for-token with
+    // TextProfile.oovProfile (0-token docs collapse identically: empty
+    // unigrams, one empty-string bigram shingle, dropped by the a1⋈a2)
+    "q96_oov_quality" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |tok1 AS (SELECT doc_id, unnest(w) AS g FROM t WHERE doc_id >= 50),
+         |v1 AS (SELECT DISTINCT unnest(w) AS g FROM t WHERE doc_id < 50),
+         |a1 AS (SELECT doc_id, count(*) AS n_tok,
+         |  CAST(sum(CASE WHEN v1.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tok_oov
+         | FROM tok1 LEFT JOIN v1 ON tok1.g = v1.g GROUP BY 1),
+         |tok2 AS (SELECT doc_id, unnest(${shNSql(2)}) AS g FROM t WHERE doc_id >= 50),
+         |v2 AS (SELECT DISTINCT unnest(${shNSql(2)}) AS g FROM t WHERE doc_id < 50),
+         |a2 AS (SELECT doc_id, count(*) AS n_bigram,
+         |  CAST(sum(CASE WHEN v2.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bigram_oov
+         | FROM tok2 LEFT JOIN v2 ON tok2.g = v2.g GROUP BY 1)
+         |SELECT a1.doc_id, n_tok, n_tok_oov,
+         |  round(CAST(n_tok_oov AS DOUBLE) / n_tok, 6) AS tok_oov_frac,
+         |  n_bigram, n_bigram_oov,
+         |  round(CAST(n_bigram_oov AS DOUBLE) / n_bigram, 6) AS bigram_oov_frac
+         |FROM a1 JOIN a2 ON a1.doc_id = a2.doc_id ORDER BY 1""".stripMargin,
+
+    // Same whitespace tokens, same corpus unigram p, same per-token
+    // 6 dp rounding before exact DECIMAL summation as
+    // TextProfile.unigramSurprisal.
+    "q128_unigram_surprisal" ->
+      s"""WITH $surprisalCtes
+         |SELECT doc_id, n_toks, surprisal FROM srp ORDER BY doc_id""".stripMargin,
+
+    // q128's surprisal ranked by (surprisal, doc_id) — a total order, so
+    // row_number is deterministic — then equal-population integer banding
+    "q143_perplexity_bands" ->
+      s"""WITH $surprisalCtes,
+         |r AS (SELECT doc_id, surprisal,
+         |    row_number() OVER (ORDER BY surprisal, doc_id) AS rank,
+         |    count(*) OVER () AS n FROM srp)
+         |SELECT doc_id, surprisal, rank, 1 + ((rank - 1) * 3) // n AS band
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // signals mirror TextFunctions / q68's CTEs; every threshold compares
+    // the 6-dp-ROUNDED signal, same as the Spark side
+    "q131_gopher_filter" ->
+      s"""WITH $gopherCtes
+         |SELECT doc_id, n_words, mean_word_len, n_stop_distinct,
+         | dup_3gram_frac, top_2gram_frac,
+         | (ok_words AND ok_word_len AND ok_stopwords AND ok_dup AND ok_top) AS keep,
+         | CASE WHEN ok_words AND ok_word_len AND ok_stopwords AND ok_dup AND ok_top THEN '-'
+         |  ELSE array_to_string(list_filter(
+         |   [CASE WHEN NOT ok_words THEN 'words' END,
+         |    CASE WHEN NOT ok_word_len THEN 'word_len' END,
+         |    CASE WHEN NOT ok_stopwords THEN 'stopwords' END,
+         |    CASE WHEN NOT ok_dup THEN 'dup_3gram' END,
+         |    CASE WHEN NOT ok_top THEN 'top_2gram' END], x -> x IS NOT NULL), ',')
+         | END AS reasons
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // one fixed parenthesization of the smoothed ratio; per-token ln
+    // rounded to 6 dp then DECIMAL-summed — q128's exactness trick
+    "q132_importance_weight" ->
+      s"""$importanceCtes
+         |SELECT doc_id, n_toks, importance FROM iw ORDER BY doc_id""".stripMargin,
+  )
+}
