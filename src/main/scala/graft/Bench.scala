@@ -49,21 +49,26 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val w0 = System.nanoTime()
-    try {
-      graft.core.TopicDb(spark, sfDir).count()
-      graft.apps.GmallPipelines.tradeOrderPreProcessCached(spark, sfDir).count()
+    /** The shared-table warmup for one sf dir (the two Kafka-topic-
+      * equivalent hand-offs + the two session-cached wide tables). */
+    def warmShared(d: String): Double = {
+      val w0 = System.nanoTime()
+      graft.core.TopicDb(spark, d).count()
+      graft.apps.GmallPipelines.tradeOrderPreProcessCached(spark, d).count()
       // documents + events feed ~40 gates each; their session-cached
       // persist (Tables.scala) materializes here so per-query times stop
       // carrying the first-touch scan of whichever gate runs first
-      graft.core.Tables.documents(spark, sfDir).count()
-      graft.core.Tables.events(spark, sfDir).count()
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] FATAL: shared-table warmup failed: $e")
-      spark.stop()
-      sys.exit(1)
+      graft.core.Tables.documents(spark, d).count()
+      graft.core.Tables.events(spark, d).count()
+      (System.nanoTime() - w0) / 1e9
     }
-    val warmup = (System.nanoTime() - w0) / 1e9
+    val warmup =
+      try warmShared(sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] FATAL: shared-table warmup failed: $e")
+        spark.stop()
+        sys.exit(1)
+      }
     System.err.println(f"[bench] warmup(shared tables) $warmup%8.2f s")
     def count(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Long = {
       val rows =
@@ -124,9 +129,13 @@ object Bench {
       "q81_hll_distinct" -> "q83_hll_distinct_stream",
       "q82_hist_quantile" -> "q91_hist_quantile_stream",
       "q93_funnel" -> "q95_funnel_stream",
+      // the contamination screens' bloom forms must be filter-invisible
+      "q77_contamination" -> "q158_contamination_bloom",
+      "q141_split_contamination" -> "q159_split_contamination_bloom",
       // the warehouse DAG's streamed outputs vs their batch/harness forms
       "q102_semdedup" -> "q118_stream_semdedup",
       "q102_semdedup" -> "q124_dag_semdedup",
+      "q102_semdedup" -> "q160_semdedup_cadence",
       "q116_stream_paragraph_fuzzy" -> "q123_dag_paragraph_fuzzy",
       "q36_dwd_cart" -> "q113_dag_dwd_cart",
       "q37_dws_keyword" -> "q117_dag_dws_keyword",
@@ -151,15 +160,24 @@ object Bench {
       "q119_dag_dwd_pay_success", "q120_dag_dwd_cancel",
       "q121_dag_dwd_order_refund", "q122_dag_dwd_refund_pay_suc",
       "q123_dag_paragraph_fuzzy", "q124_dag_semdedup")
-    // ---- second-SF leg (round-7 ask #3): growth exponents MEASURED, not
-    // argued. The scale-sensitive families (ingest-store twins, the DAG
-    // charge gate + its twins, every dedup/ANN path, a scan-agg and a
-    // windowed-state control) re-run against the next SMALLER sf dir
-    // sibling (sf0.1 → sf0.01, ratio 10); exponent = log(t1/t2)/log(10).
-    // Fixed per-gate overhead (micro-batch churn, state-store commits)
-    // makes sub-linear exponents normal at these sizes — the tripwire is
-    // exponents ≫ 1 beyond a gate's documented complexity. Disable with
-    // SPARK_GRAFT_SF2=off; override the dir with SPARK_GRAFT_SF2_DIR.
+    /** A gate's host-noise-adjudicated main-leg time: DAG gates keep the
+      * first pass (their retry is a cache hit, not a re-measure). */
+    def mainT(name: String): Double =
+      if (dagGates(name)) results(name)
+      else math.min(results(name), retries.getOrElse(name, results(name)))
+    // ---- scale legs (round-7 ask #3 + round-9 ask #1): growth exponents
+    // MEASURED, not argued — in BOTH directions. The scale-sensitive
+    // families (ingest-store twins, the DAG charge gate + its twins, every
+    // dedup/ANN path, a scan-agg and a windowed-state control) re-run
+    // against (a) the next SMALLER sf dir sibling (fixed per-gate overhead
+    // makes sub-linear exponents normal there — the tripwire is exponents
+    // ≫ 1 beyond a gate's documented complexity) and (b) a GENERATED
+    // ×10 UP-scale corpus (tools/GenScale key-offset replicas; textually/
+    // geometrically disjoint so dup-pair spaces scale linearly by
+    // construction), where fixed overhead DEFLATES instead of flattering —
+    // the direction that actually extrapolates toward 100 TB.
+    // Disable with SPARK_GRAFT_SF2=off / SPARK_GRAFT_UP=off; override the
+    // dirs with SPARK_GRAFT_SF2_DIR / SPARK_GRAFT_UP_DIR.
     val sf2Subset = Seq(
       "q01_pricing_summary", "q17_dedup_exact", "q18_minhash_lsh",
       "q19_simhash_sig", "q21_jaccard_pairs", "q23_embed_neardup",
@@ -171,12 +189,50 @@ object Bench {
       // newer gates with scale-sensitive shapes: gram-grain contamination
       // join, CC-chain funnel, one-pass CMS, token chunking
       "q141_split_contamination", "q139_token_chunk",
-      "q145_cms_heavyhitters", "q153_curation_funnel")
+      "q145_cms_heavyhitters", "q153_curation_funnel",
+      // round-10 additions: the bloom-screened contamination and the
+      // recenter-cadence ingest (2 refits O(store) — amortized-O(1) claim)
+      "q159_split_contamination_bloom", "q160_semdedup_cadence")
     val sf2Twins = Seq(
       "q102_semdedup" -> "q118_stream_semdedup",
       "q102_semdedup" -> "q124_dag_semdedup",
+      "q102_semdedup" -> "q160_semdedup_cadence",
       "q116_stream_paragraph_fuzzy" -> "q123_dag_paragraph_fuzzy",
+      "q141_split_contamination" -> "q159_split_contamination_bloom",
       "q44_dwd_refund_pay_suc" -> "q122_dag_dwd_refund_pay_suc")
+    /** One scale leg: warm the shared tables at `d`, run `subset`, check
+      * the twin pairs present in the subset. Returns (times, warmup). */
+    def runLeg(d: String, subset: Seq[String], tag: String): (Map[String, Double], Double) = {
+      val warm = warmShared(d)
+      System.err.println(f"[bench] warmup($tag shared)  $warm%8.2f s")
+      val cs = scala.collection.mutable.Map[String, Long]()
+      val res = subset.map { name =>
+        val t0 = System.nanoTime()
+        val rows = try qs(name)(spark, d).count()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] FATAL: $name failed at $d: $e")
+            spark.stop(); sys.exit(1)
+          }
+        if (rows == 0L) {
+          System.err.println(s"[bench] FATAL: $name returned 0 rows at $d")
+          spark.stop(); sys.exit(1)
+        }
+        cs(name) = rows
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] $name%-22s $sec%8.2f s ($tag)")
+        name -> sec
+      }.toMap
+      val pairs = sf2Twins.filter { case (a, b) => cs.contains(a) && cs.contains(b) }
+      pairs.foreach { case (a, b) =>
+        if (cs(a) != cs(b)) {
+          System.err.println(
+            s"[bench] FATAL: twin row-count mismatch at $d: $a=${cs(a)} vs $b=${cs(b)}")
+          spark.stop(); sys.exit(1)
+        }
+      }
+      System.err.println(s"[bench] $tag rowcheck: pass(${pairs.size} twin pairs)")
+      (res, warm)
+    }
     def sibling(dir: String): Option[String] = {
       val p = Paths.get(dir).toAbsolutePath
       val name = p.getFileName.toString
@@ -191,6 +247,7 @@ object Bench {
           .map { case (n, _) => s"${parent.getAbsolutePath}/$n" }
       }
     }
+    // ---- DOWN leg (next smaller sibling; exponent = log(t1/t2)/log(r))
     val sf2Dir = sys.env.get("SPARK_GRAFT_SF2_DIR")
       .orElse(if (sys.env.get("SPARK_GRAFT_SF2").contains("off")) None
               else sibling(sfDir))
@@ -198,38 +255,7 @@ object Bench {
     val (sf2Results, sf2Warmup, sf2Growth) = sf2Dir match {
       case None => (Map.empty[String, Double], 0.0, Map.empty[String, Double])
       case Some(d2) =>
-        val w2 = System.nanoTime()
-        graft.core.TopicDb(spark, d2).count()
-        graft.apps.GmallPipelines.tradeOrderPreProcessCached(spark, d2).count()
-        graft.core.Tables.documents(spark, d2).count()
-        graft.core.Tables.events(spark, d2).count()
-        val warm2 = (System.nanoTime() - w2) / 1e9
-        System.err.println(f"[bench] warmup(sf2 shared)   $warm2%8.2f s")
-        val counts2 = scala.collection.mutable.Map[String, Long]()
-        val res2 = sf2Subset.map { name =>
-          val t0 = System.nanoTime()
-          val rows = try qs(name)(spark, d2).count()
-            catch { case e: Throwable =>
-              System.err.println(s"[bench] FATAL: $name failed at $d2: $e")
-              spark.stop(); sys.exit(1)
-            }
-          if (rows == 0L) {
-            System.err.println(s"[bench] FATAL: $name returned 0 rows at $d2")
-            spark.stop(); sys.exit(1)
-          }
-          counts2(name) = rows
-          val sec = (System.nanoTime() - t0) / 1e9
-          System.err.println(f"[bench] $name%-22s $sec%8.2f s (sf2)")
-          name -> sec
-        }.toMap
-        sf2Twins.foreach { case (a, b) =>
-          if (counts2(a) != counts2(b)) {
-            System.err.println(
-              s"[bench] FATAL: twin row-count mismatch at $d2: $a=${counts2(a)} vs $b=${counts2(b)}")
-            spark.stop(); sys.exit(1)
-          }
-        }
-        System.err.println(s"[bench] sf2 rowcheck: pass(${sf2Twins.size} twin pairs)")
+        val (res2, warm2) = runLeg(d2, sf2Subset, "sf2")
         val ratio = {
           val sfOf = (p: String) =>
             Paths.get(p).getFileName.toString.drop(2).toDoubleOption
@@ -239,11 +265,49 @@ object Bench {
           }
         }
         val growth = res2.collect { case (name, t2) if t2 > 0 =>
-          val t1 = if (dagGates(name)) results(name)
-            else math.min(results(name), retries.getOrElse(name, results(name)))
-          name -> r2(math.log(t1 / t2) / math.log(ratio))
+          name -> r2(math.log(mainT(name) / t2) / math.log(ratio))
         }
         (res2, warm2, growth)
+    }
+    // ---- UP leg (round-9 ask #1): a ×10 corpus GENERATED from the bench
+    // sf dir (manifest-guarded — regenerated only when absent or built
+    // from a different source), exponent = log(tUp/t1)/log(factor). The
+    // two quadratic exact BASELINES are excluded by design (documented
+    // all-pairs controls whose exponent 2 is known and whose up-scale
+    // cost is ~100× for that known answer); their scale-path variants
+    // (q102 cells, q18 bands, q19/q21 buckets, q159 bloom) stay in.
+    val upFactor = 10
+    val upExcluded = Seq("q23_embed_neardup", "q24_ann_topk")
+    val upSubset = sf2Subset.filterNot(upExcluded.contains)
+    val upRequested = sys.env.get("SPARK_GRAFT_UP_DIR")
+      .orElse(if (sys.env.get("SPARK_GRAFT_UP").contains("off")) None
+              else Some(new java.io.File("updata/sf1").getAbsolutePath))
+    val (upDir, upGenSec) = upRequested match {
+      case None => (None, 0.0)
+      case Some(d) =>
+        val fresh = graft.tools.GenScale.manifestInfo(spark, d)
+          .exists { case (src, f) => src == sfDir && f == upFactor }
+        if (fresh) (Some(d), 0.0)
+        else {
+          System.err.println(s"[bench] generating ×$upFactor up-scale corpus at $d")
+          val t0 = System.nanoTime()
+          try {
+            graft.tools.GenScale.generate(spark, sfDir, d, upFactor)
+            (Some(d), (System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] up-scale generation failed ($e) — skipping up leg")
+            (None, (System.nanoTime() - t0) / 1e9)
+          }
+        }
+    }
+    val (upResults, upWarmup, upGrowth) = upDir match {
+      case None => (Map.empty[String, Double], 0.0, Map.empty[String, Double])
+      case Some(d) =>
+        val (resU, warmU) = runLeg(d, upSubset, "up")
+        val growth = resU.collect { case (name, tU) if mainT(name) > 0 =>
+          name -> r2(math.log(tU / mainT(name)) / math.log(upFactor.toDouble))
+        }
+        (resU, warmU, growth)
     }
     val loadEnd = loadavg()
     // `value` includes warmup (all gated work, the round-3 accounting);
@@ -259,10 +323,7 @@ object Bench {
     // cache hit, not a re-measure — and min() would erase the ~90 s of
     // real streaming work from the headline. DAG gates keep their
     // first-pass time so best_of_2_sec still covers all work performed.
-    val bestOf2 = warmup + results.map { case (name, first) =>
-      if (dagGates(name)) first
-      else math.min(first, retries.getOrElse(name, first))
-    }.sum
+    val bestOf2 = warmup + results.keys.map(mainT).sum
     def qJson(qs: Iterable[(String, Double)]): String =
       qs.map { case (k, v) => "\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
     def common =
@@ -274,17 +335,25 @@ object Bench {
       s""","sf2":"$d2","sf2_warmup_sec":${r2(sf2Warmup)},""" +
         s""""queries_sf2":${qJson(sf2Results)},"growth_exponents":${qJson(sf2Growth)}"""
     }.getOrElse("")
+    val upJson = upDir.map { d =>
+      s""","up":"$d","up_factor":$upFactor,"up_gen_sec":${r2(upGenSec)},""" +
+        s""""up_warmup_sec":${r2(upWarmup)},"queries_up":${qJson(upResults)},""" +
+        s""""up_growth_exponents":${qJson(upGrowth)},""" +
+        s""""up_excluded":${upExcluded.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    }.getOrElse("")
     val full =
       s"""{$common,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd",""" +
         s""""retry_total_sec":${r2(retryTotal)},"retry_sec":${qJson(retries)},""" +
-        s""""queries":${qJson(results)}$sf2Json,"sf":"$sfDir"}"""
+        s""""queries":${qJson(results)}$sf2Json$upJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_result.json"), full + "\n")
     val slowest = results.toSeq.sortBy(-_._2).take(10)
     // the stdout line stays tail-parser-small: growth exponents ride it
-    // (the judged number), the full sf2 per-query map lives in
-    // bench_result.json
+    // (the judged number — now in BOTH directions), the full per-query
+    // scale-leg maps live in bench_result.json
     val growthLine = sf2Dir.map { d2 =>
       s""","sf2":"$d2","growth_exponents":${qJson(sf2Growth)}"""
+    }.getOrElse("") + upDir.map { d =>
+      s""","up_factor":$upFactor,"up_growth_exponents":${qJson(upGrowth)}"""
     }.getOrElse("")
     val line = s"""{$common,"queries":${qJson(slowest)}$growthLine,"sf":"$sfDir"}"""
     // stop BEFORE printing so nothing follows the JSON line in the tail

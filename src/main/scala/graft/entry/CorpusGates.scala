@@ -80,6 +80,20 @@ private[graft] object CorpusGates {
         .orderBy(col("doc_id"))
     }),
 
+    // q77's 100 TB shape (round-9 ask #4): broadcast-Bloom pre-screen on
+    // the benchmark shingle vocabulary, exact join only for the probable
+    // hits. No false negatives + exact FP rescue ⇒ output bloom-
+    // independent — shares q77's oracle verbatim. expectedItems is set
+    // BELOW the real vocab size so the filter runs saturated and the
+    // rescue path is exercised under the gate, not just in spec.
+    "q158_contamination_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationProfileBloom(
+          docs.where(col("doc_id") >= 50), docs.where(col("doc_id") < 50),
+          expectedItems = 100L)
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-source curation profile (Corpus.sourceProfile): the
     // domain-level keep/downsample decision input — volumes, language
     // spread, intra-source exact-dup volume per source.
@@ -199,6 +213,19 @@ private[graft] object CorpusGates {
         .orderBy(col("doc_id"))
     }),
 
+    // q141's 100 TB shape (round-9 ask #4): the train gram set screened
+    // by a broadcast Bloom filter, only probable hits paying the exact
+    // semi-join. Output provably filter-independent — shares q141's
+    // oracle verbatim; expectedItems below the real gram count keeps the
+    // filter saturated so the rescue join is active under the gate.
+    "q159_split_contamination_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Corpus.splitContaminationBloom(
+          docs, graft.operators.Corpus.holdoutSplit(docs),
+          expectedItems = 1000L)
+        .orderBy(col("doc_id"))
+    }),
+
     // NEAR-dup-aware holdout split: q140's rule keyed by q84/q97's
     // simhash component representative, so paraphrase variants can't
     // straddle train/heldout either. Shares q97's component chain.
@@ -231,6 +258,35 @@ private[graft] object CorpusGates {
           Tables.documents(s, d), "doc_id", col("n_chars"), 100)
         .orderBy(col("rank"))),
   )
+
+  /** q77's replay, shared verbatim by the bloom-screened q158 — the
+    * pre-filter must be invisible in the result. */
+  private val contaminationOracle: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+       |s1 AS (SELECT doc_id, unnest(list_distinct($sh3Sql)) AS sh FROM t WHERE doc_id >= 50),
+       |bs AS (SELECT DISTINCT sh FROM
+       |  (SELECT unnest(list_distinct($sh3Sql)) AS sh FROM t WHERE doc_id < 50)),
+       |j AS (SELECT s1.doc_id, count(*) AS n_shingles,
+       |  sum(CASE WHEN bs.sh IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated
+       | FROM s1 LEFT JOIN bs ON s1.sh = bs.sh GROUP BY 1)
+       |SELECT doc_id, n_shingles, CAST(n_contaminated AS BIGINT) AS n_contaminated,
+       | round(CAST(n_contaminated AS DOUBLE) / n_shingles, 6) AS contam_frac
+       |FROM j ORDER BY doc_id""".stripMargin
+
+  /** q141's replay, shared verbatim by the bloom-screened q159. */
+  private val splitContaminationOracle: String =
+    s"""WITH sp AS (SELECT doc_id, text,
+       |    CASE WHEN ${hexLongSql(s"md5($normalizedSql)")} % 1000000 < 100000
+       |      THEN 'heldout' ELSE 'train' END AS split FROM documents),
+       |t AS (SELECT doc_id, split, $toksSql AS w FROM sp),
+       |g AS (SELECT doc_id, split, unnest(list_distinct(${shNSql(8)})) AS gram FROM t),
+       |tr AS (SELECT DISTINCT gram FROM g WHERE split = 'train'),
+       |he AS (SELECT doc_id, gram FROM g WHERE split = 'heldout'),
+       |hit AS (SELECT doc_id, count(*) AS n_hit FROM he JOIN tr USING (gram) GROUP BY 1),
+       |ng AS (SELECT doc_id, count(*) AS n_grams FROM he GROUP BY 1)
+       |SELECT ng.doc_id, n_grams, COALESCE(n_hit, 0) AS n_hit,
+       |  COALESCE(n_hit, 0) > 0 AS contaminated
+       |FROM ng LEFT JOIN hit USING (doc_id) ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
@@ -291,17 +347,11 @@ private[graft] object CorpusGates {
          |SELECT a.source, n_docs, n_tokens, n_langs, n_exact_dup
          |FROM a JOIN d ON a.source = d.source ORDER BY a.source""".stripMargin,
 
-    "q77_contamination" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
-         |s1 AS (SELECT doc_id, unnest(list_distinct($sh3Sql)) AS sh FROM t WHERE doc_id >= 50),
-         |bs AS (SELECT DISTINCT sh FROM
-         |  (SELECT unnest(list_distinct($sh3Sql)) AS sh FROM t WHERE doc_id < 50)),
-         |j AS (SELECT s1.doc_id, count(*) AS n_shingles,
-         |  sum(CASE WHEN bs.sh IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated
-         | FROM s1 LEFT JOIN bs ON s1.sh = bs.sh GROUP BY 1)
-         |SELECT doc_id, n_shingles, CAST(n_contaminated AS BIGINT) AS n_contaminated,
-         | round(CAST(n_contaminated AS DOUBLE) / n_shingles, 6) AS contam_frac
-         |FROM j ORDER BY doc_id""".stripMargin,
+    "q77_contamination" -> contaminationOracle,
+
+    // the bloom pre-screen is invisible in the result by construction —
+    // one oracle with q77
+    "q158_contamination_bloom" -> contaminationOracle,
 
     "q88_mixture_interleave" ->
       """WITH r AS (SELECT doc_id, lang,
@@ -460,19 +510,10 @@ private[graft] object CorpusGates {
 
     // q140's split recomputed, then distinct word-8-grams per heldout doc
     // semi-joined against the train-side gram set — all at gram grain
-    "q141_split_contamination" ->
-      s"""WITH sp AS (SELECT doc_id, text,
-         |    CASE WHEN ${hexLongSql(s"md5($normalizedSql)")} % 1000000 < 100000
-         |      THEN 'heldout' ELSE 'train' END AS split FROM documents),
-         |t AS (SELECT doc_id, split, $toksSql AS w FROM sp),
-         |g AS (SELECT doc_id, split, unnest(list_distinct(${shNSql(8)})) AS gram FROM t),
-         |tr AS (SELECT DISTINCT gram FROM g WHERE split = 'train'),
-         |he AS (SELECT doc_id, gram FROM g WHERE split = 'heldout'),
-         |hit AS (SELECT doc_id, count(*) AS n_hit FROM he JOIN tr USING (gram) GROUP BY 1),
-         |ng AS (SELECT doc_id, count(*) AS n_grams FROM he GROUP BY 1)
-         |SELECT ng.doc_id, n_grams, COALESCE(n_hit, 0) AS n_hit,
-         |  COALESCE(n_hit, 0) > 0 AS contaminated
-         |FROM ng LEFT JOIN hit USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q141_split_contamination" -> splitContaminationOracle,
+
+    // bloom pre-screen invisible in the result — one oracle with q141
+    "q159_split_contamination_bloom" -> splitContaminationOracle,
 
     // q97's simhash component chain verbatim, then the md5-ppm gate on
     // the component representative (own id when unclustered)

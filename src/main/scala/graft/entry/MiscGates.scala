@@ -136,6 +136,86 @@ private[graft] object MiscGates {
     // the fail-fast data-quality monitor a streaming pipeline runs on
     // every drop. Three event slices; per-epoch counts must equal the
     // batch operator on each slice.
+    // Row-level contract ROUTING (round-9 ask #6): q154's seven
+    // expectations applied per ROW — every row annotated with the sorted
+    // names of the expectations it fails. The gate aggregates the routed
+    // frame back to per-expectation violating-row counts plus the clean
+    // count, which must reconcile exactly with q154's audit (same
+    // predicates; UniqueKey's per-row marks telescope to rows − distinct
+    // tuples). uniqueTieBreak = the non-key measure columns, so which
+    // duplicate escapes the flag is deterministic under the hash gate.
+    "q161_expectations_route" -> ((s, d) => {
+      import graft.operators.Expectations._
+      val li = Tables.lineitem(s, d)
+      route(li, Seq(
+          NotNull("l_orderkey"),
+          UniqueKey(Seq("l_orderkey", "l_linenumber")),
+          InRange("l_quantity", 1, 50),
+          InRange("l_extendedprice", 0, 1000),
+          InSet("l_returnflag", Seq("A", "N", "R")),
+          InSet("l_linestatus", Seq("O")),
+          RefIntegrity("l_orderkey", Tables.orders(s, d), "o_orderkey")),
+          uniqueTieBreak = Seq(col("l_partkey"), col("l_suppkey"),
+            col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+            col("l_tax"), col("l_returnflag"), col("l_linestatus"),
+            col("l_shipdate")))
+        .select(explode(when(size(col("violated")) === 0, array(lit("_clean")))
+          .otherwise(col("violated"))).as("expectation"))
+        .groupBy(col("expectation"))
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy(col("expectation"))
+    }),
+
+    // Quarantine routing ON INGEST (round-9 ask #6): per micro-batch,
+    // violating rows land in a quarantine store keyed by their violation
+    // set, clean rows pass through to the clean store — the reference's
+    // dirty-side-output idiom (P1) applied to declared contracts. The
+    // gate reads BOTH stores back and pins per-(epoch, status,
+    // violation-set) row counts AND id sums, so the exact membership of
+    // each route is hash-gated; q155's audit counts are recoverable from
+    // the same frame.
+    "q162_stream_quarantine" -> ((s, d) => {
+      import s.implicits._
+      import graft.operators.Expectations._
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val root = java.nio.file.Files.createTempDirectory("graft_quar_").toString
+      StreamHarness.runFilesSink(s, (0 to 2).map(i =>
+          ev.where(pmod(col("event_id"), lit(3)) === i)
+            .as[(Long, Long, String, Double)])) {
+        (ds, ckpt) =>
+          ds.toDF("event_id", "user_id", "event_type", "value").writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: DataFrame, epochId: Long) =>
+              val routed = route(b, Seq(
+                  NotNull("user_id"),
+                  InRange("value", 0, 100),
+                  InSet("event_type", Seq("view", "click", "purchase"))))
+                .withColumn("violated_csv", concat_ws(",", col("violated")))
+                .drop("violated")
+              routed.where(col("violated_csv") =!= "")
+                .write.mode("overwrite").parquet(s"$root/quarantine/epoch_id=$epochId")
+              routed.where(col("violated_csv") === "").drop("violated_csv")
+                .write.mode("overwrite").parquet(s"$root/clean/epoch_id=$epochId")
+              ()
+            }.start()
+      }
+      val q = s.read.parquet(s"$root/quarantine")
+        .select(col("epoch_id"), lit("quarantine").as("status"),
+          col("violated_csv"), col("event_id"))
+      val c = s.read.parquet(s"$root/clean")
+        .select(col("epoch_id"), lit("clean").as("status"),
+          lit("").as("violated_csv"), col("event_id"))
+      val out = q.unionByName(c)
+        .groupBy(col("epoch_id").cast("long").as("epoch"), col("status"),
+          col("violated_csv"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("sum_ids"))
+        .orderBy(col("epoch"), col("status"), col("violated_csv"))
+        .localCheckpoint(true) // materialize before the store dir vanishes
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+      out
+    }),
+
     "q155_stream_expectations" -> ((s, d) => {
       import s.implicits._
       import graft.operators.Expectations._
@@ -215,6 +295,57 @@ private[graft] object MiscGates {
          |FROM (SELECT media_id, text, n_bytes, n_frames,
          |  unnest(range(n_frames)) AS frame_no FROM vid)
          |ORDER BY media_id, frame_no""".stripMargin,
+
+    // the routed frame re-aggregated: per-expectation violating-row
+    // counts (same predicates as q154's audit — the reconciliation the
+    // round-9 ask names) plus the clean-row count; the unique flag's
+    // row_number carries the gate's full tie-break so which duplicate
+    // escapes is identical in both engines. Zero-violation expectations
+    // emit no group in Spark, hence the n_rows > 0 filter.
+    "q161_expectations_route" ->
+      """WITH dk AS (SELECT DISTINCT o_orderkey FROM orders),
+        |f AS (SELECT
+        |  (l_orderkey IS NULL) AS v_nn,
+        |  (l_orderkey IS NULL OR l_linenumber IS NULL OR
+        |   row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+        |     ORDER BY l_partkey, l_suppkey, l_quantity, l_extendedprice,
+        |       l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate) > 1) AS v_uq,
+        |  (l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50) AS v_rq,
+        |  (l_extendedprice IS NULL OR l_extendedprice < 0 OR l_extendedprice > 1000) AS v_rp,
+        |  (l_returnflag IS NULL OR l_returnflag NOT IN ('A', 'N', 'R')) AS v_rf,
+        |  (l_linestatus IS NULL OR l_linestatus NOT IN ('O')) AS v_ls,
+        |  (dk.o_orderkey IS NULL) AS v_ref
+        | FROM lineitem l LEFT JOIN dk ON l.l_orderkey = dk.o_orderkey)
+        |SELECT * FROM (
+        | SELECT 'not_null_l_orderkey' AS expectation, count(*) FILTER (v_nn) AS n_rows FROM f
+        | UNION ALL SELECT 'unique_l_orderkey_l_linenumber', count(*) FILTER (v_uq) FROM f
+        | UNION ALL SELECT 'range_l_quantity', count(*) FILTER (v_rq) FROM f
+        | UNION ALL SELECT 'range_l_extendedprice', count(*) FILTER (v_rp) FROM f
+        | UNION ALL SELECT 'in_set_l_returnflag', count(*) FILTER (v_rf) FROM f
+        | UNION ALL SELECT 'in_set_l_linestatus', count(*) FILTER (v_ls) FROM f
+        | UNION ALL SELECT 'ref_l_orderkey', count(*) FILTER (v_ref) FROM f
+        | UNION ALL SELECT '_clean', count(*) FILTER (NOT (v_nn OR v_uq OR v_rq
+        |     OR v_rp OR v_rf OR v_ls OR v_ref)) FROM f
+        |) WHERE n_rows > 0 ORDER BY expectation""".stripMargin,
+
+    // route membership replayed per slice: the violation-set csv built in
+    // the same sorted (alphabetical) order, clean = empty set; counts AND
+    // id sums per (epoch, status, set) — exact membership, both stores
+    "q162_stream_quarantine" ->
+      """WITH b AS (SELECT event_id % 3 AS epoch, event_id,
+        |  (user_id IS NULL) AS v_nn,
+        |  (value IS NULL OR value < 0 OR value > 100) AS v_rv,
+        |  (event_type IS NULL OR event_type NOT IN ('view', 'click', 'purchase')) AS v_is
+        | FROM events),
+        |r AS (SELECT epoch, event_id, concat_ws(',',
+        |    CASE WHEN v_is THEN 'in_set_event_type' END,
+        |    CASE WHEN v_nn THEN 'not_null_user_id' END,
+        |    CASE WHEN v_rv THEN 'range_value' END) AS violated_csv
+        | FROM b)
+        |SELECT epoch,
+        |  CASE WHEN violated_csv = '' THEN 'clean' ELSE 'quarantine' END AS status,
+        |  violated_csv, count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS sum_ids
+        |FROM r GROUP BY 1, 2, 3 ORDER BY epoch, status, violated_csv""".stripMargin,
 
     // per-epoch slices recomputed with the same CASE predicates — the
     // ingest audit must equal the batch operator on every slice

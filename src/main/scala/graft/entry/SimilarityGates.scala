@@ -244,6 +244,50 @@ private[graft] object SimilarityGates {
       out
     }),
 
+    // The recenter CADENCE under the oracle gate (round-9 ask #3): q118's
+    // ingest with the power-of-two trigger wired in — four ascending
+    // micro-batches, so the refit fires MID-STREAM at epochs 1 and 2
+    // (batch 3 still to come) and runs the full maintenance path
+    // (refit + reassign + moved-pair scoring + store rewrite + centroid
+    // swap) twice while ingest continues. Under the ascending feed every
+    // refit's corpus-lowest-id seeds equal the frozen epoch-0 seeds, so
+    // the cadence must preserve the batch operator's partition exactly —
+    // shares q102's oracle verbatim. The drift-DISCOVERY direction of a
+    // mid-stream firing (stale-split pair found) is pinned by
+    // SemIngestSpec's planted scenario.
+    "q160_semdedup_cadence" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val nCells = semDedupCells(emb.count())
+      val mm = emb.agg(min(col("vec_id")), max(col("vec_id"))).head()
+      require(!mm.isNullAt(0), "empty embeddings feed (q160)")
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val bs = (1 to 3).map(k => lo + (hi - lo) / 4 * k)
+      val root = java.nio.file.Files.createTempDirectory("graft_sem_cad_").toString
+      implicit val enc: org.apache.spark.sql.Encoder[(Long, Array[Float], Int)] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+      import s.implicits._
+      StreamHarness.runFilesSink(s,
+          Seq(emb.where(col("vec_id") <= bs(0)),
+            emb.where(col("vec_id") > bs(0) && col("vec_id") <= bs(1)),
+            emb.where(col("vec_id") > bs(1) && col("vec_id") <= bs(2)),
+            emb.where(col("vec_id") > bs(2)))
+            .map(_.as[(Long, Array[Float], Int)])) {
+        (ds, ckpt) =>
+          ds.toDF().toDF("vec_id", "embedding", "label").writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: DataFrame, epochId: Long) =>
+              graft.streaming.SemIngest.processBatchWithCadence(
+                b.toDF("vec_id", "embedding", "label"), root, epochId, nCells, 0.35)
+            }.start()
+      }
+      val out = graft.streaming.SemIngest.survivors(s, root)
+        .orderBy(col("vec_id"))
+        .localCheckpoint(true) // materialize before the store dir vanishes
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+      out
+    }),
+
     // Two-stage PQ retrieval: q90's ADC codes shortlist 50 candidates per
     // query, exact cosine re-ranks to top-10 — the IVFADC refine step.
     "q133_ann_pq_rerank" -> ((s, d) => {
@@ -351,6 +395,10 @@ private[graft] object SimilarityGates {
     "q102_semdedup" -> semDedupOracle,
 
     "q118_stream_semdedup" -> semDedupOracle,
+
+    // the cadence's ascending-feed refits are geometric no-ops by seed
+    // equality — one oracle with q102/q118
+    "q160_semdedup_cadence" -> semDedupOracle,
 
     // PQ-ADC replication: lowest-16-id seed codebooks per 8-dim subspace,
     // argmin assignment (ties by code), per-query LUT dots, and the ADC

@@ -63,10 +63,21 @@ object StreamHarness {
       math.min(parts.getOrElse(cap), cap).toString)
     // RocksDB unless the caller chose otherwise: measured ~15 % faster on
     // the DWS window gates than the HDFS-backed default, and it is the
-    // store that holds state > heap at production scale anyway
-    if (session.conf.getOption("spark.sql.streaming.stateStore.providerClass").isEmpty)
-      session.conf.set("spark.sql.streaming.stateStore.providerClass",
+    // store that holds state > heap at production scale anyway.
+    // GRAFT_STATE_PROVIDER=hdfs|rocksdb re-measures the choice without a
+    // rebuild (dev knob — results are provider-independent either way).
+    val provider = sys.env.get("GRAFT_STATE_PROVIDER") match {
+      case Some("hdfs") => Some(
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+      case Some("rocksdb") | None => Some(
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      case Some(other) =>
+        System.err.println(s"[harness] unknown GRAFT_STATE_PROVIDER '$other' — keeping default")
+        None
+    }
+    if (session.conf.getOption("spark.sql.streaming.stateStore.providerClass").isEmpty)
+      provider.foreach(p =>
+        session.conf.set("spark.sql.streaming.stateStore.providerClass", p))
     // measured and rejected: RocksDB changelog checkpointing costs ~15 %
     // on the DWS gates (q63: 5.6 → 6.4 s) — gate state is far too small
     // for snapshot upload to dominate; it is the right switch only when

@@ -135,14 +135,24 @@ object GenScale {
 
   /** The factor recorded in a generated dir's manifest, if present and
     * complete. */
-  def manifestFactor(spark: SparkSession, dir: String): Option[Int] = {
+  def manifestFactor(spark: SparkSession, dir: String): Option[Int] =
+    manifestInfo(spark, dir).map(_._2)
+
+  /** (source, factor) from a generated dir's manifest — `None` when the
+    * manifest is absent (incomplete or never generated), so callers can
+    * regenerate; a manifest whose SOURCE differs from the intended one
+    * must also be treated as stale. */
+  def manifestInfo(spark: SparkSession, dir: String): Option[(String, Int)] = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/_genscale.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
       val s = try scala.io.Source.fromInputStream(in).mkString finally in.close()
-      "\"factor\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toInt)
+      for {
+        src <- "\"source\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(s).map(_.group(1))
+        f <- "\"factor\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toInt)
+      } yield (src, f)
     }
   }
 

@@ -103,6 +103,42 @@ class ChunkSplitSpec extends SparkTestBase {
     assert(clean.forall(_._4))
   }
 
+  test("expectations route(): per-row violation sets reconcile with check()'s counts") {
+    import graft.operators.Expectations._
+    val rows: Seq[(java.lang.Long, java.lang.Long, java.lang.Double, String)] = Seq(
+      (1L, 1L, 10.0, "A"),
+      (1L, 1L, 20.0, "B"),    // duplicate (id, k2) key
+      (null, 2L, 99.0, "A"),  // null id; 99 out of range
+      (3L, 3L, null, "C"),    // null value violates range; C not in enum
+      (4L, 9L, 5.0, "A"))     // k2=9 dangling FK
+    val df = rows.toDF("id", "k2", "v", "s")
+    val dim = Seq(1L, 2L, 3L).toDF("k")
+    val exps = Seq(
+      NotNull("id"),
+      UniqueKey(Seq("id", "k2")),
+      InRange("v", 0.0, 50.0),
+      InSet("s", Seq("A", "B")),
+      RefIntegrity("k2", dim, "k"))
+    val routed = route(df, exps, uniqueTieBreak = Seq($"v"))
+      .select($"v", $"violated").as[(Option[Double], Seq[String])].collect()
+      .map { case (v, viol) => v -> viol }.toMap
+    // tie-break v ASC: the 10.0 row escapes the unique flag, 20.0 carries it
+    assert(routed(Some(10.0)) === Seq.empty)
+    assert(routed(Some(20.0)) === Seq("unique_id_k2"))
+    assert(routed(Some(99.0)) === Seq("not_null_id", "range_v", "unique_id_k2"))
+    assert(routed(None) === Seq("in_set_s", "range_v"))
+    assert(routed(Some(5.0)) === Seq("ref_k2"))
+    // reconciliation: per-expectation routed-row counts == check()'s audit
+    val audits = check(df, exps).as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r._3).toMap
+    val fromRoute = route(df, exps)
+      .select(explode($"violated").as("e")).groupBy($"e").count()
+      .as[(String, Long)].collect().toMap
+    audits.foreach { case (name, n) =>
+      assert(fromRoute.getOrElse(name, 0L) === n, name)
+    }
+  }
+
   test("expectations: colliding declared names are refused at declaration") {
     import graft.operators.Expectations._
     val df = Seq((1L, 5.0)).toDF("id", "v")

@@ -113,6 +113,46 @@ class DedupGraphSpec extends SparkTestBase {
     assert(out(1)._4 === 0.0)
   }
 
+  test("bloom-screened contamination equals the exact profile even when the filter saturates") {
+    val bench = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val cand = Seq(
+      (50L, "alpha beta gamma delta"),
+      (51L, "zz yy xx ww vv"),
+      (52L, "alpha beta qq rr ss")).toDF("doc_id", "text")
+    val exact = Dedup.contaminationProfile(cand, bench).orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // expectedItems=1 saturates the filter: every shingle screens positive
+    // and must be rescued by the exact join — output still identical
+    val bloomSat = Dedup.contaminationProfileBloom(cand, bench, expectedItems = 1L)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(bloomSat === exact)
+    // roomy filter (few positives, most shingles skip the join): identical too
+    val bloomBig = Dedup.contaminationProfileBloom(cand, bench, expectedItems = 10000L)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(bloomBig === exact)
+  }
+
+  test("bloom-screened split contamination equals the exact screen at both filter extremes") {
+    val docs = Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "one two three four five six seven eight nine ten eleven"),
+      (3L, "totally different words that never overlap anything at all ok")
+    ).toDF("doc_id", "text")
+    val splits = Seq((1L, "train"), (2L, "heldout"), (3L, "heldout"))
+      .toDF("doc_id", "split")
+    val exact = graft.operators.Corpus.splitContamination(docs, splits)
+      .orderBy("doc_id").as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(exact.map(_._1) === Seq(2L, 3L))
+    assert(exact(0)._3 > 0 && exact(0)._4, "doc 2 shares 8-grams with train")
+    assert(exact(1)._3 === 0L && !exact(1)._4)
+    Seq(1L, 10000L).foreach { items =>
+      val bloom = graft.operators.Corpus.splitContaminationBloom(
+          docs, splits, expectedItems = items)
+        .orderBy("doc_id").as[(Long, Long, Long, Boolean)].collect().toSeq
+      assert(bloom === exact, s"expectedItems=$items")
+    }
+  }
+
   test("applyDedupBestKeeper keeps the best-scored member, not the min id") {
     val docs = (1 to 6).map(i => (i.toLong, s"d$i")).toDF("doc_id", "text")
     // component {1,2,3}: doc 3 has the best (lowest) score; {4,5}: tie → min id

@@ -128,6 +128,17 @@ class PlanSpec extends SparkTestBase {
       "gram semi-join must stay an equi-join:\n" + p)
   }
 
+  test("bloom-screened contamination keeps gram-grain equi-joins with the probe filter ahead of the rescue join") {
+    val docs = Tables.documents(spark, sf)
+    val p = plan(graft.operators.Corpus.splitContaminationBloom(
+      docs, graft.operators.Corpus.holdoutSplit(docs), expectedItems = 1000L))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "bloom variant must stay an equi-join:\n" + p)
+    // the broadcast-bloom probe must sit in the plan as a filter feeding
+    // the semi-join — its absence means every gram pays the shuffle again
+    assert(p.contains("UDF"), "bloom membership screen missing from the plan:\n" + p)
+  }
+
   test("capped jaccard verifies from slim count rows, never shingle arrays") {
     val p = plan(graft.operators.Dedup.ngramJaccardPairsCapped(
       Tables.documents(spark, sf), maxDocFreq = 100))

@@ -37,6 +37,61 @@ class SemIngestSpec extends SparkTestBase {
     }
   }
 
+  test("pow-2 cadence fires MID-STREAM and discovers a stale-split pair plain processBatch misses") {
+    val rootOn = Files.createTempDirectory("graft_sem_cad_on_").toString
+    val rootOff = Files.createTempDirectory("graft_sem_cad_off_").toString
+    try {
+      // batch 0 (unrepresentative high ids): boundary frozen at y=1
+      val b0 = df((100L, Array(0f, 0.9f), 1), (101L, Array(0f, 1.1f), 1))
+      // batch 1: the colinear pair 1–2 straddles the stale boundary; the
+      // cadence fires AFTER this batch (epoch 1 = 2^0) with a Lloyd round
+      // that pulls a centroid onto the (0, y) line, co-celling them
+      val b1 = df((1L, Array(0f, 0.999f), 2), (2L, Array(0f, 1.001f), 2),
+        (5L, Array(9f, 0f), 3))
+      // batch 2 arrives AFTER the firing — the trigger ran mid-stream
+      val b2 = df((7L, Array(0f, -5f), 4))
+      Seq(rootOn, rootOff).foreach { r =>
+        Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+          if (r == rootOn)
+            SemIngest.processBatchWithCadence(b, r, i.toLong, nCells = 2,
+              threshold = 0.99, lloydRounds = 1)
+          else
+            SemIngest.processBatch(b, r, i.toLong, nCells = 2, threshold = 0.99)
+        }
+      }
+      assert(surv(rootOff) === Set(1L, 2L, 5L, 7L),
+        "without the cadence the stale geometry must keep the dups split")
+      assert(surv(rootOn) === Set(1L, 5L, 7L),
+        "the mid-stream firing must merge the stale-split pair")
+    } finally {
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(rootOn))
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(rootOff)); ()
+    }
+  }
+
+  test("cadence-on equals cadence-off at feed end under an id-ascending feed (seed equality)") {
+    val rootOn = Files.createTempDirectory("graft_sem_eq_on_").toString
+    val rootOff = Files.createTempDirectory("graft_sem_eq_off_").toString
+    try {
+      // ascending ids: every refit's corpus-lowest seeds == frozen seeds,
+      // so the refits are geometric no-ops and the partitions must agree
+      val batches = Seq(
+        df((1L, Array(1f, 0f), 1), (2L, Array(0f, 1f), 1)),
+        df((3L, Array(0.999f, 0.01f), 2), (4L, Array(0.01f, 0.999f), 2)),
+        df((5L, Array(-1f, 0f), 3), (6L, Array(0.998f, 0.02f), 3)))
+      batches.zipWithIndex.foreach { case (b, i) =>
+        SemIngest.processBatchWithCadence(b, rootOn, i.toLong, nCells = 2,
+          threshold = 0.9)
+        SemIngest.processBatch(b, rootOff, i.toLong, nCells = 2, threshold = 0.9)
+      }
+      assert(surv(rootOn) === surv(rootOff),
+        "ascending-feed cadence must preserve the plain-ingest partition")
+    } finally {
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(rootOn))
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(rootOff)); ()
+    }
+  }
+
   test("recenter discovers dup pairs the frozen batch-1 geometry split, merging (never splitting) groups") {
     val root = Files.createTempDirectory("graft_sem_recenter_").toString
     try {
