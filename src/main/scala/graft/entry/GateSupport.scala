@@ -256,6 +256,15 @@ private[graft] object GateSupport {
       // same clone discipline as StreamHarness: capped shuffle partitions
       // + RocksDB, caller's session untouched
       val session = StreamHarness.prepared(s)
+      // the DAG runs ~17 queries CONCURRENTLY (parallel settle below), so
+      // cross-query parallelism already fills the host and per-query
+      // partitions only multiply state-store commits: interleaved A/B on
+      // a clean host measured 4 parts at 75.7/76.2 s vs 8 parts at
+      // 103.3/88.5 s for the whole charge at sf0.1 (RocksDB; HDFS-store
+      // variants measured 98–195 s — rejected). Harness gates that run
+      // ONE query at a time keep the separately-measured default of 8.
+      session.conf.set("spark.sql.shuffle.partitions",
+        sys.env.get("GRAFT_DAG_PARTS").flatMap(_.toIntOption).getOrElse(4).toString)
       import session.implicits._
       val root = java.nio.file.Files.createTempDirectory("graft_dag_").toString
       val in = s"$root/in"
@@ -273,14 +282,17 @@ private[graft] object GateSupport {
       // embeddings, each split at its id midpoint into two ascending
       // micro-batches exactly like the harness gates — so the DAG stores
       // share q116/q118/q102's oracles verbatim
-      val paras = Dedup.explodeParagraphs(Tables.documents(session, d), 10)
-        .select(Dedup.encodePos(col("doc_id"), col("pos")).as("enc"), col("para"))
-      val paraMid = midOf(paras.agg(min(col("enc")), max(col("enc"))).head(),
-        "exploded paragraphs (DAG curation)")
-      val emb = Tables.embeddings(session, d)
-        .select(col("vec_id"), col("embedding"), col("label"))
-      val embMm = emb.agg(min(col("vec_id")), max(col("vec_id")),
-        count(lit(1))).head()
+      val (paras, paraMid, emb, embMm) = timed("feed_prep") {
+        val paras = Dedup.explodeParagraphs(Tables.documents(session, d), 10)
+          .select(Dedup.encodePos(col("doc_id"), col("pos")).as("enc"), col("para"))
+        val paraMid = midOf(paras.agg(min(col("enc")), max(col("enc"))).head(),
+          "exploded paragraphs (DAG curation)")
+        val emb = Tables.embeddings(session, d)
+          .select(col("vec_id"), col("embedding"), col("label"))
+        val embMm = emb.agg(min(col("vec_id")), max(col("vec_id")),
+          count(lit(1))).head()
+        (paras, paraMid, emb, embMm)
+      }
       val embMid = midOf(embMm, "embeddings (DAG curation)")
       val queries = timed("start_queries")(GmallApp.startFromFiles(session, in, wh,
         joinTtlSec = 10000000L, semCells = semDedupCells(embMm.getLong(2))))
@@ -327,11 +339,13 @@ private[graft] object GateSupport {
           val part = pmod(hash(col("value")), lit(2))
           val logChunks = timeSplitDs(Tables.events(session, d), "ts")
             .map(trafficLogJson)
-          drop("topic_db", raw.where(part === 0))
-          drop("topic_log", logChunks(0).select(col("value"))
-            .unionByName(kw.where(col("doc_id") <= midId).select(col("value"))))
-          dropDf("doc_paras", paras.where(col("enc") <= paraMid))
-          dropDf("embeddings", emb.where(col("vec_id") <= embMid))
+          timed("drop_data1") {
+            drop("topic_db", raw.where(part === 0))
+            drop("topic_log", logChunks(0).select(col("value"))
+              .unionByName(kw.where(col("doc_id") <= midId).select(col("value"))))
+            dropDf("doc_paras", paras.where(col("enc") <= paraMid))
+            dropDf("embeddings", emb.where(col("vec_id") <= embMid))
+          }
           timed("sync_data1")(sync())
           // the far-future flush sentinels RIDE the second data chunk
           // (round-9 ask #2 — one fewer settle round across ~17 queries):
@@ -341,14 +355,16 @@ private[graft] object GateSupport {
           // window/left-join tails in the inert rounds below — identical
           // outputs (q110–q124 hash-gated), one whole micro-batch round
           // of fixed cost saved
-          drop("topic_db", raw.where(part === 1)
-            .unionByName(flushSentinels.toDF("value")))
-          drop("topic_log", logChunks(1).select(col("value"))
-            .unionByName(kw.where(col("doc_id") > midId).select(col("value")))
-            .unionByName(
-              Seq(TrafficLogSentinel, keywordSentinelJson(maxId)).toDF("value")))
-          dropDf("doc_paras", paras.where(col("enc") > paraMid))
-          dropDf("embeddings", emb.where(col("vec_id") > embMid))
+          timed("drop_data2") {
+            drop("topic_db", raw.where(part === 1)
+              .unionByName(flushSentinels.toDF("value")))
+            drop("topic_log", logChunks(1).select(col("value"))
+              .unionByName(kw.where(col("doc_id") > midId).select(col("value")))
+              .unionByName(
+                Seq(TrafficLogSentinel, keywordSentinelJson(maxId)).toDF("value")))
+            dropDf("doc_paras", paras.where(col("enc") > paraMid))
+            dropDf("embeddings", emb.where(col("vec_id") > embMid))
+          }
           timed("sync_data2")(sync())
         } finally { raw.unpersist(); () }
         // left-join tails emit in the watermark-advanced batch AFTER the
