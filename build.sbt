@@ -35,7 +35,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // must bucket days identically on any host (StatefulOps.dayOf is
   // zone-explicit regardless; this is belt-and-braces)
   "-Duser.timezone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 48g default (host: 128 GiB): the ×10 bench leg's 17-query DAG gate
+  // hit "GC overhead limit exceeded" at 24g — millions of in-flight JSON
+  // envelope strings across concurrent micro-batches are allocation
+  // churn, not evictable storage, so more headroom is the honest fix
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
   // hundreds of janino-generated classes across 30+ queries overflow the
   // default 240m code cache → sweeper/deopt churn and erratic stalls
   "-XX:ReservedCodeCacheSize=1g",

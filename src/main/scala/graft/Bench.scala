@@ -43,10 +43,35 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val loadStart = loadavg()
+    // FAIR scheduling with a FAIR default pool: the warehouse-DAG gate
+    // runs ~17 streaming queries concurrently, and under FIFO a tiny
+    // broadcast-exchange job can queue behind several million-row stages
+    // until it blows spark.sql.broadcastTimeout — observed at the ×10
+    // up-scale leg. FAIR round-robins task slots across runnable jobs, so
+    // small jobs finish promptly regardless of queue depth; serial batch
+    // gates run one job at a time and are unaffected. (A pool entry is
+    // required: FAIR mode alone still schedules FIFO *within* the default
+    // pool.) The raised broadcast timeout is belt-and-braces for the same
+    // shape — local[32] contends the driver in ways a real cluster's
+    // dedicated driver does not.
+    val fairPools = Files.createTempFile("graft_fair_", ".xml")
+    Files.writeString(fairPools,
+      """<?xml version="1.0"?>
+        |<allocations>
+        |  <pool name="default">
+        |    <schedulingMode>FAIR</schedulingMode>
+        |    <weight>1</weight>
+        |    <minShare>0</minShare>
+        |  </pool>
+        |</allocations>
+        |""".stripMargin)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.scheduler.mode", "FAIR")
+      .config("spark.scheduler.allocation.file", fairPools.toString)
+      .config("spark.sql.broadcastTimeout", "3600")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     /** The shared-table warmup for one sf dir (the two Kafka-topic-
@@ -203,6 +228,10 @@ object Bench {
     /** One scale leg: warm the shared tables at `d`, run `subset`, check
       * the twin pairs present in the subset. Returns (times, warmup). */
     def runLeg(d: String, subset: Seq[String], tag: String): (Map[String, Double], Double) = {
+      // drop the previous leg's persisted tables before warming this one:
+      // legs never revisit an earlier dir, and keeping three dirs' caches
+      // resident starved the heap at the ×10 leg (see SessionCache)
+      graft.core.SessionCache.evictOwned(spark)
       val warm = warmShared(d)
       System.err.println(f"[bench] warmup($tag shared)  $warm%8.2f s")
       val cs = scala.collection.mutable.Map[String, Long]()

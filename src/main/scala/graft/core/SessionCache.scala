@@ -48,4 +48,19 @@ private[graft] object SessionCache {
       }
     }
   }
+
+  /** Unpersist and forget every entry owned by `spark`. Bench calls this
+    * between scale legs: each leg re-warms its own sf dir, and without
+    * eviction a three-leg run (sf0.1 + sf0.01 + ×10) accumulates every
+    * leg's persisted tables in one heap — at the ×10 leg the resulting GC
+    * pressure stalled the driver badly enough to blow broadcast (300 s)
+    * and RPC (120 s) timeouts under the 17-query DAG gate. */
+  def evictOwned(spark: SparkSession): Unit = synchronized {
+    cache.filterInPlace { case (_, (owner, df)) =>
+      if (owner eq spark) {
+        if (!owner.sparkContext.isStopped) df.unpersist()
+        false
+      } else true
+    }
+  }
 }

@@ -81,29 +81,36 @@ private[graft] object GateSupport {
     * shared by the q40 harness gate and the q110/q114 warehouse-DAG feed,
     * so their traffic windows can share one oracle. to_json(struct(...)),
     * not string concat: null fields drop and escaping is handled. */
+  /** The JSON-value expression alone (for callers that pair it with other
+    * columns of the same events row, e.g. the DAG's staged chunk id). */
+  val trafficLogValue: Column = to_json(struct(
+    struct(concat(lit("m"), col("user_id")).as("mid"),
+      concat(lit("v"), col("user_id") % 3).as("vc"),
+      col("event_type").as("ch"),
+      (col("user_id") % 5).cast("string").as("ar"),
+      (col("event_id") % 2).cast("string").as("is_new")).as("common"),
+    struct(lit("home").as("page_id"),
+      when(col("event_id") % 3 =!= 0, lit("search")).as("last_page_id"),
+      round(col("value")).cast("long").as("during_time")).as("page"),
+    unix_millis(col("ts")).as("ts")))
+
   def trafficLogJson(df: DataFrame): DataFrame =
-    df.select(col("event_id"), to_json(struct(
-      struct(concat(lit("m"), col("user_id")).as("mid"),
-        concat(lit("v"), col("user_id") % 3).as("vc"),
-        col("event_type").as("ch"),
-        (col("user_id") % 5).cast("string").as("ar"),
-        (col("event_id") % 2).cast("string").as("is_new")).as("common"),
-      struct(lit("home").as("page_id"),
-        when(col("event_id") % 3 =!= 0, lit("search")).as("last_page_id"),
-        round(col("value")).cast("long").as("during_time")).as("page"),
-      unix_millis(col("ts")).as("ts"))).as("value"))
+    df.select(col("event_id"), trafficLogValue.as("value"))
 
   /** documents → keyword-search log JSON (doc_id, value) rows — ONE
     * synthesis shared by the q37 harness gate and the q110/q117 DAG feed
     * (to_json escaping; no vc/ch/ar so these rows never reach the gated
     * traffic keys). */
+  /** The JSON-value expression alone (see [[trafficLogValue]]). */
+  val keywordLogValue: Column = to_json(struct(
+    struct(concat(lit("m"), col("doc_id")).as("mid")).as("common"),
+    struct(lit("good_list").as("page_id"), lit("search").as("last_page_id"),
+      concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 3)).as("item"),
+      lit("keyword").as("item_type")).as("page"),
+    (col("doc_id") * 3000).as("ts")))
+
   def keywordLogJson(df: DataFrame): DataFrame =
-    df.select(col("doc_id"), to_json(struct(
-      struct(concat(lit("m"), col("doc_id")).as("mid")).as("common"),
-      struct(lit("good_list").as("page_id"), lit("search").as("last_page_id"),
-        concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 3)).as("item"),
-        lit("keyword").as("item_type")).as("page"),
-      (col("doc_id") * 3000).as("ts"))).as("value"))
+    df.select(col("doc_id"), keywordLogValue.as("value"))
 
   /** Far-future keyword search hit: flushes the keyword windows; gates
     * strip `word = 'zzsentinel'`. */
@@ -275,14 +282,41 @@ private[graft] object GateSupport {
       // parallel; the file source takes all new files as ONE micro-batch)
       def drop(topic: String, df: DataFrame): Unit =
         df.select(col("value")).write.mode("append").parquet(s"$in/$topic")
-      // typed (non-envelope) chunk for the curation feeds
-      def dropDf(topic: String, df: DataFrame): Unit =
-        df.write.mode("append").parquet(s"$in/$topic")
+      // (typed curation feeds now arrive via the staged chunks below)
+      // ---- one-pass feed staging: each source is synthesized ONCE and
+      // written partitioned by its micro-batch chunk id to a staging dir
+      // BEFORE the ~17 queries start (full host, no concurrent streams);
+      // a data drop then just MOVES the chunk's files into the watched
+      // dir — a rename. The old shape synthesized every source twice
+      // (chunk filters over a persisted plan) WHILE the queries ran: at
+      // the ×10 bench leg those second passes were ~390 s of the charge.
+      val stageRoot = s"$root/stage"
+      // `df` must carry a `__chunk` column; partitionBy moves it into the
+      // directory name, so the staged files hold exactly the feed schema
+      def stagePre(topic: String, df: DataFrame): Unit =
+        df.write.partitionBy("__chunk").parquet(s"$stageRoot/$topic")
+      def stage(topic: String, df: DataFrame, chunk: Column): Unit =
+        stagePre(topic, df.withColumn("__chunk", chunk))
+      def moveChunk(topic: String, c: Int): Unit = {
+        val src = java.nio.file.Paths.get(s"$stageRoot/$topic/__chunk=$c")
+        val dst = java.nio.file.Paths.get(s"$in/$topic")
+        java.nio.file.Files.createDirectories(dst)
+        if (java.nio.file.Files.isDirectory(src)) {
+          val files = java.nio.file.Files.list(src)
+          try files.forEach { f =>
+            // chunk prefix: one partitionBy job writes the SAME part-file
+            // name under every __chunk= dir (same task id, same job UUID),
+            // so a bare move of chunk 1 collides with chunk 0's files
+            if (f.getFileName.toString.endsWith(".parquet"))
+              java.nio.file.Files.move(f, dst.resolve(s"c$c-${f.getFileName}"))
+          } finally files.close()
+        }
+      }
       // the curation leg's feeds: q116's paragraph instances and q118's
       // embeddings, each split at its id midpoint into two ascending
       // micro-batches exactly like the harness gates — so the DAG stores
       // share q116/q118/q102's oracles verbatim
-      val (paras, paraMid, emb, embMm) = timed("feed_prep") {
+      val (embCount, kwMaxId) = timed("stage_feeds") {
         val paras = Dedup.explodeParagraphs(Tables.documents(session, d), 10)
           .select(Dedup.encodePos(col("doc_id"), col("pos")).as("enc"), col("para"))
         val paraMid = midOf(paras.agg(min(col("enc")), max(col("enc"))).head(),
@@ -291,11 +325,35 @@ private[graft] object GateSupport {
           .select(col("vec_id"), col("embedding"), col("label"))
         val embMm = emb.agg(min(col("vec_id")), max(col("vec_id")),
           count(lit(1))).head()
-        (paras, paraMid, emb, embMm)
+        val embMid = midOf(embMm, "embeddings (DAG curation)")
+        // topic_db: same hash-parity split as the old two filtered drops
+        stage("topic_db", TopicDb.raw(session, d),
+          pmod(hash(col("value")), lit(2)))
+        // topic_log: traffic rows chunked at the events ts midpoint
+        // (timeSplitDs's boundary), keyword rows at the doc_id midpoint —
+        // one union, one pass (keyword rows carry no vc → they never reach
+        // the gated traffic keys; traffic rows carry no item_type → they
+        // never reach the keyword filter)
+        val ev = Tables.events(session, d)
+        val tmm = ev.agg(min(unix_micros(col("ts"))),
+          max(unix_micros(col("ts")))).head()
+        val tmid = midOf(tmm, "events (DAG traffic logs)")
+        val docs = Tables.documents(session, d)
+        val kmm = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+        val kwMid = midOf(kmm, "documents keyword logs (DAG)")
+        stagePre("topic_log",
+          ev.select(trafficLogValue.as("value"),
+            when(unix_micros(col("ts")) <= tmid, 0).otherwise(1).as("__chunk"))
+            .unionByName(docs.select(keywordLogValue.as("value"),
+              when(col("doc_id") <= kwMid, 0).otherwise(1).as("__chunk"))))
+        stage("doc_paras", paras,
+          when(col("enc") <= paraMid, 0).otherwise(1))
+        stage("embeddings", emb,
+          when(col("vec_id") <= embMid, 0).otherwise(1))
+        (embMm.getLong(2), kmm.getLong(1))
       }
-      val embMid = midOf(embMm, "embeddings (DAG curation)")
       val queries = timed("start_queries")(GmallApp.startFromFiles(session, in, wh,
-        joinTtlSec = 10000000L, semCells = semDedupCells(embMm.getLong(2))))
+        joinTtlSec = 10000000L, semCells = semDedupCells(embCount)))
       try {
         // parallel settle: every wire()/curation query consumes the ods
         // topic DIRS (or its own feed dir) directly — no query reads
@@ -325,48 +383,26 @@ private[graft] object GateSupport {
           """{"op":"c","ts_ms":10,"after":{"source_table":"payment_info","sink_table":"dim_payment_info","sink_columns":"id,payment_type"}}""")
           .toDF("value"))
         timed("sync_config")(sync())
-        // persist: the CPU-heavy to_json synthesis runs once, not once per
-        // chunk filter (the two drops below each scan it)
-        val raw = TopicDb.raw(session, d).persist()
-        // keyword search hits ride the SAME topic_log stream (no vc → they
-        // never reach the gated traffic keys; traffic rows carry no
-        // item_type → they never reach the keyword filter)
-        val kw = keywordLogJson(Tables.documents(session, d))
-        val mm = kw.agg(min(col("doc_id")), max(col("doc_id"))).head()
-        val (midId, maxId) =
-          (midOf(mm, "documents keyword logs (DAG)"), mm.getLong(1))
-        try {
-          val part = pmod(hash(col("value")), lit(2))
-          val logChunks = timeSplitDs(Tables.events(session, d), "ts")
-            .map(trafficLogJson)
-          timed("drop_data1") {
-            drop("topic_db", raw.where(part === 0))
-            drop("topic_log", logChunks(0).select(col("value"))
-              .unionByName(kw.where(col("doc_id") <= midId).select(col("value"))))
-            dropDf("doc_paras", paras.where(col("enc") <= paraMid))
-            dropDf("embeddings", emb.where(col("vec_id") <= embMid))
-          }
-          timed("sync_data1")(sync())
-          // the far-future flush sentinels RIDE the second data chunk
-          // (round-9 ask #2 — one fewer settle round across ~17 queries):
-          // watermarks are computed at batch END and applied to the NEXT
-          // batch, so data2 joins/windows still run under data1's
-          // watermark, and the sentinel-advanced watermark emits the
-          // window/left-join tails in the inert rounds below — identical
-          // outputs (q110–q124 hash-gated), one whole micro-batch round
-          // of fixed cost saved
-          timed("drop_data2") {
-            drop("topic_db", raw.where(part === 1)
-              .unionByName(flushSentinels.toDF("value")))
-            drop("topic_log", logChunks(1).select(col("value"))
-              .unionByName(kw.where(col("doc_id") > midId).select(col("value")))
-              .unionByName(
-                Seq(TrafficLogSentinel, keywordSentinelJson(maxId)).toDF("value")))
-            dropDf("doc_paras", paras.where(col("enc") > paraMid))
-            dropDf("embeddings", emb.where(col("vec_id") > embMid))
-          }
-          timed("sync_data2")(sync())
-        } finally { raw.unpersist(); () }
+        // data drops are now file MOVES of the pre-staged chunks (see
+        // stage_feeds above)
+        val topics = Seq("topic_db", "topic_log", "doc_paras", "embeddings")
+        timed("drop_data1")(topics.foreach(moveChunk(_, 0)))
+        timed("sync_data1")(sync())
+        // the far-future flush sentinels RIDE the second data chunk
+        // (round-9 ask #2 — one fewer settle round across ~17 queries):
+        // watermarks are computed at batch END and applied to the NEXT
+        // batch, so data2 joins/windows still run under data1's
+        // watermark, and the sentinel-advanced watermark emits the
+        // window/left-join tails in the inert rounds below — identical
+        // outputs (q110–q124 hash-gated), one whole micro-batch round
+        // of fixed cost saved
+        timed("drop_data2") {
+          topics.foreach(moveChunk(_, 1))
+          drop("topic_db", flushSentinels.toDF("value"))
+          drop("topic_log",
+            Seq(TrafficLogSentinel, keywordSentinelJson(kwMaxId)).toDF("value"))
+        }
+        timed("sync_data2")(sync())
         // left-join tails emit in the watermark-advanced batch AFTER the
         // sentinels' own batch
         drop("topic_db", Seq(

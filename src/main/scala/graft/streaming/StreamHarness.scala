@@ -78,6 +78,12 @@ object StreamHarness {
     if (session.conf.getOption("spark.sql.streaming.stateStore.providerClass").isEmpty)
       provider.foreach(p =>
         session.conf.set("spark.sql.streaming.stateStore.providerClass", p))
+    // concurrent streaming queries on a saturated local[N] host can queue
+    // a broadcast-exchange job past the 300 s default (observed: the
+    // 17-query DAG gate at the ×10 bench leg); the timeout exists to
+    // catch hung exchanges, not healthy queueing — give it an hour
+    session.conf.set("spark.sql.broadcastTimeout",
+      sys.env.getOrElse("GRAFT_BROADCAST_TIMEOUT", "3600"))
     // measured and rejected: RocksDB changelog checkpointing costs ~15 %
     // on the DWS gates (q63: 5.6 → 6.4 s) — gate state is far too small
     // for snapshot upload to dominate; it is the right switch only when
