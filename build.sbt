@@ -35,11 +35,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // must bucket days identically on any host (StatefulOps.dayOf is
   // zone-explicit regardless; this is belt-and-braces)
   "-Duser.timezone=UTC",
-  // 48g default (host: 128 GiB): the ×10 bench leg's 17-query DAG gate
-  // hit "GC overhead limit exceeded" at 24g — millions of in-flight JSON
-  // envelope strings across concurrent micro-batches are allocation
-  // churn, not evictable storage, so more headroom is the honest fix
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // 96g default (host: 128 GiB): the ×10 bench leg's 17-query DAG gate
+  // hit "GC overhead limit exceeded" at 24g AND at 48g — millions of
+  // in-flight JSON envelope strings across concurrent micro-batches are
+  // allocation churn, not evictable storage. The structural fix is the
+  // corpus-scaled feed chunking in DagRun (bounded micro-batches); the
+  // big heap is headroom on top, RocksDB keeps state native either way
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "96g")}",
   // hundreds of janino-generated classes across 30+ queries overflow the
   // default 240m code cache → sweeper/deopt churn and erratic stalls
   "-XX:ReservedCodeCacheSize=1g",

@@ -226,41 +226,57 @@ object Bench {
       "q141_split_contamination" -> "q159_split_contamination_bloom",
       "q44_dwd_refund_pay_suc" -> "q122_dag_dwd_refund_pay_suc")
     /** One scale leg: warm the shared tables at `d`, run `subset`, check
-      * the twin pairs present in the subset. Returns (times, warmup). */
-    def runLeg(d: String, subset: Seq[String], tag: String): (Map[String, Double], Double) = {
+      * the twin pairs present in the subset. Returns (times, warmup,
+      * errors). Scale-leg failures are RECORDED, not fatal: the main-leg
+      * emission (the driver's headline) must survive a scale-leg query
+      * blowing up at an SF no correctness gate covers — the error list
+      * rides the result JSON so a skipped leg query is loudly disclosed,
+      * never silently absent. (Main-leg failures stay fatal above.) */
+    def runLeg(d: String, subset: Seq[String], tag: String)
+        : (Map[String, Double], Double, Seq[String]) = {
       // drop the previous leg's persisted tables before warming this one:
       // legs never revisit an earlier dir, and keeping three dirs' caches
       // resident starved the heap at the ×10 leg (see SessionCache)
       graft.core.SessionCache.evictOwned(spark)
-      val warm = warmShared(d)
+      val errs = scala.collection.mutable.ArrayBuffer[String]()
+      val warm = try { warmShared(d) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] LEG ERROR: warmup failed at $d: $e")
+          errs += s"warmup: ${e.getClass.getSimpleName}"
+          return (Map.empty, 0.0, errs.toSeq)
+        }
       System.err.println(f"[bench] warmup($tag shared)  $warm%8.2f s")
       val cs = scala.collection.mutable.Map[String, Long]()
-      val res = subset.map { name =>
+      val res = subset.flatMap { name =>
         val t0 = System.nanoTime()
-        val rows = try qs(name)(spark, d).count()
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] FATAL: $name failed at $d: $e")
-            spark.stop(); sys.exit(1)
+        try {
+          val rows = qs(name)(spark, d).count()
+          if (rows == 0L) {
+            System.err.println(s"[bench] LEG ERROR: $name returned 0 rows at $d")
+            errs += s"$name: 0 rows"
+            None
+          } else {
+            cs(name) = rows
+            val sec = (System.nanoTime() - t0) / 1e9
+            System.err.println(f"[bench] $name%-22s $sec%8.2f s ($tag)")
+            Some(name -> sec)
           }
-        if (rows == 0L) {
-          System.err.println(s"[bench] FATAL: $name returned 0 rows at $d")
-          spark.stop(); sys.exit(1)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] LEG ERROR: $name failed at $d: $e")
+          errs += s"$name: ${e.getClass.getSimpleName}"
+          None
         }
-        cs(name) = rows
-        val sec = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] $name%-22s $sec%8.2f s ($tag)")
-        name -> sec
       }.toMap
       val pairs = sf2Twins.filter { case (a, b) => cs.contains(a) && cs.contains(b) }
-      pairs.foreach { case (a, b) =>
-        if (cs(a) != cs(b)) {
-          System.err.println(
-            s"[bench] FATAL: twin row-count mismatch at $d: $a=${cs(a)} vs $b=${cs(b)}")
-          spark.stop(); sys.exit(1)
-        }
+      val bad = pairs.filter { case (a, b) => cs(a) != cs(b) }
+      bad.foreach { case (a, b) =>
+        System.err.println(
+          s"[bench] LEG ERROR: twin row-count mismatch at $d: $a=${cs(a)} vs $b=${cs(b)}")
+        errs += s"twin $a/$b: ${cs(a)}!=${cs(b)}"
       }
-      System.err.println(s"[bench] $tag rowcheck: pass(${pairs.size} twin pairs)")
-      (res, warm)
+      System.err.println(
+        s"[bench] $tag rowcheck: ${if (bad.isEmpty) "pass" else "FAIL"}(${pairs.size} twin pairs)")
+      (res, warm, errs.toSeq)
     }
     def sibling(dir: String): Option[String] = {
       val p = Paths.get(dir).toAbsolutePath
@@ -281,10 +297,10 @@ object Bench {
       .orElse(if (sys.env.get("SPARK_GRAFT_SF2").contains("off")) None
               else sibling(sfDir))
       .filter(d => Files.isDirectory(Paths.get(d)))
-    val (sf2Results, sf2Warmup, sf2Growth) = sf2Dir match {
-      case None => (Map.empty[String, Double], 0.0, Map.empty[String, Double])
+    val (sf2Results, sf2Warmup, sf2Growth, sf2Errors) = sf2Dir match {
+      case None => (Map.empty[String, Double], 0.0, Map.empty[String, Double], Seq.empty[String])
       case Some(d2) =>
-        val (res2, warm2) = runLeg(d2, sf2Subset, "sf2")
+        val (res2, warm2, errs2) = runLeg(d2, sf2Subset, "sf2")
         val ratio = {
           val sfOf = (p: String) =>
             Paths.get(p).getFileName.toString.drop(2).toDoubleOption
@@ -296,7 +312,7 @@ object Bench {
         val growth = res2.collect { case (name, t2) if t2 > 0 =>
           name -> r2(math.log(mainT(name) / t2) / math.log(ratio))
         }
-        (res2, warm2, growth)
+        (res2, warm2, growth, errs2)
     }
     // ---- UP leg (round-9 ask #1): a ×10 corpus GENERATED from the bench
     // sf dir (manifest-guarded — regenerated only when absent or built
@@ -329,14 +345,14 @@ object Bench {
           }
         }
     }
-    val (upResults, upWarmup, upGrowth) = upDir match {
-      case None => (Map.empty[String, Double], 0.0, Map.empty[String, Double])
+    val (upResults, upWarmup, upGrowth, upErrors) = upDir match {
+      case None => (Map.empty[String, Double], 0.0, Map.empty[String, Double], Seq.empty[String])
       case Some(d) =>
-        val (resU, warmU) = runLeg(d, upSubset, "up")
+        val (resU, warmU, errsU) = runLeg(d, upSubset, "up")
         val growth = resU.collect { case (name, tU) if mainT(name) > 0 =>
           name -> r2(math.log(tU / mainT(name)) / math.log(upFactor.toDouble))
         }
-        (resU, warmU, growth)
+        (resU, warmU, growth, errsU)
     }
     val loadEnd = loadavg()
     // `value` includes warmup (all gated work, the round-3 accounting);
@@ -360,14 +376,18 @@ object Bench {
         s""""queries_only_sec":${r2(queriesOnly)},"best_of_2_sec":${r2(bestOf2)},""" +
         s""""n_queries":${results.size},""" +
         s""""sf_twin_rowcheck":"$rowcheck""""
+    def sJson(ss: Seq[String]): String =
+      ss.map(s => "\"" + s.replace("\"", "'") + "\"").mkString("[", ",", "]")
     val sf2Json = sf2Dir.map { d2 =>
       s""","sf2":"$d2","sf2_warmup_sec":${r2(sf2Warmup)},""" +
-        s""""queries_sf2":${qJson(sf2Results)},"growth_exponents":${qJson(sf2Growth)}"""
+        s""""queries_sf2":${qJson(sf2Results)},"growth_exponents":${qJson(sf2Growth)},""" +
+        s""""sf2_errors":${sJson(sf2Errors)}"""
     }.getOrElse("")
     val upJson = upDir.map { d =>
       s""","up":"$d","up_factor":$upFactor,"up_gen_sec":${r2(upGenSec)},""" +
         s""""up_warmup_sec":${r2(upWarmup)},"queries_up":${qJson(upResults)},""" +
         s""""up_growth_exponents":${qJson(upGrowth)},""" +
+        s""""up_errors":${sJson(upErrors)},""" +
         s""""up_excluded":${upExcluded.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     }.getOrElse("")
     val full =
@@ -383,7 +403,10 @@ object Bench {
       s""","sf2":"$d2","growth_exponents":${qJson(sf2Growth)}"""
     }.getOrElse("") + upDir.map { d =>
       s""","up_factor":$upFactor,"up_growth_exponents":${qJson(upGrowth)}"""
-    }.getOrElse("")
+    }.getOrElse("") + {
+      val n = sf2Errors.size + upErrors.size
+      if (n > 0) s""","leg_errors":${sJson(sf2Errors ++ upErrors)}""" else ""
+    }
     val line = s"""{$common,"queries":${qJson(slowest)}$growthLine,"sf":"$sfDir"}"""
     // stop BEFORE printing so nothing follows the JSON line in the tail
     // buffer — but a stop-time failure must never swallow the line

@@ -291,6 +291,31 @@ private[graft] object GateSupport {
       // (chunk filters over a persisted plan) WHILE the queries ran: at
       // the ×10 bench leg those second passes were ~390 s of the charge.
       val stageRoot = s"$root/stage"
+      // ---- corpus-scaled feed chunking: ONE micro-batch must never carry
+      // more than ~one sf0.1-corpus of envelope rows through the ~17
+      // concurrent queries — at the ×10 up-scale leg the old fixed 2-chunk
+      // feed put 5 sf0.1-corpora of in-flight JSON strings per batch on
+      // the heap and died on GC overhead (at 48g). Chunk count grows with
+      // the input dir's bytes so per-batch heap is BOUNDED at any scale
+      // (the production micro-batch discipline); ≤ sf0.1 stays at exactly
+      // 2 chunks, keeping every gated SF's behavior bit-identical.
+      val corpusBytes = {
+        val p = java.nio.file.Paths.get(d)
+        if (java.nio.file.Files.isDirectory(p)) {
+          val st = java.nio.file.Files.walk(p)
+          try st.filter(q => java.nio.file.Files.isRegularFile(q))
+            .mapToLong(q => java.nio.file.Files.size(q)).sum
+          finally st.close()
+        } else 0L
+      }
+      val nChunks = math.max(2, math.min(16, (corpusBytes / 24000000L).toInt + 1))
+      if (timing) System.err.println(s"[dag] feed chunks: $nChunks ($corpusBytes bytes)")
+      // ascending equal-width buckets over [lo, hi] → 0..n-1 (the N-chunk
+      // generalization of the midpoint time-split; products stay < 2^53 so
+      // the double division is exact)
+      def chunkOf(v: Column, lo: Long, hi: Long, n: Int): Column =
+        least(lit(n - 1), floor(((v - lit(lo)).cast("long") * n) / lit(hi - lo + 1)))
+          .cast("int")
       // `df` must carry a `__chunk` column; partitionBy moves it into the
       // directory name, so the staged files hold exactly the feed schema
       def stagePre(topic: String, df: DataFrame): Unit =
@@ -326,9 +351,11 @@ private[graft] object GateSupport {
         val embMm = emb.agg(min(col("vec_id")), max(col("vec_id")),
           count(lit(1))).head()
         val embMid = midOf(embMm, "embeddings (DAG curation)")
-        // topic_db: same hash-parity split as the old two filtered drops
+        // topic_db: same hash split as the old two filtered drops (every
+        // chunk spans the full ts range; the 10⁷ s join watermark covers
+        // the whole span, so chunk membership never drops a row)
         stage("topic_db", TopicDb.raw(session, d),
-          pmod(hash(col("value")), lit(2)))
+          pmod(hash(col("value")), lit(nChunks)))
         // topic_log: traffic rows chunked at the events ts midpoint
         // (timeSplitDs's boundary), keyword rows at the doc_id midpoint —
         // one union, one pass (keyword rows carry no vc → they never reach
@@ -341,11 +368,21 @@ private[graft] object GateSupport {
         val docs = Tables.documents(session, d)
         val kmm = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
         val kwMid = midOf(kmm, "documents keyword logs (DAG)")
+        // ascending chunks (disjoint ranges) keep the traffic legs' short
+        // 14 s watermark safe at ANY chunk count: chunk k+1's min key is
+        // ≥ chunk k's max, so an advanced watermark never passes a later
+        // row. n==2 keeps the exact historical midpoint expressions so
+        // the gated SFs stay bit-identical.
+        val trafficChunk =
+          if (nChunks == 2) when(unix_micros(col("ts")) <= tmid, 0).otherwise(1)
+          else chunkOf(unix_micros(col("ts")), tmm.getLong(0), tmm.getLong(1), nChunks)
+        val kwChunk =
+          if (nChunks == 2) when(col("doc_id") <= kwMid, 0).otherwise(1)
+          else chunkOf(col("doc_id"), kmm.getLong(0), kmm.getLong(1), nChunks)
         stagePre("topic_log",
-          ev.select(trafficLogValue.as("value"),
-            when(unix_micros(col("ts")) <= tmid, 0).otherwise(1).as("__chunk"))
+          ev.select(trafficLogValue.as("value"), trafficChunk.as("__chunk"))
             .unionByName(docs.select(keywordLogValue.as("value"),
-              when(col("doc_id") <= kwMid, 0).otherwise(1).as("__chunk"))))
+              kwChunk.as("__chunk"))))
         stage("doc_paras", paras,
           when(col("enc") <= paraMid, 0).otherwise(1))
         stage("embeddings", emb,
@@ -386,23 +423,26 @@ private[graft] object GateSupport {
         // data drops are now file MOVES of the pre-staged chunks (see
         // stage_feeds above)
         val topics = Seq("topic_db", "topic_log", "doc_paras", "embeddings")
-        timed("drop_data1")(topics.foreach(moveChunk(_, 0)))
-        timed("sync_data1")(sync())
-        // the far-future flush sentinels RIDE the second data chunk
+        // the far-future flush sentinels RIDE the LAST data chunk
         // (round-9 ask #2 — one fewer settle round across ~17 queries):
         // watermarks are computed at batch END and applied to the NEXT
-        // batch, so data2 joins/windows still run under data1's
-        // watermark, and the sentinel-advanced watermark emits the
-        // window/left-join tails in the inert rounds below — identical
-        // outputs (q110–q124 hash-gated), one whole micro-batch round
-        // of fixed cost saved
-        timed("drop_data2") {
-          topics.foreach(moveChunk(_, 1))
-          drop("topic_db", flushSentinels.toDF("value"))
-          drop("topic_log",
-            Seq(TrafficLogSentinel, keywordSentinelJson(kwMaxId)).toDF("value"))
+        // batch, so the last chunk's joins/windows still run under the
+        // prior chunk's watermark, and the sentinel-advanced watermark
+        // emits the window/left-join tails in the inert rounds below —
+        // identical outputs (q110–q124 hash-gated). The curation topics
+        // only ever stage chunks 0/1 (their 2-chunk midpoint split is the
+        // q116/q118 store contract); moveChunk no-ops past them.
+        for (c <- 0 until nChunks) {
+          timed(s"drop_data$c") {
+            topics.foreach(moveChunk(_, c))
+            if (c == nChunks - 1) {
+              drop("topic_db", flushSentinels.toDF("value"))
+              drop("topic_log",
+                Seq(TrafficLogSentinel, keywordSentinelJson(kwMaxId)).toDF("value"))
+            }
+          }
+          timed(s"sync_data$c")(sync())
         }
-        timed("sync_data2")(sync())
         // left-join tails emit in the watermark-advanced batch AFTER the
         // sentinels' own batch
         drop("topic_db", Seq(
