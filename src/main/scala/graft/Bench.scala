@@ -65,6 +65,8 @@ object Bench {
         |  </pool>
         |</allocations>
         |""".stripMargin)
+    fairPools.toFile.deleteOnExit() // Spark reads the file at scheduler
+    // init; exit-time deletion is safe and stops one-file-per-run temp leaks
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -330,8 +332,12 @@ object Bench {
     val (upDir, upGenSec) = upRequested match {
       case None => (None, 0.0)
       case Some(d) =>
+        // normalize both spellings: a relative vs absolute (or trailing-
+        // slash) path for the same dir must not trigger a full regeneration
+        def norm(p: String) =
+          java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
         val fresh = graft.tools.GenScale.manifestInfo(spark, d)
-          .exists { case (src, f) => src == sfDir && f == upFactor }
+          .exists { case (src, f) => norm(src) == norm(sfDir) && f == upFactor }
         if (fresh) (Some(d), 0.0)
         else {
           System.err.println(s"[bench] generating ×$upFactor up-scale corpus at $d")

@@ -49,13 +49,33 @@ private[graft] object SessionCache {
     }
   }
 
-  /** Unpersist and forget every entry owned by `spark`. Bench calls this
-    * between scale legs: each leg re-warms its own sf dir, and without
-    * eviction a three-leg run (sf0.1 + sf0.01 + ×10) accumulates every
-    * leg's persisted tables in one heap — at the ×10 leg the resulting GC
-    * pressure stalled the driver badly enough to blow broadcast (300 s)
-    * and RPC (120 s) timeouts under the 17-query DAG gate. */
+  /** Unpersist and forget every entry owned by `spark` OR by any session
+    * sharing its SparkContext (StreamHarness.prepared clones own entries
+    * for the DAG/harness gates; their persisted blocks live in the shared
+    * context, so a main-session-only sweep left them pinned for the rest
+    * of the run). Bench calls this between scale legs: each leg re-warms
+    * its own sf dir, and without eviction a three-leg run (sf0.1 +
+    * sf0.01 + ×10) accumulates every leg's persisted tables in one heap —
+    * at the ×10 leg the resulting GC pressure stalled the driver badly
+    * enough to blow broadcast (300 s) and RPC (120 s) timeouts under the
+    * 17-query DAG gate. */
   def evictOwned(spark: SparkSession): Unit = synchronized {
+    val sc = spark.sparkContext
+    cache.filterInPlace { case (_, (owner, df)) =>
+      if (owner.sparkContext eq sc) {
+        if (!owner.sparkContext.isStopped) df.unpersist()
+        false
+      } else true
+    }
+  }
+
+  /** Unpersist and forget entries owned by EXACTLY this session. Harness/
+    * DAG runs call this on their throwaway clone when the run finishes:
+    * clone-keyed entries can never be reused (the key pins the clone's
+    * identity), so they are dead weight the moment the clone's queries
+    * stop — and the context-wide [[evictOwned]] would also drop the main
+    * session's cross-gate cache, which must survive the leg. */
+  def evictOwnedExactly(spark: SparkSession): Unit = synchronized {
     cache.filterInPlace { case (_, (owner, df)) =>
       if (owner eq spark) {
         if (!owner.sparkContext.isStopped) df.unpersist()

@@ -449,7 +449,14 @@ private[graft] object GateSupport {
           """{"database":"gmall","table":"zz_inert","type":"insert","ts":4000000001,"data":{},"old":null}""")
           .toDF("value"))
         timed("sync_inert1")(sync()); timed("sync_inert2")(sync())
-      } finally timed("stop_queries")(queries.foreach(_.stop()))
+      } finally {
+        timed("stop_queries")(queries.foreach(_.stop()))
+        // the clone's SessionCache entries (documents/events/embeddings/
+        // topic_db under THIS throwaway session) are unreachable once the
+        // charge finishes — unpersist now instead of pinning them for the
+        // rest of the leg
+        graft.core.SessionCache.evictOwnedExactly(session)
+      }
       wh
     }
   }

@@ -81,9 +81,16 @@ object StreamHarness {
     // concurrent streaming queries on a saturated local[N] host can queue
     // a broadcast-exchange job past the 300 s default (observed: the
     // 17-query DAG gate at the ×10 bench leg); the timeout exists to
-    // catch hung exchanges, not healthy queueing — give it an hour
-    session.conf.set("spark.sql.broadcastTimeout",
-      sys.env.getOrElse("GRAFT_BROADCAST_TIMEOUT", "3600"))
+    // catch hung exchanges, not healthy queueing — give it an hour.
+    // Mirrors the providerClass guard above: a caller-set runtime value
+    // wins over our default (getAll holds only explicitly-set entries;
+    // getOption would see the SQLConf default and always look "set"),
+    // and GRAFT_BROADCAST_TIMEOUT wins over both.
+    val callerTimeout = spark.conf.getAll.get("spark.sql.broadcastTimeout")
+    sys.env.get("GRAFT_BROADCAST_TIMEOUT").orElse(callerTimeout) match {
+      case Some(t) => session.conf.set("spark.sql.broadcastTimeout", t)
+      case None    => session.conf.set("spark.sql.broadcastTimeout", "3600")
+    }
     // measured and rejected: RocksDB changelog checkpointing costs ~15 %
     // on the DWS gates (q63: 5.6 → 6.4 s) — gate state is far too small
     // for snapshot upload to dominate; it is the right switch only when
@@ -117,7 +124,7 @@ object StreamHarness {
       try query.stop()
       finally {
         org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(ckpt))
-        ()
+        graft.core.SessionCache.evictOwnedExactly(session)
       }
     }
     session.table(name)
@@ -205,7 +212,11 @@ object StreamHarness {
       // one cleanup for every exit: feed-loop errors, stop() errors, AND
       // a start() that throws before any query exists
       org.apache.hadoop.fs.FileUtil.fullyDelete(root.toFile)
-      ()
+      // clone-keyed SessionCache entries (built by `start`'s plan under
+      // this throwaway session) can never be reused once the query stops —
+      // unpersist now; the memory sink the caller reads is materialized
+      // rows, independent of the cached source plans
+      graft.core.SessionCache.evictOwnedExactly(session)
     }
     session
   }

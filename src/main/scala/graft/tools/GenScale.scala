@@ -125,8 +125,12 @@ object GenScale {
 
     // manifest LAST: its presence marks a complete corpus (a generator
     // killed mid-write leaves no manifest and Bench regenerates)
+    // record the NORMALIZED source path so a later freshness check can't
+    // be defeated by relative-vs-absolute spellings of the same dir
+    val srcNorm =
+      java.nio.file.Paths.get(src).toAbsolutePath.normalize.toString
     val manifest =
-      s"""{"source":"$src","factor":$factor}"""
+      s"""{"source":"$srcNorm","factor":$factor}"""
     val p = new org.apache.hadoop.fs.Path(s"$out/_genscale.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val os = fs.create(p, true)
