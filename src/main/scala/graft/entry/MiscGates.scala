@@ -50,6 +50,26 @@ private[graft] object MiscGates {
         .orderBy(col("media_id"))
     }),
 
+    // REAL image decode (javax.imageio — the last formerly-stubbed
+    // component): deterministic gradient PNGs are ImageIO-ENCODED on the
+    // executors, round-tripped through ImageIoDecoder, and every channel
+    // statistic is pinned against a SQL oracle that recomputes the
+    // closed-form pixel pattern — plus dirty rows (non-PNG bytes under an
+    // image mime) that must ROUTE to the stub path with decode_ok=0.
+    // Features land as floor(f*4096) BIGINTs: integer-exact for dims/
+    // min/max/flag, and for the means both engines run the identical
+    // IEEE chain (int-sum → double divide → REAL → double → floor).
+    "q163_media_imageio" -> ((s, d) => {
+      val feats = Multimodal.extractFeatures(
+        Multimodal.synthesizeImages(Tables.documents(s, d)),
+        Multimodal.ImageIoDecoder)
+      val q = (0 until 9).map(i =>
+        floor(element_at(col("features"), i + 1).cast("double") * 4096)
+          .cast("long").as(s"f${i}_q"))
+      feats.select((col("media_id") +: col("mime") +: q): _*)
+        .orderBy(col("media_id"))
+    }),
+
     // Blob-store dedup accounting per mime: payload counts, distinct
     // payloads by content md5, and the CAS byte savings — content bytes
     // hashed at the scan, never shuffled.
@@ -285,6 +305,62 @@ private[graft] object MiscGates {
         | round(CAST(CAST(list_aggregate(bs, 'max') AS FLOAT) AS DOUBLE), 6) AS f6,
         | round(CAST(CAST(len(mime) AS FLOAT) AS DOUBLE), 6) AS f7
         |FROM v ORDER BY media_id""".stripMargin,
+
+    // mirrors Multimodal.synthesizeImages' closed-form pixel pattern
+    // (w=16+id%17, h=8+id%13, R=(x+id)%256, G=(y+2id)%256, B=(x+y+3id)%256)
+    // and ImageIoDecoder's feature layout; the corrupt branch replays
+    // StubDecoder's byte statistics over the deterministic dirty payload
+    "q163_media_imageio" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id AS media_id,
+        |         16 + doc_id % 17 AS w, 8 + doc_id % 13 AS h
+        |  FROM documents WHERE doc_id % 97 <> 0),
+        |px AS (
+        |  SELECT media_id, w, h,
+        |         (x + doc_id) % 256 AS r,
+        |         (y + 2*doc_id) % 256 AS g,
+        |         (x + y + 3*doc_id) % 256 AS b
+        |  FROM d, LATERAL (SELECT unnest(range(w)) AS x) xs,
+        |          LATERAL (SELECT unnest(range(h)) AS y) ys),
+        |ok AS (
+        |  SELECT media_id, 'image/png' AS mime,
+        |    CAST(any_value(w) * 4096 AS BIGINT) AS f0_q,
+        |    CAST(any_value(h) * 4096 AS BIGINT) AS f1_q,
+        |    CAST(3 * 4096 AS BIGINT) AS f2_q,
+        |    CAST(min(least(r, g, b)) * 4096 AS BIGINT) AS f3_q,
+        |    CAST(max(greatest(r, g, b)) * 4096 AS BIGINT) AS f4_q,
+        |    CAST(floor(CAST(CAST(CAST(sum(r) AS DOUBLE) / (any_value(w) * any_value(h)) AS REAL) AS DOUBLE) * 4096) AS BIGINT) AS f5_q,
+        |    CAST(floor(CAST(CAST(CAST(sum(g) AS DOUBLE) / (any_value(w) * any_value(h)) AS REAL) AS DOUBLE) * 4096) AS BIGINT) AS f6_q,
+        |    CAST(floor(CAST(CAST(CAST(sum(b) AS DOUBLE) / (any_value(w) * any_value(h)) AS REAL) AS DOUBLE) * 4096) AS BIGINT) AS f7_q,
+        |    CAST(4096 AS BIGINT) AS f8_q
+        |  FROM px GROUP BY media_id),
+        |cb AS (
+        |  SELECT doc_id AS media_id, 'image/png' AS mime,
+        |         hex(encode('corrupt:' || CAST(doc_id AS VARCHAR))) AS hx,
+        |         octet_length(encode('corrupt:' || CAST(doc_id AS VARCHAR))) AS n
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |cbl AS (
+        |  SELECT media_id, mime, n, list_transform(range(n), i ->
+        |    (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS BIGINT), 1)) - 1) * 16
+        |    + (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS BIGINT), 1)) - 1)) AS bs
+        |  FROM cb),
+        |cst AS (SELECT *, CAST(list_reduce(bs, (a, x) -> a + x) AS DOUBLE) / n AS mean FROM cbl),
+        |cv AS (SELECT *,
+        |  list_reduce(list_transform(bs, x -> (x - mean) * (x - mean)), (a, x) -> a + x) / n AS varr
+        |  FROM cst),
+        |bad AS (
+        |  SELECT media_id, mime,
+        |    CAST(floor(CAST(CAST(n AS REAL) AS DOUBLE) * 4096) AS BIGINT) AS f0_q,
+        |    CAST(floor(CAST(CAST(mean AS REAL) AS DOUBLE) * 4096) AS BIGINT) AS f1_q,
+        |    CAST(floor(CAST(CAST(sqrt(varr) AS REAL) AS DOUBLE) * 4096) AS BIGINT) AS f2_q,
+        |    CAST(floor(CAST(CAST(bs[1] AS REAL) AS DOUBLE) * 4096) AS BIGINT) AS f3_q,
+        |    CAST(floor(CAST(CAST(bs[n] AS REAL) AS DOUBLE) * 4096) AS BIGINT) AS f4_q,
+        |    CAST(floor(CAST(CAST(list_aggregate(bs, 'min') AS REAL) AS DOUBLE) * 4096) AS BIGINT) AS f5_q,
+        |    CAST(floor(CAST(CAST(list_aggregate(bs, 'max') AS REAL) AS DOUBLE) * 4096) AS BIGINT) AS f6_q,
+        |    CAST(floor(CAST(CAST(len(mime) AS REAL) AS DOUBLE) * 4096) AS BIGINT) AS f7_q,
+        |    CAST(0 AS BIGINT) AS f8_q
+        |  FROM cv)
+        |SELECT * FROM ok UNION ALL SELECT * FROM bad ORDER BY media_id""".stripMargin,
 
     "q31_media_frames" ->
       s"""WITH $mediaCte,

@@ -10,11 +10,12 @@ import org.apache.spark.sql.functions._
   * per-partition decoder ([[extractFeatures]]) — the Scala analogue of a
   * `mapInPandas` batch UDF.
   *
-  * The actual byte-level decode (libjpeg / ffmpeg / soundfile) is STUBBED
-  * behind [[MediaDecoder]]: those libraries are not in this environment, so
-  * [[StubDecoder]] produces deterministic fake features from byte
+  * Byte-level decode plugs in behind [[MediaDecoder]]. IMAGES decode for
+  * real via [[ImageIoDecoder]] (the JDK's own `javax.imageio` — PNG/JPEG/
+  * BMP/GIF). Audio/video codecs (ffmpeg / soundfile) are not in this
+  * environment, so those routes use [[StubDecoder]]'s deterministic byte
   * statistics. The Spark-side plumbing — binary columns, schema, batch
-  * iteration, partition distribution — is real and tested.
+  * iteration, partition distribution — is real and tested either way.
   *
   * Scale: content bytes never shuffle in any of these operators; metadata
   * extraction and frame sampling are narrow (per-row) transforms, and
@@ -114,6 +115,110 @@ object Multimodal {
             mime.length.toFloat)
         }
       }
+  }
+
+  /** REAL image decode on the JDK's built-in `javax.imageio.ImageIO`
+    * (PNG/JPEG/BMP/GIF — the formats the JDK ships readers for; audio/
+    * video codecs remain genuinely absent from this environment and stay
+    * on [[StubDecoder]]). Feature layout (9 floats, all but the means
+    * integer-valued so a gate can pin them exactly):
+    *
+    *   f0=width  f1=height  f2=bands(source raster)  f3=min  f4=max
+    *   f5=meanR  f6=meanG   f7=meanB                 f8=decode_ok flag
+    *
+    * min/max/means are over the ARGB-normalized channels (`getRGB`), so
+    * they are layout-independent (gray/indexed sources expand to RGB the
+    * same way in any JDK). Unknown mimes and corrupt/truncated payloads
+    * DEGRADE, never throw: the row routes to [[StubDecoder]]'s byte
+    * statistics with `f8 = 0` — the P1 dirty-routing idiom (reference
+    * `app/dwd/BaseLogApp.java` routes unparseable JSON to a dirty side
+    * output instead of failing the job). Reference anchor: the multimodal
+    * ingest brief; plumbing at [[extractFeatures]]. */
+  object ImageIoDecoder extends MediaDecoder {
+    override def decodeBatch(contents: Seq[Array[Byte]], mimes: Seq[String]): Seq[Array[Float]] = {
+      // stream-decode without ImageIO's disk-backed cache: one temp file
+      // per decode would be executor-local I/O churn at corpus scale
+      javax.imageio.ImageIO.setUseCache(false)
+      contents.zip(mimes).map { case (bytes, mime) =>
+        val img =
+          if (bytes != null && bytes.nonEmpty && mime != null && mime.startsWith("image/"))
+            try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+            catch { case _: Exception => None } // corrupt payload → dirty route
+          else None
+        img match {
+          case Some(im) =>
+            val w = im.getWidth
+            val h = im.getHeight
+            val bands = im.getRaster.getNumBands
+            val rgb = im.getRGB(0, 0, w, h, null, 0, w)
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var mn = 255; var mx = 0
+            var i = 0
+            while (i < rgb.length) {
+              val p = rgb(i)
+              val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+              sr += r; sg += g; sb += b
+              mn = math.min(mn, math.min(r, math.min(g, b)))
+              mx = math.max(mx, math.max(r, math.max(g, b)))
+              i += 1
+            }
+            // integer channel sums divided ONCE in double: exact to 2^53,
+            // order-independent, and bit-replicable by the oracle
+            val n = (w.toLong * h).toDouble
+            Array(w.toFloat, h.toFloat, bands.toFloat, mn.toFloat, mx.toFloat,
+              (sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat, 1f)
+          case None =>
+            StubDecoder.decodeBatch(Seq(bytes), Seq(mime)).head :+ 0f
+        }
+      }
+    }
+  }
+
+  /** Deterministic synthetic PNG corpus for gating [[ImageIoDecoder]]:
+    * one REAL (ImageIO-encoded, losslessly round-trippable) PNG per doc,
+    * dimensions and per-channel gradient pattern closed-form in `doc_id`
+    * so a SQL oracle can recompute every channel statistic without a
+    * decoder:
+    *
+    *   w = 16 + id%17, h = 8 + id%13
+    *   R(x,y) = (x+id)%256, G(x,y) = (y+2id)%256, B(x,y) = (x+y+3id)%256
+    *
+    * Every `corruptEvery`-th id instead carries deterministic NON-image
+    * bytes under the image/png mime — the dirty rows that must route to
+    * the stub path with `f8 = 0`. Encoding runs executor-side per
+    * partition (narrow, no shuffle, no driver rows — the same discipline
+    * as every feed in this repo). */
+  def synthesizeImages(docs: DataFrame, corruptEvery: Int = 97): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      javax.imageio.ImageIO.setUseCache(false)
+      ids.map { id =>
+        if (corruptEvery > 0 && id % corruptEvery == 0)
+          (id, s"corrupt:$id".getBytes("UTF-8"), "image/png")
+        else {
+          val w = (16 + id % 17).toInt
+          val h = (8 + id % 13).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val r = ((x + id) % 256).toInt
+              val g = ((y + 2 * id) % 256).toInt
+              val b = ((x + y + 3 * id) % 256).toInt
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", baos)
+          (id, baos.toByteArray, "image/png")
+        }
+      }
+    }.toDF("media_id", "content", "mime")
   }
 
   /** Run the decoder over the corpus: per partition, pull `batchSize` rows

@@ -250,6 +250,69 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.map(_._3.toSeq) === again.map(_._3.toSeq))
   }
 
+  test("ImageIoDecoder round-trips known pixel arrays exactly") {
+    val px = Array( // (r, g, b) rows of a 3×2 image
+      Array((10, 20, 30), (200, 100, 50), (0, 0, 0)),
+      Array((255, 255, 255), (5, 250, 125), (60, 70, 80)))
+    val img = new java.awt.image.BufferedImage(
+      3, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 3) {
+      val (r, g, b) = px(y)(x)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val Seq(f) = Multimodal.ImageIoDecoder.decodeBatch(
+      Seq(baos.toByteArray), Seq("image/png"))
+    assert(f.length === 9)
+    assert(f.take(5).toSeq === Seq(3f, 2f, 3f, 0f, 255f)) // w h bands min max
+    assert(f(5) === (530.0 / 6).toFloat) // meanR: exact int sums / n
+    assert(f(6) === (695.0 / 6).toFloat)
+    assert(f(7) === 90f)
+    assert(f(8) === 1f) // real decode
+  }
+
+  test("ImageIoDecoder routes corrupt bytes and non-image mimes to the stub with decode_ok=0") {
+    val good = {
+      val img = new java.awt.image.BufferedImage(
+        2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val payloads = Seq("not a png".getBytes("UTF-8"), good, Array.empty[Byte])
+    val mimes = Seq("image/png", "audio/wav", "image/png")
+    val out = Multimodal.ImageIoDecoder.decodeBatch(payloads, mimes)
+    val stub = Multimodal.StubDecoder.decodeBatch(payloads, mimes)
+    out.zip(stub).foreach { case (o, s) =>
+      assert(o.length === 9 && o(8) === 0f) // all three degrade
+      assert(o.take(8).toSeq === s.toSeq) // ... to the stub's features
+    }
+  }
+
+  test("synthesizeImages: real PNGs decode back to the closed-form pattern; corrupt ids route dirty") {
+    val docs = Seq(5L, 97L, 123L).toDF("doc_id")
+    val out = Multimodal.extractFeatures(
+        Multimodal.synthesizeImages(docs), Multimodal.ImageIoDecoder)
+      .orderBy("media_id").as[(Long, String, Array[Float])].collect()
+    assert(out.map(_._1).toSeq === Seq(5L, 97L, 123L))
+    val f5 = out(0)._3
+    val (w, h) = (16 + 5 % 17, 8 + 5 % 13)
+    var (sr, mn, mx) = (0L, 255, 0)
+    for (x <- 0 until w; y <- 0 until h) {
+      val r = (x + 5) % 256; val g = (y + 10) % 256; val b = (x + y + 15) % 256
+      sr += r; mn = math.min(mn, math.min(r, math.min(g, b)))
+      mx = math.max(mx, math.max(r, math.max(g, b)))
+    }
+    assert(f5.take(5).toSeq ===
+      Seq(w.toFloat, h.toFloat, 3f, mn.toFloat, mx.toFloat))
+    assert(f5(5) === (sr.toDouble / (w * h)).toFloat)
+    assert(f5(8) === 1f)
+    assert(out(1)._3(8) === 0f) // 97 % 97 == 0 → deterministic dirty payload
+    assert(out(1)._3(0) === "corrupt:97".getBytes("UTF-8").length.toFloat)
+    assert(out(2)._3(8) === 1f)
+  }
+
   test("multimodal frame sampling: one row per sampled frame, video only") {
     val docs = Seq((2L, "abcdefghij"), (5L, "0123456789abcdef"), (1L, "not video"))
       .toDF("doc_id", "text") // doc_id % 3 == 2 → video/mp4
