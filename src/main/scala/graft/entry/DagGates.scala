@@ -109,6 +109,62 @@ private[graft] object DagGates {
     "q124_dag_semdedup" -> ((s, d) =>
       graft.streaming.SemIngest.survivors(s, s"${DagRun(s, d)}/curation/sem")
         .orderBy(col("vec_id"))),
+
+    // PRODUCTION WATERMARK DISCIPLINE (VERDICT r10 #2): the pay_detail_suc
+    // trade pipeline under the REFERENCE 905 s idle-state retention
+    // (DwdTradePayDetailSuc.java:19) instead of the DAG's 10⁷ s
+    // determinism pin. The envelope stream is fed in EVENT-TIME order
+    // (4 ascending ts-bucket chunks), so the watermark genuinely advances
+    // mid-run and join state is EVICTED while the query processes later
+    // chunks — per-batch state maintenance walks BOUNDED state, the 100 TB
+    // discipline the pinned DAG never exercises. The last data chunk
+    // replays chunk 0's payment_info envelopes VERBATIM: late beyond the
+    // TTL (their matching order state is long evicted and they arrive
+    // under a watermark ~½ the ts span past them), they MUST drop — so
+    // the output equals the batch pipeline's exactly and the gate shares
+    // q41/q119's oracle. If eviction dropped an on-time row (lossy) or
+    // kept a late one (leaky), the replayed duplicates or missing joins
+    // shift the counts and the hash fails.
+    "q164_ttl_pay_success" -> ((s, d) => {
+      import s.implicits._
+      val ts = get_json_object(col("value"), "$.ts").cast("long")
+      val mm = TopicDb.raw(s, d).agg(min(ts), max(ts)).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      // the synthetic ts unit is 1 s per key, so the raw span at tiny SFs
+      // (~1.5 k s at sf0.001) is commensurate with the 905 s TTL itself;
+      // scale event time ×16 INSIDE the pipeline (below) so the reference
+      // TTL is a small fraction of the feed span at every SF. Join pairs
+      // share identical ts, so scaling never changes who matches — only
+      // how much state is live at once. Drop guarantee: chunk-0 payments
+      // at c0max·16 sit under a chunk-3 watermark ≈ c2max·16 − 905 with
+      // od state retained only ≥ wm − 905, i.e. margin ≈ 8·span − 1810 s.
+      val tsScale = 16L
+      require((hi - lo) * tsScale / 2 > 4 * 905L,
+        s"q164 needs a scaled half-span > ${4 * 905} s for an unambiguous late-drop margin (got ${(hi - lo) * tsScale / 2})")
+      val n = 4
+      val tagged = TopicDb.raw(s, d).select(col("value"),
+        least(lit(n - 1), floor(((ts - lit(lo)) * n) / lit(hi - lo + 1)))
+          .cast("int").as("c")).persist()
+      try {
+        val lateReplay = tagged.where(col("c") === 0 &&
+            get_json_object(col("value"), "$.table") === "payment_info")
+          .select(col("value"))
+        val chunks = (0 until n).map { i =>
+          val base = tagged.where(col("c") === i).select(col("value"))
+          (if (i == n - 1) base.unionByName(lateReplay) else base).as[String]
+        }
+        val sentinels = DagRun.flushSentinels.toDS()
+        val inert = Seq(
+          """{"database":"gmall","table":"zz_inert","type":"insert","ts":4000000001,"data":{},"old":null}""").toDS()
+        val out = StreamHarness.runFiles(s, chunks ++ Seq(sentinels, inert)) { ds =>
+          val (clean, _) = Envelopes.cleanDirty(Envelopes.parseMaxwell(ds.toDF()))
+          GmallPipelines.tradePaySuccessStream(
+            clean.withColumn("ts", col("ts") * tsScale),
+            TopicDb.baseDic(s), 905L)
+        }
+        paySuccessAgg(out).localCheckpoint(true)
+      } finally { tagged.unpersist(); () }
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -145,6 +201,10 @@ private[graft] object DagGates {
     // the warehouse DAG's streamed trade outputs — each shares its batch
     // gate's oracle verbatim
     "q119_dag_dwd_pay_success" -> paySuccessOracle,
+
+    // the production-TTL replay must be output-identical to the batch
+    // pipeline: late-beyond-TTL replays drop, on-time rows all survive
+    "q164_ttl_pay_success" -> paySuccessOracle,
     "q120_dag_dwd_cancel" -> cancelOracle,
     "q121_dag_dwd_order_refund" -> orderRefundOracle,
     "q122_dag_dwd_refund_pay_suc" -> refundPayOracle,

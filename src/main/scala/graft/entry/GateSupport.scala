@@ -225,8 +225,9 @@ private[graft] object GateSupport {
       s"""{"database":"gmall","table":"$table","type":"$typ","ts":4000000000,"data":$data,"old":$old}"""
 
     /** One far-future row through EVERY watermarked trade side (ids join
-      * nothing real). */
-    private val flushSentinels: Seq[String] = Seq(
+      * nothing real). Shared with the q164 production-TTL gate, which
+      * flushes the same trade-side watermarks. */
+    private[entry] val flushSentinels: Seq[String] = Seq(
       sentinelEnv("order_detail", "insert",
         """{"id":"zzod","order_id":"zzo1","sku_id":"1","sku_num":"1","source_type":"2401","split_total_amount":"0.00"}"""),
       sentinelEnv("order_info", "update",
