@@ -249,6 +249,18 @@ private[graft] object GateSupport {
         """{"id":"zzrp","order_id":"zzrpo","sku_id":"1","payment_type":"1101","refund_status":"0702","callback_time":"2096-01-01 00:00:00","total_amount":"1"}""",
         """{"refund_status":"0701"}"""))
 
+    /** Tables whose sentinels (and last real rows) ride chunk cEarly−1:
+      * the refund family plus the order_info side both refund joins
+      * need — together they fully sentinel the two refund queries'
+      * views, so those queries flush early. order_detail/activity/
+      * coupon/payment_info stay to the end (the pre/pay/cancel joins
+      * consume them through the last chunk). */
+    private val earlySentinelTables =
+      Set("order_info", "order_refund_info", "refund_payment")
+
+    private def sentinelTable(json: String): String =
+      "\"table\":\"([^\"]+)\"".r.findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+
     /** Phase wall-clock to stderr when GRAFT_DAG_TIMING=1 — attribution
       * for the DAG charge's fixed micro-batch cost (round-9 ask #2). */
     private val timing = sys.env.get("GRAFT_DAG_TIMING").contains("1")
@@ -309,8 +321,26 @@ private[graft] object GateSupport {
           finally st.close()
         } else 0L
       }
-      val nChunks = math.max(2, math.min(16, (corpusBytes / 24000000L).toInt + 1))
-      if (timing) System.err.println(s"[dag] feed chunks: $nChunks ($corpusBytes bytes)")
+      // GRAFT_DAG_CHUNKS: dev override to exercise the >2-chunk staggered
+      // path at a gated SF (results must be chunk-count independent)
+      val nChunks = sys.env.get("GRAFT_DAG_CHUNKS").flatMap(_.toIntOption)
+        .getOrElse(math.max(2, math.min(16, (corpusBytes / 24000000L).toInt + 1)))
+      // ---- staggered tail flushing (round-10 ask #3): the refund-family
+      // tables (order_refund_info, refund_payment) and the order_info
+      // side they join COMPLETE at chunk cEarly−1, where their flush
+      // sentinels ride — so the two refund queries' watermark tails (and
+      // the keyword window's, below) emit ~⅓ of the feed EARLY, while
+      // the remaining drop rounds still run, instead of every query
+      // flushing in one final settle round (395 s of the ×10 leg's last
+      // chunk, SCALING.md). Safe for the still-running trade joins: a
+      // sentinel advances only ITS view's watermark, and each query
+      // evicts on the MIN across its views, so order_info state stays
+      // live for order_detail/payment rows arriving through the last
+      // chunk. ≤ sf0.1 keeps nChunks == 2 == cEarly — layout and
+      // sentinel rounds bit-identical to the gated behavior.
+      val cEarly = if (nChunks <= 2) nChunks else math.max(2, (2 * nChunks + 2) / 3)
+      if (timing) System.err.println(
+        s"[dag] feed chunks: $nChunks, early-complete at ${cEarly - 1} ($corpusBytes bytes)")
       // ascending equal-width buckets over [lo, hi] → 0..n-1 (the N-chunk
       // generalization of the midpoint time-split; products stay < 2^53 so
       // the double division is exact)
@@ -354,9 +384,14 @@ private[graft] object GateSupport {
         val embMid = midOf(embMm, "embeddings (DAG curation)")
         // topic_db: same hash split as the old two filtered drops (every
         // chunk spans the full ts range; the 10⁷ s join watermark covers
-        // the whole span, so chunk membership never drops a row)
+        // the whole span, so chunk membership never drops a row). The
+        // early-completing tables hash over cEarly buckets instead, so
+        // their last real row precedes their chunk-(cEarly−1) sentinel.
+        val dbTable = get_json_object(col("value"), "$.table")
         stage("topic_db", TopicDb.raw(session, d),
-          pmod(hash(col("value")), lit(nChunks)))
+          when(dbTable.isin(earlySentinelTables.toSeq: _*),
+            pmod(hash(col("value")), lit(cEarly)))
+            .otherwise(pmod(hash(col("value")), lit(nChunks))))
         // topic_log: traffic rows chunked at the events ts midpoint
         // (timeSplitDs's boundary), keyword rows at the doc_id midpoint —
         // one union, one pass (keyword rows carry no vc → they never reach
@@ -377,9 +412,12 @@ private[graft] object GateSupport {
         val trafficChunk =
           if (nChunks == 2) when(unix_micros(col("ts")) <= tmid, 0).otherwise(1)
           else chunkOf(unix_micros(col("ts")), tmm.getLong(0), tmm.getLong(1), nChunks)
+        // keyword rows complete with the early group: their window query
+        // reads only them (traffic rows carry no item_type), so the
+        // keyword sentinel can flush its windows at chunk cEarly−1
         val kwChunk =
           if (nChunks == 2) when(col("doc_id") <= kwMid, 0).otherwise(1)
-          else chunkOf(col("doc_id"), kmm.getLong(0), kmm.getLong(1), nChunks)
+          else chunkOf(col("doc_id"), kmm.getLong(0), kmm.getLong(1), cEarly)
         stagePre("topic_log",
           ev.select(trafficLogValue.as("value"), trafficChunk.as("__chunk"))
             .unionByName(docs.select(keywordLogValue.as("value"),
@@ -424,22 +462,32 @@ private[graft] object GateSupport {
         // data drops are now file MOVES of the pre-staged chunks (see
         // stage_feeds above)
         val topics = Seq("topic_db", "topic_log", "doc_paras", "embeddings")
-        // the far-future flush sentinels RIDE the LAST data chunk
-        // (round-9 ask #2 — one fewer settle round across ~17 queries):
-        // watermarks are computed at batch END and applied to the NEXT
-        // batch, so the last chunk's joins/windows still run under the
-        // prior chunk's watermark, and the sentinel-advanced watermark
-        // emits the window/left-join tails in the inert rounds below —
-        // identical outputs (q110–q124 hash-gated). The curation topics
-        // only ever stage chunks 0/1 (their 2-chunk midpoint split is the
-        // q116/q118 store contract); moveChunk no-ops past them.
+        // the far-future flush sentinels RIDE data chunks (round-9 ask
+        // #2 — no extra settle rounds): watermarks are computed at batch
+        // END and applied to the NEXT batch, so a chunk's joins/windows
+        // still run under the prior chunk's watermark, and the sentinel-
+        // advanced watermark emits the window/left-join tails in later
+        // rounds — identical outputs (q110–q124 hash-gated). STAGGERED
+        // (round-10 ask #3): the early group's sentinels ride chunk
+        // cEarly−1, so the refund queries' join tails and the keyword
+        // windows flush while the remaining chunks still feed; the rest
+        // ride the last chunk as before. At nChunks == 2 the two rounds
+        // coincide — the gated SFs' behavior is unchanged. The curation
+        // topics only ever stage chunks 0/1 (their 2-chunk midpoint
+        // split is the q116/q118 store contract); moveChunk no-ops past
+        // them.
+        val (earlySent, lateSent) =
+          flushSentinels.partition(s => earlySentinelTables(sentinelTable(s)))
         for (c <- 0 until nChunks) {
           timed(s"drop_data$c") {
             topics.foreach(moveChunk(_, c))
+            if (c == cEarly - 1) {
+              drop("topic_db", earlySent.toDF("value"))
+              drop("topic_log", Seq(keywordSentinelJson(kwMaxId)).toDF("value"))
+            }
             if (c == nChunks - 1) {
-              drop("topic_db", flushSentinels.toDF("value"))
-              drop("topic_log",
-                Seq(TrafficLogSentinel, keywordSentinelJson(kwMaxId)).toDF("value"))
+              drop("topic_db", lateSent.toDF("value"))
+              drop("topic_log", Seq(TrafficLogSentinel).toDF("value"))
             }
           }
           timed(s"sync_data$c")(sync())
