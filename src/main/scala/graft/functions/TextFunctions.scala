@@ -105,20 +105,83 @@ object TextFunctions {
 }
 
 /** Pluggable tokenizer (replaces the reference's IK analyzer, which is not
-  * public-redistributable here): whitespace split + CJK bigram segmentation.
+  * public-redistributable here): whitespace split + forward-maximum-
+  * matching (FMM) segmentation of CJK runs over a small EMBEDDED wordlist
+  * — the classic dictionary segmentation IK itself builds on. Multi-char
+  * dictionary words tokenize as words (中文分词 → 中文, 分词 — not
+  * overlapping bigrams); out-of-vocabulary CJK characters emit as
+  * single-char tokens (FMM's standard granularity). Divergence from IK:
+  * the embedded list is a demonstration vocabulary (common + e-commerce
+  * domain words), not IK's full dictionary, so uncovered words segment
+  * to singles where IK might know them. Non-CJK runs inside a mixed
+  * token (e.g. `iphone15手机`) pass through intact as their own tokens.
   * Used via UDF + explode = the reference's UDTF lateral join
   * (app/dws/DwsTrafficSourceKeywordPageViewWindow.java:135-141).
   */
 object Tokenizer extends Serializable {
-  private val cjk = "[\\u4e00-\\u9fff]".r
+
+  @inline private def isCjk(c: Char): Boolean = c >= 0x4e00 && c <= 0x9fff
+
+  /** Embedded public wordlist for FMM — common Chinese words plus the
+    * e-commerce domain vocabulary the reference's keyword stream carries
+    * (search items, trade terms). Longest entries first is NOT required:
+    * FMM itself tries the longest window at each position. */
+  private[functions] val dict: Set[String] = Set(
+    // general
+    "中国", "北京", "上海", "人民", "时间", "今天", "明天", "朋友", "家庭",
+    "城市", "经济", "发展", "科技", "公司", "市场", "工作", "学生", "学校",
+    "老师", "语言", "中文", "分词", "引擎", "测试", "系统", "程序", "软件",
+    "硬件", "网络", "安全", "数据", "分析", "实时", "计算", "模型", "训练",
+    "处理", "天气", "世界", "新闻", "电影", "音乐", "游戏", "汽车", "电视",
+    // compounds that exercise maximum matching over shorter entries
+    "大数据", "互联网", "计算机", "程序员", "人工智能", "机器学习",
+    "深度学习", "自然语言",
+    // e-commerce domain (the reference's gmall keyword/trade vocabulary)
+    "手机", "手机壳", "电脑", "平板", "耳机", "充电器", "键盘", "鼠标",
+    "口红", "香水", "图书", "苹果", "小米", "华为", "订单", "支付",
+    "购物", "购物车", "商品", "价格", "活动", "优惠", "优惠券", "退款",
+    "退货", "评价", "用户", "会员", "积分", "秒杀", "包邮", "客服")
+
+  private val maxWordLen = dict.iterator.map(_.length).max
+
+  /** FMM over one maximal CJK run: at each position take the LONGEST
+    * dictionary word (bounded by the longest entry), else a single char. */
+  private def segmentCjkRun(run: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < run.length) {
+      var len = math.min(maxWordLen, run.length - i)
+      var matched = 1
+      while (len >= 2 && matched == 1) {
+        if (dict.contains(run.substring(i, i + len))) matched = len
+        len -= 1
+      }
+      out += run.substring(i, i + matched)
+      i += matched
+    }
+    out.result()
+  }
+
+  /** Split one whitespace token into maximal CJK / non-CJK runs, FMM the
+    * CJK runs, pass the rest through. */
+  private def segmentToken(tok: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < tok.length) {
+      val cjkRun = isCjk(tok.charAt(i))
+      var j = i + 1
+      while (j < tok.length && isCjk(tok.charAt(j)) == cjkRun) j += 1
+      val run = tok.substring(i, j)
+      if (cjkRun) out ++= segmentCjkRun(run) else out += run
+      i = j
+    }
+    out.result()
+  }
 
   def tokenize(text: String): Seq[String] = {
     if (text == null) return Seq.empty
     text.split("\\s+").toSeq.filter(_.nonEmpty).flatMap { tok =>
-      if (cjk.findFirstIn(tok).isDefined && tok.length > 1)
-        // CJK bigrams, mirroring IK's fine-grained mode on CJK runs
-        (0 until tok.length - 1).map(i => tok.substring(i, i + 2))
-      else Seq(tok)
+      if (tok.exists(isCjk)) segmentToken(tok) else Seq(tok)
     }
   }
 

@@ -29,8 +29,8 @@ class ExtensionsSpec extends SparkTestBase {
     val words = spark.sql(
       "SELECT word FROM docs LATERAL VIEW graft_tokenize(text) t AS word")
       .as[String].collect().toSeq
-    // CJK run of length 4 → 3 bigrams; ASCII tokens pass through
-    assert(words === Seq("hello", "spark", "引擎", "擎测", "测试", "world"))
+    // FMM: two dictionary words, no overlapping bigrams; ASCII passes through
+    assert(words === Seq("hello", "spark", "引擎", "测试", "world"))
 
     // hash signatures from SQL match the Column-API expressions
     val (mh, sh) = spark.sql(
@@ -114,6 +114,24 @@ class ExtensionsSpec extends SparkTestBase {
         |  SELECT id, v, rank() OVER (ORDER BY v DESC) AS rn FROM topk_t)
         |WHERE rn <= 50""".stripMargin)
     assert(!ranked.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+
+  test("tokenizer FMM: multi-char dictionary words tokenize as words, not bigrams") {
+    import graft.functions.Tokenizer.tokenize
+    // longest match wins over a shorter prefix entry (手机 ⊂ 手机壳)
+    assert(tokenize("手机壳") === Seq("手机壳"))
+    assert(tokenize("手机支架") === Seq("手机", "支", "架")) // OOV chars → singles
+    // 4-char compounds beat their 2-char constituents
+    assert(tokenize("人工智能模型") === Seq("人工智能", "模型"))
+    assert(tokenize("机器学习") === Seq("机器学习"))
+    // greedy forward scan: no overlapping output, every char covered once
+    val toks = tokenize("自然语言处理和深度学习")
+    assert(toks.mkString === "自然语言处理和深度学习")
+    assert(toks === Seq("自然语言", "处理", "和", "深度学习"))
+    // mixed latin/CJK token: runs split, non-CJK run passes through intact
+    assert(tokenize("iphone15手机 case") === Seq("iphone15", "手机", "case"))
+    assert(tokenize("  spaced   out  ") === Seq("spaced", "out"))
+    assert(tokenize(null) === Seq.empty)
   }
 
   test("tokenizeGen generator matches the UDF tokenizer on the documents table") {

@@ -152,6 +152,6 @@ class PipelinesSpec extends SparkTestBase {
       .toDF("value")
     val (clean, _) = Envelopes.cleanDirty(Envelopes.parseLog(logs))
     val words = GmallPipelines.keywordHits(clean).select("word").as[String].collect().sorted
-    assert(words === Array("iphone", "手机", "机壳")) // CJK bigrams from the tokenizer
+    assert(words === Array("iphone", "手机壳")) // FMM: longest dictionary match wins
   }
 }
