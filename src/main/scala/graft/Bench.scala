@@ -234,14 +234,15 @@ object Bench {
       * blowing up at an SF no correctness gate covers — the error list
       * rides the result JSON so a skipped leg query is loudly disclosed,
       * never silently absent. (Main-leg failures stay fatal above.) */
-    def runLeg(d: String, subset: Seq[String], tag: String)
+    def runLeg(d: String, subset: Seq[String], tag: String,
+        warmLeg: String => Double = warmShared)
         : (Map[String, Double], Double, Seq[String]) = {
       // drop the previous leg's persisted tables before warming this one:
       // legs never revisit an earlier dir, and keeping three dirs' caches
       // resident starved the heap at the ×10 leg (see SessionCache)
       graft.core.SessionCache.evictOwned(spark)
       val errs = scala.collection.mutable.ArrayBuffer[String]()
-      val warm = try { warmShared(d) }
+      val warm = try { warmLeg(d) }
         catch { case e: Throwable =>
           System.err.println(s"[bench] LEG ERROR: warmup failed at $d: $e")
           errs += s"warmup: ${e.getClass.getSimpleName}"
@@ -360,6 +361,56 @@ object Bench {
         }
         (resU, warmU, growth, errsU)
     }
+    // ---- ×100 DOCUMENT-FAMILY leg (round-10 ask #6): the 100× claim for
+    // the dedup/ANN/contamination family measured, not extrapolated — a
+    // documents+embeddings-only corpus at 100× the bench SF (GenScale
+    // .generateDocs; ~10× the ×10 leg's DOC bytes, none of its warehouse
+    // bytes), running just the gates that read those two tables. Exponent
+    // base is 100 vs the MAIN leg. SPARK_GRAFT_UP100=off skips;
+    // SPARK_GRAFT_UP100_DIR overrides the corpus dir.
+    val up100Factor = 100
+    val up100Subset = Seq("q17_dedup_exact", "q18_minhash_lsh",
+      "q21_jaccard_pairs", "q101_paragraph_dedup", "q102_semdedup",
+      "q158_contamination_bloom")
+    val up100Requested = sys.env.get("SPARK_GRAFT_UP100_DIR")
+      .orElse(if (sys.env.get("SPARK_GRAFT_UP100").contains("off")) None
+              else Some(new java.io.File("updata/sf10docs").getAbsolutePath))
+    val (up100Dir, up100GenSec) = up100Requested match {
+      case None => (None, 0.0)
+      case Some(d) =>
+        def norm(p: String) =
+          java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
+        val fresh = graft.tools.GenScale.manifestInfo(spark, d)
+          .exists { case (src, f) => norm(src) == norm(sfDir) && f == up100Factor }
+        if (fresh) (Some(d), 0.0)
+        else {
+          System.err.println(s"[bench] generating ×$up100Factor doc-family corpus at $d")
+          val t0 = System.nanoTime()
+          try {
+            graft.tools.GenScale.generateDocs(spark, sfDir, d, up100Factor)
+            (Some(d), (System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] ×100 doc generation failed ($e) — skipping up100 leg")
+            (None, (System.nanoTime() - t0) / 1e9)
+          }
+        }
+    }
+    val (up100Results, up100Warmup, up100Growth, up100Errors) = up100Dir match {
+      case None => (Map.empty[String, Double], 0.0, Map.empty[String, Double], Seq.empty[String])
+      case Some(d) =>
+        // doc-family warmup only: the corpus has no warehouse tables
+        val warmDocs = (dd: String) => {
+          val w0 = System.nanoTime()
+          graft.core.Tables.documents(spark, dd).count()
+          graft.core.Tables.embeddings(spark, dd).count()
+          (System.nanoTime() - w0) / 1e9
+        }
+        val (resC, warmC, errsC) = runLeg(d, up100Subset, "up100", warmDocs)
+        val growth = resC.collect { case (name, tC) if mainT(name) > 0 =>
+          name -> r2(math.log(tC / mainT(name)) / math.log(up100Factor.toDouble))
+        }
+        (resC, warmC, growth, errsC)
+    }
     val loadEnd = loadavg()
     // `value` includes warmup (all gated work, the round-3 accounting);
     // queries_only_sec = first-pass query time alone, so round-over-round
@@ -396,10 +447,16 @@ object Bench {
         s""""up_errors":${sJson(upErrors)},""" +
         s""""up_excluded":${upExcluded.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     }.getOrElse("")
+    val up100Json = up100Dir.map { d =>
+      s""","up100":"$d","up100_factor":$up100Factor,"up100_gen_sec":${r2(up100GenSec)},""" +
+        s""""up100_warmup_sec":${r2(up100Warmup)},"queries_up100":${qJson(up100Results)},""" +
+        s""""up100_growth_exponents":${qJson(up100Growth)},""" +
+        s""""up100_errors":${sJson(up100Errors)}"""
+    }.getOrElse("")
     val full =
       s"""{$common,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd",""" +
         s""""retry_total_sec":${r2(retryTotal)},"retry_sec":${qJson(retries)},""" +
-        s""""queries":${qJson(results)}$sf2Json$upJson,"sf":"$sfDir"}"""
+        s""""queries":${qJson(results)}$sf2Json$upJson$up100Json,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_result.json"), full + "\n")
     val slowest = results.toSeq.sortBy(-_._2).take(10)
     // the stdout line stays tail-parser-small: growth exponents ride it
@@ -409,9 +466,11 @@ object Bench {
       s""","sf2":"$d2","growth_exponents":${qJson(sf2Growth)}"""
     }.getOrElse("") + upDir.map { d =>
       s""","up_factor":$upFactor,"up_growth_exponents":${qJson(upGrowth)}"""
+    }.getOrElse("") + up100Dir.map { d =>
+      s""","up100_growth_exponents":${qJson(up100Growth)}"""
     }.getOrElse("") + {
-      val n = sf2Errors.size + upErrors.size
-      if (n > 0) s""","leg_errors":${sJson(sf2Errors ++ upErrors)}""" else ""
+      val n = sf2Errors.size + upErrors.size + up100Errors.size
+      if (n > 0) s""","leg_errors":${sJson(sf2Errors ++ upErrors ++ up100Errors)}""" else ""
     }
     val line = s"""{$common,"queries":${qJson(slowest)}$growthLine,"sf":"$sfDir"}"""
     // stop BEFORE printing so nothing follows the JSON line in the tail

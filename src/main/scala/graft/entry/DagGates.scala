@@ -127,8 +127,10 @@ private[graft] object DagGates {
     // shift the counts and the hash fails.
     "q164_ttl_pay_success" -> ((s, d) => {
       import s.implicits._
+      val raw = TopicDb.raw(s, d).persist() // one synthesis pass feeds the
+      // min/max scan AND all four chunk writes
       val ts = get_json_object(col("value"), "$.ts").cast("long")
-      val mm = TopicDb.raw(s, d).agg(min(ts), max(ts)).head()
+      val mm = raw.agg(min(ts), max(ts)).head()
       val (lo, hi) = (mm.getLong(0), mm.getLong(1))
       // the synthetic ts unit is 1 s per key, so the raw span at tiny SFs
       // (~1.5 k s at sf0.001) is commensurate with the 905 s TTL itself;
@@ -142,9 +144,9 @@ private[graft] object DagGates {
       require((hi - lo) * tsScale / 2 > 4 * 905L,
         s"q164 needs a scaled half-span > ${4 * 905} s for an unambiguous late-drop margin (got ${(hi - lo) * tsScale / 2})")
       val n = 4
-      val tagged = TopicDb.raw(s, d).select(col("value"),
+      val tagged = raw.select(col("value"),
         least(lit(n - 1), floor(((ts - lit(lo)) * n) / lit(hi - lo + 1)))
-          .cast("int").as("c")).persist()
+          .cast("int").as("c"))
       try {
         val lateReplay = tagged.where(col("c") === 0 &&
             get_json_object(col("value"), "$.table") === "payment_info")
@@ -163,7 +165,7 @@ private[graft] object DagGates {
             TopicDb.baseDic(s), 905L)
         }
         paySuccessAgg(out).localCheckpoint(true)
-      } finally { tagged.unpersist(); () }
+      } finally { raw.unpersist(); () }
     }),
   )
 

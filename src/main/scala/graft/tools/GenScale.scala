@@ -123,6 +123,58 @@ object GenScale {
       off("vec_id", vecStride),
       shifted.cast("array<float>").as("embedding"), col("label")), 4)
 
+    writeManifest(spark, out, src, factor)
+  }
+
+  /** DOCUMENT-FAMILY-ONLY up-scale (round-10 ask #6): documents +
+    * embeddings at `factor`× — the ×100-equivalent leg for the dedup/ANN/
+    * contamination family, where generating the full warehouse would cost
+    * ~10× the disk for tables that leg never reads. Same replica
+    * construction as [[generate]] (key offsets, per-replica token
+    * suffixing keeps shingle spaces replica-disjoint), except embeddings:
+    * the rotation group has only `dim` elements, so at factor > dim the
+    * pure rotate would emit element-wise IDENTICAL vectors across
+    * replicas; replicas r ≥ dim therefore use the REVERSED rotation
+    * (2·dim distinct transforms — covers factor ≤ 128 at dim 64), keeping
+    * every replica's vector set geometrically distinct so the near-dup
+    * pair space stays linear by construction. */
+  def generateDocs(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+    require(factor >= 2, s"factor must be >= 2, got $factor")
+    val r = reps(spark, factor)
+    def tbl(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
+    def write(name: String, df: DataFrame, parts: Int): Unit =
+      df.repartition(parts).write.mode("overwrite")
+        .parquet(s"$out/$name.parquet")
+
+    val docs = tbl("documents")
+    val docStride = maxOf(docs, "doc_id") + 1
+    val text = when(col("_r") === 0, col("text")).otherwise(
+      regexp_replace(col("text"), lit("(\\S+)"), concat(lit("$1~r"), col("_r"))))
+    write("documents", docs.crossJoin(r).select(
+      off("doc_id", docStride), text.as("text"), col("lang"), col("source"),
+      length(text).cast("long").as("n_chars")), 16)
+
+    val emb = tbl("embeddings")
+    val vecStride = maxOf(emb, "vec_id") + 1
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    require(factor <= 2 * dim,
+      s"generateDocs covers factor <= 2*dim distinct transforms (dim=$dim, factor=$factor)")
+    val shifted = transform(sequence(lit(0), lit(dim - 1)), i => element_at(
+      col("embedding"),
+      // floor, not `/`: Spark's `/` is FLOAT division, so `(_r/dim) % 2`
+      // is nonzero for every _r in 1..dim-1 and the forward branch would
+      // only ever see _r = 0 (making replicas r and r+dim identical)
+      (when(floor(col("_r") / dim) % 2 === 0, pmod(i + col("_r") * 7, lit(dim)))
+        .otherwise(pmod(col("_r") * 7 - i, lit(dim))) + 1).cast("int")))
+    write("embeddings", emb.crossJoin(r).select(
+      off("vec_id", vecStride),
+      shifted.cast("array<float>").as("embedding"), col("label")), 8)
+
+    writeManifest(spark, out, src, factor)
+  }
+
+  private def writeManifest(spark: SparkSession, out: String, src: String,
+      factor: Int): Unit = {
     // manifest LAST: its presence marks a complete corpus (a generator
     // killed mid-write leaves no manifest and Bench regenerates)
     // record the NORMALIZED source path so a later freshness check can't
@@ -172,7 +224,8 @@ object GenScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
-    generate(spark, src, out, factor)
+    if (args.contains("docs")) generateDocs(spark, src, out, factor)
+    else generate(spark, src, out, factor)
     println(f"[genscale] $src ×$factor → $out in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     spark.stop()
   }
