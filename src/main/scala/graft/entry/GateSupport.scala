@@ -286,7 +286,10 @@ private[graft] object GateSupport {
       session.conf.set("spark.sql.shuffle.partitions",
         sys.env.get("GRAFT_DAG_PARTS").flatMap(_.toIntOption).getOrElse(4).toString)
       import session.implicits._
-      val root = java.nio.file.Files.createTempDirectory("graft_dag_").toString
+      // TempDirs, not a bare createTempDirectory: `wh` is read by every
+      // later DAG gate in this JVM, so the root can only die at exit —
+      // without the hook each Verify/Bench run leaked 1–14 GB per charge
+      val root = graft.core.TempDirs.create("graft_dag_")
       val in = s"$root/in"
       val wh = s"$root/wh"
       Seq("topic_db", "topic_log", "table_process_config").foreach(t =>
@@ -505,6 +508,12 @@ private[graft] object GateSupport {
         // charge finishes — unpersist now instead of pinning them for the
         // rest of the leg
         graft.core.SessionCache.evictOwnedExactly(session)
+        // the feed bytes (staged chunks + moved drops) are dead once the
+        // queries stop — they are the bulk of the charge's temp footprint
+        // (~10 GB at the ×10 leg); only `wh` must outlive this call, and
+        // it rides TempDirs' exit hook with the rest of `root`
+        graft.core.TempDirs.deleteNow(in)
+        graft.core.TempDirs.deleteNow(stageRoot)
       }
       wh
     }
