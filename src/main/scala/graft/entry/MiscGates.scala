@@ -70,6 +70,25 @@ private[graft] object MiscGates {
         .orderBy(col("media_id"))
     }),
 
+    // REAL audio decode (javax.sound.sampled — the JDK's own PCM/WAV
+    // reader, same move as q163's ImageIO): deterministic PCM-16 WAVs
+    // are AudioSystem-ENCODED on the executors, round-tripped through
+    // WavDecoder, and every sample statistic is pinned against a SQL
+    // oracle that recomputes the closed-form sample pattern — plus
+    // dirty rows (non-WAV bytes under an audio mime) that must ROUTE
+    // to the stub path with decode_ok=0. Same floor(f*4096) BIGINT
+    // projection as q163.
+    "q165_media_wav" -> ((s, d) => {
+      val feats = Multimodal.extractFeatures(
+        Multimodal.synthesizeWavs(Tables.documents(s, d)),
+        Multimodal.WavDecoder)
+      val q = (0 until 9).map(i =>
+        floor(element_at(col("features"), i + 1).cast("double") * 4096)
+          .cast("long").as(s"f${i}_q"))
+      feats.select((col("media_id") +: col("mime") +: q): _*)
+        .orderBy(col("media_id"))
+    }),
+
     // Blob-store dedup accounting per mime: payload counts, distinct
     // payloads by content md5, and the CAS byte savings — content bytes
     // hashed at the scan, never shuffled.
@@ -338,6 +357,57 @@ private[graft] object MiscGates {
         |  SELECT doc_id AS media_id, 'image/png' AS mime,
         |         hex(encode('corrupt:' || CAST(doc_id AS VARCHAR))) AS hx,
         |         octet_length(encode('corrupt:' || CAST(doc_id AS VARCHAR))) AS n
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |cbl AS (
+        |  SELECT media_id, mime, n, list_transform(range(n), i ->
+        |    (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS BIGINT), 1)) - 1) * 16
+        |    + (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS BIGINT), 1)) - 1)) AS bs
+        |  FROM cb),
+        |cst AS (SELECT *, CAST(list_reduce(bs, (a, x) -> a + x) AS DOUBLE) / n AS mean FROM cbl),
+        |cv AS (SELECT *,
+        |  list_reduce(list_transform(bs, x -> (x - mean) * (x - mean)), (a, x) -> a + x) / n AS varr
+        |  FROM cst),
+        |bad AS (
+        |  SELECT media_id, mime,
+        |    CAST(floor(CAST(CAST(n AS REAL) AS DOUBLE) * 4096) AS BIGINT) AS f0_q,
+        |    CAST(floor(CAST(CAST(mean AS REAL) AS DOUBLE) * 4096) AS BIGINT) AS f1_q,
+        |    CAST(floor(CAST(CAST(sqrt(varr) AS REAL) AS DOUBLE) * 4096) AS BIGINT) AS f2_q,
+        |    CAST(floor(CAST(CAST(bs[1] AS REAL) AS DOUBLE) * 4096) AS BIGINT) AS f3_q,
+        |    CAST(floor(CAST(CAST(bs[n] AS REAL) AS DOUBLE) * 4096) AS BIGINT) AS f4_q,
+        |    CAST(floor(CAST(CAST(list_aggregate(bs, 'min') AS REAL) AS DOUBLE) * 4096) AS BIGINT) AS f5_q,
+        |    CAST(floor(CAST(CAST(list_aggregate(bs, 'max') AS REAL) AS DOUBLE) * 4096) AS BIGINT) AS f6_q,
+        |    CAST(floor(CAST(CAST(len(mime) AS REAL) AS DOUBLE) * 4096) AS BIGINT) AS f7_q,
+        |    CAST(0 AS BIGINT) AS f8_q
+        |  FROM cv)
+        |SELECT * FROM ok UNION ALL SELECT * FROM bad ORDER BY media_id""".stripMargin,
+
+    "q165_media_wav" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id AS media_id,
+        |         64 + doc_id % 97 AS n,
+        |         8000 + (doc_id % 5) * 1000 AS rate,
+        |         521 + 97 * (doc_id % 23) AS k
+        |  FROM documents WHERE doc_id % 97 <> 0),
+        |sm AS (
+        |  SELECT media_id, n, rate,
+        |         (t * k + doc_id) % 65536 - 32768 AS s
+        |  FROM d, LATERAL (SELECT unnest(range(n)) AS t) ts),
+        |ok AS (
+        |  SELECT media_id, 'audio/wav' AS mime,
+        |    CAST(any_value(rate) * 4096 AS BIGINT) AS f0_q,
+        |    CAST(1 * 4096 AS BIGINT) AS f1_q,
+        |    CAST(16 * 4096 AS BIGINT) AS f2_q,
+        |    CAST(any_value(n) * 4096 AS BIGINT) AS f3_q,
+        |    CAST(min(s) * 4096 AS BIGINT) AS f4_q,
+        |    CAST(max(s) * 4096 AS BIGINT) AS f5_q,
+        |    CAST(floor(CAST(CAST(CAST(sum(s) AS DOUBLE) / any_value(n) AS REAL) AS DOUBLE) * 4096) AS BIGINT) AS f6_q,
+        |    CAST(floor(CAST(CAST(sqrt(CAST(sum(s * s) AS DOUBLE) / any_value(n)) AS REAL) AS DOUBLE) * 4096) AS BIGINT) AS f7_q,
+        |    CAST(4096 AS BIGINT) AS f8_q
+        |  FROM sm GROUP BY media_id),
+        |cb AS (
+        |  SELECT doc_id AS media_id, 'audio/wav' AS mime,
+        |         hex(encode('notawav:' || CAST(doc_id AS VARCHAR))) AS hx,
+        |         octet_length(encode('notawav:' || CAST(doc_id AS VARCHAR))) AS n
         |  FROM documents WHERE doc_id % 97 = 0),
         |cbl AS (
         |  SELECT media_id, mime, n, list_transform(range(n), i ->

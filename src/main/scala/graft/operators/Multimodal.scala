@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
   *
   * Byte-level decode plugs in behind [[MediaDecoder]]. IMAGES decode for
   * real via [[ImageIoDecoder]] (the JDK's own `javax.imageio` — PNG/JPEG/
-  * BMP/GIF). Audio/video codecs (ffmpeg / soundfile) are not in this
-  * environment, so those routes use [[StubDecoder]]'s deterministic byte
-  * statistics. The Spark-side plumbing — binary columns, schema, batch
-  * iteration, partition distribution — is real and tested either way.
+  * BMP/GIF); AUDIO decodes for real via [[WavDecoder]] (the JDK's own
+  * `javax.sound.sampled` — WAV/AU/AIFF PCM). Video and compressed-audio
+  * codecs (ffmpeg / MP3 / AAC) are not in this environment, so those
+  * routes use [[StubDecoder]]'s deterministic byte statistics. The
+  * Spark-side plumbing — binary columns, schema, batch iteration,
+  * partition distribution — is real and tested either way.
   *
   * Scale: content bytes never shuffle in any of these operators; metadata
   * extraction and frame sampling are narrow (per-row) transforms, and
@@ -81,10 +83,10 @@ object Multimodal {
 
   // ----------------------------------------------------- batched decoding --
 
-  /** The decode contract. Real implementations (JPEG → pixels → CNN
-    * features, WAV → spectrogram, MP4 → keyframes) plug in here; none of
-    * those libraries exist in this environment, so the shipped
-    * implementation is [[StubDecoder]]. */
+  /** The decode contract. Real implementations plug in here: the JDK's
+    * own codecs cover images ([[ImageIoDecoder]]) and PCM audio
+    * ([[WavDecoder]]); video and compressed-audio libraries don't exist
+    * in this environment, so those routes fall back to [[StubDecoder]]. */
   trait MediaDecoder extends Serializable {
     /** Decode one batch of media payloads into fixed-width feature vectors.
       * Batched on purpose: real decoders amortize model/codec setup per
@@ -172,6 +174,109 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** REAL audio decode on the JDK's built-in `javax.sound.sampled`
+    * (WAV/AU/AIFF — the PCM container formats the JDK ships readers
+    * for; compressed codecs like MP3/AAC remain genuinely absent from
+    * this environment and stay on [[StubDecoder]]). Feature layout
+    * (9 floats, all but mean/RMS integer-valued so a gate can pin them
+    * exactly):
+    *
+    *   f0=sampleRate  f1=channels  f2=bitsPerSample  f3=frames
+    *   f4=min sample  f5=max sample  f6=mean sample  f7=RMS
+    *   f8=decode_ok flag
+    *
+    * Statistics are over SIGNED 16-bit samples pooled across channels;
+    * integer sums (sum ≤ 2^15·n, sum-of-squares ≤ 2^30·n — exact to
+    * ~2^23 frames) divided ONCE in double, so the oracle can replicate
+    * them bit-for-bit. Non-PCM-16 encodings, unknown mimes, and
+    * corrupt/truncated payloads DEGRADE, never throw: the row routes to
+    * [[StubDecoder]]'s byte statistics with `f8 = 0` — the same P1
+    * dirty-routing idiom as [[ImageIoDecoder]]. */
+  object WavDecoder extends MediaDecoder {
+    override def decodeBatch(contents: Seq[Array[Byte]], mimes: Seq[String]): Seq[Array[Float]] =
+      contents.zip(mimes).map { case (bytes, mime) =>
+        val parsed =
+          if (bytes != null && bytes.nonEmpty && mime != null && mime.startsWith("audio/"))
+            try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              val fmt = ais.getFormat
+              if (fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+                  && fmt.getSampleSizeInBits == 16)
+                Some((fmt, ais.readAllBytes()))
+              else None // non-PCM-16 → dirty route
+            } catch { case _: Exception => None } // corrupt payload → dirty route
+          else None
+        parsed match {
+          case Some((fmt, raw)) if raw.length >= 2 =>
+            val big = fmt.isBigEndian
+            val nSamp = raw.length / 2
+            var i = 0; var sum = 0L; var sumSq = 0L
+            var mn = Int.MaxValue; var mx = Int.MinValue
+            while (i < nSamp) {
+              val b0 = raw(2 * i) & 0xff; val b1 = raw(2 * i + 1) & 0xff
+              val s = (if (big) (b0 << 8) | b1 else (b1 << 8) | b0).toShort.toInt
+              sum += s; sumSq += s.toLong * s
+              mn = math.min(mn, s); mx = math.max(mx, s)
+              i += 1
+            }
+            val n = nSamp.toDouble
+            Array(fmt.getSampleRate, fmt.getChannels.toFloat, 16f,
+              (nSamp / fmt.getChannels).toFloat, mn.toFloat, mx.toFloat,
+              (sum / n).toFloat, math.sqrt(sumSq / n).toFloat, 1f)
+          case _ =>
+            StubDecoder.decodeBatch(Seq(bytes), Seq(mime)).head :+ 0f
+        }
+      }
+  }
+
+  /** Deterministic synthetic WAV corpus for gating [[WavDecoder]]: one
+    * REAL (AudioSystem-encoded, losslessly round-trippable) PCM-16 mono
+    * WAV per doc, frame count / rate / sample pattern closed-form in
+    * `doc_id` so a SQL oracle can recompute every sample statistic
+    * without a codec:
+    *
+    *   frames = 64 + id%97, rate = 8000 + (id%5)·1000
+    *   s(t) = (t·(521 + 97·(id%23)) + id) % 65536 − 32768
+    *   (step ≥ 521 so the ramp wraps the 16-bit range several times per
+    *   clip — min/max/RMS exercise the full signed span, not one band)
+    *
+    * Every `corruptEvery`-th id instead carries deterministic NON-audio
+    * bytes under the audio/wav mime — the dirty rows that must route to
+    * the stub path with `f8 = 0`. Encoding runs executor-side per
+    * partition, same discipline as [[synthesizeImages]]. */
+  def synthesizeWavs(docs: DataFrame, corruptEvery: Int = 97): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        if (corruptEvery > 0 && id % corruptEvery == 0)
+          (id, s"notawav:$id".getBytes("UTF-8"), "audio/wav")
+        else {
+          val frames = (64 + id % 97).toInt
+          val rate = (8000 + (id % 5) * 1000).toInt
+          val k = (521 + 97 * (id % 23)).toInt
+          val pcm = new Array[Byte](frames * 2)
+          var t = 0
+          while (t < frames) {
+            val s = ((t.toLong * k + id) % 65536L - 32768L).toInt
+            pcm(2 * t) = (s & 0xff).toByte // little-endian per WAV spec
+            pcm(2 * t + 1) = ((s >> 8) & 0xff).toByte
+            t += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(
+            rate.toFloat, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+          (id, baos.toByteArray, "audio/wav")
+        }
+      }
+    }.toDF("media_id", "content", "mime")
   }
 
   /** Deterministic synthetic PNG corpus for gating [[ImageIoDecoder]]:

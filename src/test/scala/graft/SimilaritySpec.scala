@@ -313,6 +313,84 @@ class SimilaritySpec extends SparkTestBase {
     assert(out(2)._3(8) === 1f)
   }
 
+  test("WavDecoder round-trips known PCM-16 samples exactly") {
+    val samples = Array[Short](0, 100, -200, 32767, -32768, 5)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val Seq(f) = Multimodal.WavDecoder.decodeBatch(
+      Seq(baos.toByteArray), Seq("audio/wav"))
+    assert(f.length === 9)
+    // rate channels bits frames min max
+    assert(f.take(6).toSeq === Seq(8000f, 1f, 16f, 6f, -32768f, 32767f))
+    val sum = samples.map(_.toLong).sum
+    val sumSq = samples.map(s => s.toLong * s).sum
+    assert(f(6) === (sum / 6.0).toFloat)
+    assert(f(7) === math.sqrt(sumSq / 6.0).toFloat)
+    assert(f(8) === 1f) // real decode
+    // same samples through a BIG-ENDIAN AIFF container: identical
+    // features — the statistics are container- and endianness-independent
+    val pcmBe = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcmBe(2 * i) = ((s >> 8) & 0xff).toByte; pcmBe(2 * i + 1) = (s & 0xff).toByte
+    }
+    val fmtBe = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val baosBe = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcmBe), fmtBe, samples.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, baosBe)
+    val Seq(fBe) = Multimodal.WavDecoder.decodeBatch(
+      Seq(baosBe.toByteArray), Seq("audio/aiff"))
+    assert(fBe.toSeq === f.toSeq)
+  }
+
+  test("WavDecoder routes corrupt bytes, non-audio mimes, and non-PCM16 formats to the stub") {
+    val pcm8 = { // valid WAV but 8-bit — supported container, unsupported depth
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(Array[Byte](1, 2, 3, 4)), fmt, 4L),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    val payloads = Seq("not a wav".getBytes("UTF-8"), pcm8, Array.empty[Byte])
+    val mimes = Seq("audio/wav", "audio/wav", "audio/wav")
+    val out = Multimodal.WavDecoder.decodeBatch(payloads, mimes)
+    val stub = Multimodal.StubDecoder.decodeBatch(payloads, mimes)
+    out.zip(stub).foreach { case (o, s) =>
+      assert(o.length === 9 && o(8) === 0f) // all three degrade
+      assert(o.take(8).toSeq === s.toSeq) // ... to the stub's features
+    }
+  }
+
+  test("synthesizeWavs: real WAVs decode back to the closed-form pattern; corrupt ids route dirty") {
+    val docs = Seq(5L, 97L, 123L).toDF("doc_id")
+    val out = Multimodal.extractFeatures(
+        Multimodal.synthesizeWavs(docs), Multimodal.WavDecoder)
+      .orderBy("media_id").as[(Long, String, Array[Float])].collect()
+    assert(out.map(_._1).toSeq === Seq(5L, 97L, 123L))
+    val f5 = out(0)._3
+    val n = 64 + 5 % 97; val k = 521 + 97 * (5 % 23)
+    val ss = (0 until n).map(t => ((t.toLong * k + 5L) % 65536L - 32768L).toInt)
+    assert(f5.take(6).toSeq === Seq((8000 + (5 % 5) * 1000).toFloat, 1f, 16f,
+      n.toFloat, ss.min.toFloat, ss.max.toFloat))
+    assert(f5(6) === (ss.map(_.toLong).sum / n.toDouble).toFloat)
+    assert(f5(7) === math.sqrt(ss.map(s => s.toLong * s).sum / n.toDouble).toFloat)
+    assert(f5(8) === 1f)
+    assert(out(1)._3(8) === 0f) // 97 % 97 == 0 → deterministic dirty payload
+    assert(out(1)._3(0) === "notawav:97".getBytes("UTF-8").length.toFloat)
+    assert(out(2)._3(8) === 1f)
+  }
+
   test("multimodal frame sampling: one row per sampled frame, video only") {
     val docs = Seq((2L, "abcdefghij"), (5L, "0123456789abcdef"), (1L, "not video"))
       .toDF("doc_id", "text") // doc_id % 3 == 2 → video/mp4
