@@ -61,15 +61,37 @@ object TopicDb {
       Envelopes.cleanDirty(Envelopes.parseMaxwell(raw(spark, sfDir)))._1
     }
 
+  /** Every table [[raw]] synthesizes, in leg order. */
+  val allTables: Seq[String] = Seq(
+    "order_info", "payment_info", "coupon_use",
+    "order_detail", "order_detail_activity", "order_detail_coupon",
+    "cart_info", "order_refund_info", "refund_payment", "favor_info",
+    "comment_info", "user_info")
+
   /** The unparsed envelope stream (one `value` JSON string column). */
-  def raw(spark: SparkSession, sfDir: String): DataFrame = {
+  def raw(spark: SparkSession, sfDir: String): DataFrame =
+    rawFor(spark, sfDir, allTables.toSet)
+
+  /** [[raw]] restricted to `tables` — the producer-side filter pushdown a
+    * per-pipeline gate uses so a feed that only joins N tables never
+    * synthesizes, stages, or parses the other legs (round-11 verdict #2:
+    * q164 paid the whole topic four times). Legs union in [[allTables]]
+    * order, so `rawFor(_, _, allTables.toSet)` is bit-identical to the
+    * historical `raw`. Source scans not feeding a requested leg are never
+    * read. */
+  def rawFor(spark: SparkSession, sfDir: String, tables: Set[String]): DataFrame = {
+    val unknown = tables.diff(allTables.toSet)
+    require(unknown.isEmpty, s"rawFor: unknown topic_db tables $unknown")
+    require(tables.nonEmpty, "rawFor: empty table set")
     val sp = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val ord = Tables.orders(spark, sfDir).repartition(sp)
-    val li = Tables.lineitem(spark, sfDir).repartition(sp)
-    val cust = Tables.customer(spark, sfDir).repartition(sp)
-    fromOrders(ord)
-      .unionByName(fromLineitem(li))
-      .unionByName(fromCustomer(cust))
+    lazy val ord = Tables.orders(spark, sfDir).repartition(sp)
+    lazy val li = Tables.lineitem(spark, sfDir).repartition(sp)
+    lazy val cust = Tables.customer(spark, sfDir).repartition(sp)
+    val legs: Seq[(String, () => DataFrame)] =
+      orderLegs(() => ord) ++ lineitemLegs(() => li) ++ customerLegs(() => cust)
+    require(legs.map(_._1) == allTables, "leg order must match allTables")
+    legs.collect { case (t, mk) if tables(t) => mk() }
+      .reduce(_.unionByName(_))
   }
 
   /** Maxwell envelope JSON for one change row. */
@@ -85,11 +107,11 @@ object TopicDb {
       map(kv.flatMap { case (k, v) => Seq(lit(k), v.cast("string")) }: _*),
       (_, v) => v.isNotNull)
 
-  private def fromOrders(ord: DataFrame): DataFrame = {
+  private def orderLegs(ord: () => DataFrame): Seq[(String, () => DataFrame)] = {
     val k = col("o_orderkey")
     val date = date_format(col("o_orderdate"), "yyyy-MM-dd")
     val price = col("o_totalprice").cast("decimal(18,2)").cast("string")
-    val orderInfo = ord.select(env("order_info",
+    val orderInfo = () => ord().select(env("order_info",
       when(col("o_orderstatus") === "O", "insert").otherwise("update"), k,
       sparseMap(
         "id" -> k, "user_id" -> col("o_custkey"),
@@ -101,7 +123,7 @@ object TopicDb {
             (k % 5 + 1).cast("int")))),
       when(col("o_orderstatus") =!= "O", map(lit("order_status"), lit("1001"))))
       .as("value"))
-    val payment = ord.where(k % 3 === 0).select(env("payment_info",
+    val payment = () => ord().where(k % 3 === 0).select(env("payment_info",
       lit("update"), k,
       sparseMap(
         "id" -> k, "user_id" -> col("o_custkey"), "order_id" -> k,
@@ -110,12 +132,12 @@ object TopicDb {
         "callback_time" -> concat(date, lit(" 12:00:00")),
         "total_amount" -> price),
       map(lit("payment_status"), lit("1601"))).as("value"))
-    val couponGet = ord.where(k % 4 === 0).select(env("coupon_use",
+    val couponGet = () => ord().where(k % 4 === 0).select(env("coupon_use",
       lit("insert"), k,
       sparseMap(
         "id" -> concat(lit("cu"), k), "coupon_id" -> concat(lit("cpn_"), k % 7),
         "user_id" -> col("o_custkey"), "get_time" -> date)).as("value"))
-    val couponOrder = ord.where(k % 4 === 1).select(env("coupon_use",
+    val couponOrder = () => ord().where(k % 4 === 1).select(env("coupon_use",
       lit("update"), k,
       sparseMap(
         "id" -> concat(lit("cu"), k), "coupon_id" -> concat(lit("cpn_"), k % 7),
@@ -123,18 +145,23 @@ object TopicDb {
         "coupon_status" -> lit("1402"), "using_time" -> date),
       map(lit("coupon_status"),
         when(k % 8 === 1, lit("1401")).otherwise(lit("1402")))).as("value"))
-    val couponPay = ord.where(k % 4 === 2).select(env("coupon_use",
+    val couponPay = () => ord().where(k % 4 === 2).select(env("coupon_use",
       lit("update"), k,
       sparseMap(
         "id" -> concat(lit("cu"), k), "coupon_id" -> concat(lit("cpn_"), k % 7),
         "user_id" -> col("o_custkey"), "order_id" -> k,
         "used_time" -> when(k % 8 === 2, concat(date, lit(" 10:00:00")))),
       map(lit("used_time"), lit(null).cast("string"))).as("value"))
-    orderInfo.unionByName(payment).unionByName(couponGet)
-      .unionByName(couponOrder).unionByName(couponPay)
+    Seq(
+      "order_info" -> orderInfo, "payment_info" -> payment,
+      // CombineUnions flattens nested unions, so grouping the three
+      // coupon_use branches under one leg keeps the plan (and row order)
+      // identical to the historical five-way union
+      "coupon_use" -> (() => couponGet().unionByName(couponOrder())
+        .unionByName(couponPay())))
   }
 
-  private def fromLineitem(li: DataFrame): DataFrame = {
+  private def lineitemLegs(li: () => DataFrame): Seq[(String, () => DataFrame)] = {
     val k = col("l_orderkey"); val n = col("l_linenumber")
     val p = col("l_partkey"); val s = col("l_suppkey")
     val lnId = concat(k, lit("-"), n)
@@ -142,7 +169,7 @@ object TopicDb {
     val price = col("l_extendedprice").cast("decimal(18,2)").cast("string")
     val qty = col("l_quantity").cast("int")
     // ----- q39's four order tables, scheme unchanged -----
-    val detail = li.select(env("order_detail", lit("insert"), k,
+    val detail = () => li().select(env("order_detail", lit("insert"), k,
       sparseMap(
         "id" -> lnId, "order_id" -> k, "sku_id" -> p,
         "sku_name" -> concat(lit("sku_"), p), "sku_num" -> qty,
@@ -151,20 +178,20 @@ object TopicDb {
         "split_activity_amount" -> lit("0.00"),
         "split_coupon_amount" -> lit("0.00"),
         "split_total_amount" -> price)).as("value"))
-    val activity = li.where(n % 3 === 0)
+    val activity = () => li().where(n % 3 === 0)
       .select(env("order_detail_activity", lit("insert"), k,
         sparseMap(
           "order_detail_id" -> lnId,
           "activity_id" -> concat(lit("act_"), s % 5),
           "activity_rule_id" -> lit("r1"))).as("value"))
-    val coupon = li.where(p % 4 === 0)
+    val coupon = () => li().where(p % 4 === 0)
       .select(env("order_detail_coupon", lit("insert"), k,
         sparseMap(
           "order_detail_id" -> lnId,
           "coupon_id" -> concat(lit("cpn_"), p % 7))).as("value"))
     // ----- q36's cart_info (full DwdTradeCartAdd.java:27-39 field set;
     //       order_time sparse — present only on ordered carts) -----
-    val cart = li.select(env("cart_info",
+    val cart = () => li().select(env("cart_info",
       when(col("l_returnflag") === "N", "insert")
         .when(col("l_returnflag") === "A", "update").otherwise("delete"), k,
       sparseMap(
@@ -180,7 +207,7 @@ object TopicDb {
         map(lit("sku_num"), (qty - (n % 4 - 1)).cast("string")))).as("value"))
     // ----- refund / interaction tables -----
     val rf = col("l_returnflag") === "R"
-    val refundInfo = li.where(rf).select(env("order_refund_info",
+    val refundInfo = () => li().where(rf).select(env("order_refund_info",
       lit("insert"), k,
       sparseMap(
         "id" -> concat(lnId, lit("r")), "user_id" -> s, "order_id" -> k,
@@ -189,7 +216,7 @@ object TopicDb {
         "refund_reason_type" -> concat(lit("130"), p % 2 + 1),
         "refund_reason_txt" -> concat(lit("reason "), p),
         "create_time" -> ship)).as("value"))
-    val refundPay = li.where(rf && n % 2 === 0).select(env("refund_payment",
+    val refundPay = () => li().where(rf && n % 2 === 0).select(env("refund_payment",
       lit("update"), k,
       sparseMap(
         "id" -> concat(lnId, lit("rp")), "order_id" -> k, "sku_id" -> p,
@@ -198,30 +225,33 @@ object TopicDb {
         "callback_time" -> concat(ship, lit(" 14:00:00")),
         "total_amount" -> price),
       when(p % 5 =!= 4, map(lit("refund_status"), lit("0701")))).as("value"))
-    val favor = li.where(p % 5 === 0).select(env("favor_info",
+    val favor = () => li().where(p % 5 === 0).select(env("favor_info",
       when(k % 2 === 0, "insert").otherwise("update"), k,
       sparseMap(
         "id" -> concat(lit("f"), lnId), "user_id" -> s, "sku_id" -> p,
         "is_cancel" -> when(n % 2 === 0, lit("0")).otherwise(lit("1")),
         "create_time" -> ship)).as("value"))
-    val comment = li.where(n === 1 && p % 2 === 0).select(env("comment_info",
+    val comment = () => li().where(n === 1 && p % 2 === 0).select(env("comment_info",
       lit("insert"), k,
       sparseMap(
         "id" -> concat(lit("cm"), k), "user_id" -> s, "sku_id" -> p,
         "order_id" -> k, "appraise" -> concat(lit("120"), p % 3 + 1),
         "comment_txt" -> concat(lit("comment "), k),
         "create_time" -> ship)).as("value"))
-    detail.unionByName(activity).unionByName(coupon).unionByName(cart)
-      .unionByName(refundInfo).unionByName(refundPay).unionByName(favor)
-      .unionByName(comment)
+    Seq(
+      "order_detail" -> detail, "order_detail_activity" -> activity,
+      "order_detail_coupon" -> coupon, "cart_info" -> cart,
+      "order_refund_info" -> refundInfo, "refund_payment" -> refundPay,
+      "favor_info" -> favor, "comment_info" -> comment)
   }
 
-  private def fromCustomer(cust: DataFrame): DataFrame = {
+  private def customerLegs(cust: () => DataFrame): Seq[(String, () => DataFrame)] = {
     val c = col("c_custkey")
-    cust.select(env("user_info", lit("insert"), c,
+    val user = () => cust().select(env("user_info", lit("insert"), c,
       sparseMap(
         "id" -> c, "name" -> col("c_name"),
         "create_time" -> concat(lit("2023-04-"),
           lpad((c % 28 + 1).cast("string"), 2, "0"), lit(" 08:30:00")))).as("value"))
+    Seq("user_info" -> user)
   }
 }

@@ -127,7 +127,16 @@ private[graft] object DagGates {
     // shift the counts and the hash fails.
     "q164_ttl_pay_success" -> ((s, d) => {
       import s.implicits._
-      val raw = TopicDb.raw(s, d).persist() // one synthesis pass feeds the
+      // producer-side filter pushdown (round-11 verdict #2): the pay
+      // pipeline joins exactly five CDC tables, so only their legs are
+      // synthesized, staged, and replayed — the dropped envelopes
+      // (cart_info, user_info, coupon_use, …, ~60 % of the topic) never
+      // join anything, so the output (and oracle) is provably unchanged,
+      // while the staged I/O and per-batch parse shrink several-fold.
+      // lo/hi below are also unchanged: order_info spans every orderkey.
+      val raw = TopicDb.rawFor(s, d, Set("payment_info", "order_detail",
+        "order_info", "order_detail_activity", "order_detail_coupon"))
+        .persist() // one synthesis pass feeds the
       // min/max scan AND all four chunk writes
       val ts = get_json_object(col("value"), "$.ts").cast("long")
       val mm = raw.agg(min(ts), max(ts)).head()
