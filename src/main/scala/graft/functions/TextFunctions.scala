@@ -106,41 +106,44 @@ object TextFunctions {
 
 /** Pluggable tokenizer (replaces the reference's IK analyzer, which is not
   * public-redistributable here): whitespace split + forward-maximum-
-  * matching (FMM) segmentation of CJK runs over a small EMBEDDED wordlist
+  * matching (FMM) segmentation of CJK runs over an EMBEDDED wordlist
   * — the classic dictionary segmentation IK itself builds on. Multi-char
   * dictionary words tokenize as words (中文分词 → 中文, 分词 — not
   * overlapping bigrams); out-of-vocabulary CJK characters emit as
   * single-char tokens (FMM's standard granularity). Divergence from IK:
-  * the embedded list is a demonstration vocabulary (common + e-commerce
-  * domain words), not IK's full dictionary, so uncovered words segment
-  * to singles where IK might know them. Non-CJK runs inside a mixed
-  * token (e.g. `iphone15手机`) pass through intact as their own tokens.
-  * Used via UDF + explode = the reference's UDTF lateral join
+  * the embedded list is a graded common-word vocabulary (~1.1k entries
+  * from the public HSK-band core vocabulary plus the gmall e-commerce
+  * domain), not IK's ~275k main dictionary, so rare words still segment
+  * to singles where IK would know them — the list is a plain set, so a
+  * production deployment swaps in a full dictionary without touching the
+  * FMM. Non-CJK runs inside a mixed token (e.g. `iphone15手机`) pass
+  * through intact as their own tokens. Used via UDF + explode = the
+  * reference's UDTF lateral join
   * (app/dws/DwsTrafficSourceKeywordPageViewWindow.java:135-141).
   */
 object Tokenizer extends Serializable {
 
   @inline private def isCjk(c: Char): Boolean = c >= 0x4e00 && c <= 0x9fff
 
-  /** Embedded public wordlist for FMM — common Chinese words plus the
-    * e-commerce domain vocabulary the reference's keyword stream carries
-    * (search items, trade terms). Longest entries first is NOT required:
-    * FMM itself tries the longest window at each position. */
-  private[functions] val dict: Set[String] = Set(
-    // general
-    "中国", "北京", "上海", "人民", "时间", "今天", "明天", "朋友", "家庭",
-    "城市", "经济", "发展", "科技", "公司", "市场", "工作", "学生", "学校",
-    "老师", "语言", "中文", "分词", "引擎", "测试", "系统", "程序", "软件",
-    "硬件", "网络", "安全", "数据", "分析", "实时", "计算", "模型", "训练",
-    "处理", "天气", "世界", "新闻", "电影", "音乐", "游戏", "汽车", "电视",
-    // compounds that exercise maximum matching over shorter entries
-    "大数据", "互联网", "计算机", "程序员", "人工智能", "机器学习",
-    "深度学习", "自然语言",
-    // e-commerce domain (the reference's gmall keyword/trade vocabulary)
-    "手机", "手机壳", "电脑", "平板", "耳机", "充电器", "键盘", "鼠标",
-    "口红", "香水", "图书", "苹果", "小米", "华为", "订单", "支付",
-    "购物", "购物车", "商品", "价格", "活动", "优惠", "优惠券", "退款",
-    "退货", "评价", "用户", "会员", "积分", "秒杀", "包邮", "客服")
+  /** Embedded wordlist for FMM — the public HSK graded core vocabulary
+    * (bands 1-6, multi-char entries) plus the e-commerce domain
+    * vocabulary the reference's keyword stream carries (search items,
+    * trade terms, product nouns). Longest entries first is NOT required:
+    * FMM itself tries the longest window at each position.
+    *
+    * COUPLING NOTE: no oracle gate currently feeds CJK text (the
+    * documents corpus is ASCII, so q37/q117's keyword windows see only
+    * pass-through tokens), but if CJK ever enters a synthesized feed,
+    * gate hashes become a function of this list — editing it then
+    * requires regenerating the q37/q14/q117 oracles in the same commit.
+    * ExtensionsSpec pins the list's size band and sentinel entries so an
+    * accidental edit fails loudly. */
+  private[functions] val dict: Set[String] =
+    DictWords.all.split("\\s+").iterator.filter(_.nonEmpty).toSet
+
+  /** Test-only view of the dictionary (ExtensionsSpec pins its size band
+    * and sentinel entries). */
+  def dictForTest: Set[String] = dict
 
   private val maxWordLen = dict.iterator.map(_.length).max
 

@@ -120,7 +120,8 @@ class ExtensionsSpec extends SparkTestBase {
     import graft.functions.Tokenizer.tokenize
     // longest match wins over a shorter prefix entry (手机 ⊂ 手机壳)
     assert(tokenize("手机壳") === Seq("手机壳"))
-    assert(tokenize("手机支架") === Seq("手机", "支", "架")) // OOV chars → singles
+    assert(tokenize("手机支架") === Seq("手机", "支架"))
+    assert(tokenize("手机吊坠") === Seq("手机", "吊", "坠")) // OOV chars → singles
     // 4-char compounds beat their 2-char constituents
     assert(tokenize("人工智能模型") === Seq("人工智能", "模型"))
     assert(tokenize("机器学习") === Seq("机器学习"))
@@ -132,6 +133,27 @@ class ExtensionsSpec extends SparkTestBase {
     assert(tokenize("iphone15手机 case") === Seq("iphone15", "手机", "case"))
     assert(tokenize("  spaced   out  ") === Seq("spaced", "out"))
     assert(tokenize(null) === Seq.empty)
+  }
+
+  test("tokenizer dictionary: production-size band and sentinel entries pinned") {
+    import graft.functions.Tokenizer
+    val d = Tokenizer.dictForTest
+    // size band, not exact count: growth is fine, accidental truncation
+    // (or a 1-char entry, which FMM would never use) fails loudly
+    assert(d.size >= 1000, s"dict shrank to ${d.size} entries")
+    assert(d.forall(_.length >= 2), "single-char dict entries are dead weight")
+    val sentinels = Seq("手机壳", "人工智能", "机器学习", "深度学习",
+      "自然语言", "优惠券", "购物车", "大数据", "支架", "充电宝")
+    sentinels.foreach(w => assert(d.contains(w), s"sentinel $w missing"))
+  }
+
+  test("tokenizer FMM: real product-search phrases segment as words") {
+    import graft.functions.Tokenizer.tokenize
+    assert(tokenize("华为手机壳包邮") === Seq("华为", "手机壳", "包邮"))
+    assert(tokenize("苹果笔记本优惠券") === Seq("苹果", "笔记本", "优惠券"))
+    assert(tokenize("小米充电宝秒杀活动") === Seq("小米", "充电宝", "秒杀", "活动"))
+    assert(tokenize("冬天羽绒服女士外套") === Seq("冬天", "羽绒服", "女士", "外套"))
+    assert(tokenize("购物车满减红包") === Seq("购物车", "满减", "红包"))
   }
 
   test("tokenizeGen generator matches the UDF tokenizer on the documents table") {
