@@ -89,6 +89,26 @@ private[graft] object MiscGates {
         .orderBy(col("media_id"))
     }),
 
+    // REAL MP4 container metadata (pure JDK byte reading — the ISO BMFF
+    // box walk needs no codec, round-11 verdict #6): minimal valid MP4s
+    // (ftyp + moov(mvhd, trak(tkhd)) + mdat) are assembled on the
+    // executors with every header field closed-form in doc_id,
+    // round-tripped through Mp4MetaDecoder's box walk, and pinned
+    // against a SQL oracle that recomputes all nine features with
+    // integer arithmetic — plus dirty rows (non-MP4 bytes under a video
+    // mime) that must ROUTE to the stub path with decode_ok=0. Same
+    // floor(f*4096) BIGINT projection as q163/q165.
+    "q166_media_mp4_meta" -> ((s, d) => {
+      val feats = Multimodal.extractFeatures(
+        Multimodal.synthesizeMp4s(Tables.documents(s, d)),
+        Multimodal.Mp4MetaDecoder)
+      val q = (0 until 9).map(i =>
+        floor(element_at(col("features"), i + 1).cast("double") * 4096)
+          .cast("long").as(s"f${i}_q"))
+      feats.select((col("media_id") +: col("mime") +: q): _*)
+        .orderBy(col("media_id"))
+    }),
+
     // Blob-store dedup accounting per mime: payload counts, distinct
     // payloads by content md5, and the CAS byte savings — content bytes
     // hashed at the scan, never shuffled.
@@ -408,6 +428,54 @@ private[graft] object MiscGates {
         |  SELECT doc_id AS media_id, 'audio/wav' AS mime,
         |         hex(encode('notawav:' || CAST(doc_id AS VARCHAR))) AS hx,
         |         octet_length(encode('notawav:' || CAST(doc_id AS VARCHAR))) AS n
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |cbl AS (
+        |  SELECT media_id, mime, n, list_transform(range(n), i ->
+        |    (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS BIGINT), 1)) - 1) * 16
+        |    + (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS BIGINT), 1)) - 1)) AS bs
+        |  FROM cb),
+        |cst AS (SELECT *, CAST(list_reduce(bs, (a, x) -> a + x) AS DOUBLE) / n AS mean FROM cbl),
+        |cv AS (SELECT *,
+        |  list_reduce(list_transform(bs, x -> (x - mean) * (x - mean)), (a, x) -> a + x) / n AS varr
+        |  FROM cst),
+        |bad AS (
+        |  SELECT media_id, mime,
+        |    CAST(floor(CAST(CAST(n AS REAL) AS DOUBLE) * 4096) AS BIGINT) AS f0_q,
+        |    CAST(floor(CAST(CAST(mean AS REAL) AS DOUBLE) * 4096) AS BIGINT) AS f1_q,
+        |    CAST(floor(CAST(CAST(sqrt(varr) AS REAL) AS DOUBLE) * 4096) AS BIGINT) AS f2_q,
+        |    CAST(floor(CAST(CAST(bs[1] AS REAL) AS DOUBLE) * 4096) AS BIGINT) AS f3_q,
+        |    CAST(floor(CAST(CAST(bs[n] AS REAL) AS DOUBLE) * 4096) AS BIGINT) AS f4_q,
+        |    CAST(floor(CAST(CAST(list_aggregate(bs, 'min') AS REAL) AS DOUBLE) * 4096) AS BIGINT) AS f5_q,
+        |    CAST(floor(CAST(CAST(list_aggregate(bs, 'max') AS REAL) AS DOUBLE) * 4096) AS BIGINT) AS f6_q,
+        |    CAST(floor(CAST(CAST(len(mime) AS REAL) AS DOUBLE) * 4096) AS BIGINT) AS f7_q,
+        |    CAST(0 AS BIGINT) AS f8_q
+        |  FROM cv)
+        |SELECT * FROM ok UNION ALL SELECT * FROM bad ORDER BY media_id""".stripMargin,
+
+    // mirrors Multimodal.synthesizeMp4s' closed-form header fields
+    // (w=160+(id%28)*16, h=96+(id%17)*16, ts=125*2^(id%4), dur=100+id%9000,
+    // mdat=id%41 bytes, file=248+mdat) and Mp4MetaDecoder's all-integer
+    // feature layout; duration_ms = dur*1000/ts is exact long arithmetic
+    // (ts divides 1000 by construction). The corrupt branch replays
+    // StubDecoder's byte statistics over the deterministic dirty payload.
+    "q166_media_mp4_meta" ->
+      """WITH ok AS (
+        |  SELECT doc_id AS media_id, 'video/mp4' AS mime,
+        |    (160 + (doc_id % 28) * 16) * 4096 AS f0_q,
+        |    (96 + (doc_id % 17) * 16) * 4096 AS f1_q,
+        |    (125 * (1 << CAST(doc_id % 4 AS INT))) * 4096 AS f2_q,
+        |    (100 + doc_id % 9000) * 4096 AS f3_q,
+        |    ((100 + doc_id % 9000) * 1000
+        |      // (125 * (1 << CAST(doc_id % 4 AS INT)))) * 4096 AS f4_q,
+        |    CAST(3 * 4096 AS BIGINT) AS f5_q,
+        |    (doc_id % 41) * 4096 AS f6_q,
+        |    (248 + doc_id % 41) * 4096 AS f7_q,
+        |    CAST(4096 AS BIGINT) AS f8_q
+        |  FROM documents WHERE doc_id % 97 <> 0),
+        |cb AS (
+        |  SELECT doc_id AS media_id, 'video/mp4' AS mime,
+        |         hex(encode('notanmp4:' || CAST(doc_id AS VARCHAR))) AS hx,
+        |         octet_length(encode('notanmp4:' || CAST(doc_id AS VARCHAR))) AS n
         |  FROM documents WHERE doc_id % 97 = 0),
         |cbl AS (
         |  SELECT media_id, mime, n, list_transform(range(n), i ->

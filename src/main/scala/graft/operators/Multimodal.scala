@@ -187,10 +187,16 @@ object Multimodal {
     *   f4=min sample  f5=max sample  f6=mean sample  f7=RMS
     *   f8=decode_ok flag
     *
-    * Statistics are over SIGNED 16-bit samples pooled across channels;
-    * integer sums (sum ≤ 2^15·n, sum-of-squares ≤ 2^30·n — exact to
-    * ~2^23 frames) divided ONCE in double, so the oracle can replicate
-    * them bit-for-bit. Non-PCM-16 encodings, unknown mimes, and
+    * Statistics are over SIGNED 16-bit samples POOLED across channels
+    * (every interleaved sample counts once in min/max/mean/RMS), while
+    * f3 counts FRAMES (= samples/channels) — deliberately different
+    * grains: frames is the duration-bearing number a user filters on,
+    * pooled sample stats are channel-layout independent and what a
+    * loudness/clipping screen wants. MultimodalSpec pins a stereo case
+    * to this contract. Integer sums (sum ≤ 2^15·n, sum-of-squares ≤
+    * 2^30·n — exact to ~2^23 frames) divided ONCE in double, so the
+    * oracle can replicate them bit-for-bit. Non-PCM-16 encodings,
+    * unknown mimes, and
     * corrupt/truncated payloads DEGRADE, never throw: the row routes to
     * [[StubDecoder]]'s byte statistics with `f8 = 0` — the same P1
     * dirty-routing idiom as [[ImageIoDecoder]]. */
@@ -321,6 +327,160 @@ object Multimodal {
           val baos = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(img, "png", baos)
           (id, baos.toByteArray, "image/png")
+        }
+      }
+    }.toDF("media_id", "content", "mime")
+  }
+
+  /** REAL MP4 container metadata on pure JDK byte reading — no codec
+    * needed: the ISO BMFF box structure (`ftyp`/`moov`/`mvhd`/`trak`/
+    * `tkhd`/`mdat`) is length-prefixed, so width/height/duration parse
+    * out of the header walk alone (the frame DATA would need a codec;
+    * this is the metadata pass a 100 TB video-ingest pipeline runs first
+    * to route/filter before any GPU decode). Feature layout (9 floats,
+    * ALL integer-valued so a gate pins them exactly):
+    *
+    *   f0=width  f1=height  f2=mvhd timescale  f3=mvhd duration(units)
+    *   f4=duration ms  f5=top-level box count  f6=mdat payload bytes
+    *   f7=total file bytes  f8=decode_ok flag
+    *
+    * Width/height come from `tkhd`'s 16.16 fixed-point fields (integer
+    * part); duration_ms = duration·1000/timescale computed in LONG
+    * arithmetic (exact whenever timescale divides 1000·duration — true
+    * for standard 125/250/500/1000 Hz movie timescales). Truncated
+    * boxes, non-MP4 bytes, size fields that overrun the payload, or a
+    * missing moov/mvhd/tkhd DEGRADE, never throw: the row routes to
+    * [[StubDecoder]]'s byte statistics with `f8 = 0` — the P1
+    * dirty-routing idiom, same as [[ImageIoDecoder]]/[[WavDecoder]]. */
+  object Mp4MetaDecoder extends MediaDecoder {
+    private def be32(b: Array[Byte], off: Int): Long =
+      if (off + 4 > b.length) -1L
+      else ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+        ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+    private def boxType(b: Array[Byte], off: Int): String =
+      if (off + 8 > b.length) ""
+      else new String(b, off + 4, 4, "ISO-8859-1")
+
+    /** Walk the children of [start, end): (type, payloadStart, payloadEnd)
+      * triples, stopping at the first malformed size. */
+    private def children(b: Array[Byte], start: Int, end: Int): Seq[(String, Int, Int)] = {
+      val out = Seq.newBuilder[(String, Int, Int)]
+      var off = start
+      var ok = true
+      while (ok && off + 8 <= end) {
+        val sz = be32(b, off)
+        // size==1 (64-bit largesize) and size==0 (to-EOF) exist in the
+        // spec; this parser treats them as out-of-profile → malformed
+        if (sz < 8 || off + sz > end) { ok = false }
+        else {
+          out += ((boxType(b, off), off + 8, off + sz.toInt))
+          off += sz.toInt
+        }
+      }
+      if (ok) out.result() else Seq.empty
+    }
+
+    override def decodeBatch(contents: Seq[Array[Byte]], mimes: Seq[String]): Seq[Array[Float]] =
+      contents.zip(mimes).map { case (bytes, mime) =>
+        val parsed =
+          if (bytes != null && bytes.length >= 16 && mime != null
+              && mime.startsWith("video/") && boxType(bytes, 0) == "ftyp") {
+            val top = children(bytes, 0, bytes.length)
+            val moov = top.find(_._1 == "moov")
+            val mdatBytes = top.filter(_._1 == "mdat").map(c => (c._3 - c._2).toLong).sum
+            moov.flatMap { case (_, ms, me) =>
+              val kids = children(bytes, ms, me)
+              val mvhd = kids.find(_._1 == "mvhd")
+              val tkhd = kids.find(_._1 == "trak").flatMap { case (_, ts, te) =>
+                children(bytes, ts, te).find(_._1 == "tkhd")
+              }
+              (mvhd, tkhd) match {
+                // version-0 layouts only (version byte 0 at payload start);
+                // v1 (64-bit times) is out of this profile → dirty route
+                case (Some((_, hs, _)), Some((_, ks, ke)))
+                    if bytes(hs) == 0 && bytes(ks) == 0 && ke - ks >= 84 =>
+                  val timescale = be32(bytes, hs + 12)
+                  val duration = be32(bytes, hs + 16)
+                  val width = be32(bytes, ks + 76) >> 16 // 16.16 fixed
+                  val height = be32(bytes, ks + 80) >> 16
+                  if (timescale <= 0) None
+                  else Some(Array(width.toFloat, height.toFloat,
+                    timescale.toFloat, duration.toFloat,
+                    (duration * 1000L / timescale).toFloat,
+                    top.size.toFloat, mdatBytes.toFloat,
+                    bytes.length.toFloat, 1f))
+                case _ => None
+              }
+            }
+          } else None
+        parsed.getOrElse(StubDecoder.decodeBatch(Seq(bytes), Seq(mime)).head :+ 0f)
+      }
+  }
+
+  /** Deterministic synthetic MP4 corpus for gating [[Mp4MetaDecoder]]:
+    * one minimal VALID ISO BMFF file per doc (ftyp + moov(mvhd,
+    * trak(tkhd)) + mdat), every header field closed-form in `doc_id` so
+    * a SQL oracle can recompute all 9 features with integer arithmetic:
+    *
+    *   width  = 160 + (id%28)·16     height = 96 + (id%17)·16
+    *   timescale = 125·2^(id%4)      duration = 100 + id%9000 units
+    *   mdat payload = id%41 bytes    (total file = 248 + id%41 bytes)
+    *
+    * Every `corruptEvery`-th id instead carries deterministic NON-MP4
+    * bytes under the video/mp4 mime — the dirty rows that must route to
+    * the stub path with `decode_ok = 0`. Byte assembly runs
+    * executor-side per partition, same discipline as
+    * [[synthesizeImages]]/[[synthesizeWavs]]. */
+  def synthesizeMp4s(docs: DataFrame, corruptEvery: Int = 97): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        if (corruptEvery > 0 && id % corruptEvery == 0)
+          (id, s"notanmp4:$id".getBytes("UTF-8"), "video/mp4")
+        else {
+          val width = (160 + (id % 28) * 16).toInt
+          val height = (96 + (id % 17) * 16).toInt
+          val timescale = 125 << (id % 4).toInt
+          val duration = (100 + id % 9000).toInt
+          val mdatLen = (id % 41).toInt
+          val buf = java.nio.ByteBuffer.allocate(248 + mdatLen)
+          def box(sz: Int, typ: String): Unit = {
+            buf.putInt(sz); buf.put(typ.getBytes("ISO-8859-1"))
+          }
+          box(24, "ftyp")
+          buf.put("isom".getBytes("ISO-8859-1")).putInt(0x200)
+          buf.put("isom".getBytes("ISO-8859-1")).put("mp41".getBytes("ISO-8859-1"))
+          box(216, "moov")
+          box(108, "mvhd") // v0: 8 hdr + 100 payload
+          buf.putInt(0) // version+flags
+            .putInt(0).putInt(0) // creation, modification
+            .putInt(timescale).putInt(duration)
+            .putInt(0x00010000).putShort(0x0100.toShort) // rate, volume
+            .putShort(0).putLong(0L) // reserved(2 + 8)
+          // unity matrix (36 bytes)
+          buf.putInt(0x00010000).putInt(0).putInt(0)
+            .putInt(0).putInt(0x00010000).putInt(0)
+            .putInt(0).putInt(0).putInt(0x40000000)
+          (0 until 6).foreach(_ => buf.putInt(0)) // pre_defined(24)
+          buf.putInt(2) // next_track_ID
+          box(100, "trak")
+          box(92, "tkhd") // v0: 8 hdr + 84 payload
+          buf.putInt(0x00000007) // version 0 + flags (enabled|in movie|in preview)
+            .putInt(0).putInt(0) // creation, modification
+            .putInt(1).putInt(0) // track_ID, reserved
+            .putInt(duration).putLong(0L) // duration, reserved(8)
+            .putShort(0).putShort(0) // layer, alternate_group
+            .putShort(0).putShort(0) // volume(video=0), reserved
+          buf.putInt(0x00010000).putInt(0).putInt(0)
+            .putInt(0).putInt(0x00010000).putInt(0)
+            .putInt(0).putInt(0).putInt(0x40000000)
+          buf.putInt(width << 16).putInt(height << 16) // 16.16 fixed
+          box(8 + mdatLen, "mdat")
+          var i = 0
+          while (i < mdatLen) { buf.put(((i + id) % 256).toByte); i += 1 }
+          (id, buf.array(), "video/mp4")
         }
       }
     }.toDF("media_id", "content", "mime")

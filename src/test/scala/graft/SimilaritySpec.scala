@@ -214,6 +214,17 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall > 0.2, s"recall=$recall")
   }
 
+  test("autoPlanes: 4 at gated sizes, grows as log2(N) past them") {
+    // ≤ 2000 vectors (both gated SFs) must resolve to exactly 4 — the
+    // q53 oracle inlines the 4-plane matrix
+    assert(Similarity.autoPlanes(spark.range(500).toDF("vec_id")) === 4)
+    assert(Similarity.autoPlanes(spark.range(2000).toDF("vec_id")) === 4)
+    assert(Similarity.autoPlanes(spark.range(8000).toDF("vec_id")) === 4)
+    // past the gated band the bucket space grows with N
+    assert(Similarity.autoPlanes(spark.range(20000).toDF("vec_id")) === 6)
+    assert(Similarity.autoPlanes(spark.range(200000).toDF("vec_id")) === 9)
+  }
+
   test("semDedup at √N cells keeps the pair space ~O(N·√N), far below all-pairs") {
     // the q102/q118 scale guard: with nCells = ceil(√N) the within-cell
     // pair volume (Σ per-cell C(sz,2) — exactly what cellNearDupPairs'
@@ -352,6 +363,32 @@ class SimilaritySpec extends SparkTestBase {
     assert(fBe.toSeq === f.toSeq)
   }
 
+  test("WavDecoder stereo: f3 counts frames, stats pool interleaved samples") {
+    // 3 frames × 2 channels; L/R deliberately asymmetric so pooled vs
+    // per-channel stats diverge — pins the documented contract (frames
+    // for duration, pooled samples for min/max/mean/RMS)
+    val inter = Array[Short](1000, -2000, 3000, -4000, 5000, -6000)
+    val pcm = new Array[Byte](inter.length * 2)
+    inter.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 2, true, false)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 3L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val Seq(f) = Multimodal.WavDecoder.decodeBatch(
+      Seq(baos.toByteArray), Seq("audio/wav"))
+    // rate channels bits FRAMES(3, not 6) min max — min/max span BOTH channels
+    assert(f.take(6).toSeq === Seq(16000f, 2f, 16f, 3f, -6000f, 5000f))
+    val sum = inter.map(_.toLong).sum
+    val sumSq = inter.map(s => s.toLong * s).sum
+    assert(f(6) === (sum / 6.0).toFloat)  // pooled mean over 6 samples
+    assert(f(7) === math.sqrt(sumSq / 6.0).toFloat)
+    assert(f(8) === 1f)
+  }
+
   test("WavDecoder routes corrupt bytes, non-audio mimes, and non-PCM16 formats to the stub") {
     val pcm8 = { // valid WAV but 8-bit — supported container, unsupported depth
       val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
@@ -389,6 +426,35 @@ class SimilaritySpec extends SparkTestBase {
     assert(out(1)._3(8) === 0f) // 97 % 97 == 0 → deterministic dirty payload
     assert(out(1)._3(0) === "notawav:97".getBytes("UTF-8").length.toFloat)
     assert(out(2)._3(8) === 1f)
+  }
+
+  test("synthesizeMp4s: box walk recovers the closed-form header; corrupt/malformed route dirty") {
+    val docs = Seq(5L, 97L, 123L).toDF("doc_id")
+    val out = Multimodal.extractFeatures(
+        Multimodal.synthesizeMp4s(docs), Multimodal.Mp4MetaDecoder)
+      .orderBy("media_id").as[(Long, String, Array[Float])].collect()
+    assert(out.map(_._1).toSeq === Seq(5L, 97L, 123L))
+    def expect(id: Long): Seq[Float] = {
+      val w = 160 + (id % 28) * 16; val h = 96 + (id % 17) * 16
+      val ts = 125 << (id % 4).toInt; val dur = 100 + id % 9000
+      Seq(w.toFloat, h.toFloat, ts.toFloat, dur.toFloat,
+        (dur * 1000L / ts).toFloat, 3f, (id % 41).toFloat,
+        (248 + id % 41).toFloat, 1f)
+    }
+    assert(out(0)._3.toSeq === expect(5L))
+    assert(out(2)._3.toSeq === expect(123L))
+    assert(out(1)._3(8) === 0f) // 97 % 97 == 0 → dirty payload
+    assert(out(1)._3(0) === "notanmp4:97".getBytes("UTF-8").length.toFloat)
+    // malformed variants all degrade, never throw: truncated mid-moov,
+    // oversized box length, empty, and a valid file under a non-video mime
+    val good = Multimodal.synthesizeMp4s(Seq(5L).toDF("doc_id"))
+      .select("content").as[Array[Byte]].head()
+    val truncated = good.take(40)
+    val oversize = good.clone(); oversize(0) = 0x7f.toByte // ftyp size huge
+    val cases = Seq(truncated, oversize, Array.empty[Byte], good)
+    val mimes = Seq("video/mp4", "video/mp4", "video/mp4", "image/png")
+    Multimodal.Mp4MetaDecoder.decodeBatch(cases, mimes)
+      .foreach(f => assert(f.length === 9 && f(8) === 0f))
   }
 
   test("multimodal frame sampling: one row per sampled frame, video only") {
