@@ -219,7 +219,10 @@ object Bench {
       "q145_cms_heavyhitters", "q153_curation_funnel",
       // round-10 additions: the bloom-screened contamination and the
       // recenter-cadence ingest (2 refits O(store) — amortized-O(1) claim)
-      "q159_split_contamination_bloom", "q160_semdedup_cadence")
+      "q159_split_contamination_bloom", "q160_semdedup_cadence",
+      // round-11 ask #3: the PRODUCTION capped-Jaccard path measured on
+      // the same legs as the uncapped q21 it stop-lists
+      "q56_jaccard_capped")
     val sf2Twins = Seq(
       "q102_semdedup" -> "q118_stream_semdedup",
       "q102_semdedup" -> "q124_dag_semdedup",
@@ -234,9 +237,14 @@ object Bench {
       * blowing up at an SF no correctness gate covers — the error list
       * rides the result JSON so a skipped leg query is loudly disclosed,
       * never silently absent. (Main-leg failures stay fatal above.) */
+    // per-leg loadavg bracketing (round-11 verdict #1: the bench
+    // regression adjudication needs to know WHICH leg ran on a loaded
+    // host, not just the run's endpoints)
+    val legLoads = scala.collection.mutable.ArrayBuffer[(String, String)]()
     def runLeg(d: String, subset: Seq[String], tag: String,
         warmLeg: String => Double = warmShared)
         : (Map[String, Double], Double, Seq[String]) = {
+      legLoads += (s"${tag}_start" -> loadavg())
       // drop the previous leg's persisted tables before warming this one:
       // legs never revisit an earlier dir, and keeping three dirs' caches
       // resident starved the heap at the ×10 leg (see SessionCache)
@@ -279,6 +287,7 @@ object Bench {
       }
       System.err.println(
         s"[bench] $tag rowcheck: ${if (bad.isEmpty) "pass" else "FAIL"}(${pairs.size} twin pairs)")
+      legLoads += (s"${tag}_end" -> loadavg())
       (res, warm, errs.toSeq)
     }
     def sibling(dir: String): Option[String] = {
@@ -330,27 +339,31 @@ object Bench {
     val upRequested = sys.env.get("SPARK_GRAFT_UP_DIR")
       .orElse(if (sys.env.get("SPARK_GRAFT_UP").contains("off")) None
               else Some(new java.io.File("updata/sf1").getAbsolutePath))
+    // Shared freshness-check + generate-on-miss for the scale-leg corpora.
+    // Path spellings are normalized (relative vs absolute vs trailing
+    // slash) so a re-spelled dir never triggers a full regeneration; a
+    // generation failure skips the leg loudly rather than failing the run.
+    def ensureCorpus(dir: String, factor: Int, label: String,
+        gen: => Unit): (Option[String], Double) = {
+      def norm(p: String) =
+        java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
+      val fresh = graft.tools.GenScale.manifestInfo(spark, dir)
+        .exists { case (src, f) => norm(src) == norm(sfDir) && f == factor }
+      if (fresh) (Some(dir), 0.0)
+      else {
+        System.err.println(s"[bench] generating ×$factor $label corpus at $dir")
+        val t0 = System.nanoTime()
+        try { gen; (Some(dir), (System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $label generation failed ($e) — skipping leg")
+          (None, (System.nanoTime() - t0) / 1e9)
+        }
+      }
+    }
     val (upDir, upGenSec) = upRequested match {
       case None => (None, 0.0)
-      case Some(d) =>
-        // normalize both spellings: a relative vs absolute (or trailing-
-        // slash) path for the same dir must not trigger a full regeneration
-        def norm(p: String) =
-          java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
-        val fresh = graft.tools.GenScale.manifestInfo(spark, d)
-          .exists { case (src, f) => norm(src) == norm(sfDir) && f == upFactor }
-        if (fresh) (Some(d), 0.0)
-        else {
-          System.err.println(s"[bench] generating ×$upFactor up-scale corpus at $d")
-          val t0 = System.nanoTime()
-          try {
-            graft.tools.GenScale.generate(spark, sfDir, d, upFactor)
-            (Some(d), (System.nanoTime() - t0) / 1e9)
-          } catch { case e: Throwable =>
-            System.err.println(s"[bench] up-scale generation failed ($e) — skipping up leg")
-            (None, (System.nanoTime() - t0) / 1e9)
-          }
-        }
+      case Some(d) => ensureCorpus(d, upFactor, "up-scale",
+        graft.tools.GenScale.generate(spark, sfDir, d, upFactor))
     }
     val (upResults, upWarmup, upGrowth, upErrors) = upDir match {
       case None => (Map.empty[String, Double], 0.0, Map.empty[String, Double], Seq.empty[String])
@@ -371,29 +384,19 @@ object Bench {
     val up100Factor = 100
     val up100Subset = Seq("q17_dedup_exact", "q18_minhash_lsh",
       "q21_jaccard_pairs", "q101_paragraph_dedup", "q102_semdedup",
-      "q158_contamination_bloom")
+      "q158_contamination_bloom",
+      // round-11 asks #3/#4: the capped-Jaccard production path, and the
+      // ANN family (the ×100 corpus carries embeddings — offset-rotated
+      // replicas keep the cell geometry linear)
+      "q56_jaccard_capped", "q53_embed_neardup_lsh", "q54_ann_ivf",
+      "q134_stream_ann_ingest")
     val up100Requested = sys.env.get("SPARK_GRAFT_UP100_DIR")
       .orElse(if (sys.env.get("SPARK_GRAFT_UP100").contains("off")) None
               else Some(new java.io.File("updata/sf10docs").getAbsolutePath))
     val (up100Dir, up100GenSec) = up100Requested match {
       case None => (None, 0.0)
-      case Some(d) =>
-        def norm(p: String) =
-          java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
-        val fresh = graft.tools.GenScale.manifestInfo(spark, d)
-          .exists { case (src, f) => norm(src) == norm(sfDir) && f == up100Factor }
-        if (fresh) (Some(d), 0.0)
-        else {
-          System.err.println(s"[bench] generating ×$up100Factor doc-family corpus at $d")
-          val t0 = System.nanoTime()
-          try {
-            graft.tools.GenScale.generateDocs(spark, sfDir, d, up100Factor)
-            (Some(d), (System.nanoTime() - t0) / 1e9)
-          } catch { case e: Throwable =>
-            System.err.println(s"[bench] ×100 doc generation failed ($e) — skipping up100 leg")
-            (None, (System.nanoTime() - t0) / 1e9)
-          }
-        }
+      case Some(d) => ensureCorpus(d, up100Factor, "doc-family",
+        graft.tools.GenScale.generateDocs(spark, sfDir, d, up100Factor))
     }
     val (up100Results, up100Warmup, up100Growth, up100Errors) = up100Dir match {
       case None => (Map.empty[String, Double], 0.0, Map.empty[String, Double], Seq.empty[String])
@@ -453,10 +456,33 @@ object Bench {
         s""""up100_growth_exponents":${qJson(up100Growth)},""" +
         s""""up100_errors":${sJson(up100Errors)}"""
     }.getOrElse("")
+    // q21 candidate-pair counts per leg (round-11 verdict #3: separate
+    // PLAN growth from memory pressure — if these are linear in the
+    // factor, a superlinear wall-clock exponent is shuffle/host, not the
+    // pair space). One cheap aggregate per leg over the exploded
+    // shingles; replica token-suffixing makes these exactly linear by
+    // construction, so this line is the standing proof.
+    def candPairs(d: String): Long = {
+      import org.apache.spark.sql.functions.{array_distinct, col, explode, expr, lit, sum}
+      graft.core.Tables.documents(spark, d)
+        .select(explode(array_distinct(
+          graft.functions.TextFunctions.shingles(col("text"), 3))).as("sh"))
+        .groupBy(col("sh")).agg(org.apache.spark.sql.functions.count(lit(1)).as("c"))
+        .agg(sum(expr("c*(c-1) div 2"))).head().getLong(0)
+    }
+    val diagJson = {
+      val legs = Seq("main" -> Some(sfDir), "up" -> upDir, "up100" -> up100Dir)
+        .collect { case (tag, Some(d)) => tag -> candPairs(d) }
+      s""","diag_q21_cand_pairs":${legs.map { case (t, n) => "\"" + t + "\":" + n }
+        .mkString("{", ",", "}")}"""
+    }
+    val legLoadJson =
+      s""","leg_loadavg":${legLoads.map { case (t, l) => "\"" + t + "\":\"" + l + "\"" }
+        .mkString("{", ",", "}")}"""
     val full =
       s"""{$common,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd",""" +
         s""""retry_total_sec":${r2(retryTotal)},"retry_sec":${qJson(retries)},""" +
-        s""""queries":${qJson(results)}$sf2Json$upJson$up100Json,"sf":"$sfDir"}"""
+        s""""queries":${qJson(results)}$sf2Json$upJson$up100Json$diagJson$legLoadJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_result.json"), full + "\n")
     val slowest = results.toSeq.sortBy(-_._2).take(10)
     // the stdout line stays tail-parser-small: growth exponents ride it

@@ -325,8 +325,11 @@ private[graft] object GateSupport {
         } else 0L
       }
       // GRAFT_DAG_CHUNKS: dev override to exercise the >2-chunk staggered
-      // path at a gated SF (results must be chunk-count independent)
+      // path at a gated SF (results must be chunk-count independent);
+      // clamped to the same [2,16] band as the derived value — 0/negative
+      // would make pmod-style bucketing degenerate and silently drop data
       val nChunks = sys.env.get("GRAFT_DAG_CHUNKS").flatMap(_.toIntOption)
+        .map(n => math.max(2, math.min(16, n)))
         .getOrElse(math.max(2, math.min(16, (corpusBytes / 24000000L).toInt + 1)))
       // ---- staggered tail flushing (round-10 ask #3): the refund-family
       // tables (order_refund_info, refund_payment) and the order_info

@@ -116,9 +116,16 @@ private[graft] object SimilarityGates {
     // DOUBLE[] literals), so candidate scores are exact-checked; recall vs
     // the exact q23 pair set is asserted in SimilaritySpec (single-table
     // LSH recall < 1 by construction).
-    "q53_embed_neardup_lsh" -> ((s, d) =>
-      Similarity.nearDupPairs(Tables.embeddings(s, d), 0.35, 64, nPlanes = 4)
-        .orderBy(col("a"), col("b"))),
+    // nPlanes is AUTO-sized (= 4 at both gated SFs, so the inlined
+    // 4-plane oracle matrix stays pinned; grows as log2(N) at the bench
+    // up-legs so the bucketed pair space stays linear — a fixed count
+    // would be quadratic at ×100, see Similarity.autoPlanes)
+    "q53_embed_neardup_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.nearDupPairs(emb, 0.35, 64,
+          nPlanes = Similarity.autoPlanes(emb))
+        .orderBy(col("a"), col("b"))
+    }),
 
     // kNN label purity — the standard embedding-quality probe over the
     // labeled embeddings table: fraction of each query's exact top-10

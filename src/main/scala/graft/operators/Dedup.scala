@@ -200,6 +200,23 @@ object Dedup {
     * far below O(n²) on natural text. Very frequent shingles are
     * stop-listed at scale by [[ngramJaccardPairsCapped]] (maxDocFreq cap).
     */
+  /** Shuffle width for the shingle-keyed pair-join stage, scaled with the
+    * input: the session default (sized for the warehouse tables) starves
+    * the pair fan-out at up-scale — the join inflates each source byte
+    * into ~10× of pair-row bytes, so a fixed 32 partitions at a ×100
+    * corpus pushes >100 MB of pair rows through every reducer (measured:
+    * widening 32→256 cut the ×100 leg ~30% on a quiet host). ~512 KB of
+    * SOURCE bytes per partition keeps the gated SFs at the session
+    * default (plan-identical) and grows linearly past it, capped at 4096
+    * (the AQE-coalesce regime on a real cluster). Partition count never
+    * changes VALUES — only the exchange width. */
+  private def pairShuffleParts(docs: DataFrame): Int = {
+    val conf = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val bytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    val scaled = (bytes / (512L << 10)).min(BigInt(4096)).toInt
+    math.max(conf, scaled)
+  }
+
   def ngramJaccardPairs(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -211,8 +228,13 @@ object Dedup {
       .select(col(idCol).as("id"),
         explode(array_distinct(shingles(col(textCol), shingleN))).as("sh"))
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val joined = sh.select(col("id").as("a"), col("sh"))
-      .join(sh.select(col("id").as("b"), col("sh")), Seq("sh"))
+    // pre-partition by shingle at the SCALED width: HashPartitioning(sh, n)
+    // satisfies the join's ClusteredDistribution for any n, so the
+    // self-join runs at n partitions (one exchange, reused by both sides)
+    // instead of the session default sized for unexploded tables
+    val shWide = sh.repartition(pairShuffleParts(docs), col("sh"))
+    val joined = shWide.select(col("id").as("a"), col("sh"))
+      .join(shWide.select(col("id").as("b"), col("sh")), Seq("sh"))
       .where(col("a") < col("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
     joined
@@ -559,7 +581,11 @@ object Dedup {
         explode(array_distinct(shingles(col(textCol), shingleN))).as("sh"))
     val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .where(col("df") > maxDocFreq).select(col("sh"))
+    // same scaled-width pre-partition as the uncapped form (see
+    // pairShuffleParts): the capped index self-join is the production
+    // path on the up-scale legs and carries the same pair fan-out
     val idx = sh.join(broadcast(hot), Seq("sh"), "left_anti")
+      .repartition(pairShuffleParts(docs), col("sh"))
     // shared cold shingles per pair — doubles as the candidate set
     val coldCommon = idx.select(col("id").as("a"), col("sh"))
       .join(idx.select(col("id").as("b"), col("sh")), Seq("sh"))

@@ -393,6 +393,21 @@ object Similarity {
     * For the exact (oracle-checkable) variant pass nPlanes = 0 → single
     * bucket = exact all-pairs (only viable at verification scale).
     */
+  /** Scale-aware hyperplane count for [[nearDupPairs]]'s bucketed path:
+    * a FIXED plane count is quadratic at scale (buckets stay constant
+    * while per-bucket population grows linearly, so the within-bucket
+    * pair space grows as N²). Growing planes with log₂(N/500) keeps the
+    * expected bucket population ~constant (≈500 vectors ⇒ ~125k scored
+    * pairs per bucket), the same discipline as [[semDedup]]'s ~√N cells.
+    * Resolves to exactly 4 at the gated SFs (500/2000 vectors), so the
+    * q53 oracle's inlined 4-plane matrix stays pinned; the up-scale
+    * bench legs get the production-sized bucket space. One count()
+    * action — metadata-only on parquet, trivial on a cached table. */
+  def autoPlanes(vecs: DataFrame): Int = {
+    val n = vecs.count()
+    math.max(4, math.ceil(math.log(n / 500.0) / math.log(2.0)).toInt)
+  }
+
   def nearDupPairs(
       vecs: DataFrame,
       threshold: Double,
