@@ -111,15 +111,26 @@ object Envelopes {
 
   // ------------------------------------------------------------- parsing --
 
-  private def parse(raw: DataFrame, jsonCol: String, schema: StructType): DataFrame =
+  private def parse(raw: DataFrame, jsonCol: String, schema: StructType,
+      keep: Seq[String] = Nil): DataFrame =
     raw.withColumn("_env", from_json(col(jsonCol), schema,
         Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> Corrupt)))
-      .select(col(jsonCol).as("_raw"), col("_env.*"))
+      .select(keep.map(col) ++ Seq(col(jsonCol).as("_raw"), col("_env.*")): _*)
 
   /** Parse a Maxwell JSON column; corrupt input keeps `_raw` and gets a
-    * non-null [[Corrupt]] column. */
-  def parseMaxwell(raw: DataFrame, jsonCol: String = "value"): DataFrame =
-    parse(raw, jsonCol, maxwellSchema)
+    * non-null [[Corrupt]] column.
+    *
+    * `keep` passes input columns through UNPARSED alongside the envelope
+    * fields. The point is predicate pushdown past the parse: a filter on
+    * a kept column (e.g. a producer-staged `table` tag) references a
+    * passthrough attribute, so Catalyst moves it BELOW this projection
+    * and `from_json` — by far the most expensive expression in any CDC
+    * plan — evaluates only for surviving rows. A filter on a from_json
+    * OUTPUT field (like the parsed `table`) can never push below the
+    * parse that computes it. */
+  def parseMaxwell(raw: DataFrame, jsonCol: String = "value",
+      keep: Seq[String] = Nil): DataFrame =
+    parse(raw, jsonCol, maxwellSchema, keep)
 
   /** Parse a behavior-log JSON column. */
   def parseLog(raw: DataFrame, jsonCol: String = "value"): DataFrame =

@@ -153,25 +153,58 @@ private[graft] object DagGates {
       require((hi - lo) * tsScale / 2 > 4 * 905L,
         s"q164 needs a scaled half-span > ${4 * 905} s for an unambiguous late-drop margin (got ${(hi - lo) * tsScale / 2})")
       val n = 4
-      val tagged = raw.select(col("value"),
+      // stage a producer-extracted `table` tag NEXT TO the raw envelope:
+      // the pay pipeline references the one topic_db source FIVE times
+      // (pay/od/oi/act/cou legs), and Structured Streaming scans a
+      // streaming source once PER REFERENCE — with the table only inside
+      // the JSON, every leg full-parses every envelope (measured: 5× the
+      // staged rows as numInputRows, from_json dominating addBatch).
+      // A filter on the staged tag is a passthrough-attribute predicate,
+      // so it pushes BELOW from_json (see Envelopes.parseMaxwell's keep
+      // doc) and each leg parses only its own table's slice — identical
+      // output, ~5× less parse work. Kafka's production analogue: the
+      // record key / a header carries the table, consumers filter on it
+      // before deserializing the value.
+      val tagged = raw.select(
+        get_json_object(col("value"), "$.table").as("ptable"), col("value"),
         least(lit(n - 1), floor(((ts - lit(lo)) * n) / lit(hi - lo + 1)))
           .cast("int").as("c"))
+      def tableOf(j: String): String =
+        j.split("\"table\":\"")(1).takeWhile(_ != '"')
       try {
-        val lateReplay = tagged.where(col("c") === 0 &&
-            get_json_object(col("value"), "$.table") === "payment_info")
-          .select(col("value"))
+        val lateReplay = tagged.where(col("c") === 0 && col("ptable") === "payment_info")
+          .select(col("ptable"), col("value"))
         val chunks = (0 until n).map { i =>
-          val base = tagged.where(col("c") === i).select(col("value"))
-          (if (i == n - 1) base.unionByName(lateReplay) else base).as[String]
+          val base = tagged.where(col("c") === i).select(col("ptable"), col("value"))
+          (if (i == n - 1) base.unionByName(lateReplay) else base).as[(String, String)]
         }
-        val sentinels = DagRun.flushSentinels.toDS()
-        val inert = Seq(
-          """{"database":"gmall","table":"zz_inert","type":"insert","ts":4000000001,"data":{},"old":null}""").toDS()
-        val out = StreamHarness.runFiles(s, chunks ++ Seq(sentinels, inert)) { ds =>
-          val (clean, _) = Envelopes.cleanDirty(Envelopes.parseMaxwell(ds.toDF()))
-          GmallPipelines.tradePaySuccessStream(
-            clean.withColumn("ts", col("ts") * tsScale),
-            TopicDb.baseDic(s), 905L)
+        val sentinels = DagRun.flushSentinels.map(j => (tableOf(j), j)).toDS()
+        val inertJson =
+          """{"database":"gmall","table":"zz_inert","type":"insert","ts":4000000001,"data":{},"old":null}"""
+        val inert = Seq((tableOf(inertJson), inertJson)).toDS()
+        // changelog checkpointing for THIS gate: its join state is 50-160k
+        // rows per store, where per-batch FULL RocksDB snapshots dominate
+        // the commit (measured 121 → 96 s warm); the small-state window
+        // gates measured the opposite and keep snapshot mode. Set on the
+        // caller so the harness clone inherits it; restored in finally.
+        val clKey = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        val clPrev = s.conf.getAll.get(clKey)
+        s.conf.set(clKey, "true")
+        val out = try {
+          StreamHarness.runFiles(s, chunks ++ Seq(sentinels, inert)) { ds =>
+            val parsed = Envelopes.parseMaxwell(
+              ds.toDF("ptable", "value"), keep = Seq("ptable"))
+            val (clean, _) = Envelopes.cleanDirty(parsed)
+            GmallPipelines.tradePaySuccessStream(
+              clean.drop("table").withColumnRenamed("ptable", "table")
+                .withColumn("ts", col("ts") * tsScale),
+              TopicDb.baseDic(s), 905L)
+          }
+        } finally {
+          clPrev match {
+            case Some(v) => s.conf.set(clKey, v)
+            case None => s.conf.unset(clKey)
+          }
         }
         paySuccessAgg(out).localCheckpoint(true)
       } finally { raw.unpersist(); () }
