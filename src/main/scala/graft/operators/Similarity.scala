@@ -396,16 +396,21 @@ object Similarity {
   /** Scale-aware hyperplane count for [[nearDupPairs]]'s bucketed path:
     * a FIXED plane count is quadratic at scale (buckets stay constant
     * while per-bucket population grows linearly, so the within-bucket
-    * pair space grows as N²). Growing planes with log₂(N/500) keeps the
-    * expected bucket population ~constant (≈500 vectors ⇒ ~125k scored
-    * pairs per bucket), the same discipline as [[semDedup]]'s ~√N cells.
-    * Resolves to exactly 4 at the gated SFs (500/2000 vectors), so the
-    * q53 oracle's inlined 4-plane matrix stays pinned; the up-scale
-    * bench legs get the production-sized bucket space. One count()
-    * action — metadata-only on parquet, trivial on a cached table. */
+    * pair space grows as N²). Growing planes with log₂(N/125) pins the
+    * expected bucket population at the gated density (2000 vectors / 16
+    * buckets = 125 ⇒ ~8k scored pairs per bucket), the same discipline
+    * as [[semDedup]]'s ~√N cells — constant population makes the total
+    * pair space LINEAR in N (a ×100 first measurement with a 500-target
+    * divisor carried a one-time 4× population jump and measured exponent
+    * 1.36; the pinned density removes that transition). Resolves to
+    * exactly 4 at the gated SFs (500/2000 vectors — the 1e-9 guard keeps
+    * log₂(16.0) from ceiling to 5 on the last ulp), so the q53 oracle's
+    * inlined 4-plane matrix stays pinned; the up-scale bench legs get
+    * the production-sized bucket space. One count() action —
+    * metadata-only on parquet, trivial on a cached table. */
   def autoPlanes(vecs: DataFrame): Int = {
     val n = vecs.count()
-    math.max(4, math.ceil(math.log(n / 500.0) / math.log(2.0)).toInt)
+    math.max(4, math.ceil(math.log(n / 125.0) / math.log(2.0) - 1e-9).toInt)
   }
 
   def nearDupPairs(
