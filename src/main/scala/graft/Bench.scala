@@ -4,28 +4,44 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and emits ONE raw JSON line on stdout (plus the full
-  * per-query map at bench_result.json) for the driver. A query failure
-  * aborts the run with a non-zero exit — a broken query must never bench
-  * as a fast success.
+  * per-query map at bench_result.json) for the driver. A MAIN-leg query
+  * failure aborts the run with a non-zero exit — a broken query must never
+  * bench as a fast success.
   *
   * Accounting: the shared topic_db parse and the materialized
   * dwd_trade_order_pre_process wide table (the reference's two
   * Kafka-topic-equivalent hand-offs feeding ~15 pipeline gates) build in
-  * a disclosed warmup phase, and `value` INCLUDES that warmup — the gated
-  * total is all work done, with `warmup_sec` broken out purely for
-  * round-over-round attribution.
+  * a disclosed warmup phase, and `value` INCLUDES that warmup. The
+  * warehouse-DAG settle (ONE cached `startFromFiles` run per sf dir —
+  * ~17 streaming queries, the ods→dwd→dws production graph) is warmed
+  * BEFORE the timed query loop and disclosed as its own `dag_charge_sec`
+  * line (round-13 verdict #2: it was previously charged to whichever DAG
+  * gate the Map iterated first, where its ±40 % JVM-history variance
+  * dominated the main-leg total); the eleven DAG gates then time their
+  * read-back cost like every other query. `value` = warmup + first-pass
+  * queries; `dag_charge_sec` is separate, so all work stays disclosed:
+  * total wall-clock ≈ value + dag_charge_sec + retry_total_sec + legs.
   *
-  * The stdout line carries total+warmup+slowest-10 only: the driver's
-  * bounded stdout-tail parser front-clipped the ~2 KB full-map line three
-  * rounds running (BENCH_r0{1,2,3}.json `parsed: null`). The full map
-  * lives in bench_result.json, and the line prints LAST so only sbt's
-  * ~60-byte success trailer follows it in the tail buffer.
+  * Wall-clock budget (round-13 verdict #1: two straight rounds lost the
+  * driver artifact to its ~1 h envelope — r13 was killed at rc 124 with
+  * the one end-of-run JSON write never reached): the run self-budgets via
+  * SPARK_GRAFT_BENCH_BUDGET_SEC (default 2700 s from JVM start, "off" to
+  * disable). The MAIN leg always runs in full; each scale leg (and each
+  * leg's DAG settle, and the candidate-pair diagnostic) is skipped — and
+  * loudly disclosed in `skipped` + `leg_errors` — when the remaining
+  * budget can't cover its last-known cost (constants below, from the r13
+  * quiet-host emission). Within a leg, a query starting past the deadline
+  * is skipped the same way. bench_result.json is REWRITTEN after the main
+  * leg and again after every scale leg, so even a hard kill leaves the
+  * completed legs' numbers on disk. Leg order is sf0.01 → ×100 → ×10
+  * (cheapest first, then the contested doc-family exponents, then the
+  * ×10 leg whose DAG settle is the single largest skippable item).
   *
-  * The three warehouse-DAG gates (q110/q113/q114) share ONE cached
-  * `startFromFiles` run: whichever of them the Map iterates first pays
-  * the whole ~10-query streaming DAG (~100 s at sf0.1) and the other two
-  * read cached warehouse dirs in <1 s — the retry pass self-discloses
-  * this (the payer re-measures at ~0.1 s).
+  * The stdout line carries total+warmup+slowest-10+exponents only: the
+  * driver's bounded stdout-tail parser front-clipped the ~2 KB full-map
+  * line three rounds running (BENCH_r0{1,2,3}.json `parsed: null`). The
+  * full map lives in bench_result.json, and the line prints LAST so only
+  * sbt's ~60-byte success trailer follows it in the tail buffer.
   */
 object Bench {
   private def r2(v: Double): Double = math.rint(v * 100) / 100
@@ -39,7 +55,26 @@ object Bench {
       .split("\\s+").take(3).mkString(" ")
     catch { case _: Throwable => "" }
 
+  // ---- last-known leg costs (r13 quiet-host emission, loadavg 1.07),
+  // the budget gate's skip thresholds. Deliberately round and slightly
+  // conservative; a stale estimate fails SOFT (a leg skipped a round, or
+  // a small overshoot the per-query deadline check bounds).
+  private val EstSf2Leg = 200.0    // r13: 4.7 warm + 107 queries (incl. its ~55 s DAG)
+  private val EstUp100Leg = 950.0  // r13: 1439 minus the dropped q21 (428) minus
+                                   // q53's pre-density-pin overrun (~250 of 329)
+  private val EstUpLegBase = 500.0 // r13: 184 warm + (968 queries − ~772 DAG settle)
+  private val EstUpDag = 900.0     // r13: the ×10 startFromFiles settle (~772 s) + slack
+  private val EstDiag = Map("main" -> 15.0, "sf2" -> 10.0, "up" -> 80.0, "up100" -> 400.0)
+
   def main(args: Array[String]): Unit = {
+    val benchT0 = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - benchT0) / 1e9
+    val budgetSec: Double = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC") match {
+      case Some("off") => Double.MaxValue
+      case Some(s) => s.toDoubleOption.getOrElse(2700.0)
+      case None => 2700.0
+    }
+    def remainingSec: Double = budgetSec - elapsedSec
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val loadStart = loadavg()
@@ -97,6 +132,22 @@ object Bench {
         sys.exit(1)
       }
     System.err.println(f"[bench] warmup(shared tables) $warmup%8.2f s")
+    /** The cached warehouse-DAG settle for one sf dir, timed: DagRun
+      * memoizes per (JVM, dir), so the eleven DAG gates that follow read
+      * its warehouse dirs in read-back time. */
+    def warmDag(d: String): Double = {
+      val t0 = System.nanoTime()
+      graft.entry.GateSupport.DagRun(spark, d)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val dagCharge =
+      try warmDag(sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] FATAL: warehouse-DAG settle failed: $e")
+        spark.stop()
+        sys.exit(1)
+      }
+    System.err.println(f"[bench] dag_charge(main)    $dagCharge%8.2f s")
     def count(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Long = {
       val rows =
         try fn(spark, sfDir).count()
@@ -182,29 +233,105 @@ object Bench {
     }
     val rowcheck = s"pass(${twins.size} twin pairs)"
     System.err.println(s"[bench] sf rowcheck: $rowcheck")
+    // the eleven gates reading the cached DAG warehouse: used by the
+    // scale legs' budget gate (skipping a leg's DAG settle must also skip
+    // the gates that would silently re-trigger it)
     val dagGates = Set("q110_dag_dim_store", "q113_dag_dwd_cart",
       "q114_dag_dws_traffic", "q115_dag_dwd_order_pre", "q117_dag_dws_keyword",
       "q119_dag_dwd_pay_success", "q120_dag_dwd_cancel",
       "q121_dag_dwd_order_refund", "q122_dag_dwd_refund_pay_suc",
       "q123_dag_paragraph_fuzzy", "q124_dag_semdedup")
-    /** A gate's host-noise-adjudicated main-leg time: DAG gates keep the
-      * first pass (their retry is a cache hit, not a re-measure). */
+    /** A gate's host-noise-adjudicated main-leg time (the DAG settle is
+      * pre-warmed, so every gate's retry is a true re-measure now). */
     def mainT(name: String): Double =
-      if (dagGates(name)) results(name)
-      else math.min(results(name), retries.getOrElse(name, results(name)))
-    // ---- scale legs (round-7 ask #3 + round-9 ask #1): growth exponents
-    // MEASURED, not argued — in BOTH directions. The scale-sensitive
-    // families (ingest-store twins, the DAG charge gate + its twins, every
-    // dedup/ANN path, a scan-agg and a windowed-state control) re-run
-    // against (a) the next SMALLER sf dir sibling (fixed per-gate overhead
-    // makes sub-linear exponents normal there — the tripwire is exponents
-    // ≫ 1 beyond a gate's documented complexity) and (b) a GENERATED
-    // ×10 UP-scale corpus (tools/GenScale key-offset replicas; textually/
-    // geometrically disjoint so dup-pair spaces scale linearly by
-    // construction), where fixed overhead DEFLATES instead of flattering —
-    // the direction that actually extrapolates toward 100 TB.
-    // Disable with SPARK_GRAFT_SF2=off / SPARK_GRAFT_UP=off; override the
-    // dirs with SPARK_GRAFT_SF2_DIR / SPARK_GRAFT_UP_DIR.
+      math.min(results(name), retries.getOrElse(name, results(name)))
+    // q21 candidate-pair counts per leg (round-11 verdict #3: separate
+    // PLAN growth from memory pressure — if these are linear in the
+    // factor, a superlinear wall-clock exponent is shuffle/host, not the
+    // pair space). Replica token-suffixing makes these exactly linear by
+    // construction, so this line is the standing proof — and the reason
+    // the uncapped q21 no longer re-runs at ×100 (see up100Excluded). At
+    // ×100 this aggregate is itself a full shuffle of the shingle index
+    // (round-13 advisor), so each leg's diag is timed into diag_sec and
+    // budget-gated like any other leg work. Null-safe: an empty documents
+    // table sums to NULL, which must read as 0 pairs, not an NPE.
+    def candPairs(d: String): Long = {
+      import org.apache.spark.sql.functions.{array_distinct, col, explode, expr, lit, sum}
+      val v = graft.core.Tables.documents(spark, d)
+        .select(explode(array_distinct(
+          graft.functions.TextFunctions.shingles(col("text"), 3))).as("sh"))
+        .groupBy(col("sh")).agg(org.apache.spark.sql.functions.count(lit(1)).as("c"))
+        .agg(sum(expr("c*(c-1) div 2"))).head().getAs[java.lang.Long](0)
+      if (v == null) 0L else v.longValue()
+    }
+    // ---- incremental emission state: bench_result.json is rewritten
+    // after the main leg and after every scale leg / diagnostic, so a
+    // driver kill preserves everything measured so far (round-13 lost a
+    // whole run's numbers to one end-of-run write that never happened).
+    val legJsons = scala.collection.mutable.LinkedHashMap[String, String]()
+    // growth maps + leg errors also kept as state (not re-parsed from the
+    // rendered JSON) for the stdout line
+    val growthByLeg = scala.collection.mutable.LinkedHashMap[String, String]()
+    val legDirs = scala.collection.mutable.LinkedHashMap[String, String]()
+    val allLegErrs = scala.collection.mutable.ArrayBuffer[String]()
+    val diagPairs = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val diagSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val skipped = scala.collection.mutable.ArrayBuffer[String]()
+    val legLoads = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val queriesOnly = results.values.sum
+    val total = queriesOnly + warmup
+    // best_of_2_sec: warmup + Σ min(first pass, retry) — the host-noise-
+    // adjudicated comparison as a first-class number, so round-over-round
+    // review stops doing manual retry arithmetic over retry_sec.
+    val bestOf2 = warmup + results.keys.map(mainT).sum
+    def qJson(qs: Iterable[(String, Double)]): String =
+      qs.map { case (k, v) => "\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
+    def sJson(ss: Seq[String]): String =
+      ss.map(s => "\"" + s.replace("\"", "'") + "\"").mkString("[", ",", "]")
+    def common =
+      s""""metric":"total","value":${r2(total)},"unit":"sec","warmup_sec":${r2(warmup)},""" +
+        s""""dag_charge_sec":${r2(dagCharge)},""" +
+        s""""queries_only_sec":${r2(queriesOnly)},"best_of_2_sec":${r2(bestOf2)},""" +
+        s""""n_queries":${results.size},""" +
+        s""""budget_sec":${if (budgetSec == Double.MaxValue) "\"off\"" else r2(budgetSec)},""" +
+        s""""sf_twin_rowcheck":"$rowcheck""""
+    def emitResultFile(): Unit = {
+      val legs = legJsons.values.mkString
+      val diag = if (diagPairs.isEmpty) "" else
+        s""","diag_q21_cand_pairs":${diagPairs.map { case (t, n) => "\"" + t + "\":" + n }
+          .mkString("{", ",", "}")},"diag_sec":${qJson(diagSecs)}"""
+      val skJson = if (skipped.isEmpty) "" else s""","skipped":${sJson(skipped.toSeq)}"""
+      val legLoadJson = if (legLoads.isEmpty) "" else
+        s""","leg_loadavg":${legLoads.map { case (t, l) => "\"" + t + "\":\"" + l + "\"" }
+          .mkString("{", ",", "}")}"""
+      val full =
+        s"""{$common,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}",""" +
+          s""""elapsed_sec":${r2(elapsedSec)},""" +
+          s""""retry_total_sec":${r2(retryTotal)},"retry_sec":${qJson(retries)},""" +
+          s""""queries":${qJson(results)}$legs$diag$skJson$legLoadJson,"sf":"$sfDir"}"""
+      Files.writeString(Paths.get("bench_result.json"), full + "\n")
+    }
+    emitResultFile() // main leg is on disk before any scale leg starts
+    /** The per-leg diagnostic, budget-gated and timed. */
+    def runDiag(tag: String, d: String): Unit = {
+      val est = EstDiag.getOrElse(tag, 60.0)
+      if (remainingSec < est) {
+        val msg = f"diag_$tag: skipped (budget: est ${est}%.0f s > remaining ${remainingSec}%.0f s)"
+        System.err.println(s"[bench] $msg"); skipped += msg
+      } else {
+        val t0 = System.nanoTime()
+        try {
+          diagPairs(tag) = candPairs(d)
+          diagSecs(tag) = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[bench] diag($tag cand pairs) ${diagSecs(tag)}%8.2f s = ${diagPairs(tag)}")
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] diag_$tag failed: $e")
+          skipped += s"diag_$tag: ${e.getClass.getSimpleName}"
+        }
+      }
+      emitResultFile()
+    }
+    runDiag("main", sfDir)
     val sf2Subset = Seq(
       "q01_pricing_summary", "q17_dedup_exact", "q18_minhash_lsh",
       "q19_simhash_sig", "q21_jaccard_pairs", "q23_embed_neardup",
@@ -230,20 +357,20 @@ object Bench {
       "q116_stream_paragraph_fuzzy" -> "q123_dag_paragraph_fuzzy",
       "q141_split_contamination" -> "q159_split_contamination_bloom",
       "q44_dwd_refund_pay_suc" -> "q122_dag_dwd_refund_pay_suc")
-    /** One scale leg: warm the shared tables at `d`, run `subset`, check
-      * the twin pairs present in the subset. Returns (times, warmup,
-      * errors). Scale-leg failures are RECORDED, not fatal: the main-leg
-      * emission (the driver's headline) must survive a scale-leg query
-      * blowing up at an SF no correctness gate covers — the error list
-      * rides the result JSON so a skipped leg query is loudly disclosed,
-      * never silently absent. (Main-leg failures stay fatal above.) */
-    // per-leg loadavg bracketing (round-11 verdict #1: the bench
-    // regression adjudication needs to know WHICH leg ran on a loaded
-    // host, not just the run's endpoints)
-    val legLoads = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    /** One scale leg: warm the shared tables at `d`, settle the DAG if the
+      * subset reads it (skipped with disclosure when the budget can't
+      * cover `dagEst` — the DAG gates are then dropped from the subset so
+      * a read never silently re-triggers the settle), run the subset with
+      * a per-query deadline check, verify the twin pairs present. Returns
+      * (times, warmup, dagCharge, errors). Scale-leg failures are
+      * RECORDED, not fatal: the main-leg emission (the driver's headline)
+      * must survive a scale-leg query blowing up at an SF no correctness
+      * gate covers — the error list rides the result JSON so a skipped
+      * leg query is loudly disclosed, never silently absent. (Main-leg
+      * failures stay fatal above.) */
     def runLeg(d: String, subset: Seq[String], tag: String,
-        warmLeg: String => Double = warmShared)
-        : (Map[String, Double], Double, Seq[String]) = {
+        warmLeg: String => Double = warmShared, dagEst: Double = 0.0)
+        : (Map[String, Double], Double, Option[Double], Seq[String]) = {
       legLoads += (s"${tag}_start" -> loadavg())
       // drop the previous leg's persisted tables before warming this one:
       // legs never revisit an earlier dir, and keeping three dirs' caches
@@ -254,28 +381,56 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] LEG ERROR: warmup failed at $d: $e")
           errs += s"warmup: ${e.getClass.getSimpleName}"
-          return (Map.empty, 0.0, errs.toSeq)
+          return (Map.empty, 0.0, None, errs.toSeq)
         }
       System.err.println(f"[bench] warmup($tag shared)  $warm%8.2f s")
-      val cs = scala.collection.mutable.Map[String, Long]()
-      val res = subset.flatMap { name =>
-        val t0 = System.nanoTime()
-        try {
-          val rows = qs(name)(spark, d).count()
-          if (rows == 0L) {
-            System.err.println(s"[bench] LEG ERROR: $name returned 0 rows at $d")
-            errs += s"$name: 0 rows"
-            None
-          } else {
-            cs(name) = rows
-            val sec = (System.nanoTime() - t0) / 1e9
-            System.err.println(f"[bench] $name%-22s $sec%8.2f s ($tag)")
-            Some(name -> sec)
+      // the leg's DAG settle, separately budget-gated (it is the single
+      // largest skippable item: ~772 s at the ×10 leg in r13)
+      val hasDag = subset.exists(dagGates)
+      val (legDag, runnable) =
+        if (!hasDag) (None, subset)
+        else if (remainingSec < dagEst) {
+          val msg = f"${tag}_dag: skipped with its ${subset.count(dagGates)} gates " +
+            f"(budget: est ${dagEst}%.0f s > remaining ${remainingSec}%.0f s)"
+          System.err.println(s"[bench] $msg")
+          errs += msg
+          (None, subset.filterNot(dagGates))
+        } else {
+          try {
+            val c = warmDag(d)
+            System.err.println(f"[bench] dag_charge($tag)   $c%8.2f s")
+            (Some(c), subset)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] LEG ERROR: DAG settle failed at $d: $e")
+            errs += s"${tag}_dag: ${e.getClass.getSimpleName}"
+            (None, subset.filterNot(dagGates))
           }
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] LEG ERROR: $name failed at $d: $e")
-          errs += s"$name: ${e.getClass.getSimpleName}"
+        }
+      val cs = scala.collection.mutable.Map[String, Long]()
+      val res = runnable.flatMap { name =>
+        if (remainingSec <= 0) {
+          val msg = s"$name: skipped (budget exhausted)"
+          System.err.println(s"[bench] $msg"); errs += msg
           None
+        } else {
+          val t0 = System.nanoTime()
+          try {
+            val rows = qs(name)(spark, d).count()
+            if (rows == 0L) {
+              System.err.println(s"[bench] LEG ERROR: $name returned 0 rows at $d")
+              errs += s"$name: 0 rows"
+              None
+            } else {
+              cs(name) = rows
+              val sec = (System.nanoTime() - t0) / 1e9
+              System.err.println(f"[bench] $name%-22s $sec%8.2f s ($tag)")
+              Some(name -> sec)
+            }
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] LEG ERROR: $name failed at $d: $e")
+            errs += s"$name: ${e.getClass.getSimpleName}"
+            None
+          }
         }
       }.toMap
       val pairs = sf2Twins.filter { case (a, b) => cs.contains(a) && cs.contains(b) }
@@ -288,7 +443,7 @@ object Bench {
       System.err.println(
         s"[bench] $tag rowcheck: ${if (bad.isEmpty) "pass" else "FAIL"}(${pairs.size} twin pairs)")
       legLoads += (s"${tag}_end" -> loadavg())
-      (res, warm, errs.toSeq)
+      (res, warm, legDag, errs.toSeq)
     }
     def sibling(dir: String): Option[String] = {
       val p = Paths.get(dir).toAbsolutePath
@@ -304,41 +459,47 @@ object Bench {
           .map { case (n, _) => s"${parent.getAbsolutePath}/$n" }
       }
     }
+    /** Leg-level budget gate: returns true (and discloses) when the leg
+      * must be skipped because its last-known cost exceeds the budget. */
+    def budgetSkip(tag: String, est: Double): Boolean =
+      if (remainingSec >= est) false
+      else {
+        val msg = f"$tag: leg skipped (budget: est ${est}%.0f s > remaining ${remainingSec}%.0f s)"
+        System.err.println(s"[bench] $msg"); skipped += msg
+        true
+      }
     // ---- DOWN leg (next smaller sibling; exponent = log(t1/t2)/log(r))
     val sf2Dir = sys.env.get("SPARK_GRAFT_SF2_DIR")
       .orElse(if (sys.env.get("SPARK_GRAFT_SF2").contains("off")) None
               else sibling(sfDir))
       .filter(d => Files.isDirectory(Paths.get(d)))
-    val (sf2Results, sf2Warmup, sf2Growth, sf2Errors) = sf2Dir match {
-      case None => (Map.empty[String, Double], 0.0, Map.empty[String, Double], Seq.empty[String])
-      case Some(d2) =>
-        val (res2, warm2, errs2) = runLeg(d2, sf2Subset, "sf2")
-        val ratio = {
-          val sfOf = (p: String) =>
-            Paths.get(p).getFileName.toString.drop(2).toDoubleOption
-          (sfOf(sfDir), sfOf(d2)) match {
-            case (Some(a), Some(b)) if b > 0 => a / b
-            case _ => 10.0
-          }
+      .filterNot(_ => budgetSkip("sf2", EstSf2Leg))
+    val sf2ErrorsAll = scala.collection.mutable.ArrayBuffer[String]()
+    sf2Dir.foreach { d2 =>
+      val (res2, warm2, dag2, errs2) = runLeg(d2, sf2Subset, "sf2", dagEst = 100.0)
+      sf2ErrorsAll ++= errs2
+      val ratio = {
+        val sfOf = (p: String) =>
+          Paths.get(p).getFileName.toString.drop(2).toDoubleOption
+        (sfOf(sfDir), sfOf(d2)) match {
+          case (Some(a), Some(b)) if b > 0 => a / b
+          case _ => 10.0
         }
-        val growth = res2.collect { case (name, t2) if t2 > 0 =>
-          name -> r2(math.log(mainT(name) / t2) / math.log(ratio))
-        }
-        (res2, warm2, growth, errs2)
+      }
+      val growth = res2.collect { case (name, t2) if t2 > 0 =>
+        name -> r2(math.log(mainT(name) / t2) / math.log(ratio))
+      } ++ dag2.filter(_ > 0).map(c =>
+        "dag_charge" -> r2(math.log(dagCharge / c) / math.log(ratio)))
+      growthByLeg("sf2") = qJson(growth)
+      legDirs("sf2") = d2
+      allLegErrs ++= errs2
+      legJsons("sf2") =
+        s""","sf2":"$d2","sf2_warmup_sec":${r2(warm2)}""" +
+          dag2.map(c => s""","sf2_dag_charge_sec":${r2(c)}""").getOrElse("") +
+          s""","queries_sf2":${qJson(res2)},"growth_exponents":${qJson(growth)},""" +
+          s""""sf2_errors":${sJson(errs2)}"""
+      emitResultFile()
     }
-    // ---- UP leg (round-9 ask #1): a ×10 corpus GENERATED from the bench
-    // sf dir (manifest-guarded — regenerated only when absent or built
-    // from a different source), exponent = log(tUp/t1)/log(factor). The
-    // two quadratic exact BASELINES are excluded by design (documented
-    // all-pairs controls whose exponent 2 is known and whose up-scale
-    // cost is ~100× for that known answer); their scale-path variants
-    // (q102 cells, q18 bands, q19/q21 buckets, q159 bloom) stay in.
-    val upFactor = 10
-    val upExcluded = Seq("q23_embed_neardup", "q24_ann_topk")
-    val upSubset = sf2Subset.filterNot(upExcluded.contains)
-    val upRequested = sys.env.get("SPARK_GRAFT_UP_DIR")
-      .orElse(if (sys.env.get("SPARK_GRAFT_UP").contains("off")) None
-              else Some(new java.io.File("updata/sf1").getAbsolutePath))
     // Shared freshness-check + generate-on-miss for the scale-leg corpora.
     // Path spellings are normalized (relative vs absolute vs trailing
     // slash) so a re-spelled dir never triggers a full regeneration; a
@@ -360,144 +521,111 @@ object Bench {
         }
       }
     }
-    val (upDir, upGenSec) = upRequested match {
-      case None => (None, 0.0)
-      case Some(d) => ensureCorpus(d, upFactor, "up-scale",
-        graft.tools.GenScale.generate(spark, sfDir, d, upFactor))
-    }
-    val (upResults, upWarmup, upGrowth, upErrors) = upDir match {
-      case None => (Map.empty[String, Double], 0.0, Map.empty[String, Double], Seq.empty[String])
-      case Some(d) =>
-        val (resU, warmU, errsU) = runLeg(d, upSubset, "up")
-        val growth = resU.collect { case (name, tU) if mainT(name) > 0 =>
-          name -> r2(math.log(tU / mainT(name)) / math.log(upFactor.toDouble))
-        }
-        (resU, warmU, growth, errsU)
-    }
-    // ---- ×100 DOCUMENT-FAMILY leg (round-10 ask #6): the 100× claim for
-    // the dedup/ANN/contamination family measured, not extrapolated — a
-    // documents+embeddings-only corpus at 100× the bench SF (GenScale
-    // .generateDocs; ~10× the ×10 leg's DOC bytes, none of its warehouse
-    // bytes), running just the gates that read those two tables. Exponent
-    // base is 100 vs the MAIN leg. SPARK_GRAFT_UP100=off skips;
-    // SPARK_GRAFT_UP100_DIR overrides the corpus dir.
+    val upFactor = 10
     val up100Factor = 100
-    val up100Subset = Seq("q17_dedup_exact", "q18_minhash_lsh",
-      "q21_jaccard_pairs", "q101_paragraph_dedup", "q102_semdedup",
-      "q158_contamination_bloom",
-      // round-11 asks #3/#4: the capped-Jaccard production path, and the
-      // ANN family (the ×100 corpus carries embeddings — offset-rotated
-      // replicas keep the cell geometry linear)
-      "q56_jaccard_capped", "q53_embed_neardup_lsh", "q54_ann_ivf",
-      "q134_stream_ann_ingest")
+    // ---- ×100 DOCUMENT-FAMILY leg runs BEFORE the ×10 leg (round-13
+    // verdict #3/#4: its exponents — q53 post-density-pin, q18, q56 — are
+    // the round's contested numbers, and the ×10 leg's DAG settle is the
+    // budget's biggest discretionary spend): a documents+embeddings-only
+    // corpus at 100× the bench SF (GenScale.generateDocs; ~10× the ×10
+    // leg's DOC bytes, none of its warehouse bytes), running just the
+    // gates that read those two tables. Exponent base is 100 vs the MAIN
+    // leg. SPARK_GRAFT_UP100=off skips; SPARK_GRAFT_UP100_DIR overrides.
+    // Contested gates lead the subset so a budget stop mid-leg still
+    // records them.
+    val up100Subset = Seq(
+      "q53_embed_neardup_lsh", "q18_minhash_lsh", "q56_jaccard_capped",
+      "q17_dedup_exact", "q101_paragraph_dedup", "q102_semdedup",
+      "q158_contamination_bloom", "q54_ann_ivf", "q134_stream_ann_ingest")
+    // the uncapped q21 no longer re-runs at ×100 (round-13 verdict #1c):
+    // its pair space is proven exactly linear every run by
+    // diag_q21_cand_pairs at a fraction of the cost, its ×100 wall-clock
+    // (428 s in r13) re-measured that known answer, and q56 is the
+    // production path at scale. It stays in the sf2/×10 subsets.
+    val up100Excluded = Seq("q21_jaccard_pairs")
     val up100Requested = sys.env.get("SPARK_GRAFT_UP100_DIR")
       .orElse(if (sys.env.get("SPARK_GRAFT_UP100").contains("off")) None
               else Some(new java.io.File("updata/sf10docs").getAbsolutePath))
+      .filterNot(_ => budgetSkip("up100", EstUp100Leg))
     val (up100Dir, up100GenSec) = up100Requested match {
       case None => (None, 0.0)
       case Some(d) => ensureCorpus(d, up100Factor, "doc-family",
         graft.tools.GenScale.generateDocs(spark, sfDir, d, up100Factor))
     }
-    val (up100Results, up100Warmup, up100Growth, up100Errors) = up100Dir match {
-      case None => (Map.empty[String, Double], 0.0, Map.empty[String, Double], Seq.empty[String])
-      case Some(d) =>
-        // doc-family warmup only: the corpus has no warehouse tables
-        val warmDocs = (dd: String) => {
-          val w0 = System.nanoTime()
-          graft.core.Tables.documents(spark, dd).count()
-          graft.core.Tables.embeddings(spark, dd).count()
-          (System.nanoTime() - w0) / 1e9
-        }
-        val (resC, warmC, errsC) = runLeg(d, up100Subset, "up100", warmDocs)
-        val growth = resC.collect { case (name, tC) if mainT(name) > 0 =>
-          name -> r2(math.log(tC / mainT(name)) / math.log(up100Factor.toDouble))
-        }
-        (resC, warmC, growth, errsC)
+    up100Dir.foreach { d =>
+      // doc-family warmup only: the corpus has no warehouse tables
+      val warmDocs = (dd: String) => {
+        val w0 = System.nanoTime()
+        graft.core.Tables.documents(spark, dd).count()
+        graft.core.Tables.embeddings(spark, dd).count()
+        (System.nanoTime() - w0) / 1e9
+      }
+      val (resC, warmC, _, errsC) = runLeg(d, up100Subset, "up100", warmDocs)
+      val growth = resC.collect { case (name, tC) if mainT(name) > 0 =>
+        name -> r2(math.log(tC / mainT(name)) / math.log(up100Factor.toDouble))
+      }
+      growthByLeg("up100") = qJson(growth)
+      allLegErrs ++= errsC
+      legJsons("up100") =
+        s""","up100":"$d","up100_factor":$up100Factor,"up100_gen_sec":${r2(up100GenSec)},""" +
+          s""""up100_warmup_sec":${r2(warmC)},"queries_up100":${qJson(resC)},""" +
+          s""""up100_growth_exponents":${qJson(growth)},""" +
+          s""""up100_errors":${sJson(errsC)},""" +
+          s""""up100_excluded":${up100Excluded.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+      emitResultFile()
+      runDiag("up100", d)
     }
-    val loadEnd = loadavg()
-    // `value` includes warmup (all gated work, the round-3 accounting);
-    // queries_only_sec = first-pass query time alone, so round-over-round
-    // consumers can separate the two without reading doc comments
-    val queriesOnly = results.values.sum
-    val total = queriesOnly + warmup
-    // best_of_2_sec: warmup + Σ min(first pass, retry) — the host-noise-
-    // adjudicated comparison as a first-class number, so round-over-round
-    // review stops doing manual retry arithmetic over retry_sec.
-    // EXCEPT the warehouse-DAG gates: they share ONE cached startFromFiles
-    // run, so the paying gate's retry reads cached dirs in ~0.2 s — a
-    // cache hit, not a re-measure — and min() would erase the ~90 s of
-    // real streaming work from the headline. DAG gates keep their
-    // first-pass time so best_of_2_sec still covers all work performed.
-    val bestOf2 = warmup + results.keys.map(mainT).sum
-    def qJson(qs: Iterable[(String, Double)]): String =
-      qs.map { case (k, v) => "\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
-    def common =
-      s""""metric":"total","value":${r2(total)},"unit":"sec","warmup_sec":${r2(warmup)},""" +
-        s""""queries_only_sec":${r2(queriesOnly)},"best_of_2_sec":${r2(bestOf2)},""" +
-        s""""n_queries":${results.size},""" +
-        s""""sf_twin_rowcheck":"$rowcheck""""
-    def sJson(ss: Seq[String]): String =
-      ss.map(s => "\"" + s.replace("\"", "'") + "\"").mkString("[", ",", "]")
-    val sf2Json = sf2Dir.map { d2 =>
-      s""","sf2":"$d2","sf2_warmup_sec":${r2(sf2Warmup)},""" +
-        s""""queries_sf2":${qJson(sf2Results)},"growth_exponents":${qJson(sf2Growth)},""" +
-        s""""sf2_errors":${sJson(sf2Errors)}"""
-    }.getOrElse("")
-    val upJson = upDir.map { d =>
-      s""","up":"$d","up_factor":$upFactor,"up_gen_sec":${r2(upGenSec)},""" +
-        s""""up_warmup_sec":${r2(upWarmup)},"queries_up":${qJson(upResults)},""" +
-        s""""up_growth_exponents":${qJson(upGrowth)},""" +
-        s""""up_errors":${sJson(upErrors)},""" +
-        s""""up_excluded":${upExcluded.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
-    }.getOrElse("")
-    val up100Json = up100Dir.map { d =>
-      s""","up100":"$d","up100_factor":$up100Factor,"up100_gen_sec":${r2(up100GenSec)},""" +
-        s""""up100_warmup_sec":${r2(up100Warmup)},"queries_up100":${qJson(up100Results)},""" +
-        s""""up100_growth_exponents":${qJson(up100Growth)},""" +
-        s""""up100_errors":${sJson(up100Errors)}"""
-    }.getOrElse("")
-    // q21 candidate-pair counts per leg (round-11 verdict #3: separate
-    // PLAN growth from memory pressure — if these are linear in the
-    // factor, a superlinear wall-clock exponent is shuffle/host, not the
-    // pair space). One cheap aggregate per leg over the exploded
-    // shingles; replica token-suffixing makes these exactly linear by
-    // construction, so this line is the standing proof.
-    def candPairs(d: String): Long = {
-      import org.apache.spark.sql.functions.{array_distinct, col, explode, expr, lit, sum}
-      graft.core.Tables.documents(spark, d)
-        .select(explode(array_distinct(
-          graft.functions.TextFunctions.shingles(col("text"), 3))).as("sh"))
-        .groupBy(col("sh")).agg(org.apache.spark.sql.functions.count(lit(1)).as("c"))
-        .agg(sum(expr("c*(c-1) div 2"))).head().getLong(0)
+    // ---- ×10 UP leg (round-9 ask #1): a ×10 corpus GENERATED from the
+    // bench sf dir (manifest-guarded — regenerated only when absent or
+    // built from a different source), exponent = log(tUp/t1)/log(factor).
+    // The two quadratic exact BASELINES are excluded by design (documented
+    // all-pairs controls whose exponent 2 is known and whose up-scale
+    // cost is ~100× for that known answer); their scale-path variants
+    // (q102 cells, q18 bands, q19/q21 buckets, q159 bloom) stay in.
+    val upExcluded = Seq("q23_embed_neardup", "q24_ann_topk")
+    val upSubset = sf2Subset.filterNot(upExcluded.contains)
+    val upRequested = sys.env.get("SPARK_GRAFT_UP_DIR")
+      .orElse(if (sys.env.get("SPARK_GRAFT_UP").contains("off")) None
+              else Some(new java.io.File("updata/sf1").getAbsolutePath))
+      .filterNot(_ => budgetSkip("up", EstUpLegBase))
+    val (upDir, upGenSec) = upRequested match {
+      case None => (None, 0.0)
+      case Some(d) => ensureCorpus(d, upFactor, "up-scale",
+        graft.tools.GenScale.generate(spark, sfDir, d, upFactor))
     }
-    val diagJson = {
-      val legs = Seq("main" -> Some(sfDir), "up" -> upDir, "up100" -> up100Dir)
-        .collect { case (tag, Some(d)) => tag -> candPairs(d) }
-      s""","diag_q21_cand_pairs":${legs.map { case (t, n) => "\"" + t + "\":" + n }
-        .mkString("{", ",", "}")}"""
+    upDir.foreach { d =>
+      val (resU, warmU, dagU, errsU) = runLeg(d, upSubset, "up", dagEst = EstUpDag)
+      val growth = resU.collect { case (name, tU) if mainT(name) > 0 =>
+        name -> r2(math.log(tU / mainT(name)) / math.log(upFactor.toDouble))
+      } ++ dagU.filter(_ => dagCharge > 0).map(c =>
+        "dag_charge" -> r2(math.log(c / dagCharge) / math.log(upFactor.toDouble)))
+      growthByLeg("up") = qJson(growth)
+      allLegErrs ++= errsU
+      legJsons("up") =
+        s""","up":"$d","up_factor":$upFactor,"up_gen_sec":${r2(upGenSec)},""" +
+          s""""up_warmup_sec":${r2(warmU)}""" +
+          dagU.map(c => s""","up_dag_charge_sec":${r2(c)}""").getOrElse("") +
+          s""","queries_up":${qJson(resU)},""" +
+          s""""up_growth_exponents":${qJson(growth)},""" +
+          s""""up_errors":${sJson(errsU)},""" +
+          s""""up_excluded":${upExcluded.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+      emitResultFile()
+      runDiag("up", d)
     }
-    val legLoadJson =
-      s""","leg_loadavg":${legLoads.map { case (t, l) => "\"" + t + "\":\"" + l + "\"" }
-        .mkString("{", ",", "}")}"""
-    val full =
-      s"""{$common,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd",""" +
-        s""""retry_total_sec":${r2(retryTotal)},"retry_sec":${qJson(retries)},""" +
-        s""""queries":${qJson(results)}$sf2Json$upJson$up100Json$diagJson$legLoadJson,"sf":"$sfDir"}"""
-    Files.writeString(Paths.get("bench_result.json"), full + "\n")
-    val slowest = results.toSeq.sortBy(-_._2).take(10)
+    emitResultFile()
     // the stdout line stays tail-parser-small: growth exponents ride it
-    // (the judged number — now in BOTH directions), the full per-query
+    // (the judged number — in BOTH directions), the full per-query
     // scale-leg maps live in bench_result.json
-    val growthLine = sf2Dir.map { d2 =>
-      s""","sf2":"$d2","growth_exponents":${qJson(sf2Growth)}"""
-    }.getOrElse("") + upDir.map { d =>
-      s""","up_factor":$upFactor,"up_growth_exponents":${qJson(upGrowth)}"""
-    }.getOrElse("") + up100Dir.map { d =>
-      s""","up100_growth_exponents":${qJson(up100Growth)}"""
-    }.getOrElse("") + {
-      val n = sf2Errors.size + upErrors.size + up100Errors.size
-      if (n > 0) s""","leg_errors":${sJson(sf2Errors ++ upErrors ++ up100Errors)}""" else ""
-    }
+    val allErrs = (allLegErrs ++ skipped).toSeq
+    val growthLine =
+      legDirs.get("sf2").map(d2 =>
+        s""","sf2":"$d2","growth_exponents":${growthByLeg("sf2")}""").getOrElse("") +
+      growthByLeg.get("up").map(g =>
+        s""","up_factor":$upFactor,"up_growth_exponents":$g""").getOrElse("") +
+      growthByLeg.get("up100").map(g =>
+        s""","up100_growth_exponents":$g""").getOrElse("") +
+      (if (allErrs.nonEmpty) s""","leg_errors":${sJson(allErrs)}""" else "")
+    val slowest = results.toSeq.sortBy(-_._2).take(10)
     val line = s"""{$common,"queries":${qJson(slowest)}$growthLine,"sf":"$sfDir"}"""
     // stop BEFORE printing so nothing follows the JSON line in the tail
     // buffer — but a stop-time failure must never swallow the line

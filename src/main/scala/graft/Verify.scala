@@ -4,7 +4,15 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** True only inside a Verify (oracle-compare) run: gates whose DuckDB
+    * oracle inlines SF-band-dependent literals (q53's 4-plane matrix)
+    * require their band HERE — where a violation means a wrong-answer
+    * hash mismatch — while bench scale legs run the same queries far
+    * outside the band with no oracle to diverge from. */
+  @volatile var oracleRun = false
+
   def main(args: Array[String]): Unit = {
+    oracleRun = true
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd arg: comma-separated query-name filter (dev loop only;
     // the driver always runs the full set)

@@ -185,26 +185,21 @@ private[graft] object DagGates {
         // changelog checkpointing for THIS gate: its join state is 50-160k
         // rows per store, where per-batch FULL RocksDB snapshots dominate
         // the commit (measured 121 → 96 s warm); the small-state window
-        // gates measured the opposite and keep snapshot mode. Set on the
-        // caller so the harness clone inherits it; restored in finally.
-        val clKey = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
-        val clPrev = s.conf.getAll.get(clKey)
-        s.conf.set(clKey, "true")
-        val out = try {
-          StreamHarness.runFiles(s, chunks ++ Seq(sentinels, inert)) { ds =>
-            val parsed = Envelopes.parseMaxwell(
-              ds.toDF("ptable", "value"), keep = Seq("ptable"))
-            val (clean, _) = Envelopes.cleanDirty(parsed)
-            GmallPipelines.tradePaySuccessStream(
-              clean.drop("table").withColumnRenamed("ptable", "table")
-                .withColumn("ts", col("ts") * tsScale),
-              TopicDb.baseDic(s), 905L)
-          }
-        } finally {
-          clPrev match {
-            case Some(v) => s.conf.set(clKey, v)
-            case None => s.conf.unset(clKey)
-          }
+        // gates measured the opposite and keep snapshot mode. Passed as
+        // harness extraConf so only THIS gate's cloned session flips —
+        // runtime conf is session-global, and the old set-on-caller/
+        // restore-in-finally leaked the mode to any streaming gate started
+        // concurrently in that window (round-13 advisor).
+        val out = StreamHarness.runFiles(s, chunks ++ Seq(sentinels, inert),
+          extraConf = Map(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")) { ds =>
+          val parsed = Envelopes.parseMaxwell(
+            ds.toDF("ptable", "value"), keep = Seq("ptable"))
+          val (clean, _) = Envelopes.cleanDirty(parsed)
+          GmallPipelines.tradePaySuccessStream(
+            clean.drop("table").withColumnRenamed("ptable", "table")
+              .withColumn("ts", col("ts") * tsScale),
+            TopicDb.baseDic(s), 905L)
         }
         paySuccessAgg(out).localCheckpoint(true)
       } finally { raw.unpersist(); () }

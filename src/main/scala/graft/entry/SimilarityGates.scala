@@ -122,8 +122,21 @@ private[graft] object SimilarityGates {
     // would be quadratic at ×100, see Similarity.autoPlanes)
     "q53_embed_neardup_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
+      val n = emb.count()
+      // the oracle inlines the FIXED 4-plane matrix, exact only while
+      // autoPlanes(n) == 4 — i.e. n ≤ 2000 (2000 sits exactly on the
+      // log₂(16) boundary, held in-band by autoPlanes' 1e-9 guard). On an
+      // ORACLE run, a new verification SF above the band must fail with
+      // this instruction instead of a bare hash mismatch (round-13
+      // advisor); bench scale legs run the same query far outside the
+      // band with no oracle to diverge from, so they pass through.
+      require(!graft.Verify.oracleRun || Similarity.autoPlanes(n) == 4,
+        s"q53's DuckDB oracle inlines a 4-plane matrix (valid while autoPlanes(n)==4, " +
+          s"i.e. n<=2000 embeddings); got n=$n => ${Similarity.autoPlanes(n)} planes - " +
+          s"re-derive the inlined plane literals in SimilarityGates.oracleSql before " +
+          s"gating this SF")
       Similarity.nearDupPairs(emb, 0.35, 64,
-          nPlanes = Similarity.autoPlanes(emb))
+          nPlanes = Similarity.autoPlanes(n))
         .orderBy(col("a"), col("b"))
     }),
 

@@ -206,15 +206,23 @@ object Dedup {
     * into ~10× of pair-row bytes, so a fixed 32 partitions at a ×100
     * corpus pushes >100 MB of pair rows through every reducer (measured:
     * widening 32→256 cut the ×100 leg ~30% on a quiet host). ~512 KB of
-    * SOURCE bytes per partition keeps the gated SFs at the session
-    * default (plan-identical) and grows linearly past it, capped at 4096
-    * (the AQE-coalesce regime on a real cluster). Partition count never
-    * changes VALUES — only the exchange width. */
+    * SOURCE bytes per partition keeps the gated SFs at the session-default
+    * WIDTH (values and width identical; the explicit repartition node
+    * itself is inserted either way and bypasses AQE coalescing) and grows
+    * linearly past it, capped at 4096 (the AQE-coalesce regime on a real
+    * cluster). Partition count never changes VALUES — only the exchange
+    * width. Inputs without real size stats (in-memory/streaming plans,
+    * where Catalyst falls back to spark.sql.defaultSizeInBytes =
+    * Long.MaxValue) keep the session default instead of exploding a tiny
+    * corpus into 4096 near-empty tasks on a missing estimate. */
   private def pairShuffleParts(docs: DataFrame): Int = {
     val conf = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val bytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
-    val scaled = (bytes / (512L << 10)).min(BigInt(4096)).toInt
-    math.max(conf, scaled)
+    if (bytes >= BigInt(Long.MaxValue) / 2) conf
+    else {
+      val scaled = (bytes / (512L << 10)).min(BigInt(4096)).toInt
+      math.max(conf, scaled)
+    }
   }
 
   def ngramJaccardPairs(

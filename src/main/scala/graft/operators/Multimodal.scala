@@ -99,7 +99,11 @@ object Multimodal {
   object StubDecoder extends MediaDecoder {
     override def decodeBatch(contents: Seq[Array[Byte]], mimes: Seq[String]): Seq[Array[Float]] =
       contents.zip(mimes).map { case (bytes, mime) =>
-        if (bytes.isEmpty) Array.fill(8)(0f)
+        // null reads as empty: every decoder's dirty route funnels here
+        // (Image/Wav/Mp4Meta pass unparseable payloads through verbatim),
+        // and a real parquet media column can legitimately carry NULL —
+        // the never-throw contract must hold for it too
+        if (bytes == null || bytes.isEmpty) Array.fill(8)(0f)
         else {
           val n = bytes.length
           val mean = bytes.map(b => (b & 0xff).toDouble).sum / n
@@ -114,7 +118,7 @@ object Multimodal {
             (bytes.head & 0xff).toFloat, (bytes.last & 0xff).toFloat,
             bytes.map(b => b & 0xff).min.toFloat,
             bytes.map(b => b & 0xff).max.toFloat,
-            mime.length.toFloat)
+            (if (mime == null) 0 else mime.length).toFloat)
         }
       }
   }

@@ -408,10 +408,13 @@ object Similarity {
     * inlined 4-plane matrix stays pinned; the up-scale bench legs get
     * the production-sized bucket space. One count() action —
     * metadata-only on parquet, trivial on a cached table. */
-  def autoPlanes(vecs: DataFrame): Int = {
-    val n = vecs.count()
+  def autoPlanes(vecs: DataFrame): Int = autoPlanes(vecs.count())
+
+  /** The count-based form, for callers that already hold (or want to
+    * inspect) the vector count — e.g. the q53 gate, whose oracle inlines
+    * the 4-plane matrix and must assert `n` stays in the 4-plane band. */
+  def autoPlanes(n: Long): Int =
     math.max(4, math.ceil(math.log(n / 125.0) / math.log(2.0) - 1e-9).toInt)
-  }
 
   def nearDupPairs(
       vecs: DataFrame,

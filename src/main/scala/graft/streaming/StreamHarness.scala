@@ -147,10 +147,11 @@ object StreamHarness {
     * proving that re-sort exists — callers control only batch
     * COMPOSITION, the thing that exercises cross-batch state.
     */
-  def runFiles[T](spark: SparkSession, batches: Seq[Dataset[T]])(
+  def runFiles[T](spark: SparkSession, batches: Seq[Dataset[T]],
+      extraConf: Map[String, String] = Map.empty)(
       build: Dataset[T] => DataFrame)(implicit enc: Encoder[T]): DataFrame = {
     val name = s"graft_mem_sink_${counter.incrementAndGet()}"
-    val session = feedFiles(spark, batches) { (stream, ckpt) =>
+    val session = feedFiles(spark, batches, extraConf) { (stream, ckpt) =>
       build(stream)
         .writeStream.format("memory").queryName(name).outputMode("append")
         .option("checkpointLocation", ckpt)
@@ -171,11 +172,17 @@ object StreamHarness {
     ()
   }
 
-  private def feedFiles[T](spark: SparkSession, batches: Seq[Dataset[T]])(
+  private def feedFiles[T](spark: SparkSession, batches: Seq[Dataset[T]],
+      extraConf: Map[String, String] = Map.empty)(
       start: (Dataset[T], String) => StreamingQuery)(
       implicit enc: Encoder[T]): SparkSession = {
     require(batches.nonEmpty, "file feed needs at least one batch")
     val session = prepared(spark)
+    // per-gate conf (e.g. q164's changelog checkpointing) lands on the
+    // CLONE only: runtime conf is session-global, and setting it on the
+    // caller bled the mode into any gate started concurrently in the
+    // set/restore window (round-13 advisor)
+    extraConf.foreach { case (k, v) => session.conf.set(k, v) }
     val root = Files.createTempDirectory("graft_feed_")
     try {
       val watched = root.resolve("in")
