@@ -140,6 +140,27 @@ private[graft] object SimilarityGates {
         .orderBy(col("a"), col("b"))
     }),
 
+    // The PRODUCTION form of q53 at corpus scale (round-14): hyperplane
+    // LSH with a per-bucket population cap — over-full buckets (the two
+    // ~30 %-of-corpus tight label clusters no plane count splits, see
+    // Similarity.nearDupPairsCapped's doc + tools/DiagBuckets) contribute
+    // pivot-star edges instead of their quadratic clique, bounding the
+    // pair space at cap·N + N. Cap 64 is ACTIVE at both gated SFs, so the
+    // star path is exercised and hash-gated, not just spec'd. Same
+    // 4-plane-band require as q53 (shared inlined oracle matrix).
+    "q167_embed_neardup_capped" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val n = emb.count()
+      require(!graft.Verify.oracleRun || Similarity.autoPlanes(n) == 4,
+        s"q167's DuckDB oracle inlines a 4-plane matrix (valid while autoPlanes(n)==4, " +
+          s"i.e. n<=2000 embeddings); got n=$n => ${Similarity.autoPlanes(n)} planes - " +
+          s"re-derive the inlined plane literals in SimilarityGates.oracleSql before " +
+          s"gating this SF")
+      Similarity.nearDupPairsCapped(emb, 0.35, 64,
+          nPlanes = Similarity.autoPlanes(n), maxBucketPop = 64L)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // kNN label purity — the standard embedding-quality probe over the
     // labeled embeddings table: fraction of each query's exact top-10
     // cosine neighbors sharing its label, aggregated per label. Reuses
@@ -498,6 +519,25 @@ private[graft] object SimilarityGates {
          |SELECT a, b, round(score, 6) AS score FROM (
          | SELECT va.vec_id AS a, vb.vec_id AS b, $dotSql / (va.nrm * vb.nrm) AS score
          | FROM v va JOIN v vb ON va.bucket = vb.bucket AND va.vec_id < vb.vec_id)
+         |WHERE score >= 0.35 ORDER BY a, b""".stripMargin,
+
+    // q53 under the production per-bucket population cap: buckets over 64
+    // members contribute pivot-star pairs only (va = the bucket's min id —
+    // vb = pivot can never survive va < vb), small buckets the full q53
+    // pair set. Both paths are ACTIVE at the gated SFs (the two tight
+    // label clusters exceed the cap at sf0.01 and sf0.1 — see
+    // tools/DiagBuckets), so the star logic itself is hash-gated.
+    "q167_embed_neardup_capped" ->
+      s"""WITH ${lshBucketCte(4, 64)},
+         |v AS (SELECT m.vec_id, m.embedding AS e, $nrmSql AS nrm, b.bucket
+         |  FROM embeddings m JOIN bkt b ON m.vec_id = b.vec_id),
+         |st AS (SELECT bucket, count(*) AS pop, min(vec_id) AS pivot
+         |  FROM v GROUP BY bucket)
+         |SELECT a, b, round(score, 6) AS score FROM (
+         | SELECT va.vec_id AS a, vb.vec_id AS b, $dotSql / (va.nrm * vb.nrm) AS score
+         | FROM v va JOIN st ON va.bucket = st.bucket
+         |  JOIN v vb ON va.bucket = vb.bucket AND va.vec_id < vb.vec_id
+         | WHERE st.pop <= 64 OR va.vec_id = st.pivot)
          |WHERE score >= 0.35 ORDER BY a, b""".stripMargin,
 
     "q59_kmeans_cells" ->

@@ -450,6 +450,58 @@ object Similarity {
     scoredPairs(joined, threshold)
   }
 
+  /** [[nearDupPairs]]' bucketed path with a per-bucket population cap —
+    * the PRODUCTION form at corpus scale, the embedding analogue of
+    * [[graft.operators.Dedup.lshCandidatesCapped]]'s hot-band df cap and
+    * [[graft.operators.Dedup.ngramJaccardPairsCapped]]'s shingle stop-list.
+    *
+    * Why a cap is load-bearing and not an optimization: random-hyperplane
+    * buckets split DIRECTIONS, so a tight cluster of near-identical
+    * vectors lands in ONE bucket at any plane count — measured on the
+    * ×100 corpus, two clusters of ~50k vectors each held at 15 planes
+    * (48k+) exactly as at 11, making the same-bucket pair space 2.77
+    * BILLION (tools/DiagBuckets; the q53 ×100 exponent read 1.34-1.36
+    * across two rounds for this reason — the enumerated output itself is
+    * quadratic in cluster population BY SPECIFICATION, and growing planes
+    * cannot fix membership). At 100 TB a dedup consumer does not need the
+    * full clique: buckets over `maxBucketPop` contribute PIVOT-STAR edges
+    * (every member scored against the bucket's min-id member, O(pop)
+    * rows), which keep the cluster connected for the downstream
+    * connected-components collapse while bounding the pair space at
+    * Σ_small pop² + Σ_big pop ≤ maxBucketPop·N + N — linear in N. Dense
+    * sub-threshold members of a capped bucket lose their mutual edges
+    * (recall < 1 by construction, like every capped candidate path here);
+    * within a TIGHT cluster the star scores match the clique's.
+    *
+    * One bucket equi-join for the pair space: the cap-or-pivot predicate
+    * references only left-side columns and is applied UNDER the pair join
+    * by construction (PlanSpec pins the shape) — a big bucket's left side
+    * is one pivot row, so the pop² blowup never materializes as join
+    * output, let alone shuffle bytes. */
+  def nearDupPairsCapped(
+      vecs: DataFrame,
+      threshold: Double,
+      dim: Int,
+      nPlanes: Int,
+      maxBucketPop: Long = 64L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val base = vecs.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"),
+      hyperplaneBucket(col(vecCol), dim, nPlanes).as("bucket"))
+    // O(buckets) rows; the join below co-partitions on bucket either way
+    val stats = base.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("pop"), min(col(idCol)).as("pivot"))
+    val l = base.join(stats, Seq("bucket"))
+      .where(col("pop") <= maxBucketPop || col(idCol) === col("pivot"))
+      .select(col("bucket"), col(idCol).as("a"), col(vecCol).as("va"),
+        col("nrm").as("na"))
+    val r = base.select(col("bucket"), col(idCol).as("b"),
+      col(vecCol).as("vb"), col("nrm").as("nb"))
+    // big buckets survive only as (pivot, member) rows after the a < b
+    // filter (pivot = min id), small buckets as the full q53 pair set
+    scoredPairs(l.join(r, Seq("bucket")), threshold)
+  }
+
   /** The single pair-scoring contract behind [[nearDupPairs]] (exact and
     * bucketed), [[cellNearDupPairs]] and the streaming ingest twin
     * ([[graft.streaming.SemIngest]]): candidates carry

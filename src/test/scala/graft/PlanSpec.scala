@@ -276,6 +276,30 @@ class PlanSpec extends SparkTestBase {
       "only the two bounded centroid-assignment broadcasts may nested-loop:\n" + p)
   }
 
+  test("capped embed near-dup: pop filter under the pair join, all joins equi on bucket") {
+    val emb = Tables.embeddings(spark, sf)
+    val df = Similarity.nearDupPairsCapped(emb, 0.35, 64, nPlanes = 4,
+      maxBucketPop = 64L)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), "no unbounded product:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), "no nested-loop pair space:\n" + p)
+    assert("(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) \\[bucket".r
+        .findFirstIn(p).isDefined,
+      "the pair space must ride a bucket equi-join:\n" + p)
+    // the cap-or-pivot predicate must apply UNDER the pair join (on its
+    // left input — as a Filter node or folded into the stats join's
+    // condition): a plan that filtered pairs only after joining would
+    // materialize the over-full buckets' pop² rows it exists to prevent
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Join => LJoin}
+    val outerJoin = df.queryExecution.optimizedPlan.collectFirst { case j: LJoin => j }
+    assert(outerJoin.exists(_.left.collectFirst[Any] {
+      case f: LFilter if f.condition.toString.contains("pop") => f
+      case j: LJoin if j.condition.exists(_.toString.contains("pop")) => j
+    }.isDefined),
+      "the population cap must apply on the pair join's left INPUT:\n" +
+        df.queryExecution.optimizedPlan.toString)
+  }
+
   test("substring profile screens duplicated windows via a win equi-join, islands partition by doc") {
     import graft.operators.Dedup
     val p = plan(Dedup.substringDupProfile(Tables.documents(spark, sf), 40, 10))

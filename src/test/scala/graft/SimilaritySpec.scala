@@ -214,6 +214,49 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall > 0.2, s"recall=$recall")
   }
 
+  test("nearDupPairsCapped: inert cap equals q53; active cap is an exact-score subset") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val uncapped = Similarity.nearDupPairs(emb, 0.35, 64, nPlanes = 4)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) => (a, b) -> s }.toMap
+    // cap above every bucket's population → bit-identical to the q53 form
+    val inert = Similarity.nearDupPairsCapped(emb, 0.35, 64, nPlanes = 4,
+        maxBucketPop = 1000000L)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) => (a, b) -> s }.toMap
+    assert(inert === uncapped)
+    // active cap (the q167 production setting — the two tight clusters at
+    // sf0.001 exceed 64): strict subset, scores unchanged pair-for-pair
+    val capped = Similarity.nearDupPairsCapped(emb, 0.35, 64, nPlanes = 4,
+        maxBucketPop = 64L)
+      .as[(Long, Long, Double)].collect()
+    assert(capped.nonEmpty && capped.length < uncapped.size,
+      s"cap 64 must be ACTIVE at sf0.001 (got ${capped.length} of ${uncapped.size})")
+    capped.foreach { case (a, b, s) =>
+      assert(uncapped.get((a, b)).contains(s),
+        s"pair ($a,$b) score drift or not in the uncapped set")
+    }
+  }
+
+  test("nearDupPairsCapped bounds a tight cluster to pivot-star edges, still one component") {
+    // 100 near-identical vectors: the clique is C(100,2)=4950 pairs; the
+    // capped form must emit exactly the 99 (pivot=min id, member) star
+    // edges — linear in cluster size — and those edges alone keep the
+    // cluster one connected component for the downstream CC collapse
+    val base = Array.tabulate(dim)(i => 1.0f + 0.01f * i)
+    val cluster = (0L until 100L).map(i =>
+      (i, base.map(x => x * (1.0f + 1e-5f * i))))
+    val df = cluster.toDF("vec_id", "embedding")
+    val clique = Similarity.nearDupPairs(df, 0.999, dim, nPlanes = 4)
+      .select("a", "b").as[(Long, Long)].collect()
+    assert(clique.length === 4950, s"planted cluster must be a clique (got ${clique.length})")
+    val star = Similarity.nearDupPairsCapped(df, 0.999, dim, nPlanes = 4,
+        maxBucketPop = 10L)
+      .select("a", "b").as[(Long, Long)].collect()
+    assert(star.toSet === (1L until 100L).map(b => (0L, b)).toSet,
+      s"over-cap bucket must contribute exactly the min-id star (got ${star.length} edges)")
+  }
+
   test("autoPlanes: 4 at gated sizes, grows as log2(N) past them") {
     // ≤ 2000 vectors (both gated SFs) must resolve to exactly 4 — the
     // q53 oracle inlines the 4-plane matrix
