@@ -48,4 +48,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // G1 on a large heap grows young-gen until survivor copying costs
   // ~600 ms per young GC (measured); throughput GC keeps batch runs flat
   "-XX:+UseParallelGC",
-)
+) ++
+  // GRAFT_LISTENERS=graft.tools.ProgressLog → per-micro-batch trigger/
+  // addBatch/state-commit lines on stderr; the STATIC conf (unlike
+  // spark.streams.addListener) also covers the harness's cloned sessions
+  sys.env.get("GRAFT_LISTENERS")
+    .map(l => s"-Dspark.sql.streaming.streamingQueryListeners=$l").toSeq
