@@ -538,6 +538,10 @@ object Bench {
     // records them.
     val up100Subset = Seq(
       "q167_embed_neardup_capped", "q18_minhash_lsh", "q56_jaccard_capped",
+      // the O(N) bucket-skew profile rides the leg as the embedding
+      // family's standing evidence line (the diag_q21 analogue): its
+      // over_cap rows ARE the q53-exclusion receipt at this scale
+      "q168_lsh_bucket_profile",
       "q17_dedup_exact", "q101_paragraph_dedup", "q102_semdedup",
       "q158_contamination_bloom", "q54_ann_ivf", "q134_stream_ann_ingest")
     // Excluded at ×100 by design, each with a standing receipt:

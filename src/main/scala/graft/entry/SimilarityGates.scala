@@ -161,6 +161,24 @@ private[graft] object SimilarityGates {
         .orderBy(col("a"), col("b"))
     }),
 
+    // The LSH bucket-population profile — the O(N) pre-flight that makes
+    // q167's cap a measured choice instead of a guess: per bucket, the
+    // population, the clique pair count an uncapped q53 run would pay,
+    // whether the cap trips, and the capped run's actual pair count.
+    // All-integer output → exact oracle. Same 4-plane band as q53/q167.
+    "q168_lsh_bucket_profile" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val n = emb.count()
+      require(!graft.Verify.oracleRun || Similarity.autoPlanes(n) == 4,
+        s"q168's DuckDB oracle inlines a 4-plane matrix (valid while autoPlanes(n)==4, " +
+          s"i.e. n<=2000 embeddings); got n=$n => ${Similarity.autoPlanes(n)} planes - " +
+          s"re-derive the inlined plane literals in SimilarityGates.oracleSql before " +
+          s"gating this SF")
+      Similarity.bucketProfile(emb, 64, Similarity.autoPlanes(n),
+          maxBucketPop = 64L)
+        .orderBy(col("bucket"))
+    }),
+
     // kNN label purity — the standard embedding-quality probe over the
     // labeled embeddings table: fraction of each query's exact top-10
     // cosine neighbors sharing its label, aggregated per label. Reuses
@@ -539,6 +557,15 @@ private[graft] object SimilarityGates {
          |  JOIN v vb ON va.bucket = vb.bucket AND va.vec_id < vb.vec_id
          | WHERE st.pop <= 64 OR va.vec_id = st.pivot)
          |WHERE score >= 0.35 ORDER BY a, b""".stripMargin,
+
+    "q168_lsh_bucket_profile" ->
+      s"""WITH ${lshBucketCte(4, 64)}
+         |SELECT bucket, pop, (pop * (pop - 1)) // 2 AS clique_pairs,
+         |  CAST(pop > 64 AS INT) AS over_cap,
+         |  CASE WHEN pop > 64 THEN pop - 1
+         |       ELSE (pop * (pop - 1)) // 2 END AS capped_pairs
+         |FROM (SELECT bucket, count(*) AS pop FROM bkt GROUP BY bucket)
+         |ORDER BY bucket""".stripMargin,
 
     "q59_kmeans_cells" ->
       s"""WITH $ivfAssignCte

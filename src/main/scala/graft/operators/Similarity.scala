@@ -502,6 +502,30 @@ object Similarity {
     scoredPairs(l.join(r, Seq("bucket")), threshold)
   }
 
+  /** Per-bucket population profile of the hyperplane-LSH space — the
+    * pre-flight a near-dup run does BEFORE paying for pairs at 100 TB:
+    * an over-cap bucket is a tight cluster no plane count splits (the
+    * q53 ×100 root cause — two ~50k clusters, 2.77e9 clique pairs), and
+    * spotting it here costs one O(N) groupBy while discovering it inside
+    * the pair join costs the quadratic clique itself. Emits, per bucket:
+    * population, the clique pair count an uncapped run would enumerate,
+    * whether [[nearDupPairsCapped]]'s cap trips, and the pair count the
+    * capped run actually pays (pop−1 star edges when over).
+    * `tools/DiagBuckets` is the interactive form of the same question. */
+  def bucketProfile(
+      vecs: DataFrame,
+      dim: Int,
+      nPlanes: Int,
+      maxBucketPop: Long = 64L,
+      vecCol: String = "embedding"): DataFrame =
+    vecs.select(hyperplaneBucket(col(vecCol), dim, nPlanes).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("pop"))
+      .select(col("bucket"), col("pop"),
+        expr("pop * (pop - 1) div 2").as("clique_pairs"),
+        (col("pop") > maxBucketPop).cast("int").as("over_cap"),
+        when(col("pop") > maxBucketPop, col("pop") - 1)
+          .otherwise(expr("pop * (pop - 1) div 2")).as("capped_pairs"))
+
   /** The single pair-scoring contract behind [[nearDupPairs]] (exact and
     * bucketed), [[cellNearDupPairs]] and the streaming ingest twin
     * ([[graft.streaming.SemIngest]]): candidates carry

@@ -255,6 +255,12 @@ class SimilaritySpec extends SparkTestBase {
       .select("a", "b").as[(Long, Long)].collect()
     assert(star.toSet === (1L until 100L).map(b => (0L, b)).toSet,
       s"over-cap bucket must contribute exactly the min-id star (got ${star.length} edges)")
+    // the profile predicts exactly what each run pays: one over-cap
+    // bucket, 4950 clique pairs uncapped, 99 capped
+    val prof = Similarity.bucketProfile(df, dim, nPlanes = 4, maxBucketPop = 10L)
+      .select("pop", "clique_pairs", "over_cap", "capped_pairs")
+      .as[(Long, Long, Int, Long)].collect()
+    assert(prof.toSeq === Seq((100L, 4950L, 1, 99L)))
   }
 
   test("autoPlanes: 4 at gated sizes, grows as log2(N) past them") {
