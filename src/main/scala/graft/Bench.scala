@@ -387,30 +387,8 @@ object Bench {
           return (Map.empty, 0.0, None, errs.toSeq)
         }
       System.err.println(f"[bench] warmup($tag shared)  $warm%8.2f s")
-      // the leg's DAG settle, separately budget-gated (it is the single
-      // largest skippable item: ~772 s at the ×10 leg in r13)
-      val hasDag = subset.exists(dagGates)
-      val (legDag, runnable) =
-        if (!hasDag) (None, subset)
-        else if (remainingSec < dagEst) {
-          val msg = f"${tag}_dag: skipped with its ${subset.count(dagGates)} gates " +
-            f"(budget: est ${dagEst}%.0f s > remaining ${remainingSec}%.0f s)"
-          System.err.println(s"[bench] $msg")
-          errs += msg
-          (None, subset.filterNot(dagGates))
-        } else {
-          try {
-            val c = warmDag(d)
-            System.err.println(f"[bench] dag_charge($tag)   $c%8.2f s")
-            (Some(c), subset)
-          } catch { case e: Throwable =>
-            System.err.println(s"[bench] LEG ERROR: DAG settle failed at $d: $e")
-            errs += s"${tag}_dag: ${e.getClass.getSimpleName}"
-            (None, subset.filterNot(dagGates))
-          }
-        }
       val cs = scala.collection.mutable.Map[String, Long]()
-      val res = runnable.flatMap { name =>
+      def runQueries(names: Seq[String]): Map[String, Double] = names.flatMap { name =>
         if (remainingSec <= 0) {
           val msg = s"$name: skipped (budget exhausted)"
           System.err.println(s"[bench] $msg"); errs += msg
@@ -436,6 +414,33 @@ object Bench {
           }
         }
       }.toMap
+      // base queries FIRST, the DAG settle + its gates LAST: the settle
+      // is the leg's single largest item (~650-900 s at ×10) and its
+      // budget check must see the TRUE remaining budget — the old order
+      // could spend the whole leg budget on the settle and then skip the
+      // ~20 cheap queries whose exponents the leg exists to measure
+      val (dagPart, basePart) = subset.partition(dagGates)
+      val resBase = runQueries(basePart)
+      val (legDag, resDag) =
+        if (dagPart.isEmpty) (None, Map.empty[String, Double])
+        else if (remainingSec < dagEst) {
+          val msg = f"${tag}_dag: skipped with its ${dagPart.size} gates " +
+            f"(budget: est ${dagEst}%.0f s > remaining ${remainingSec}%.0f s)"
+          System.err.println(s"[bench] $msg")
+          errs += msg
+          (None, Map.empty[String, Double])
+        } else {
+          try {
+            val c = warmDag(d)
+            System.err.println(f"[bench] dag_charge($tag)   $c%8.2f s")
+            (Some(c), runQueries(dagPart))
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] LEG ERROR: DAG settle failed at $d: $e")
+            errs += s"${tag}_dag: ${e.getClass.getSimpleName}"
+            (None, Map.empty[String, Double])
+          }
+        }
+      val res = resBase ++ resDag
       val pairs = sf2Twins.filter { case (a, b) => cs.contains(a) && cs.contains(b) }
       val bad = pairs.filter { case (a, b) => cs(a) != cs(b) }
       bad.foreach { case (a, b) =>
