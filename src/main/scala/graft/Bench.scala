@@ -58,8 +58,12 @@ object Bench {
       .split("\\s+").take(3).mkString(" ")
     catch { case _: Throwable => "" }
 
-  // ---- last-known leg costs (r13 quiet-host emission, loadavg 1.07),
-  // the budget gate's skip thresholds. Deliberately round and slightly
+  // ---- budget-gate skip thresholds: SELF-TUNING (round-14 verdict #2).
+  // Each leg's measured wall-clock is persisted to bench_estimates.json
+  // after it completes and read back (×1.15 headroom) as the next run's
+  // estimate, so a leg whose cost drifts re-tunes its own skip threshold
+  // without a code edit. The constants below are the FIRST-RUN fallbacks
+  // only (r14 quiet-host emission) — deliberately round and slightly
   // conservative; a stale estimate fails SOFT (a leg skipped a round, or
   // a small overshoot the per-query deadline check bounds).
   private val EstSf2Leg = 200.0    // r14 quiet run: 7.5 warm + 31 DAG + 59 queries
@@ -67,9 +71,27 @@ object Bench {
                                    // q53 (316) plus q167 slack
   private val EstUpLegBase = 550.0 // r14 quiet run: 132 warm + 349 queries + slack
   private val EstUpDag = 950.0     // r14 quiet run: the ×10 startFromFiles settle (887 s)
+  private val EstPrewarmDag = 90.0 // the sf0.001 codegen prewarm settle
   private val EstDiag = Map("main" -> 15.0, "sf2" -> 10.0, "up" -> 30.0, "up100" -> 120.0)
 
+  private val EstFile = Paths.get("bench_estimates.json")
+
+  /** Last-known per-leg costs from the previous run (flat {"key":sec}
+    * JSON we both write and read — no JSON lib in scope). A corrupt or
+    * absent file falls back to the constants above. */
+  private def readEstimates(): Map[String, Double] =
+    try {
+      if (!Files.exists(EstFile)) Map.empty
+      else """"([a-z0-9_]+)"\s*:\s*([0-9.]+)""".r
+        .findAllMatchIn(new String(Files.readAllBytes(EstFile)))
+        .flatMap(m => m.group(2).toDoubleOption.map(m.group(1) -> _)).toMap
+    } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
+    // the bench's scale legs run band-guarded gates (q53/q167/q168/q171)
+    // far outside their oracle SF band with no oracle to diverge from —
+    // the ONLY legitimate out-of-band runner (Verify.oracleRun docs)
+    graft.Verify.oracleRun = false
     val benchT0 = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - benchT0) / 1e9
     val budgetSec: Double = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC") match {
@@ -78,7 +100,39 @@ object Bench {
       case None => 2700.0
     }
     def remainingSec: Double = budgetSec - elapsedSec
+    // self-tuning skip thresholds (round-14 verdict #2): last-known costs
+    // from the previous run's bench_estimates.json win over the constants,
+    // with ×1.15 headroom so a threshold sits above its own measurement
+    val persistedEst = readEstimates()
+    val newEst = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def est(key: String, fallback: Double): Double =
+      persistedEst.get(key).map(_ * 1.15).getOrElse(fallback)
+    def recordEst(key: String, sec: Double): Unit = {
+      newEst(key) = sec
+      val merged = (persistedEst ++ newEst).toSeq.sortBy(_._1)
+      try Files.writeString(EstFile,
+        merged.map { case (k, v) => "\"" + k + "\":" + r2(v) }
+          .mkString("{", ",", "}") + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] estimate write failed: $e") }
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    /** All smaller sf-named sibling dirs of `dir`, ascending by SF. */
+    def smallerSiblings(dir: String): Seq[String] = {
+      val p = Paths.get(dir).toAbsolutePath
+      val name = p.getFileName.toString
+      val sf = if (name.startsWith("sf")) name.drop(2).toDoubleOption else None
+      sf.toSeq.flatMap { primary =>
+        val parent = p.getParent.toFile
+        Option(parent.listFiles()).getOrElse(Array.empty)
+          .filter(_.isDirectory).map(_.getName)
+          .flatMap(n => if (n.startsWith("sf")) n.drop(2).toDoubleOption.map(n -> _) else None)
+          .filter(_._2 < primary)
+          .sortBy(_._2)
+          .map { case (n, _) => s"${parent.getAbsolutePath}/$n" }
+      }.filter(d => Files.isDirectory(Paths.get(d)))
+    }
+    val sibsAsc = smallerSiblings(sfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val loadStart = loadavg()
     // FAIR scheduling with a FAIR default pool: the warehouse-DAG gate
@@ -143,6 +197,44 @@ object Bench {
       graft.entry.GateSupport.DagRun(spark, d)
       (System.nanoTime() - t0) / 1e9
     }
+    val skipped = scala.collection.mutable.ArrayBuffer[String]()
+    // ---- streaming-codegen prewarm (round-14 verdict #1b): the first
+    // streaming micro-batch in a cold JVM absorbs ~100 s of one-time
+    // codegen/JIT, which is why the main DAG charge measured 101-259 s on
+    // identical code with only JVM history differing (SCALING.md, both
+    // rehearsals) — and that swing decided whether the ×10 settle fit the
+    // budget. Settle the SAME warehouse DAG on the SMALLEST sf sibling
+    // first: every streaming plan shape compiles against near-zero data,
+    // so the timed main charge starts warm and deterministic. The sf2
+    // leg's own dir (the LARGEST smaller sibling) is excluded — its
+    // charge must stay a real measurement for the dag_charge exponent.
+    // SPARK_GRAFT_PREWARM=off skips; skipped loudly when <2 siblings.
+    val prewarmSec: Option[Double] =
+      if (sys.env.get("SPARK_GRAFT_PREWARM").contains("off")) None
+      else sibsAsc match {
+        case Seq(first, _, _*) =>
+          val e = est("prewarm_dag", EstPrewarmDag)
+          // reserve ~20 min for the mandatory main leg before spending
+          // discretionary budget on the prewarm
+          if (remainingSec < e + 1200) {
+            val msg = f"prewarm_dag: skipped (budget: est $e%.0f s + main-leg reserve > remaining $remainingSec%.0f s)"
+            System.err.println(s"[bench] $msg"); skipped += msg
+            None
+          } else try {
+            val sec = warmDag(first)
+            recordEst("prewarm_dag", sec)
+            System.err.println(f"[bench] prewarm_dag($first) $sec%8.2f s")
+            Some(sec)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] prewarm DAG failed (non-fatal): $e")
+            skipped += s"prewarm_dag: ${e.getClass.getSimpleName}"
+            None
+          }
+        case _ =>
+          System.err.println(
+            "[bench] prewarm_dag: skipped (no sf sibling below the sf2 leg's)")
+          None
+      }
     val dagCharge =
       try warmDag(sfDir)
       catch { case e: Throwable =>
@@ -279,7 +371,6 @@ object Bench {
     val allLegErrs = scala.collection.mutable.ArrayBuffer[String]()
     val diagPairs = scala.collection.mutable.LinkedHashMap[String, Long]()
     val diagSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val skipped = scala.collection.mutable.ArrayBuffer[String]()
     val legLoads = scala.collection.mutable.ArrayBuffer[(String, String)]()
     val queriesOnly = results.values.sum
     val total = queriesOnly + warmup
@@ -307,8 +398,9 @@ object Bench {
       val legLoadJson = if (legLoads.isEmpty) "" else
         s""","leg_loadavg":${legLoads.map { case (t, l) => "\"" + t + "\":\"" + l + "\"" }
           .mkString("{", ",", "}")}"""
+      val pwJson = prewarmSec.map(s => s""","prewarm_dag_sec":${r2(s)}""").getOrElse("")
       val full =
-        s"""{$common,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}",""" +
+        s"""{$common$pwJson,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}",""" +
           s""""elapsed_sec":${r2(elapsedSec)},""" +
           s""""retry_total_sec":${r2(retryTotal)},"retry_sec":${qJson(retries)},""" +
           s""""queries":${qJson(results)}$legs$diag$skJson$legLoadJson,"sf":"$sfDir"}"""
@@ -317,15 +409,16 @@ object Bench {
     emitResultFile() // main leg is on disk before any scale leg starts
     /** The per-leg diagnostic, budget-gated and timed. */
     def runDiag(tag: String, d: String): Unit = {
-      val est = EstDiag.getOrElse(tag, 60.0)
-      if (remainingSec < est) {
-        val msg = f"diag_$tag: skipped (budget: est ${est}%.0f s > remaining ${remainingSec}%.0f s)"
+      val e = est(s"diag_$tag", EstDiag.getOrElse(tag, 60.0))
+      if (remainingSec < e) {
+        val msg = f"diag_$tag: skipped (budget: est ${e}%.0f s > remaining ${remainingSec}%.0f s)"
         System.err.println(s"[bench] $msg"); skipped += msg
       } else {
         val t0 = System.nanoTime()
         try {
           diagPairs(tag) = candPairs(d)
           diagSecs(tag) = (System.nanoTime() - t0) / 1e9
+          recordEst(s"diag_$tag", diagSecs(tag))
           System.err.println(f"[bench] diag($tag cand pairs) ${diagSecs(tag)}%8.2f s = ${diagPairs(tag)}")
         } catch { case e: Throwable =>
           System.err.println(s"[bench] diag_$tag failed: $e")
@@ -352,7 +445,13 @@ object Bench {
       "q159_split_contamination_bloom", "q160_semdedup_cadence",
       // round-11 ask #3: the PRODUCTION capped-Jaccard path measured on
       // the same legs as the uncapped q21 it stop-lists
-      "q56_jaccard_capped")
+      "q56_jaccard_capped",
+      // round-14 ask #4: the capped SemDeDup path rides the same legs as
+      // the uncapped q102 it bounds (its cap·N+N pair space is strictly
+      // below q102's measured 0.65-exponent cell cliques, so the ×100
+      // slot stays with q102 — the capped form's scale receipt is the
+      // ×10 leg + the q171 derived-cap twin at ×100)
+      "q169_semdedup_capped")
     val sf2Twins = Seq(
       "q102_semdedup" -> "q118_stream_semdedup",
       "q102_semdedup" -> "q124_dag_semdedup",
@@ -453,19 +552,18 @@ object Bench {
       legLoads += (s"${tag}_end" -> loadavg())
       (res, warm, legDag, errs.toSeq)
     }
-    def sibling(dir: String): Option[String] = {
-      val p = Paths.get(dir).toAbsolutePath
-      val name = p.getFileName.toString
-      val sf = if (name.startsWith("sf")) name.drop(2).toDoubleOption else None
-      sf.flatMap { primary =>
-        val parent = p.getParent.toFile
-        Option(parent.listFiles()).getOrElse(Array.empty)
-          .filter(_.isDirectory).map(_.getName)
-          .flatMap(n => if (n.startsWith("sf")) n.drop(2).toDoubleOption.map(n -> _) else None)
-          .filter(_._2 < primary)
-          .sortBy(-_._2).headOption
-          .map { case (n, _) => s"${parent.getAbsolutePath}/$n" }
-      }
+    /** A leg's measured wall-clock recorded as the next run's estimate:
+      * base (everything but the DAG settle + its gates) and dag recorded
+      * separately, since the budget gates them separately. A leg that was
+      * TRUNCATED (any in-leg budget skip) records nothing — its wall-clock
+      * is not the leg's cost and would ratchet the threshold down. */
+    def recordLegEst(tag: String, legSec: Double, res: Map[String, Double],
+        dag: Option[Double], errs: Seq[String]): Unit = {
+      if (errs.exists(_.contains("skipped"))) return
+      val dagTotal = dag.getOrElse(0.0) +
+        res.collect { case (n, s) if dagGates(n) => s }.sum
+      recordEst(s"${tag}_base", legSec - dagTotal)
+      dag.foreach(_ => recordEst(s"${tag}_dag", dagTotal))
     }
     /** Leg-level budget gate: returns true (and discloses) when the leg
       * must be skipped because its last-known cost exceeds the budget. */
@@ -479,13 +577,15 @@ object Bench {
     // ---- DOWN leg (next smaller sibling; exponent = log(t1/t2)/log(r))
     val sf2Dir = sys.env.get("SPARK_GRAFT_SF2_DIR")
       .orElse(if (sys.env.get("SPARK_GRAFT_SF2").contains("off")) None
-              else sibling(sfDir))
+              else sibsAsc.lastOption)
       .filter(d => Files.isDirectory(Paths.get(d)))
-      .filterNot(_ => budgetSkip("sf2", EstSf2Leg))
-    val sf2ErrorsAll = scala.collection.mutable.ArrayBuffer[String]()
+      .filterNot(_ => budgetSkip("sf2", est("sf2_base", EstSf2Leg) +
+        est("sf2_dag", 100.0)))
     sf2Dir.foreach { d2 =>
-      val (res2, warm2, dag2, errs2) = runLeg(d2, sf2Subset, "sf2", dagEst = 100.0)
-      sf2ErrorsAll ++= errs2
+      val legT0 = System.nanoTime()
+      val (res2, warm2, dag2, errs2) = runLeg(d2, sf2Subset, "sf2",
+        dagEst = est("sf2_dag", 100.0))
+      recordLegEst("sf2", (System.nanoTime() - legT0) / 1e9, res2, dag2, errs2)
       val ratio = {
         val sfOf = (p: String) =>
           Paths.get(p).getFileName.toString.drop(2).toDoubleOption
@@ -507,6 +607,9 @@ object Bench {
           s""","queries_sf2":${qJson(res2)},"growth_exponents":${qJson(growth)},""" +
           s""""sf2_errors":${sJson(errs2)}"""
       emitResultFile()
+      // ADVICE r14: the pair counter is documented 'per leg' — run it at
+      // the down leg too (sub-second at sf0.01)
+      runDiag("sf2", d2)
     }
     // Shared freshness-check + generate-on-miss for the scale-leg corpora.
     // Path spellings are normalized (relative vs absolute vs trailing
@@ -547,6 +650,11 @@ object Bench {
       // family's standing evidence line (the diag_q21 analogue): its
       // over_cap rows ARE the q53-exclusion receipt at this scale
       "q168_lsh_bucket_profile",
+      // round-14 ask #5's production pair: the PROFILE-DERIVED cap path
+      // (the derivation's median term goes LIVE past sf0.1 — at ×100 the
+      // cap self-tunes to the measured skew) and the cell-space profile
+      // (the SemDeDup pre-flight, O(N) like q168)
+      "q171_embed_neardup_autocap", "q170_cell_profile",
       "q17_dedup_exact", "q101_paragraph_dedup", "q102_semdedup",
       "q158_contamination_bloom", "q54_ann_ivf", "q134_stream_ann_ingest")
     // Excluded at ×100 by design, each with a standing receipt:
@@ -567,7 +675,7 @@ object Bench {
     val up100Requested = sys.env.get("SPARK_GRAFT_UP100_DIR")
       .orElse(if (sys.env.get("SPARK_GRAFT_UP100").contains("off")) None
               else Some(new java.io.File("updata/sf10docs").getAbsolutePath))
-      .filterNot(_ => budgetSkip("up100", EstUp100Leg))
+      .filterNot(_ => budgetSkip("up100", est("up100_base", EstUp100Leg)))
     val (up100Dir, up100GenSec) = up100Requested match {
       case None => (None, 0.0)
       case Some(d) => ensureCorpus(d, up100Factor, "doc-family",
@@ -581,7 +689,9 @@ object Bench {
         graft.core.Tables.embeddings(spark, dd).count()
         (System.nanoTime() - w0) / 1e9
       }
+      val legT0 = System.nanoTime()
       val (resC, warmC, _, errsC) = runLeg(d, up100Subset, "up100", warmDocs)
+      recordLegEst("up100", (System.nanoTime() - legT0) / 1e9, resC, None, errsC)
       val growth = resC.collect { case (name, tC) if mainT(name) > 0 =>
         name -> r2(math.log(tC / mainT(name)) / math.log(up100Factor.toDouble))
       }
@@ -608,14 +718,17 @@ object Bench {
     val upRequested = sys.env.get("SPARK_GRAFT_UP_DIR")
       .orElse(if (sys.env.get("SPARK_GRAFT_UP").contains("off")) None
               else Some(new java.io.File("updata/sf1").getAbsolutePath))
-      .filterNot(_ => budgetSkip("up", EstUpLegBase))
+      .filterNot(_ => budgetSkip("up", est("up_base", EstUpLegBase)))
     val (upDir, upGenSec) = upRequested match {
       case None => (None, 0.0)
       case Some(d) => ensureCorpus(d, upFactor, "up-scale",
         graft.tools.GenScale.generate(spark, sfDir, d, upFactor))
     }
     upDir.foreach { d =>
-      val (resU, warmU, dagU, errsU) = runLeg(d, upSubset, "up", dagEst = EstUpDag)
+      val legT0 = System.nanoTime()
+      val (resU, warmU, dagU, errsU) = runLeg(d, upSubset, "up",
+        dagEst = est("up_dag", EstUpDag))
+      recordLegEst("up", (System.nanoTime() - legT0) / 1e9, resU, dagU, errsU)
       val growth = resU.collect { case (name, tU) if mainT(name) > 0 =>
         name -> r2(math.log(tU / mainT(name)) / math.log(upFactor.toDouble))
       } ++ dagU.filter(_ => dagCharge > 0).map(c =>
@@ -644,8 +757,20 @@ object Bench {
     // bench_result.json regardless — then slowest-N, then the up maps)
     // until it fits 1800 bytes, disclosing every drop on stderr.
     val allErrs = (allLegErrs ++ skipped).toSeq
+    // errMode (ADVICE r14): a budget-exhausted run appends one error per
+    // skipped query, so the error list ALONE can outgrow the buffer in
+    // exactly the skip-heavy runs the budget creates — degrade it too:
+    // 0 = full list, 1 = first 2 + count, 2 = count only. Full detail is
+    // always in bench_result.json.
+    def errJson(errMode: Int): String =
+      if (allErrs.isEmpty) ""
+      else errMode match {
+        case 0 => s""","leg_errors":${sJson(allErrs)}"""
+        case 1 => s""","leg_errors":${sJson(allErrs.take(2))},"n_leg_errors":${allErrs.size}"""
+        case _ => s""","n_leg_errors":${allErrs.size}"""
+      }
     def lineOf(nSlow: Int, withSf2: Boolean, withUp: Boolean,
-        withUp100: Boolean): String = {
+        withUp100: Boolean, errMode: Int): String = {
       val growthLine =
         (if (withSf2) legDirs.get("sf2").map(d2 =>
           s""","sf2":"$d2","growth_exponents":${growthByLeg("sf2")}""").getOrElse("") else "") +
@@ -653,21 +778,26 @@ object Bench {
           s""","up_factor":$upFactor,"up_growth_exponents":$g""").getOrElse("") else "") +
         (if (withUp100) growthByLeg.get("up100").map(g =>
           s""","up100_growth_exponents":$g""").getOrElse("") else "") +
-        (if (allErrs.nonEmpty) s""","leg_errors":${sJson(allErrs)}""" else "")
+        errJson(errMode)
       val slowest = results.toSeq.sortBy(-_._2).take(nSlow)
       s"""{$common,"queries":${qJson(slowest)}$growthLine,"sf":"$sfDir"}"""
     }
     val shapes = Seq(
-      (10, true, true, true), (10, false, true, true), (6, false, true, true),
-      (6, false, false, true), (6, false, false, false), (3, false, false, false))
+      (10, true, true, true, 0), (10, false, true, true, 0), (6, false, true, true, 0),
+      (6, false, false, true, 0), (6, false, false, false, 0), (3, false, false, false, 0),
+      // the error-list degrade steps; the last shape is a structural
+      // floor (~500 bytes) — the 1800-byte cap holds for ANY error count
+      (3, false, false, false, 1), (3, false, false, false, 2),
+      (0, false, false, false, 2))
     val (shape, line) = shapes.iterator.map(s =>
-        s -> lineOf(s._1, s._2, s._3, s._4))
+        s -> lineOf(s._1, s._2, s._3, s._4, s._5))
       .find(_._2.length <= 1800)
-      .getOrElse(shapes.last -> lineOf(3, withSf2 = false, withUp = false, withUp100 = false))
+      .getOrElse(shapes.last -> lineOf(0, withSf2 = false, withUp = false,
+        withUp100 = false, errMode = 2))
     if (shape != shapes.head) System.err.println(
       s"[bench] stdout line degraded to fit the 2000-char tail buffer: " +
         s"slowest=${shape._1} sf2=${shape._2} up=${shape._3} up100=${shape._4} " +
-        s"(${line.length} bytes; full detail in bench_result.json)")
+        s"errMode=${shape._5} (${line.length} bytes; full detail in bench_result.json)")
     // stop BEFORE printing so nothing follows the JSON line in the tail
     // buffer — but a stop-time failure must never swallow the line
     try spark.stop()

@@ -179,6 +179,27 @@ private[graft] object SimilarityGates {
         .orderBy(col("bucket"))
     }),
 
+    // The cap DERIVED from the bucket profile instead of a constant
+    // (round-14 ask #5): cap = max(64, 4 × lower-median bucket
+    // population), so the operator self-tunes to the measured skew — at
+    // sf0.01 the floor dominates (median 8 → cap 64), at sf0.1 the
+    // derived term is live (median 41 → cap 164 < the 570/603 tight
+    // clusters), so BOTH the derivation arms and the star path are
+    // hash-gated. The full integer chain (buckets → median → cap → star
+    // filter) is replayed by the oracle. Same 4-plane band as q53/q167.
+    "q171_embed_neardup_autocap" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val n = emb.count()
+      require(!graft.Verify.oracleRun || Similarity.autoPlanes(n) == 4,
+        s"q171's DuckDB oracle inlines a 4-plane matrix (valid while autoPlanes(n)==4, " +
+          s"i.e. n<=2000 embeddings); got n=$n => ${Similarity.autoPlanes(n)} planes - " +
+          s"re-derive the inlined plane literals in SimilarityGates.oracleSql before " +
+          s"gating this SF")
+      Similarity.nearDupPairsAutoCap(emb, 0.35, 64,
+          nPlanes = Similarity.autoPlanes(n), floorCap = 64L, mult = 4L)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // kNN label purity — the standard embedding-quality probe over the
     // labeled embeddings table: fraction of each query's exact top-10
     // cosine neighbors sharing its label, aggregated per label. Reuses
@@ -215,6 +236,36 @@ private[graft] object SimilarityGates {
       Similarity.semDedup(emb, semDedupCells(emb.count()), 0, 0.35)
         .select(col("vec_id"), col("label"))
         .orderBy(col("vec_id"))
+    }),
+
+    // SemDeDup under the per-cell population cap (round-14 ask #4): the
+    // q167 pivot-star discipline applied to the SemDeDup pair generator —
+    // cells over 24 members contribute pivot-star edges instead of their
+    // clique. The cap is ACTIVE at both gated SFs (sf0.01: cells of
+    // 22-32 members, ~half over; sf0.1: 44-60, most over — DiagCells),
+    // and BOTH branches are exercised at the driver's sf0.01 gate, so
+    // the star semantics are hash-gated. q102 stays the uncapped
+    // verifier form; 24 is the gate-active knob, not a production
+    // default (production sizes the cap from q170's profile).
+    "q169_semdedup_capped" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.semDedupCapped(emb, semDedupCells(emb.count()), 0, 0.35,
+          maxCellPop = 24L)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // The k-means-cell population profile — q168's pre-flight over the
+    // SemDeDup pair space: the O(N) scan that tells a run whether any
+    // cell IS a tight near-dup cluster (the q53 exposure cells inherit)
+    // before paying for within-cell pairs. All-integer output → exact
+    // oracle (shared seed-assignment CTE with q102).
+    "q170_cell_profile" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.cellProfile(emb,
+          Similarity.kmeansCentroids(emb, semDedupCells(emb.count()), 0),
+          maxCellPop = 24L)
+        .orderBy(col("cell"))
     }),
 
     // q102's SEMANTIC grouping ON INGEST — SemDeDup's streaming twin
@@ -566,6 +617,64 @@ private[graft] object SimilarityGates {
          |       ELSE (pop * (pop - 1)) // 2 END AS capped_pairs
          |FROM (SELECT bucket, count(*) AS pop FROM bkt GROUP BY bucket)
          |ORDER BY bucket""".stripMargin,
+
+    // q167 with the cap replayed from the profile: lower-median bucket
+    // population (the element at 1-based rank (n+1) div 2 under pop-asc
+    // order, computed by cumulative counting over distinct pop values —
+    // the same scale-safe shape the Spark side uses), cap = greatest(64,
+    // 4·median), then the identical star-filtered pair query.
+    "q171_embed_neardup_autocap" ->
+      s"""WITH ${lshBucketCte(4, 64)},
+         |v AS (SELECT m.vec_id, m.embedding AS e, $nrmSql AS nrm, b.bucket
+         |  FROM embeddings m JOIN bkt b ON m.vec_id = b.vec_id),
+         |st AS (SELECT bucket, count(*) AS pop, min(vec_id) AS pivot
+         |  FROM v GROUP BY bucket),
+         |cum AS (SELECT pop, sum(cnt) OVER (ORDER BY pop) AS cum
+         |  FROM (SELECT pop, count(*) AS cnt FROM st GROUP BY pop)),
+         |cap AS (SELECT greatest(64, 4 * (SELECT min(pop) FROM cum
+         |  WHERE cum >= ((SELECT count(*) FROM st) + 1) // 2)) AS cap)
+         |SELECT a, b, round(score, 6) AS score FROM (
+         | SELECT va.vec_id AS a, vb.vec_id AS b, $dotSql / (va.nrm * vb.nrm) AS score
+         | FROM v va JOIN st ON va.bucket = st.bucket CROSS JOIN cap
+         |  JOIN v vb ON va.bucket = vb.bucket AND va.vec_id < vb.vec_id
+         | WHERE st.pop <= cap.cap OR va.vec_id = st.pivot)
+         |WHERE score >= 0.35 ORDER BY a, b""".stripMargin,
+
+    // q102's SemDeDup chain with the per-cell cap: same seed-assignment
+    // and recursive-reach CTEs, the pair CTE filtered by (pop <= 24 OR
+    // va = the cell's min-id pivot) — the capped pair set feeds the
+    // identical components collapse.
+    "q169_semdedup_capped" ->
+      s"""WITH RECURSIVE ${ivfAssignCteN(semDedupSeedLimitSql)},
+         |v AS (SELECT m.vec_id, m.embedding AS e, $nrmSql AS nrm, a.cell
+         |  FROM embeddings m JOIN assign a ON m.vec_id = a.vec_id),
+         |st AS (SELECT cell, count(*) AS pop, min(vec_id) AS pivot
+         |  FROM v GROUP BY cell),
+         |e AS (SELECT va.vec_id AS a, vb.vec_id AS b
+         |  FROM v va JOIN st ON va.cell = st.cell
+         |  JOIN v vb ON va.cell = vb.cell AND va.vec_id < vb.vec_id
+         |  WHERE (st.pop <= 24 OR va.vec_id = st.pivot)
+         |    AND $dotSql / (va.nrm * vb.nrm) >= 0.35),
+         |ee AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+         |reach(a, b) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM ee)
+         |  UNION
+         |  SELECT r.a, e2.b FROM reach r JOIN ee e2 ON r.b = e2.a),
+         |comp AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY a)
+         |SELECT m.vec_id, m.label FROM embeddings m
+         |LEFT JOIN comp ON m.vec_id = comp.id
+         |WHERE comp.comp IS NULL OR comp.comp = m.vec_id
+         |ORDER BY m.vec_id""".stripMargin,
+
+    // the cell-space profile over the shared seed assignment
+    "q170_cell_profile" ->
+      s"""WITH ${ivfAssignCteN(semDedupSeedLimitSql)}
+         |SELECT cell, pop, (pop * (pop - 1)) // 2 AS clique_pairs,
+         |  CAST(pop > 24 AS INT) AS over_cap,
+         |  CASE WHEN pop > 24 THEN pop - 1
+         |       ELSE (pop * (pop - 1)) // 2 END AS capped_pairs
+         |FROM (SELECT cell, count(*) AS pop FROM assign GROUP BY cell)
+         |ORDER BY cell""".stripMargin,
 
     "q59_kmeans_cells" ->
       s"""WITH $ivfAssignCte

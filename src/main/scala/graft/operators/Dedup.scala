@@ -218,7 +218,14 @@ object Dedup {
   private def pairShuffleParts(docs: DataFrame): Int = {
     val conf = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val bytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (bytes >= BigInt(Long.MaxValue) / 2) conf
+    // missing-stats ceiling (ADVICE r14): a filter/project above a
+    // stats-less leaf ATTENUATES the Long.MaxValue fallback (e.g. ×0.05
+    // selectivity ≈ 4.6e17) without making it meaningful, so the bare
+    // >= MaxValue/2 check missed it. Any estimate above 1 PiB is treated
+    // as missing — a genuine corpus past ~2 GiB already saturates the
+    // 4096 cap, so the ceiling changes behavior ONLY for estimates no
+    // real input of this operator produces.
+    if (bytes >= BigInt(1L << 50)) conf
     else {
       val scaled = (bytes / (512L << 10)).min(BigInt(4096)).toInt
       math.max(conf, scaled)

@@ -6,6 +6,9 @@ import org.apache.spark.sql.SparkSession
   * `runMain graft.tools.Profile <query> [sfDir] [explain]` */
 object Profile {
   def main(args: Array[String]): Unit = {
+    // dev profiling runs gates at arbitrary SFs with no oracle in sight —
+    // same out-of-band declaration as Bench (Verify.oracleRun docs)
+    graft.Verify.oracleRun = false
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val spark = SparkSession.builder()

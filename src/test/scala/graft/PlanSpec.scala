@@ -300,6 +300,32 @@ class PlanSpec extends SparkTestBase {
         df.queryExecution.optimizedPlan.toString)
   }
 
+  test("capped cell near-dup: pop filter under the pair join, pair space equi on cell") {
+    val emb = Tables.embeddings(spark, sf)
+    val cents = Similarity.kmeansCentroids(emb, 16, 0)
+    val df = Similarity.cellNearDupPairsCapped(emb, cents, 0.35, 24L)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), "no unbounded product:\n" + p)
+    assert("(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) \\[cell".r
+        .findFirstIn(p).isDefined,
+      "the pair space must ride a cell equi-join:\n" + p)
+    // the assignment is checkpointed ONCE — no per-consumer re-run of the
+    // n×nCells centroid broadcast survives in the pair plan
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the checkpointed assignment must not re-run the centroid broadcast:\n" + p)
+    // the cap-or-pivot predicate must apply UNDER the pair join (same
+    // contract as nearDupPairsCapped): an over-cap cell's left side is
+    // one pivot row, so the pop² output never materializes
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Join => LJoin}
+    val outerJoin = df.queryExecution.optimizedPlan.collectFirst { case j: LJoin => j }
+    assert(outerJoin.exists(_.left.collectFirst[Any] {
+      case f: LFilter if f.condition.toString.contains("pop") => f
+      case j: LJoin if j.condition.exists(_.toString.contains("pop")) => j
+    }.isDefined),
+      "the population cap must apply on the pair join's left INPUT:\n" +
+        df.queryExecution.optimizedPlan.toString)
+  }
+
   test("substring profile screens duplicated windows via a win equi-join, islands partition by doc") {
     import graft.operators.Dedup
     val p = plan(Dedup.substringDupProfile(Tables.documents(spark, sf), 40, 10))

@@ -263,6 +263,103 @@ class SimilaritySpec extends SparkTestBase {
     assert(prof.toSeq === Seq((100L, 4950L, 1, 99L)))
   }
 
+  test("derivedCap: deterministic lower-median, floor and live arms") {
+    // lower median = element at 1-based rank (n+1) div 2 under pop-asc
+    // order, via cumulative counting over distinct pops
+    def cap(pops: Seq[Long], floor: Long, mult: Long): Long =
+      Similarity.derivedCap(pops.toDF("pop"), floor, mult)
+        .as[Long].head()
+    // n=6, rank 3: sorted [1,1,2,8,9,50] → med 2 → 4·2=8 < floor → 64
+    assert(cap(Seq(8L, 1L, 50L, 2L, 9L, 1L), 64L, 4L) === 64L)
+    // n=4, rank 2: sorted [20,20,30,200] → med 20 → 4·20=80 > floor
+    assert(cap(Seq(30L, 20L, 200L, 20L), 64L, 4L) === 80L)
+    // odd n=5, rank 3: sorted [1,2,3,4,1000] → med 3
+    assert(cap(Seq(1000L, 4L, 3L, 2L, 1L), 1L, 1L) === 3L)
+  }
+
+  test("nearDupPairsAutoCap matches the constant-cap form at its derived cap") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // at sf0.001 the floor dominates (median bucket pop ≪ 16), so the
+    // auto form must be bit-identical to nearDupPairsCapped(64)
+    val auto = Similarity.nearDupPairsAutoCap(emb, 0.35, 64, nPlanes = 4,
+        floorCap = 64L, mult = 4L)
+      .as[(Long, Long, Double)].collect().toSet
+    val const = Similarity.nearDupPairsCapped(emb, 0.35, 64, nPlanes = 4,
+        maxBucketPop = 64L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(auto === const)
+    // the live arm: a profile whose 4·median exceeds the floor must relax
+    // the cap above it — on a synthetic two-cluster + uniform space the
+    // derived cap keeps the uniform buckets' cliques that a floor-only
+    // cap would star-collapse
+    val capLive = Similarity.derivedCap(
+      Seq(40L, 41L, 42L, 43L, 500L, 600L).toDF("pop"), 64L, 4L)
+      .as[Long].head()
+    assert(capLive === 4 * 42L, s"live arm must use 4·median (got $capLive)")
+  }
+
+  test("cellNearDupPairsCapped: inert cap equals uncapped; tight cell → pivot star") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val nCells = graft.entry.GateSupport.semDedupCells(emb.count())
+    val cents = Similarity.kmeansCentroids(emb, nCells, 0)
+    val uncapped = Similarity.cellNearDupPairs(emb, cents, 0.35)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) => (a, b) -> s }.toMap
+    // cap above every cell's population → bit-identical to the q102 form
+    val inert = Similarity.cellNearDupPairsCapped(emb, cents, 0.35, 1000000L)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) => (a, b) -> s }.toMap
+    assert(inert === uncapped)
+    // active cap (the q169 gate setting): subset, scores unchanged
+    val capped = Similarity.cellNearDupPairsCapped(emb, cents, 0.35, 24L)
+      .as[(Long, Long, Double)].collect()
+    assert(capped.length < uncapped.size,
+      s"cap 24 must be ACTIVE at sf0.001 (got ${capped.length} of ${uncapped.size})")
+    capped.foreach { case (a, b, s) =>
+      assert(uncapped.get((a, b)).contains(s),
+        s"pair ($a,$b) score drift or not in the uncapped set")
+    }
+    // a planted tight cluster assigned to ONE cell must emit exactly the
+    // min-id star and stay one component — the q53 exposure, neutralized.
+    // The 50 copies are bit-identical, so every dist ties and the argmin
+    // tie-break lands the whole cluster in the min seed cell (0)
+    val base = Array.tabulate(dim)(i => 1.0f + 0.01f * i)
+    val cluster = (0L until 50L).map(i => (i, base))
+    val cdf = cluster.toDF("vec_id", "embedding")
+    val oneCell = Similarity.kmeansCentroids(cdf, 4, 0)
+    val star = Similarity.cellNearDupPairsCapped(cdf, oneCell, 0.999, 10L)
+      .select("a", "b").as[(Long, Long)].collect()
+    assert(star.toSet === (1L until 50L).map(b => (0L, b)).toSet,
+      s"over-cap cell must contribute exactly the min-id star (got ${star.length})")
+    val prof = Similarity.cellProfile(cdf, oneCell, 10L)
+      .select("pop", "clique_pairs", "over_cap", "capped_pairs")
+      .as[(Long, Long, Int, Long)].collect()
+    assert(prof.toSeq === Seq((50L, 1225L, 1, 49L)))
+  }
+
+  test("semDedupCapped: inert cap equals semDedup; planted dups still collapse") {
+    // vector i+1000 ≈ vector i: the pair shares a cell AND the capped
+    // form must still suppress the copy — within a tight group the star
+    // reaches every member through the pivot
+    val planted = corpus.take(20).map { case (id, v) =>
+      (id + 1000L, v.map(x => x + 0.0005f * rnd.nextFloat()))
+    }
+    val df = (corpus ++ planted).toDF("vec_id", "embedding")
+    val uncapped = Similarity.semDedup(df, 4, 0, 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    val inert = Similarity.semDedupCapped(df, 4, 0, 0.999, 1000000L)
+      .select("vec_id").as[Long].collect().toSet
+    assert(inert === uncapped)
+    // active cap: every cell over 10 members goes pivot-star; each
+    // planted copy is near-identical to its original, but the star only
+    // DIRECTLY links pivot→member — originals without a near-dup edge to
+    // the pivot keep themselves, and every survivor set is a superset of
+    // the uncapped one (the cap can only DROP suppressions, never add)
+    val capped = Similarity.semDedupCapped(df, 4, 0, 0.999, 10L)
+      .select("vec_id").as[Long].collect().toSet
+    assert(uncapped.subsetOf(capped))
+  }
+
   test("autoPlanes: 4 at gated sizes, grows as log2(N) past them") {
     // ≤ 2000 vectors (both gated SFs) must resolve to exactly 4 — the
     // q53 oracle inlines the 4-plane matrix
