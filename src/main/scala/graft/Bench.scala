@@ -70,7 +70,9 @@ object Bench {
   private val EstUp100Leg = 800.0  // r14 quiet run: 966 queries minus the dropped
                                    // q53 (316) plus q167 slack
   private val EstUpLegBase = 550.0 // r14 quiet run: 132 warm + 349 queries + slack
-  private val EstUpDag = 950.0     // r14 quiet run: the ×10 startFromFiles settle (887 s)
+  private val EstUpDag = 650.0     // r15: the ×10 settle at the 48 MB chunk divisor
+                                   // (518 s cold quiet-host + gate slack; was 887-950
+                                   // at the old 8-chunk feed)
   private val EstPrewarmDag = 90.0 // the sf0.001 codegen prewarm settle
   private val EstDiag = Map("main" -> 15.0, "sf2" -> 10.0, "up" -> 30.0, "up100" -> 120.0)
 

@@ -327,10 +327,20 @@ private[graft] object GateSupport {
       // GRAFT_DAG_CHUNKS: dev override to exercise the >2-chunk staggered
       // path at a gated SF (results must be chunk-count independent);
       // clamped to the same [2,16] band as the derived value — 0/negative
-      // would make pmod-style bucketing degenerate and silently drop data
+      // would make pmod-style bucketing degenerate and silently drop data.
+      // Divisor 48 MB ≈ TWO sf0.1-corpora per chunk (round 15): the
+      // per-settle-round FIXED cost (state-store commit cycles across ~17
+      // queries) measured ~110 s at the ×10 corpus, so fewer, bigger
+      // chunks win as long as per-batch heap holds — cold-JVM quiet-host
+      // settle 1001.8 s at 8 chunks → 672.3 s at 5 → 518.1 s at 4 (this
+      // divisor), identical outputs. The heap bound that set the old
+      // 24 MB divisor was a 5-corpora batch dying at 48 GiB; the bench
+      // heap is 96 GiB and 2 corpora/batch keeps 2.5× margin below even
+      // the 48 GiB death load. Gated SFs (≤ sf0.1) still derive exactly
+      // 2 chunks — layout and sentinel rounds bit-identical.
       val nChunks = sys.env.get("GRAFT_DAG_CHUNKS").flatMap(_.toIntOption)
         .map(n => math.max(2, math.min(16, n)))
-        .getOrElse(math.max(2, math.min(16, (corpusBytes / 24000000L).toInt + 1)))
+        .getOrElse(math.max(2, math.min(16, (corpusBytes / 48000000L).toInt + 1)))
       // ---- staggered tail flushing (round-10 ask #3): the refund-family
       // tables (order_refund_info, refund_payment) and the order_info
       // side they join COMPLETE at chunk cEarly−1, where their flush
