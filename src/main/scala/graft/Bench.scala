@@ -25,7 +25,7 @@ import org.apache.spark.sql.SparkSession
   * Wall-clock budget (round-13 verdict #1: two straight rounds lost the
   * driver artifact to its ~1 h envelope — r13 was killed at rc 124 with
   * the one end-of-run JSON write never reached): the run self-budgets via
-  * SPARK_GRAFT_BENCH_BUDGET_SEC (default 2700 s from JVM start, "off" to
+  * SPARK_GRAFT_BENCH_BUDGET_SEC (default 3000 s from JVM start, "off" to
   * disable). The MAIN leg always runs in full; each scale leg (and each
   * leg's DAG settle, and the candidate-pair diagnostic) is skipped — and
   * loudly disclosed in `skipped` + `leg_errors` — when the remaining
@@ -70,9 +70,12 @@ object Bench {
   private val EstUp100Leg = 800.0  // r14 quiet run: 966 queries minus the dropped
                                    // q53 (316) plus q167 slack
   private val EstUpLegBase = 550.0 // r14 quiet run: 132 warm + 349 queries + slack
-  private val EstUpDag = 650.0     // r15: the ×10 settle at the 48 MB chunk divisor
-                                   // (518 s cold quiet-host + gate slack; was 887-950
-                                   // at the old 8-chunk feed)
+  private val EstUpDag = 560.0     // r15: the ×10 settle at the 48 MB chunk divisor
+                                   // measured 518 s COLD on a quiet host; in-bench it
+                                   // runs with every plan shape already compiled
+                                   // (prewarm + main + sf2 settles precede it), so
+                                   // 560 covers it. Was 887-950 at the old 8-chunk
+                                   // feed; self-tunes after the first completed run.
   private val EstPrewarmDag = 90.0 // the sf0.001 codegen prewarm settle
   private val EstDiag = Map("main" -> 15.0, "sf2" -> 10.0, "up" -> 30.0, "up100" -> 120.0)
 
@@ -96,10 +99,17 @@ object Bench {
     graft.Verify.oracleRun = false
     val benchT0 = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - benchT0) / 1e9
+    // Default budget 3000 s (round 15; was 2700): the r14 driver artifact
+    // shows ~50 s of sbt overhead around the bench against the observed
+    // 3600 s kill (r13, rc 124), and the per-item gates bound any
+    // overshoot by one item's estimate error — worst wall ≈ budget +
+    // ~15 % of one leg, comfortably under the envelope. The extra 300 s
+    // is exactly the margin the ×10 DAG settle missed by (606 remaining
+    // vs 650 estimated) in the first round-15 rehearsal.
     val budgetSec: Double = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC") match {
       case Some("off") => Double.MaxValue
-      case Some(s) => s.toDoubleOption.getOrElse(2700.0)
-      case None => 2700.0
+      case Some(s) => s.toDoubleOption.getOrElse(3000.0)
+      case None => 3000.0
     }
     def remainingSec: Double = budgetSec - elapsedSec
     // self-tuning skip thresholds (round-14 verdict #2): last-known costs
@@ -107,10 +117,15 @@ object Bench {
     // with ×1.15 headroom so a threshold sits above its own measurement
     val persistedEst = readEstimates()
     val newEst = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // estimate keys are SF-QUALIFIED: a dev smoke at sf0.01 must not
+    // rewrite the thresholds the driver's sf0.1 run reads back
+    val sfTag = Paths.get(sfDir).getFileName.toString
+      .toLowerCase.replaceAll("[^a-z0-9]", "_")
     def est(key: String, fallback: Double): Double =
-      persistedEst.get(key).map(_ * 1.15).getOrElse(fallback)
+      persistedEst.get(s"${sfTag}_$key").map(_ * 1.15).getOrElse(fallback)
     def recordEst(key: String, sec: Double): Unit = {
-      newEst(key) = sec
+      newEst(s"${sfTag}_$key") = sec
       val merged = (persistedEst ++ newEst).toSeq.sortBy(_._1)
       try Files.writeString(EstFile,
         merged.map { case (k, v) => "\"" + k + "\":" + r2(v) }
@@ -118,7 +133,6 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] estimate write failed: $e") }
     }
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     /** All smaller sf-named sibling dirs of `dir`, ascending by SF. */
     def smallerSiblings(dir: String): Seq[String] = {
       val p = Paths.get(dir).toAbsolutePath
@@ -557,11 +571,15 @@ object Bench {
     /** A leg's measured wall-clock recorded as the next run's estimate:
       * base (everything but the DAG settle + its gates) and dag recorded
       * separately, since the budget gates them separately. A leg that was
-      * TRUNCATED (any in-leg budget skip) records nothing — its wall-clock
-      * is not the leg's cost and would ratchet the threshold down. */
+      * TRUNCATED (an in-leg budget skip) records nothing — its wall-clock
+      * is not the leg's cost and would ratchet the threshold down. The
+      * DAG-skip message is exempt for the BASE recording: the base part
+      * completed in full, and withholding it would leave the base
+      * threshold stale in exactly the budget-tight runs that need it. */
     def recordLegEst(tag: String, legSec: Double, res: Map[String, Double],
         dag: Option[Double], errs: Seq[String]): Unit = {
-      if (errs.exists(_.contains("skipped"))) return
+      if (errs.exists(e => e.contains("skipped") && !e.startsWith(s"${tag}_dag:")))
+        return
       val dagTotal = dag.getOrElse(0.0) +
         res.collect { case (n, s) if dagGates(n) => s }.sum
       recordEst(s"${tag}_base", legSec - dagTotal)
