@@ -467,7 +467,12 @@ object Bench {
       // below q102's measured 0.65-exponent cell cliques, so the ×100
       // slot stays with q102 — the capped form's scale receipt is the
       // ×10 leg + the q171 derived-cap twin at ×100)
-      "q169_semdedup_capped")
+      "q169_semdedup_capped",
+      // round-15: the single-shuffle sessionization — its growth rides
+      // the events table (scales with sf), and the exponent certifies
+      // the exchange-reuse claim (a second shuffle would read clearly
+      // superlinear under the per-key window sort)
+      "q172_sessionize")
     val sf2Twins = Seq(
       "q102_semdedup" -> "q118_stream_semdedup",
       "q102_semdedup" -> "q124_dag_semdedup",

@@ -238,6 +238,23 @@ private[graft] object RelationalGates {
         "GlobalWindowTopK must have rewritten the single-task window:\n" + phys)
       out.withColumn("rn", col("rn").cast("long")).orderBy(col("rn"))
     }),
+
+    // Gap sessionization over the event log (EventOps.sessionize): new
+    // session when a user's inter-event gap exceeds 6 h (the sf events
+    // average ~10 h between events per user, so both single- and
+    // multi-event sessions occur at every gated SF). One shuffle on
+    // user_id; the (user, session_no) groupBy reuses the window's
+    // exchange.
+    "q172_sessionize" -> ((s, d) =>
+      EventOps.sessionize(Tables.events(s, d), gapMinutes = 360)
+        .orderBy(col("user_id"), col("session_no"))),
+
+    // Cohort retention triangle (EventOps.cohortRetention): users
+    // bucketed by first-activity day, distinct actives per
+    // (cohort_day, day_offset) cell.
+    "q173_cohort_retention" -> ((s, d) =>
+      EventOps.cohortRetention(Tables.events(s, d))
+        .orderBy(col("cohort_day"), col("day_offset"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -394,5 +411,42 @@ private[graft] object RelationalGates {
         |  SELECT event_id, value,
         |    row_number() OVER (ORDER BY value DESC, event_id) AS rn
         |  FROM events) WHERE rn <= 100 ORDER BY rn""".stripMargin,
+
+    // sessionize twin: identical lag/running-sum/group-by, ROWS frame
+    // explicit on the running sum, (ts, event_id) total order so the
+    // session ordinal is deterministic in both engines
+    "q172_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts > lag(ts) OVER w + INTERVAL 360 MINUTES
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), numbered AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  FROM flagged
+        |)
+        |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM numbered GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin,
+
+    "q173_cohort_retention" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), cohorts AS (
+        |  SELECT user_id, MIN(day) AS cohort_day FROM active GROUP BY user_id
+        |)
+        |SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+        |  CAST(date_diff('day', c.cohort_day, a.day) AS BIGINT) AS day_offset,
+        |  count(DISTINCT a.user_id) AS n_users
+        |FROM active a JOIN cohorts c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -220,6 +220,78 @@ object EventOps {
     }.reduce(_ unionByName _)
   }
 
+  /** Gap-based sessionization: a new session starts when the key's
+    * inter-event gap exceeds `gapMinutes`. The batch twin of the
+    * reference's session semantics (W9 session-start flag,
+    * app/dwd/DwdTrafficBaseLogSplit.java's is_new repair keyed on visit
+    * gaps), generalized to the classic warehouse operator: per-session
+    * start/end/count/sum.
+    *
+    * Shape: lag + running-sum over a key-partitioned window assigns the
+    * session ordinal, then a group-by on (key, session_no) aggregates.
+    *
+    * Scale: ONE shuffle on the entity key. The window sort is per-key
+    * (no global sort), and the follow-up groupBy keys are a superset of
+    * the window's partition key, so EnsureRequirements reuses the same
+    * exchange (HashPartitioning(key) satisfies the clustered
+    * distribution of (key, session_no)) — verified by EventOpsSpec's
+    * single-Exchange plan check. Skew is bounded by the max per-key
+    * event count, same envelope as every other per-entity window here.
+    *
+    * `tieCols` break ordering ties for same-timestamp events so the
+    * session ordinal is deterministic (the oracle orders identically). */
+  def sessionize(
+      events: DataFrame,
+      gapMinutes: Int,
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      tieCols: Seq[String] = Seq("event_id"),
+      valueCol: String = "value"): DataFrame = {
+    val order = (col(tsCol) +: tieCols.map(col)): Seq[Column]
+    val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("_prev_ts", lag(col(tsCol), 1).over(w))
+      .withColumn("_is_new",
+        when(col("_prev_ts").isNull ||
+          col(tsCol) > col("_prev_ts") + expr(s"INTERVAL $gapMinutes MINUTES"), 1L)
+          .otherwise(0L))
+      .withColumn("session_no", sum(col("_is_new")).over(running))
+      .groupBy(col(keyCol), col("session_no"))
+      .agg(
+        date_format(min(col(tsCol)), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max(col(tsCol)), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("sum_value"))
+  }
+
+  /** Cohort retention: users bucketed by first-activity day, activity
+    * counted at each (cohort_day, day_offset) cell — the classic
+    * retention triangle over the event log.
+    *
+    * Scale: the cohort derivation (groupBy key → min day), the active-day
+    * dedup (distinct on (key, day)), and the join all hash on the entity
+    * key, so the whole left side of the plan runs in ONE exchange of the
+    * fact table; the final groupBy on (cohort_day, day_offset) shuffles
+    * only the already-deduped (key, day) pairs — bounded by users × days,
+    * not by raw events. countDistinct is exact (the cell grain is small);
+    * partial aggregation handles the fan-in. */
+  def cohortRetention(
+      events: DataFrame,
+      keyCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val active = events
+      .select(col(keyCol), to_date(col(tsCol)).as("_day"))
+      .distinct()
+    val cohorts = active.groupBy(col(keyCol))
+      .agg(min(col("_day")).as("_cohort_day"))
+    active.join(cohorts, keyCol)
+      .groupBy(
+        date_format(col("_cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(col("_day"), col("_cohort_day")).cast("long").as("day_offset"))
+      .agg(countDistinct(col(keyCol)).as("n_users"))
+  }
+
   /** A1/A2/A3 + W1/W6 — tumbling event-time window aggregation with the
     * window bounds emitted as formatted strings (stt/edt), exactly the DWS
     * output shape. Keys optional (A3 = global window). Spark's window agg is

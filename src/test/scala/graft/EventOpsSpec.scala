@@ -82,6 +82,59 @@ class EventOpsSpec extends SparkTestBase {
     assert(out === Seq((1L, "view", 4L), (2L, "click", 1L), (3L, "purchase", 1L)))
   }
 
+  test("sessionize: gap splits, boundary gap keeps, single shuffle") {
+    def e(id: Long, u: Long, t: String, v: Double) = (id, ts(t), u, v)
+    val events = Seq(
+      // u1: 10:00, 10:05 one session; 18:00 is 7h55m after -> new session
+      e(1, 1, "10:00", 1.0), e(2, 1, "10:05", 2.0), e(3, 1, "18:00", 4.0),
+      // u2: second event EXACTLY at prev + 360 min -> same session (> is strict)
+      e(4, 2, "10:00", 8.0), e(5, 2, "16:00", 16.0)
+    ).toDF("event_id", "ts", "user_id", "value")
+    val out = EventOps.sessionize(events, gapMinutes = 360)
+    val got = out.orderBy("user_id", "session_no")
+      .as[(Long, Long, String, String, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "2024-01-01 10:05:00", 2L, 3.0),
+      (1L, 2L, "2024-01-01 18:00:00", "2024-01-01 18:00:00", 1L, 4.0),
+      (2L, 1L, "2024-01-01 10:00:00", "2024-01-01 16:00:00", 2L, 24.0)))
+    // ONE exchange: the (user, session_no) groupBy must reuse the
+    // window's HashPartitioning(user_id) — a second Exchange here is
+    // the scale regression this operator's doc promises away
+    val phys = out.queryExecution.executedPlan.toString
+    val nExchanges = "(?i)\\bExchange hashpartitioning".r
+      .findAllMatchIn(phys).size
+    assert(nExchanges == 1, s"expected 1 shuffle, got $nExchanges:\n$phys")
+  }
+
+  test("sessionize: same-timestamp ties break on tieCols deterministically") {
+    val events = Seq(
+      (2L, ts("10:00"), 1L, 1.0), (1L, ts("10:00"), 1L, 2.0),
+      (3L, ts("17:00"), 1L, 4.0)
+    ).toDF("event_id", "ts", "user_id", "value")
+    val got = EventOps.sessionize(events, gapMinutes = 360)
+      .orderBy("session_no")
+      .as[(Long, Long, String, String, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "2024-01-01 10:00:00", 2L, 3.0),
+      (1L, 2L, "2024-01-01 17:00:00", "2024-01-01 17:00:00", 1L, 4.0)))
+  }
+
+  test("cohortRetention: first-day cohorts, distinct actives per cell") {
+    def d(id: Long, u: Long, day: Int, hhmm: String) =
+      (id, Timestamp.valueOf(f"2024-01-$day%02d $hhmm:00"), u)
+    val events = Seq(
+      d(1, 1, 1, "09:00"), d(2, 1, 1, "18:00"), // u1 day1 twice -> one active
+      d(3, 1, 3, "10:00"),                      // u1 back at offset 2
+      d(4, 2, 2, "10:00"),                      // u2 cohort day2
+      d(5, 3, 1, "10:00"), d(6, 3, 3, "10:00")  // u3 same cells as u1
+    ).toDF("event_id", "ts", "user_id")
+    val got = EventOps.cohortRetention(events)
+      .orderBy("cohort_day", "day_offset")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("2024-01-01", 0L, 2L), ("2024-01-01", 2L, 2L), ("2024-01-02", 0L, 1L)))
+  }
+
   test("int keys round-trip as int, windows smaller than n emit all keys") {
     val iev = events.withColumn("user_id", col("user_id").cast("int"))
     val got = EventOps.topNPerWindow(iev, "1 hour", col("user_id"), 3)
