@@ -70,12 +70,11 @@ object Bench {
   private val EstUp100Leg = 800.0  // r14 quiet run: 966 queries minus the dropped
                                    // q53 (316) plus q167 slack
   private val EstUpLegBase = 550.0 // r14 quiet run: 132 warm + 349 queries + slack
-  private val EstUpDag = 560.0     // r15: the ×10 settle at the 48 MB chunk divisor
-                                   // measured 518 s COLD on a quiet host; in-bench it
-                                   // runs with every plan shape already compiled
-                                   // (prewarm + main + sf2 settles precede it), so
-                                   // 560 covers it. Was 887-950 at the old 8-chunk
-                                   // feed; self-tunes after the first completed run.
+  private val EstUpDag = 660.0     // r15: the ×10 settle at the 48 MB chunk divisor
+                                   // measured 614/647 s in-bench across the two
+                                   // clean default-budget runs (518 s cold+quiet).
+                                   // Was 887-950 at the old 8-chunk feed;
+                                   // self-tunes after the first completed run.
   private val EstPrewarmDag = 90.0 // the sf0.001 codegen prewarm settle
   private val EstDiag = Map("main" -> 15.0, "sf2" -> 10.0, "up" -> 30.0, "up100" -> 120.0)
 

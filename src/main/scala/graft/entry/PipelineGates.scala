@@ -492,7 +492,105 @@ private[graft] object PipelineGates {
       org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
       out
     }),
+
+    // K5 EXECUTED — the ordered-field JDBC batch sink against a real SQL
+    // engine: embedded Derby (on the Spark classpath; the same
+    // `df.write.jdbc` binding a ClickHouse/Postgres deployment points its
+    // URL at — only the URL and dialect change, the projection, field
+    // order, and batched-INSERT path are identical). The transient column
+    // must never reach the table, and the declared field order must
+    // survive the round trip — both required before the read-back.
+    "q174_jdbc_batch_sink" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_derby_").toString
+      System.setProperty("derby.system.home", dir) // derby.log out of the repo
+      val url = s"jdbc:derby:$dir/db;create=true"
+      val props = new java.util.Properties
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      val src = Tables.customer(s, d).select(col("c_custkey"), col("c_name"),
+        Relational.money(col("c_acctbal")).cast("double").as("c_acctbal"),
+        col("c_mktsegment"))
+      graft.streaming.Sinks.orderedBatchSink(src, Seq("c_mktsegment"),
+        graft.streaming.Sinks.JdbcTarget(url, "customer_sink", props))
+      val back = s.read.jdbc(url, "customer_sink", props)
+      require(back.columns.toSeq == Seq("c_custkey", "c_name", "c_acctbal"),
+        s"q174: field order / transient contract broken: ${back.columns.toSeq}")
+      val out = back.orderBy(col("c_custkey")).localCheckpoint(true)
+      try { java.sql.DriverManager.getConnection(s"jdbc:derby:$dir/db;shutdown=true"); () }
+      catch { case _: java.sql.SQLException => () } // 08006 = clean db shutdown
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(dir))
+      out
+    }),
+
+    // K6 EXECUTED — the dim-upsert JDBC binding driven through real
+    // checkpointed micro-batches into embedded Derby, INCLUDING the
+    // crash-replay hazard its docs call out: the last chunk is re-delivered
+    // under its real engine epochId (append-mode JDBC lands it twice), and
+    // the read side applies the documented (pk, _epoch) staging-merge —
+    // exact-duplicate collapse + newest-epoch-wins — to restore the
+    // upsert semantics a Phoenix/ReplacingMergeTree target enforces
+    // server-side.
+    "q175_jdbc_dim_upsert" -> ((s, d) => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_derby_dim_").toString
+      System.setProperty("derby.system.home", dir)
+      val url = s"jdbc:derby:$dir/db;create=true"
+      val props = new java.util.Properties
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      val cust = Tables.customer(s, d)
+      val maxK = cust.agg(max(col("c_custkey"))).head().getLong(0)
+      // the feed carries `data` as JSON (the harness's deterministic
+      // chunk scramble hashes every column, and MAP columns are
+      // unhashable); the sink re-parses it to the router's map shape
+      def routed(rows: DataFrame): DataFrame =
+        rows.withColumn("data", from_json(col("data"),
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")))
+      def chunk(p: Int) = cust.where(pmod(col("c_custkey"), lit(2)) === p)
+        .select(lit("dim_user_jdbc").as("sink_table"),
+          to_json(map(lit("id"), col("c_custkey").cast("string"),
+            lit("uname"), col("c_name"),
+            lit("city"), col("c_mktsegment"))).as("data"),
+          col("c_custkey").cast("long").as("ts")).as[DimRoute]
+      val updates = cust.where(col("c_custkey") % 3 === 0)
+        .select(lit("dim_user_jdbc").as("sink_table"),
+          to_json(map(lit("id"), col("c_custkey").cast("string"),
+            lit("uname"), concat(col("c_name"), lit("_v2")),
+            lit("city"), col("c_mktsegment"))).as("data"),
+          (col("c_custkey") + maxK).as("ts")).as[DimRoute]
+      val cfg = DimSink.TableConfig("dim_user_jdbc", Seq("id", "uname", "city"), "id")
+      val epochs = scala.collection.mutable.ArrayBuffer.empty[Long]
+      StreamHarness.runFilesSink(s, Seq(chunk(0), chunk(1), updates)) { (ds, ckpt) =>
+        ds.toDF().writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch { (b: DataFrame, e: Long) =>
+            epochs.append(e)
+            DimSink.processBatchJdbc(routed(b), url, Seq(cfg), e, props)
+          }.start()
+      }
+      require(epochs.size == 3, s"q175: expected 3 micro-batches, saw $epochs")
+      // crash replay of the update chunk under its REAL epoch id
+      DimSink.processBatchJdbc(routed(updates.toDF()), url, Seq(cfg), epochs(2), props)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id")).orderBy(col("_epoch").desc)
+      val out = s.read.jdbc(url, "dim_user_jdbc", props)
+        .select(col("id"), col("uname"), col("city"), col("_epoch"))
+        .distinct() // replayed rows are bit-identical → collapse
+        .withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1) // newest epoch wins per pk
+        .select(col("id"), col("uname"), col("city"))
+        .orderBy(col("id").cast("long"))
+        .localCheckpoint(true)
+      try { java.sql.DriverManager.getConnection(s"jdbc:derby:$dir/db;shutdown=true"); () }
+      catch { case _: java.sql.SQLException => () }
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(dir))
+      out
+    }),
   )
+
+  /** Router-batch row shape for the JDBC dim gate's file feed. `data` is
+    * the router map AS JSON — the harness's deterministic chunk scramble
+    * hashes every feed column and MAP columns are unhashable; the sink
+    * side re-parses it into the (sink_table, data, ts) contract
+    * [[DimSink.processBatchJdbc]] prunes. */
+  final case class DimRoute(sink_table: String, data: String, ts: Long)
 
   def oracleSql: Map[String, String] = Map(
 
@@ -750,5 +848,20 @@ private[graft] object PipelineGates {
          |    THEN 64.0e0 * ln(64.0e0 / CAST(64 - hit AS DOUBLE)) ELSE raw END, 6)
          |    AS est_distinct
          |FROM est ORDER BY stt, event_type""".stripMargin,
+
+    // the Derby round trip must be lossless: same projection, same order
+    "q174_jdbc_batch_sink" ->
+      """SELECT c_custkey, c_name,
+        | CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS c_acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // relational replay of the q175 changelog: every customer inserted,
+    // k%3=0 updated to name_v2 in a later epoch (newest-epoch-wins), the
+    // replayed update chunk collapsed by the (pk, _epoch) merge
+    "q175_jdbc_dim_upsert" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS id,
+        | CASE WHEN c_custkey % 3 = 0 THEN c_name || '_v2' ELSE c_name END AS uname,
+        | c_mktsegment AS city
+        |FROM customer ORDER BY c_custkey""".stripMargin,
   )
 }

@@ -269,23 +269,32 @@ object EventOps {
     * counted at each (cohort_day, day_offset) cell — the classic
     * retention triangle over the event log.
     *
-    * Scale: the cohort derivation (groupBy key → min day), the active-day
-    * dedup (distinct on (key, day)), and the join all hash on the entity
-    * key, so the whole left side of the plan runs in ONE exchange of the
-    * fact table; the final groupBy on (cohort_day, day_offset) shuffles
-    * only the already-deduped (key, day) pairs — bounded by users × days,
-    * not by raw events. countDistinct is exact (the cell grain is small);
-    * partial aggregation handles the fan-in. */
+    * Scale: ONE exchange of the fact table. The events are hashed on the
+    * entity key up front; HashPartitioning(key) then satisfies the
+    * clustered distributions of the (key, day) dedup, the per-key min-day
+    * cohort aggregate, AND both sides of the key equi-join, so none of
+    * them re-shuffles (naive chaining — distinct first — partitions on
+    * the (key, day) pair and pays three more exchanges; EventOpsSpec pins
+    * the 2-exchange plan). The final groupBy on (cohort_day, day_offset)
+    * shuffles only the already-deduped (key, day) pairs — bounded by
+    * users × days, not by raw events. countDistinct is exact (the cell
+    * grain is small); partial aggregation handles the fan-in. */
   def cohortRetention(
       events: DataFrame,
       keyCol: String = "user_id",
       tsCol: String = "ts"): DataFrame = {
     val active = events
       .select(col(keyCol), to_date(col(tsCol)).as("_day"))
+      .repartition(col(keyCol))
       .distinct()
     val cohorts = active.groupBy(col(keyCol))
       .agg(min(col("_day")).as("_cohort_day"))
-    active.join(cohorts, keyCol)
+    // merge-join pinned: cohorts is one row per user — the same
+    // cardinality class as the fact's key space, so broadcasting it is
+    // the wrong plan at scale AND would rebuild the repartitioned
+    // subtree under the broadcast instead of reusing the exchange both
+    // sides already share
+    active.join(cohorts.hint("merge"), keyCol)
       .groupBy(
         date_format(col("_cohort_day"), "yyyy-MM-dd").as("cohort_day"),
         datediff(col("_day"), col("_cohort_day")).cast("long").as("day_offset"))

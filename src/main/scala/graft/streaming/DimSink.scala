@@ -236,8 +236,9 @@ object DimSink {
     * written through `df.write.jdbc` — the binding a Phoenix/ClickHouse
     * deployment plugs its URL into (reference upsert contract:
     * app/func/DimSinkFunction.java builds per-row UPSERTs;
-    * ClickHouse-style engines dedup on the sort key instead). Plumbing
-    * only in this environment — no JDBC server to integration-test.
+    * ClickHouse-style engines dedup on the sort key instead). Executed and
+    * oracle-gated against embedded Derby (q175), including the replay
+    * hazard below.
     *
     * REPLAY HAZARD (unlike [[processBatch]]/[[processBatchDelta]], which
     * are replay-idempotent): this writes `mode("append")` rows, NOT keyed

@@ -289,8 +289,9 @@ object Sinks {
     * 97-118, skipping @TransientSink fields). Encoder schema order is the
     * Scala analogue; `transientCols` = the annotation. The projection (and
     * its order) is identical for every target — [[JdbcTarget]] is the
-    * production binding, spec'd for plumbing here (no JDBC server exists
-    * in this environment to integration-test against). */
+    * production binding, executed and oracle-gated against embedded Derby
+    * (q174; the batched-INSERT path is the same for any server target,
+    * only the URL/dialect change). */
   def orderedBatchSink[T](ds: Dataset[T], transientCols: Seq[String],
       target: BatchTarget): Unit = {
     val cols = ds.schema.fieldNames.filterNot(transientCols.contains)

@@ -128,11 +128,26 @@ class EventOpsSpec extends SparkTestBase {
       d(4, 2, 2, "10:00"),                      // u2 cohort day2
       d(5, 3, 1, "10:00"), d(6, 3, 3, "10:00")  // u3 same cells as u1
     ).toDF("event_id", "ts", "user_id")
-    val got = EventOps.cohortRetention(events)
-      .orderBy("cohort_day", "day_offset")
+    val out = EventOps.cohortRetention(events)
+    val got = out.orderBy("cohort_day", "day_offset")
       .as[(String, Long, Long)].collect().toSeq
     assert(got === Seq(
       ("2024-01-01", 0L, 2L), ("2024-01-01", 2L, 2L), ("2024-01-02", 0L, 1L)))
+    // TWO real shuffles: the up-front repartition(key) carries the dedup,
+    // the cohort aggregate, AND (via AQE exchange reuse — the cohorts side
+    // must come back as a ReusedExchange of the same stage) the merge
+    // join; the second is the final (cohort_day, offset) groupBy over the
+    // deduped pairs. Execute `out` itself first — reuse only materializes
+    // in the AQE final plan, and count that section only (toString also
+    // prints the initial plan).
+    out.collect()
+    val phys = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val nExchanges = phys.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+    assert(nExchanges == 2, s"expected 2 shuffles, got $nExchanges:\n$phys")
+    assert(phys.contains("ReusedExchange"),
+      s"cohorts side must reuse the fact repartition:\n$phys")
   }
 
   test("int keys round-trip as int, windows smaller than n emit all keys") {

@@ -124,6 +124,32 @@ class SinksSpec extends SparkTestBase {
       m.contains("suitable driver") || m.contains("No suitable driver") ||
         m.contains("clickhouse")), messages(err).mkString(" | "))
   }
+
+  test("orderedBatchSink JdbcTarget round-trips through embedded Derby (K5)") {
+    val dir = Files.createTempDirectory("graft_derby_spec_").toString
+    System.setProperty("derby.system.home", dir)
+    val url = s"jdbc:derby:$dir/db;create=true"
+    val props = new java.util.Properties
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val ds = Seq(
+      SinksSpec.Bean("s1", "e1", "w1", 1L, "x"),
+      SinksSpec.Bean("s2", "e2", "w2", 2L, "y")).toDS()
+    Sinks.orderedBatchSink(ds, Seq("debugOnly"),
+      Sinks.JdbcTarget(url, "dws_keyword", props))
+    val back = spark.read.jdbc(url, "dws_keyword", props)
+    // transient column absent, declared field order preserved end-to-end
+    assert(back.schema.fieldNames.toSeq === Seq("stt", "edt", "word", "ct"))
+    assert(back.orderBy("ct").collect().map(r =>
+        (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      === Seq(("s1", "e1", "w1", 1L), ("s2", "e2", "w2", 2L)))
+    // append mode appends (the replay hazard processBatchJdbc documents)
+    Sinks.orderedBatchSink(ds, Seq("debugOnly"),
+      Sinks.JdbcTarget(url, "dws_keyword", props))
+    assert(spark.read.jdbc(url, "dws_keyword", props).count() === 4L)
+    try { java.sql.DriverManager.getConnection(s"jdbc:derby:$dir/db;shutdown=true"); () }
+    catch { case _: java.sql.SQLException => () }
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(dir))
+  }
 }
 
 object SinksSpec {
