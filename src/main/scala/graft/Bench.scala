@@ -66,7 +66,9 @@ object Bench {
   // only (r14 quiet-host emission) — deliberately round and slightly
   // conservative; a stale estimate fails SOFT (a leg skipped a round, or
   // a small overshoot the per-query deadline check bounds).
-  private val EstSf2Leg = 200.0    // r14 quiet run: 7.5 warm + 31 DAG + 59 queries
+  private val EstSf2Leg = 170.0    // r14 quiet run: 7.5 warm + 59 queries + slack —
+                                   // BASE only; the DAG settle is budgeted by its
+                                   // own est("sf2_dag") term at the gate
   private val EstUp100Leg = 800.0  // r14 quiet run: 966 queries minus the dropped
                                    // q53 (316) plus q167 slack
   private val EstUpLegBase = 550.0 // r14 quiet run: 132 warm + 349 queries + slack
@@ -224,10 +226,15 @@ object Bench {
     // leg's own dir (the LARGEST smaller sibling) is excluded — its
     // charge must stay a real measurement for the dag_charge exponent.
     // SPARK_GRAFT_PREWARM=off skips; skipped loudly when <2 siblings.
+    // the dir the sf2 leg will settle (override included) — the prewarm
+    // must never touch it: DagRun memoizes per (JVM, dir), so settling it
+    // here would turn the sf2 dag_charge into a memoized ~0 s read-back
+    // and poison both the exponent and the persisted sf2_dag estimate
+    val sf2Target = sys.env.get("SPARK_GRAFT_SF2_DIR").orElse(sibsAsc.lastOption)
     val prewarmSec: Option[Double] =
       if (sys.env.get("SPARK_GRAFT_PREWARM").contains("off")) None
       else sibsAsc match {
-        case Seq(first, _, _*) =>
+        case Seq(first, _, _*) if !sf2Target.contains(first) =>
           val e = est("prewarm_dag", EstPrewarmDag)
           // reserve ~20 min for the mandatory main leg before spending
           // discretionary budget on the prewarm
@@ -246,8 +253,11 @@ object Bench {
             None
           }
         case _ =>
-          System.err.println(
-            "[bench] prewarm_dag: skipped (no sf sibling below the sf2 leg's)")
+          // disclosed like every other skip: the artifact must show the
+          // main dag_charge was measured COLD (back in the JVM-history
+          // swing regime) when no prewarm-safe sibling exists
+          val msg = "prewarm_dag: skipped (no sf sibling below the sf2 leg's)"
+          System.err.println(s"[bench] $msg"); skipped += msg
           None
       }
     val dagCharge =
@@ -575,14 +585,17 @@ object Bench {
     /** A leg's measured wall-clock recorded as the next run's estimate:
       * base (everything but the DAG settle + its gates) and dag recorded
       * separately, since the budget gates them separately. A leg that was
-      * TRUNCATED (an in-leg budget skip) records nothing — its wall-clock
-      * is not the leg's cost and would ratchet the threshold down. The
-      * DAG-skip message is exempt for the BASE recording: the base part
-      * completed in full, and withholding it would leave the base
-      * threshold stale in exactly the budget-tight runs that need it. */
+      * TRUNCATED — by an in-leg budget skip OR by a query/warmup failure
+      * (a crashed query's missing runtime shortens the wall just like a
+      * skip) — records nothing: its wall-clock is not the leg's cost and
+      * would ratchet the threshold down, re-creating exactly the mid-leg
+      * budget exhaustion self-tuning exists to avoid. The DAG-skip
+      * message is exempt for the BASE recording: the base part completed
+      * in full, and withholding it would leave the base threshold stale
+      * in exactly the budget-tight runs that need it. */
     def recordLegEst(tag: String, legSec: Double, res: Map[String, Double],
         dag: Option[Double], errs: Seq[String]): Unit = {
-      if (errs.exists(e => e.contains("skipped") && !e.startsWith(s"${tag}_dag:")))
+      if (errs.exists(e => !e.startsWith(s"${tag}_dag:")))
         return
       val dagTotal = dag.getOrElse(0.0) +
         res.collect { case (n, s) if dagGates(n) => s }.sum

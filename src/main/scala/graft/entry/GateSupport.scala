@@ -15,6 +15,18 @@ import graft.streaming.{DimSink, SketchStream, StatefulOps, StreamHarness}
   * warehouse-DAG run. Doc comments travel with each member. */
 private[graft] object GateSupport {
 
+  /** Point derby.log at a STABLE tmp location, once. derby.system.home is
+    * only honored at engine boot (the first connection in the JVM), so a
+    * per-gate value would pin derby.log inside whichever gate's scratch
+    * dir booted the engine — a dir that gate then deletes, leaving the
+    * log writing to an unlinked file. The JVM tmp dir outlives every
+    * gate; set-if-absent keeps an operator-supplied home authoritative. */
+  def derbyHome(): Unit =
+    if (System.getProperty("derby.system.home") == null) {
+      System.setProperty("derby.system.home", System.getProperty("java.io.tmpdir"))
+      ()
+    }
+
   // Streaming-gate feeds are DATASETS end to end (StreamHarness.runFiles):
   // batch composition is declared as filters and the rows never pass
   // through the driver — the r5 review measured the old collect()-fed

@@ -502,7 +502,7 @@ private[graft] object PipelineGates {
     // survive the round trip — both required before the read-back.
     "q174_jdbc_batch_sink" -> ((s, d) => {
       val dir = java.nio.file.Files.createTempDirectory("graft_derby_").toString
-      System.setProperty("derby.system.home", dir) // derby.log out of the repo
+      GateSupport.derbyHome() // derby.log to a stable tmp dir, not the repo
       val url = s"jdbc:derby:$dir/db;create=true"
       val props = new java.util.Properties
       props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
@@ -532,7 +532,7 @@ private[graft] object PipelineGates {
     "q175_jdbc_dim_upsert" -> ((s, d) => {
       import s.implicits._
       val dir = java.nio.file.Files.createTempDirectory("graft_derby_dim_").toString
-      System.setProperty("derby.system.home", dir)
+      GateSupport.derbyHome()
       val url = s"jdbc:derby:$dir/db;create=true"
       val props = new java.util.Properties
       props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")

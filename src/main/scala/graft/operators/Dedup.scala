@@ -224,7 +224,11 @@ object Dedup {
     // >= MaxValue/2 check missed it. Any estimate above 1 PiB is treated
     // as missing — a genuine corpus past ~2 GiB already saturates the
     // 4096 cap, so the ceiling changes behavior ONLY for estimates no
-    // real input of this operator produces.
+    // real input of this operator produces. (A REAL >= 1 PiB input —
+    // 10x the engine's 100 TB design envelope — would also land in the
+    // conf fallback; at that scale the deployment sets
+    // spark.sql.shuffle.partitions deliberately, which is exactly what
+    // the fallback honors.)
     if (bytes >= BigInt(1L << 50)) conf
     else {
       val scaled = (bytes / (512L << 10)).min(BigInt(4096)).toInt

@@ -269,24 +269,26 @@ object EventOps {
     * counted at each (cohort_day, day_offset) cell — the classic
     * retention triangle over the event log.
     *
-    * Scale: ONE exchange of the fact table. The events are hashed on the
-    * entity key up front; HashPartitioning(key) then satisfies the
-    * clustered distributions of the (key, day) dedup, the per-key min-day
-    * cohort aggregate, AND both sides of the key equi-join, so none of
-    * them re-shuffles (naive chaining — distinct first — partitions on
-    * the (key, day) pair and pays three more exchanges; EventOpsSpec pins
-    * the 2-exchange plan). The final groupBy on (cohort_day, day_offset)
-    * shuffles only the already-deduped (key, day) pairs — bounded by
-    * users × days, not by raw events. countDistinct is exact (the cell
-    * grain is small); partial aggregation handles the fan-in. */
+    * Scale: ONE full-size exchange, MAP-SIDE COMBINED. The (key, day)
+    * dedup runs first so its shuffle carries partially-deduplicated
+    * pairs (~raw/dup-factor bytes — repartitioning the raw events before
+    * the distinct would ship every event uncombined); the deduped pairs
+    * are then re-hashed on the entity key alone, and that small exchange
+    * carries the per-key min-day cohort aggregate AND both sides of the
+    * key equi-join (the cohorts side comes back as an AQE ReusedExchange
+    * — EventOpsSpec pins the 3-exchange plan with reuse). The final
+    * groupBy on (cohort_day, day_offset) shuffles the same deduped
+    * grain. Every post-dedup exchange is bounded by users × days, not by
+    * raw events. countDistinct is exact (the cell grain is small);
+    * partial aggregation handles the fan-in. */
   def cohortRetention(
       events: DataFrame,
       keyCol: String = "user_id",
       tsCol: String = "ts"): DataFrame = {
     val active = events
       .select(col(keyCol), to_date(col(tsCol)).as("_day"))
-      .repartition(col(keyCol))
       .distinct()
+      .repartition(col(keyCol))
     val cohorts = active.groupBy(col(keyCol))
       .agg(min(col("_day")).as("_cohort_day"))
     // merge-join pinned: cohorts is one row per user — the same

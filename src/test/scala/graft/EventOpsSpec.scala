@@ -133,21 +133,22 @@ class EventOpsSpec extends SparkTestBase {
       .as[(String, Long, Long)].collect().toSeq
     assert(got === Seq(
       ("2024-01-01", 0L, 2L), ("2024-01-01", 2L, 2L), ("2024-01-02", 0L, 1L)))
-    // TWO real shuffles: the up-front repartition(key) carries the dedup,
-    // the cohort aggregate, AND (via AQE exchange reuse — the cohorts side
-    // must come back as a ReusedExchange of the same stage) the merge
-    // join; the second is the final (cohort_day, offset) groupBy over the
-    // deduped pairs. Execute `out` itself first — reuse only materializes
-    // in the AQE final plan, and count that section only (toString also
-    // prints the initial plan).
+    // THREE real shuffles: the map-side-combined (key, day) distinct, the
+    // post-dedup repartition(key) that carries the cohort aggregate AND
+    // (via AQE exchange reuse — the cohorts side must come back as a
+    // ReusedExchange of the same stage) the merge join, and the final
+    // (cohort_day, offset) groupBy. Only the first is raw-event-sized.
+    // Execute `out` itself first — reuse only materializes in the AQE
+    // final plan, and count that section only (toString also prints the
+    // initial plan).
     out.collect()
     val phys = out.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
     val nExchanges = phys.linesIterator.count(l =>
       l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
-    assert(nExchanges == 2, s"expected 2 shuffles, got $nExchanges:\n$phys")
+    assert(nExchanges == 3, s"expected 3 shuffles, got $nExchanges:\n$phys")
     assert(phys.contains("ReusedExchange"),
-      s"cohorts side must reuse the fact repartition:\n$phys")
+      s"cohorts side must reuse the post-dedup repartition:\n$phys")
   }
 
   test("int keys round-trip as int, windows smaller than n emit all keys") {

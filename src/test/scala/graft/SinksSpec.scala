@@ -127,7 +127,7 @@ class SinksSpec extends SparkTestBase {
 
   test("orderedBatchSink JdbcTarget round-trips through embedded Derby (K5)") {
     val dir = Files.createTempDirectory("graft_derby_spec_").toString
-    System.setProperty("derby.system.home", dir)
+    graft.entry.GateSupport.derbyHome()
     val url = s"jdbc:derby:$dir/db;create=true"
     val props = new java.util.Properties
     props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
