@@ -30,16 +30,28 @@ object SparkEntry {
       Tables.customer(spark, d), Tables.nation(spark, d), Tables.region(spark, d))
   }
 
-  private val families = Seq(graft.entry.RelationalGates.queries, graft.entry.StreamCoreGates.queries, graft.entry.PipelineGates.queries, graft.entry.DagGates.queries, graft.entry.DedupGates.queries, graft.entry.SimilarityGates.queries, graft.entry.TextGates.queries, graft.entry.CorpusGates.queries, graft.entry.SketchGates.queries, graft.entry.MiscGates.queries)
+  private def families(oracleRun: Boolean) = Seq(graft.entry.RelationalGates.queries, graft.entry.StreamCoreGates.queries, graft.entry.PipelineGates.queries, graft.entry.DagGates.queries, graft.entry.DedupGates.queries, graft.entry.SimilarityGates.queries(oracleRun), graft.entry.TextGates.queries, graft.entry.CorpusGates.queries, graft.entry.SketchGates.queries, graft.entry.MiscGates.queries)
   private val oracleFamilies = Seq(graft.entry.RelationalGates.oracleSql, graft.entry.StreamCoreGates.oracleSql, graft.entry.PipelineGates.oracleSql, graft.entry.DagGates.oracleSql, graft.entry.DedupGates.oracleSql, graft.entry.SimilarityGates.oracleSql, graft.entry.TextGates.oracleSql, graft.entry.CorpusGates.oracleSql, graft.entry.SketchGates.oracleSql, graft.entry.MiscGates.oracleSql)
 
-  /** All gate families, concatenated. The require catches a key landing in
+  /** All gate families, concatenated, with band guards ACTIVE — the
+    * fail-closed default every runner gets unless it declares itself
+    * out-of-band via [[queriesFor]]. The require catches a key landing in
     * two families (++ would silently keep the last one and the driver would
     * gate one query fewer than declared). */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = {
-    val all = families.reduce(_ ++ _)
-    require(all.size == families.map(_.size).sum,
-      s"duplicate gate key across families: ${families.flatMap(_.keys).groupBy(identity).collect { case (k, v) if v.size > 1 => k }}")
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    queriesFor(oracleRun = true)
+
+  /** @param oracleRun false ONLY for runners that legitimately execute
+    * gates outside their oracle SF band with no oracle in sight (Bench
+    * scale legs, tools.Profile). The flag is threaded explicitly — there
+    * is no mutable global a future entry point could forget to set
+    * (ADVICE r15); forgetting the parameter yields the fail-closed
+    * default above. */
+  def queriesFor(oracleRun: Boolean): Map[String, (SparkSession, String) => DataFrame] = {
+    val fams = families(oracleRun)
+    val all = fams.reduce(_ ++ _)
+    require(all.size == fams.map(_.size).sum,
+      s"duplicate gate key across families: ${fams.flatMap(_.keys).groupBy(identity).collect { case (k, v) if v.size > 1 => k }}")
     all
   }
 

@@ -4,23 +4,7 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
-  /** True during an oracle-compare run: gates whose DuckDB oracle inlines
-    * SF-band-dependent literals (q53's 4-plane matrix) require their band
-    * HERE — where a violation means a wrong-answer hash mismatch — while
-    * bench scale legs run the same queries far outside the band with no
-    * oracle to diverge from.
-    *
-    * FAIL-CLOSED default (ADVICE r14): this starts TRUE, so any runner
-    * that executes SparkEntry.queries without declaring itself gets the
-    * explanatory require instead of a bare hash mismatch — a future
-    * driver-side runner can't silently skip the guard. The ONLY caller
-    * that may clear it is graft.Bench (whose scale legs legitimately run
-    * outside the band, with no oracle in sight); ScalaTest suites run
-    * in-band SFs and keep the default. */
-  @volatile var oracleRun = true
-
   def main(args: Array[String]): Unit = {
-    oracleRun = true
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd arg: comma-separated query-name filter (dev loop only;
     // the driver always runs the full set)

@@ -57,6 +57,19 @@ private[graft] object DedupGates {
       Dedup.ngramJaccardPairsCapped(Tables.documents(s, d), maxDocFreq = 100)
         .orderBy(col("a"), col("b"))),
 
+    // q56's hot-shingle df cap DERIVED from the measured shingle-df
+    // profile (round-15 verdict #2): cap = max(6, 2 · lower-median df).
+    // The exact q171 arm split: at sf0.01 the FLOOR dominates (median df
+    // 1 → cap 6, the df-7 shingle is stop-listed), at sf0.1 the DERIVED
+    // term is live (median df 9 → cap 18 < max df 25) — both arms and an
+    // ACTIVE cap are hash-gated. The derivation chain is replayed by the
+    // oracle; results stay EXACT Jaccard (hot-common correction) either
+    // way, so only the stop list moves with the cap.
+    "q177_jaccard_autocap" -> ((s, d) =>
+      Dedup.ngramJaccardPairsAutoCap(Tables.documents(s, d),
+          floorCap = 6L, mult = 2L)
+        .orderBy(col("a"), col("b"))),
+
     // hot-BUCKET-capped LSH (VERDICT r6 #4) — q18's candidate generator
     // with (band, bandkey) buckets holding more than LshBucketCap docs
     // dropped: the single-reducer pile-up guard for degenerate bands. The
@@ -66,6 +79,22 @@ private[graft] object DedupGates {
     "q112_lsh_capped" -> ((s, d) =>
       Dedup.lshCandidatesCapped(
           Dedup.minhashSignatures(Tables.documents(s, d)), LshBucketCap)
+        .orderBy(col("a"), col("b"))),
+
+    // q112's bucket cap DERIVED from the measured (band, bandkey)
+    // population profile (round-15 verdict #2 — the q171 derivedCap
+    // pattern extended to the LSH bucket cap): cap = max(2, 2 ·
+    // lower-median pop). Median pop is 1 at both gated SFs, so floor and
+    // derived term TIE at cap = 2 and the cap is ACTIVE at both (pop-3
+    // buckets at sf0.01, pop-3/4 at sf0.1 leave the index); past the
+    // gated SFs a boilerplate-heavy corpus raises the median and the
+    // derived arm takes over. The full integer chain (bucket pops →
+    // distinct-pop cumulative counts → lower median → greatest → anti
+    // join) is replayed by the oracle.
+    "q176_lsh_autocap" -> ((s, d) =>
+      Dedup.lshCandidatesAutoCap(
+          Dedup.minhashSignatures(Tables.documents(s, d)),
+          floorCap = 2L, mult = 2L)
         .orderBy(col("a"), col("b"))),
 
     "q22_jaccard_verify" -> ((s, d) => {
@@ -258,6 +287,29 @@ private[graft] object DedupGates {
          |    AND l.doc_id < r.doc_id)
          |SELECT a, b FROM ccand ORDER BY a, b""".stripMargin,
 
+    // q112 with the cap replaced by the full derivedCap integer chain:
+    // bucket pops → per-distinct-pop cumulative counts → lower median
+    // (min pop whose cumulative count reaches (n_keys+1) div 2) →
+    // greatest(floor, mult·median) → anti-join of over-cap buckets.
+    "q176_lsh_autocap" ->
+      s"""WITH $shCte,
+         |$sigCte,
+         |bpop AS (SELECT bd, bandkey, count(*) AS pop FROM banded
+         |  GROUP BY bd, bandkey),
+         |cum AS (SELECT pop, sum(cnt) OVER (ORDER BY pop) AS cum
+         |  FROM (SELECT pop, count(*) AS cnt FROM bpop GROUP BY pop)),
+         |cap AS (SELECT greatest(2, 2 * (SELECT min(pop) FROM cum
+         |  WHERE cum >= ((SELECT count(*) FROM bpop) + 1) // 2)) AS cap),
+         |hotb AS (SELECT bd, bandkey FROM bpop CROSS JOIN cap
+         |  WHERE pop > cap),
+         |cappedb AS (SELECT b.doc_id, b.bd, b.bandkey FROM banded b
+         |  LEFT JOIN hotb h ON b.bd = h.bd AND b.bandkey = h.bandkey
+         |  WHERE h.bd IS NULL),
+         |ccand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM cappedb l
+         |  JOIN cappedb r ON l.bd = r.bd AND l.bandkey = r.bandkey
+         |    AND l.doc_id < r.doc_id)
+         |SELECT a, b FROM ccand ORDER BY a, b""".stripMargin,
+
     "q19_simhash_sig" ->
       s"""WITH $shCte,
          |$simhashCte
@@ -302,6 +354,30 @@ private[graft] object DedupGates {
     "q56_jaccard_capped" ->
       s"""WITH $shCte,
          |dfreq AS (SELECT sh AS hsh FROM sh GROUP BY sh HAVING count(*) > 100),
+         |idx AS (SELECT doc_id, sh FROM sh WHERE sh NOT IN (SELECT hsh FROM dfreq)),
+         |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |pr AS (SELECT cand.a, cand.b, count(*) AS common
+         |  FROM cand JOIN sh x ON x.doc_id = cand.a
+         |  JOIN sh y ON y.doc_id = cand.b AND x.sh = y.sh
+         |  GROUP BY 1, 2)
+         |SELECT a, b, jaccard FROM (
+         | SELECT pr.a, pr.b,
+         |  round(CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE), 6) AS jaccard
+         | FROM pr JOIN sz sa ON pr.a = sa.doc_id JOIN sz sb ON pr.b = sb.doc_id)
+         |WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin,
+
+    // q56 with the df threshold replaced by the derivedCap integer
+    // chain over the shingle-df profile (same median idiom as q176).
+    "q177_jaccard_autocap" ->
+      s"""WITH $shCte,
+         |dfp AS (SELECT sh AS hsh, count(*) AS pop FROM sh GROUP BY sh),
+         |cum AS (SELECT pop, sum(cnt) OVER (ORDER BY pop) AS cum
+         |  FROM (SELECT pop, count(*) AS cnt FROM dfp GROUP BY pop)),
+         |cap AS (SELECT greatest(6, 2 * (SELECT min(pop) FROM cum
+         |  WHERE cum >= ((SELECT count(*) FROM dfp) + 1) // 2)) AS cap),
+         |dfreq AS (SELECT hsh FROM dfp CROSS JOIN cap WHERE pop > cap),
          |idx AS (SELECT doc_id, sh FROM sh WHERE sh NOT IN (SELECT hsh FROM dfreq)),
          |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
          |  FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id),
@@ -441,8 +517,9 @@ private[graft] object DedupGates {
          |WHERE comp.comp IS NULL OR keep.id IS NOT NULL
          |ORDER BY d.doc_id""".stripMargin,
 
-    // Same 40-char/stride-10 windows, same cross-doc df >= 2 screen, same
-    // merge-touching island rule (new span iff off STRICTLY past the
+    // Same 40-char windows on the stride-10 TWO-PHASE grid (offsets 0 and
+    // 5 per step — round-15 verdict #5), same cross-doc df >= 2 screen,
+    // same merge-touching island rule (new span iff off STRICTLY past the
     // running max end) as Dedup.substringDupProfile.
     "q126_substring_dup" ->
       s"""WITH $substringSpanCtes

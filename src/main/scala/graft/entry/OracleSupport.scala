@@ -48,9 +48,12 @@ private[graft] object OracleSupport {
   lazy val substringSpanCtes: String =
     """d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 40),
       |o0 AS (SELECT doc_id, text,
-      |    unnest(generate_series(0, (length(text) - 40) // 10)) * 10 AS off
+      |    unnest(list_distinct(flatten(list_transform(
+      |      generate_series(0, (length(text) - 40) // 10),
+      |      i -> [i * 10, i * 10 + 5])))) AS off
       |  FROM d),
-      |offs AS (SELECT doc_id, off, substring(text, off + 1, 40) AS win FROM o0),
+      |offs AS (SELECT doc_id, off, substring(text, off + 1, 40) AS win
+      |  FROM o0 WHERE off <= length(text) - 40),
       |dup AS (SELECT win FROM offs GROUP BY win HAVING count(DISTINCT doc_id) >= 2),
       |m AS (SELECT o.doc_id, o.off FROM offs o JOIN dup USING (win)),
       |x AS (SELECT doc_id, off,

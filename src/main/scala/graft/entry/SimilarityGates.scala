@@ -20,7 +20,20 @@ import OracleSupport._
   * sides — the compare sorts columns by name before hashing). */
 private[graft] object SimilarityGates {
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Fail-closed default: band guards active. The only legitimate
+    * out-of-band runners (Bench scale legs, tools.Profile) must opt out
+    * EXPLICITLY via [[graft.SparkEntry.queriesFor]] — there is no mutable
+    * flag left to forget (ADVICE r15). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    queries(oracleRun = true)
+
+  /** @param oracleRun true when a DuckDB oracle will hash-compare the
+    * result: gates whose oracle inlines SF-band-dependent literals
+    * (q53/q167/q168/q171's 4-plane matrix) require their band HERE —
+    * where a violation means a wrong-answer hash mismatch — while bench
+    * scale legs run the same queries far outside the band with no oracle
+    * to diverge from. */
+  def queries(oracleRun: Boolean): Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // -------------------- embedding similarity / ANN -----------------------
 
@@ -130,7 +143,7 @@ private[graft] object SimilarityGates {
       // this instruction instead of a bare hash mismatch (round-13
       // advisor); bench scale legs run the same query far outside the
       // band with no oracle to diverge from, so they pass through.
-      require(!graft.Verify.oracleRun || Similarity.autoPlanes(n) == 4,
+      require(!oracleRun || Similarity.autoPlanes(n) == 4,
         s"q53's DuckDB oracle inlines a 4-plane matrix (valid while autoPlanes(n)==4, " +
           s"i.e. n<=2000 embeddings); got n=$n => ${Similarity.autoPlanes(n)} planes - " +
           s"re-derive the inlined plane literals in SimilarityGates.oracleSql before " +
@@ -151,7 +164,7 @@ private[graft] object SimilarityGates {
     "q167_embed_neardup_capped" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val n = emb.count()
-      require(!graft.Verify.oracleRun || Similarity.autoPlanes(n) == 4,
+      require(!oracleRun || Similarity.autoPlanes(n) == 4,
         s"q167's DuckDB oracle inlines a 4-plane matrix (valid while autoPlanes(n)==4, " +
           s"i.e. n<=2000 embeddings); got n=$n => ${Similarity.autoPlanes(n)} planes - " +
           s"re-derive the inlined plane literals in SimilarityGates.oracleSql before " +
@@ -169,7 +182,7 @@ private[graft] object SimilarityGates {
     "q168_lsh_bucket_profile" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val n = emb.count()
-      require(!graft.Verify.oracleRun || Similarity.autoPlanes(n) == 4,
+      require(!oracleRun || Similarity.autoPlanes(n) == 4,
         s"q168's DuckDB oracle inlines a 4-plane matrix (valid while autoPlanes(n)==4, " +
           s"i.e. n<=2000 embeddings); got n=$n => ${Similarity.autoPlanes(n)} planes - " +
           s"re-derive the inlined plane literals in SimilarityGates.oracleSql before " +
@@ -190,7 +203,7 @@ private[graft] object SimilarityGates {
     "q171_embed_neardup_autocap" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val n = emb.count()
-      require(!graft.Verify.oracleRun || Similarity.autoPlanes(n) == 4,
+      require(!oracleRun || Similarity.autoPlanes(n) == 4,
         s"q171's DuckDB oracle inlines a 4-plane matrix (valid while autoPlanes(n)==4, " +
           s"i.e. n<=2000 embeddings); got n=$n => ${Similarity.autoPlanes(n)} planes - " +
           s"re-derive the inlined plane literals in SimilarityGates.oracleSql before " +
@@ -198,6 +211,29 @@ private[graft] object SimilarityGates {
       Similarity.nearDupPairsAutoCap(emb, 0.35, 64,
           nPlanes = Similarity.autoPlanes(n), floorCap = 64L, mult = 4L)
         .orderBy(col("a"), col("b"))
+    }),
+
+    // The cap's recall trade MEASURED, not asserted (round-15 verdict
+    // #4): q53 (uncapped) vs q167 (pivot-star cap, ACTIVE at both gated
+    // SFs) diffed at pair AND component grain — lost edges, extra edges
+    // (0 by construction, computed as the honesty check), and
+    // component-membership agreement (docs whose dedup-group label the
+    // cap left unchanged; capped ⊆ full, so capping can only split).
+    // The oracle replays BOTH pair chains and BOTH transitive closures.
+    // Same 4-plane band as q53/q167 (shared inlined matrix).
+    "q178_cap_recall_audit" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val n = emb.count()
+      require(!oracleRun || Similarity.autoPlanes(n) == 4,
+        s"q178's DuckDB oracle inlines a 4-plane matrix (valid while autoPlanes(n)==4, " +
+          s"i.e. n<=2000 embeddings); got n=$n => ${Similarity.autoPlanes(n)} planes - " +
+          s"re-derive the inlined plane literals in SimilarityGates.oracleSql before " +
+          s"gating this SF")
+      Dedup.capRecallAudit(
+        Similarity.nearDupPairs(emb, 0.35, 64,
+          nPlanes = Similarity.autoPlanes(n)),
+        Similarity.nearDupPairsCapped(emb, 0.35, 64,
+          nPlanes = Similarity.autoPlanes(n), maxBucketPop = 64L))
     }),
 
     // kNN label purity — the standard embedding-quality probe over the
@@ -639,6 +675,52 @@ private[graft] object SimilarityGates {
          |  JOIN v vb ON va.bucket = vb.bucket AND va.vec_id < vb.vec_id
          | WHERE st.pop <= cap.cap OR va.vec_id = st.pivot)
          |WHERE score >= 0.35 ORDER BY a, b""".stripMargin,
+
+    // BOTH the q53 (uncapped) and q167 (capped) pair chains, diffed at
+    // pair grain (EXCEPT both ways) and component grain (one recursive
+    // transitive closure per pair set, min reachable id = label; capped
+    // singletons label themselves). All-integer single row.
+    "q178_cap_recall_audit" ->
+      s"""WITH RECURSIVE ${lshBucketCte(4, 64)},
+         |v AS (SELECT m.vec_id, m.embedding AS e, $nrmSql AS nrm, b.bucket
+         |  FROM embeddings m JOIN bkt b ON m.vec_id = b.vec_id),
+         |st AS (SELECT bucket, count(*) AS pop, min(vec_id) AS pivot
+         |  FROM v GROUP BY bucket),
+         |fp AS (SELECT a, b FROM (
+         |  SELECT va.vec_id AS a, vb.vec_id AS b, $dotSql / (va.nrm * vb.nrm) AS score
+         |  FROM v va JOIN v vb ON va.bucket = vb.bucket AND va.vec_id < vb.vec_id)
+         | WHERE score >= 0.35),
+         |cp AS (SELECT a, b FROM (
+         |  SELECT va.vec_id AS a, vb.vec_id AS b, $dotSql / (va.nrm * vb.nrm) AS score
+         |  FROM v va JOIN st ON va.bucket = st.bucket
+         |   JOIN v vb ON va.bucket = vb.bucket AND va.vec_id < vb.vec_id
+         |  WHERE st.pop <= 64 OR va.vec_id = st.pivot)
+         | WHERE score >= 0.35),
+         |eef AS (SELECT a, b FROM fp UNION SELECT b, a FROM fp),
+         |reachf(a, b) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM eef)
+         |  UNION
+         |  SELECT r.a, e2.b FROM reachf r JOIN eef e2 ON r.b = e2.a),
+         |compf AS (SELECT a AS id, min(b) AS comp FROM reachf GROUP BY a),
+         |eec AS (SELECT a, b FROM cp UNION SELECT b, a FROM cp),
+         |reachc(a, b) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM eec)
+         |  UNION
+         |  SELECT r.a, e2.b FROM reachc r JOIN eec e2 ON r.b = e2.a),
+         |compc AS (SELECT a AS id, min(b) AS comp FROM reachc GROUP BY a),
+         |cmp AS (SELECT compf.id, compf.comp,
+         |  COALESCE(compc.comp, compf.id) AS ccomp
+         | FROM compf LEFT JOIN compc ON compf.id = compc.id)
+         |SELECT
+         | (SELECT count(*) FROM fp) AS n_pairs_full,
+         | (SELECT count(*) FROM cp) AS n_pairs_capped,
+         | (SELECT count(*) FROM (SELECT a, b FROM fp EXCEPT SELECT a, b FROM cp)) AS lost_edges,
+         | (SELECT count(*) FROM (SELECT a, b FROM cp EXCEPT SELECT a, b FROM fp)) AS extra_edges,
+         | (SELECT count(*) FROM cmp) AS n_docs,
+         | (SELECT CAST(COALESCE(sum(CASE WHEN comp = ccomp THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |   FROM cmp) AS n_agree,
+         | (SELECT count(DISTINCT comp) FROM cmp) AS n_comps_full,
+         | (SELECT count(DISTINCT ccomp) FROM cmp) AS n_comps_capped""".stripMargin,
 
     // q102's SemDeDup chain with the per-cell cap: same seed-assignment
     // and recursive-reach CTEs, the pair CTE filtered by (pop <= 24 OR

@@ -189,6 +189,45 @@ object Dedup {
       .select("a", "b").distinct()
   }
 
+  /** [[lshCandidatesCapped]] with the bucket cap DERIVED from the
+    * measured (band, bandkey) population profile instead of passed as a
+    * constant — the same [[Similarity.derivedCap]] discipline as the
+    * embedding near-dup's q171 path: cap = max(floorCap, mult ·
+    * lower-median bucket population), a pure integer function of the
+    * profile, so the full chain (buckets → median → cap → anti-join) is
+    * oracle-replayable. A uniform bucket space caps at the floor; a
+    * space with degenerate hot buckets (all-empty docs, boilerplate
+    * collisions) caps just above the typical bucket and drops exactly
+    * the outliers.
+    *
+    * Scale: the profile is one O(N) groupBy; the median runs over
+    * O(distinct populations) rows (see derivedCap); the hot list stays
+    * tiny (df > cap bounds it at n/cap buckets) and broadcast. The
+    * profile is materialized once (eager localCheckpoint, O(buckets)
+    * rows) because both the cap derivation and the hot screen read it. */
+  def lshCandidatesAutoCap(
+      sigs: DataFrame,
+      floorCap: Long = 2L,
+      mult: Long = 2L,
+      idCol: String = "doc_id",
+      bands: Int = 8): DataFrame = {
+    require(floorCap >= 2, "floorCap < 2 would drop every candidate pair")
+    val banded = bandedSigs(sigs, idCol, bands)
+    val pops = banded.groupBy(col("band"), col("bandkey"))
+      .agg(count(lit(1)).as("pop"))
+      .localCheckpoint(true)
+    val cap = Similarity.derivedCap(pops.select(col("pop")), floorCap, mult)
+    val hot = pops.crossJoin(broadcast(cap))
+      .where(col("pop") > col("cap"))
+      .select(col("band"), col("bandkey"))
+    val idx = banded.join(broadcast(hot), Seq("band", "bandkey"), "left_anti")
+    val l = idx.select(col(idCol).as("a"), col("band"), col("bandkey"))
+    val r = idx.select(col(idCol).as("b"), col("band"), col("bandkey"))
+    l.join(r, Seq("band", "bandkey"))
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
   // -------------------------------------------------------- n-gram Jaccard --
 
   /** Exact n-gram Jaccard similarity for ALL pairs sharing ≥1 shingle,
@@ -418,6 +457,59 @@ object Dedup {
       .distinct()
   }
 
+  /** Capped-vs-uncapped recall audit (round-15 verdict #4): the pivot-star
+    * cap's recall trade MEASURED instead of asserted. Input is the same
+    * corpus's uncapped (`full`) and capped (`capped`) near-dup pair sets
+    * (q53/q167, q18/q112, q102/q169 — any capped generator with an
+    * uncapped verifier twin); output is ONE row of integers:
+    *
+    *  - `n_pairs_full` / `n_pairs_capped`, `lost_edges` (pairs only the
+    *    uncapped run found), `extra_edges` (capped-only pairs — 0 by
+    *    construction for every cap in this library, computed as the
+    *    honesty check);
+    *  - `n_docs` (docs in any uncapped pair), `n_agree` (docs whose
+    *    connected-component label — min reachable id — is IDENTICAL under
+    *    both pair sets: since capped ⊆ full, capping can only SPLIT
+    *    components, so agreement counts docs whose dedup-group membership
+    *    the cap did not change), `n_comps_full` / `n_comps_capped`.
+    *
+    * Scale: this is an AUDIT operator — the uncapped side is the cost of
+    * the uncapped run (quadratic in the over-cap cliques, the very thing
+    * the cap avoids), so it runs at verification SFs or on samples, not
+    * on the full production corpus. Components via
+    * [[connectedComponentsStar]] (O(log n) rounds); the metric joins are
+    * pair-set-sized. */
+  def capRecallAudit(
+      full: DataFrame,
+      capped: DataFrame,
+      aCol: String = "a",
+      bCol: String = "b"): DataFrame = {
+    val f = full.select(col(aCol).as("a"), col(bCol).as("b")).localCheckpoint(true)
+    val c = capped.select(col(aCol).as("a"), col(bCol).as("b")).localCheckpoint(true)
+    val lost = f.join(c, Seq("a", "b"), "left_anti")
+    val extra = c.join(f, Seq("a", "b"), "left_anti")
+    val lf = connectedComponentsStar(f)
+    val lc = connectedComponentsStar(c)
+    // docs in no capped pair are capped singletons: their capped label is
+    // themselves (the CC label contract for an isolated node)
+    val cmp = lf.join(lc.withColumnRenamed("comp", "ccomp"), Seq("id"), "left")
+      .select(col("id"), col("comp"),
+        coalesce(col("ccomp"), col("id")).as("ccomp"))
+    cmp.agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(when(col("comp") === col("ccomp"), 1L).otherwise(0L)), lit(0L))
+          .as("n_agree"),
+        countDistinct(col("comp")).as("n_comps_full"),
+        countDistinct(col("ccomp")).as("n_comps_capped"))
+      .crossJoin(broadcast(f.agg(count(lit(1)).as("n_pairs_full"))))
+      .crossJoin(broadcast(c.agg(count(lit(1)).as("n_pairs_capped"))))
+      .crossJoin(broadcast(lost.agg(count(lit(1)).as("lost_edges"))))
+      .crossJoin(broadcast(extra.agg(count(lit(1)).as("extra_edges"))))
+      .select(col("n_pairs_full"), col("n_pairs_capped"), col("lost_edges"),
+        col("extra_edges"), col("n_docs"), col("n_agree"),
+        col("n_comps_full"), col("n_comps_capped"))
+  }
+
   /** Benchmark-contamination profile — decontamination, the corpus-hygiene
     * twin of dedup: for each candidate doc, the fraction of its distinct
     * 3-gram shingles that also occur anywhere in the `benchmark` set.
@@ -594,12 +686,66 @@ object Dedup {
       textCol: String = "text",
       shingleN: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val sh = docs
+    val sh = shingleIndex(docs, idCol, textCol, shingleN)
+    val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDocFreq).select(col("sh"))
+    jaccardCappedCore(docs, sh, hot, threshold)
+  }
+
+  /** [[ngramJaccardPairsCapped]] with the hot-shingle df cap DERIVED
+    * from the measured shingle document-frequency profile instead of
+    * passed as a constant ([[Similarity.derivedCap]]: cap =
+    * max(floorCap, mult · lower-median shingle df)) — the operator
+    * self-tunes to the corpus: natural text whose typical shingle is
+    * near-unique caps at the floor and stop-lists only genuinely hot
+    * boilerplate; a corpus whose typical shingle is already frequent
+    * (template-heavy) raises the cap with the median so the stop list
+    * keeps naming OUTLIERS, not the bulk of the index. The derivation is
+    * a pure integer function of the df profile, so the full chain
+    * (dfs → median → cap → stop list → capped index → exact Jaccard
+    * with hot-correction) is oracle-replayable.
+    *
+    * Scale: identical to the constant-cap form plus one O(distinct
+    * shingles) profile aggregate, materialized once (eager
+    * localCheckpoint) because both the cap derivation and the stop-list
+    * screen read it; the median itself runs over O(distinct dfs) rows. */
+  def ngramJaccardPairsAutoCap(
+      docs: DataFrame,
+      floorCap: Long = 6L,
+      mult: Long = 2L,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleN: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    require(floorCap >= 1, "floorCap < 1 would stop-list every shingle")
+    val sh = shingleIndex(docs, idCol, textCol, shingleN)
+    val dfs = sh.groupBy(col("sh")).agg(count(lit(1)).as("pop"))
+      .localCheckpoint(true)
+    val cap = Similarity.derivedCap(dfs.select(col("pop")), floorCap, mult)
+    val hot = dfs.crossJoin(broadcast(cap))
+      .where(col("pop") > col("cap"))
+      .select(col("sh"))
+    jaccardCappedCore(docs, sh, hot, threshold)
+  }
+
+  /** The distinct (id, shingle) inverted index shared by the capped
+    * Jaccard forms. */
+  private def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int): DataFrame =
+    docs
       .repartition(docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, col(idCol))
       .select(col(idCol).as("id"),
         explode(array_distinct(shingles(col(textCol), shingleN))).as("sh"))
-    val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .where(col("df") > maxDocFreq).select(col("sh"))
+
+  /** The capped-inverted-index exact-Jaccard body shared by
+    * [[ngramJaccardPairsCapped]] (constant stop list) and
+    * [[ngramJaccardPairsAutoCap]] (profile-derived stop list): cold
+    * common counts from the capped index self-join, hot-common
+    * correction from the candidates × hot postings, |A∪B| from per-doc
+    * shingle counts. `hot` is the (sh) stop list — tiny by construction,
+    * broadcast both ways. */
+  private def jaccardCappedCore(docs: DataFrame, sh: DataFrame,
+      hot: DataFrame, threshold: Double): DataFrame = {
     // same scaled-width pre-partition as the uncapped form (see
     // pairShuffleParts): the capped index self-join is the production
     // path on the up-scale legs and carries the same pair fan-out
@@ -882,12 +1028,13 @@ object Dedup {
     * spans ≥ `window` chars are the target).
     *
     * RECALL CAVEAT of strided windows: a repeat is detected iff its
-    * occurrences agree on offset mod `stride` (two copies of the same
-    * block at offsets 15 and 21 sample DIFFERENT window texts at
-    * stride 5). `stride = 1` is the exact method at `window`× the row
-    * blowup; the paper's suffix array removes the alignment condition
-    * entirely. Production picks stride ≪ window for cost and accepts the
-    * 1/stride alignment odds per occurrence pair, or normalizes offsets
+    * occurrences agree on offset modulo the sampling grid. The grid runs
+    * TWO phases per stride step (0 and stride/2 — see dupSpans), so the
+    * alignment condition is mod (stride/2), not mod stride; `stride = 2`
+    * degenerates to the exact method at `window`× the row blowup; the
+    * paper's suffix array removes the alignment condition entirely.
+    * Production picks stride ≪ window for cost and accepts the
+    * 2/stride alignment odds per occurrence pair, or normalizes offsets
     * by tokenizing first.
     *
     * Scale: the window df is one groupBy on the window text (map-side
@@ -916,11 +1063,21 @@ object Dedup {
       stride: Int,
       idCol: String,
       textCol: String): DataFrame = {
+    // TWO phase offsets per stride step (0 and stride/2, round-15 verdict
+    // #5): a single-phase grid only detects a cross-doc repeat whose
+    // occurrences agree on offset mod stride; sampling the half-phase too
+    // halves the alignment condition to mod (stride/2) — the planted
+    // misaligned-block case the old grid provably missed is pinned in
+    // DedupGraphSpec. Same linear cost class (2× windows); the island
+    // merge below is phase-agnostic (it orders by raw offset).
+    val half = math.max(1, stride / 2)
     val offs = docs
       .where(length(col(textCol)) >= window)
       .select(col(idCol),
         explode(expr(
-          s"transform(sequence(0, (length($textCol) - $window) div $stride), i -> i * $stride)"))
+          s"array_distinct(filter(flatten(transform(sequence(0, (length($textCol) - $window) div $stride), " +
+            s"i -> array(i * $stride, i * $stride + $half))), " +
+            s"o -> o <= length($textCol) - $window))"))
           .as("off"),
         col(textCol))
       .select(col(idCol), col("off"),

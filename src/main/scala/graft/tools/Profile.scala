@@ -7,8 +7,8 @@ import org.apache.spark.sql.SparkSession
 object Profile {
   def main(args: Array[String]): Unit = {
     // dev profiling runs gates at arbitrary SFs with no oracle in sight —
-    // same out-of-band declaration as Bench (Verify.oracleRun docs)
-    graft.Verify.oracleRun = false
+    // same explicit out-of-band declaration as Bench
+    val qs = graft.SparkEntry.queriesFor(oracleRun = false)
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val spark = SparkSession.builder()
@@ -19,12 +19,12 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (args.contains("explain"))
-      graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      qs(name)(spark, sfDir).explain("formatted")
     // construction INSIDE the timer: harness-driven queries (StreamHarness)
     // do their streaming work at construction, exactly as Bench times them
     (1 to sys.env.getOrElse("PROFILE_ITERS", "2").toInt).foreach { i =>
       val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
+      val n = qs(name)(spark, sfDir).count()
       println(f"[profile] $name run$i: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()

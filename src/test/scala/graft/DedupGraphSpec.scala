@@ -82,6 +82,74 @@ class DedupGraphSpec extends SparkTestBase {
       s"empty-doc noise pairs must be capped away: $capped")
   }
 
+  test("lshCandidatesAutoCap derives a cap that kills the degenerate band and keeps real pairs") {
+    // same planted scenario as the constant-cap test: 30 empty docs share
+    // every band key (pop-30 buckets), the fox pair meets in pop-2
+    // buckets, everything else is pop 1 — lower-median pop = 1, so the
+    // derived cap is max(2, 2·1) = 2: the degenerate buckets drop, the
+    // genuine pair survives, with NO constant tuned by hand
+    val empty = (100L until 130L).map(i => (i, ""))
+    val docs = (empty ++ Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog today")))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs)
+    val auto = Dedup.lshCandidatesAutoCap(sigs, floorCap = 2L, mult = 2L)
+      .as[(Long, Long)].collect().toSet
+    assert(auto.contains((1L, 2L)), "the real near-dup pair must survive the derived cap")
+    assert(!auto.exists(p => p._1 >= 100L && p._2 >= 100L),
+      s"empty-doc noise pairs must be auto-capped away: $auto")
+    // the auto form IS the constant form at the derived cap
+    val capped = Dedup.lshCandidatesCapped(sigs, maxBucket = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(auto === capped)
+  }
+
+  test("ngramJaccardPairsAutoCap equals the constant-cap twin at the derived cap") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "alpha beta gamma delta unrelated tail words here"),
+      (4L, "totally different content with no shared shingles at all"),
+      (5L, "another unique document nothing in common whatsoever")
+    ).toDF("doc_id", "text")
+    import graft.operators.Similarity
+    import graft.functions.TextFunctions
+    // derive the cap the operator will compute, independently
+    val dfs = docs.select(explode(array_distinct(
+        TextFunctions.shingles($"text", 3))).as("sh"))
+      .groupBy($"sh").agg(count(lit(1)).as("pop"))
+    val cap = Similarity.derivedCap(dfs.select($"pop"), 2L, 2L)
+      .as[Long].head()
+    val auto = Dedup.ngramJaccardPairsAutoCap(docs, floorCap = 2L, mult = 2L)
+      .as[(Long, Long, Double)].collect().toSet
+    val const = Dedup.ngramJaccardPairsCapped(docs, maxDocFreq = cap.toInt)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(auto === const)
+    assert(auto.exists(p => p._1 == 1L && p._2 == 2L),
+      s"the near-identical pair must be found: $auto")
+  }
+
+  test("capRecallAudit measures lost edges and component splits exactly") {
+    // full graph: 1-2-3-4 one chain component; capped kept only (1,2) —
+    // docs 1,2 keep label 1 (agree), 3 and 4 become capped singletons
+    // labeled by themselves (disagree with full label 1)
+    val full = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val capped = Seq((1L, 2L)).toDF("a", "b")
+    val row = Dedup.capRecallAudit(full, capped)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(row === ((3L, 1L, 2L, 0L, 4L, 2L, 1L, 3L)),
+      s"(n_pairs_full, n_pairs_capped, lost, extra, n_docs, n_agree, " +
+        s"n_comps_full, n_comps_capped) was $row")
+  }
+
+  test("capRecallAudit reports full agreement when the cap loses nothing") {
+    val full = Seq((1L, 2L), (5L, 6L)).toDF("a", "b")
+    val row = Dedup.capRecallAudit(full, full)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(row === ((2L, 2L, 0L, 0L, 4L, 4L, 2L, 2L)), s"$row")
+  }
+
   test("paragraphDedupFuzzy removes a date-swapped variant that exact dedup keeps") {
     // p2 = p1 with the final word (a year) swapped: 7 of 9 word-3-grams
     // survive → jaccard 0.777778 ≥ 0.4, so fuzzy groups them and keeps

@@ -162,14 +162,19 @@ class PropertySpec extends SparkTestBase {
 
   // -- 4b. substring dup profile == naive reference ------------------------
 
-  /** Brute-force reference: enumerate windows, find cross-doc duplicated
-    * window texts, merge offsets into islands (new island iff off strictly
-    * past the running max end), report (n_spans, dup_chars) per doc. */
+  /** Brute-force reference: enumerate windows on the TWO-PHASE grid
+    * (offsets 0 and stride/2 per step — mirrors dupSpans), find cross-doc
+    * duplicated window texts, merge offsets into islands (new island iff
+    * off strictly past the running max end), report (n_spans, dup_chars)
+    * per doc. */
   private def naiveSubstringProfile(docs: Seq[(Long, String)], w: Int, st: Int)
       : Map[Long, (Long, Long)] = {
+    val half = math.max(1, st / 2)
     val wins = docs.flatMap { case (id, t) =>
       if (t.length < w) Seq.empty
-      else (0 to (t.length - w) by st).map(off => (id, off, t.substring(off, off + w)))
+      else ((0 to (t.length - w) by st) ++ (half to (t.length - w) by st))
+        .distinct.sorted
+        .map(off => (id, off, t.substring(off, off + w)))
     }
     val dup = wins.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
     wins.filter(x => dup(x._3)).groupBy(_._1).map { case (id, xs) =>
@@ -189,9 +194,9 @@ class PropertySpec extends SparkTestBase {
     val rnd = new scala.util.Random(73)
     // a pool of shared snippets long enough to carry whole windows, spliced
     // into random filler at random (UNALIGNED) offsets — dup detection then
-    // depends on which splices happen to agree mod stride, exactly the
-    // operator's documented recall condition, so the reference must agree
-    // case by case, not just on "obvious" dups
+    // depends on which splices happen to agree mod stride/2 (the two-phase
+    // grid), exactly the operator's documented recall condition, so the
+    // reference must agree case by case, not just on "obvious" dups
     (0 until 8).foreach { round =>
       val pool = Vector.fill(3)(Vector.fill(30)(('a' + rnd.nextInt(3)).toChar).mkString)
       val docs = (0L until 6L).map { id =>
