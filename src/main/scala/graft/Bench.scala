@@ -487,7 +487,14 @@ object Bench {
       // the events table (scales with sf), and the exponent certifies
       // the exchange-reuse claim (a second shuffle would read clearly
       // superlinear under the per-key window sort)
-      "q172_sessionize")
+      "q172_sessionize",
+      // round-16: the profile-DERIVED caps ride the same legs as the
+      // constant-cap twins they replace (q176 with q18's family, q177
+      // with q56's), and the BPE chain's two consumers measure the
+      // fixed-round training + corpus-join encode at scale (q180
+      // accounting, q182 subword chunking)
+      "q176_lsh_autocap", "q177_jaccard_autocap",
+      "q180_bpe_token_counts", "q182_bpe_chunk")
     val sf2Twins = Seq(
       "q102_semdedup" -> "q118_stream_semdedup",
       "q102_semdedup" -> "q124_dag_semdedup",

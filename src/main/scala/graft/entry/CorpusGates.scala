@@ -196,6 +196,47 @@ private[graft] object CorpusGates {
       graft.operators.Corpus.chunkByTokens(Tables.documents(s, d))
         .orderBy(col("doc_id"), col("chunk_id"))),
 
+    // ---- corpus-trained BPE (round-15 verdict #3): subword accounting ----
+
+    // The 16-round merge table: highest-frequency adjacent symbol pair
+    // per round under the fixed (count desc, lhs, rhs) tie order. The
+    // oracle replays ALL 16 training rounds (pair counts → argmax →
+    // sentinel-string replace) over the same word-frequency vocab.
+    "q179_bpe_merges" -> ((s, d) =>
+      graft.operators.Bpe.bpeMerges(Tables.documents(s, d), 16)
+        .orderBy(col("rank"))),
+
+    // Per-doc SUBWORD token accounting under the q179 merges: every word
+    // occurrence joined to the trained vocab's final symbol count.
+    "q180_bpe_token_counts" -> ((s, d) =>
+      graft.operators.Bpe.bpeTokenCounts(Tables.documents(s, d), 16)
+        .orderBy(col("doc_id"))),
+
+    // q135's DSIR budget selection with the token metric REPLACED by BPE
+    // subword counts — the budget a training run actually pays. Same
+    // importance scores, same distributed prefix scan; only the token
+    // column (and therefore the half-corpus budget and the kept prefix)
+    // moves.
+    "q181_bpe_budget_select" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val iw = TextProfile.importanceWeight(docs, col("lang") === "en")
+        .select(col("doc_id"), col("importance"))
+      val bc = graft.operators.Bpe.bpeTokenCounts(docs, 16)
+        .select(col("doc_id"), col("n_bpe_tokens"))
+      val joined = iw.join(bc, Seq("doc_id"))
+      val budget = joined.agg(sum(col("n_bpe_tokens"))).head().getLong(0) / 2
+      graft.operators.Corpus.selectByTokenBudget(
+          joined, "doc_id", "importance", "n_bpe_tokens", budget)
+        .orderBy(col("doc_id"))
+    }),
+
+    // q139's sliding windows over the SUBWORD stream: each doc's words
+    // replaced by their trained subword sequences in word order, then the
+    // identical 32/24 clamped-tail chunk math + md5 fingerprints.
+    "q182_bpe_chunk" -> ((s, d) =>
+      graft.operators.Bpe.bpeChunks(Tables.documents(s, d), 16)
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
     // Leakage-free holdout split: split is a pure function of the CONTENT
     // fingerprint, so exact dups can never straddle train/heldout. 10%
     // heldout via the md5-ppm gate.
@@ -288,7 +329,111 @@ private[graft] object CorpusGates {
        |  COALESCE(n_hit, 0) > 0 AS contaminated
        |FROM ng LEFT JOIN hit USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** The BPE training replay: n unrolled rounds over the word-frequency
+    * vocab. Round r: split round r−1's sentinel-wrapped symbol strings,
+    * count adjacent pairs weighted by word count, pick the (count desc,
+    * lhs, rhs) argmax, apply it with ONE sentinel-pattern replace()
+    * (left-to-right non-overlapping in both engines — see
+    * operators/Bpe.scala's class doc for why the per-symbol wrapping
+    * makes that exact). The U+0001 sentinel is embedded literally in the
+    * SQL (Verify's JSON escaper emits it as \\u0001). */
+  private def bpeCtes(n: Int): String = {
+    val p = graft.operators.Bpe.Sep
+    // stN MUST be MATERIALIZED: each round reads st(r−1) TWICE (pair
+    // counts + replace), so plain CTE inlining would expand the chain
+    // 2^n-fold — 16 rounds = 65k scans of `documents` (observed as fd
+    // exhaustion). Materializing pins each round to one evaluation.
+    val init =
+      s"""wt AS (SELECT tok AS word, count(*) AS cnt
+         |  FROM (SELECT unnest($toksSql) AS tok FROM documents) GROUP BY tok),
+         |st0 AS MATERIALIZED (SELECT word, cnt,
+         |  '$p' || array_to_string(list_transform(range(1, length(word) + 1),
+         |    i -> substring(word, i, 1)), '$p$p') || '$p' AS s FROM wt)""".stripMargin
+    val rounds = (1 to n).map { r =>
+      s""",
+         |sy$r AS (SELECT cnt, a FROM (SELECT cnt,
+         |    string_split(substr(s, 2, length(s) - 2), '$p$p') AS a FROM st${r - 1})
+         |  WHERE len(a) >= 2),
+         |pr$r AS (SELECT p.l AS l, p.r AS r, CAST(sum(cnt) AS BIGINT) AS c
+         |  FROM (SELECT cnt, unnest(list_transform(range(1, len(a)),
+         |    i -> struct_pack(l := a[i], r := a[i+1]))) AS p FROM sy$r)
+         |  GROUP BY 1, 2),
+         |bs$r AS (SELECT l, r, c FROM pr$r ORDER BY c DESC, l, r LIMIT 1),
+         |st$r AS MATERIALIZED (SELECT word, cnt,
+         |  replace(s, '$p' || l || '$p$p' || r || '$p', '$p' || l || r || '$p') AS s
+         |  FROM st${r - 1} CROSS JOIN bs$r)""".stripMargin
+    }.mkString
+    init + rounds
+  }
+
+  /** (word, n_sub, subwords) from the final training state. */
+  private def bpeVocabCte(n: Int): String = {
+    val p = graft.operators.Bpe.Sep
+    s"""bsy AS (SELECT word, string_split(substr(s, 2, length(s) - 2), '$p$p') AS sy FROM st$n),
+       |vocab AS (SELECT word, CAST(len(sy) AS BIGINT) AS n_sub,
+       |  array_to_string(sy, ' ') AS subwords FROM bsy)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+
+    "q179_bpe_merges" ->
+      s"""WITH ${bpeCtes(16)}
+         |SELECT * FROM (
+         |${(1 to 16).map(r =>
+              s"""SELECT CAST($r AS BIGINT) AS "rank", l AS lhs, r AS rhs, c AS pair_count FROM bs$r""")
+             .mkString("\n UNION ALL ")})
+         |ORDER BY "rank"""".stripMargin,
+
+    "q180_bpe_token_counts" ->
+      s"""WITH ${bpeCtes(16)},
+         |${bpeVocabCte(16)},
+         |dw AS (SELECT doc_id, unnest($toksSql) AS word FROM documents)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(n_sub) AS BIGINT) AS n_bpe_tokens
+         |FROM dw JOIN vocab USING (word) GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+
+    // q135's prefix-scan selection with n_bpe_tokens as the metric: the
+    // importance chain and the BPE chain composed in one WITH.
+    "q181_bpe_budget_select" ->
+      s"""$importanceCtes,
+         |${bpeCtes(16)},
+         |${bpeVocabCte(16)},
+         |dw AS (SELECT doc_id, unnest($toksSql) AS word FROM documents),
+         |bc AS (SELECT doc_id, CAST(sum(n_sub) AS BIGINT) AS n_bpe_tokens
+         |  FROM dw JOIN vocab USING (word) GROUP BY doc_id),
+         |iw2 AS (SELECT iw.doc_id, iw.importance, bc.n_bpe_tokens
+         |  FROM iw JOIN bc USING (doc_id)),
+         |bud AS (SELECT CAST(sum(n_bpe_tokens) // 2 AS BIGINT) AS b FROM iw2),
+         |w2 AS (SELECT doc_id, n_bpe_tokens, importance,
+         |    sum(n_bpe_tokens) OVER (ORDER BY importance DESC, doc_id) AS cum FROM iw2)
+         |SELECT doc_id, n_bpe_tokens, importance FROM w2 CROSS JOIN bud
+         |WHERE cum <= b ORDER BY doc_id""".stripMargin,
+
+    // q139's chunk math over the subword stream: words → trained subword
+    // lists in word order, flattened per doc, then identical 32/24
+    // clamped-tail windows + md5 fingerprints.
+    "q182_bpe_chunk" ->
+      s"""WITH ${bpeCtes(16)},
+         |${bpeVocabCte(16)},
+         |t2 AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |dwp AS (SELECT doc_id, p.ord AS ord, p.word AS word
+         |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+         |    i -> struct_pack(ord := i, word := w[i]))) AS p FROM t2)),
+         |subs AS (SELECT doc_id, ord, string_split(subwords, ' ') AS sy
+         |  FROM dwp JOIN vocab USING (word)),
+         |docsy AS (SELECT doc_id, flatten(list(sy ORDER BY ord)) AS w
+         |  FROM subs GROUP BY doc_id),
+         |n2 AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM docsy),
+         |k2 AS (SELECT doc_id, w, n, greatest(0, n - 32 + 23) // 24 AS k FROM n2),
+         |c2 AS (SELECT doc_id, w, n,
+         |   unnest(generate_series(0, k)) AS chunk_id FROM k2),
+         |s2 AS (SELECT doc_id, w, n, chunk_id,
+         |   least(chunk_id * 24, greatest(0, n - 32)) AS start_tok FROM c2)
+         |SELECT doc_id, chunk_id, start_tok,
+         |  least(32, n - start_tok) AS n_tok_chunk,
+         |  md5(array_to_string(w[CAST(start_tok + 1 AS INT):CAST(start_tok + 32 AS INT)], ' ')) AS chunk_fp
+         |FROM s2 ORDER BY doc_id, chunk_id""".stripMargin,
 
     // q101's reassembly CTEs feeding q60's lang-ID + hash gate, token
     // accounting on the DEDUPED text.

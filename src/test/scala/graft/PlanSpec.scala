@@ -146,6 +146,38 @@ class PlanSpec extends SparkTestBase {
       "exact |A∩B| must come from cold+hot counts, not array joins")
   }
 
+  test("auto-capped LSH screens hot buckets via a broadcast anti-join, pairs via equi-join") {
+    val p = plan(graft.operators.Dedup.lshCandidatesAutoCap(
+      graft.operators.Dedup.minhashSignatures(Tables.documents(spark, sf))))
+    // the hot-bucket screen: tiny by construction → broadcast LeftAnti
+    assert(p.contains("LeftAnti"), "hot screen must be an anti-join:\n" + p)
+    assert("BroadcastHashJoin.*LeftAnti".r.findFirstIn(p).isDefined
+        || "LeftAnti, BuildRight".r.findFirstIn(p).isDefined,
+      "the hot list must broadcast, never shuffle:\n" + p)
+    // candidate generation stays an equi-join on (band, bandkey)
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[band".r
+        .findFirstIn(p).isDefined,
+      "pair join must equi-join on the banded key:\n" + p)
+  }
+
+  test("auto-capped jaccard keeps the slim-count contract of the constant-cap form") {
+    val p = plan(graft.operators.Dedup.ngramJaccardPairsAutoCap(
+      Tables.documents(spark, sf)))
+    assert(!p.contains("array_intersect"),
+      "exact |A∩B| must come from cold+hot counts, not array joins")
+    assert(p.contains("LeftAnti"), "derived stop list must anti-join the index:\n" + p)
+  }
+
+  test("BPE token accounting encodes via a word equi-join, never per-doc merge replay") {
+    val p = plan(graft.operators.Bpe.bpeTokenCounts(
+      Tables.documents(spark, sf), nMerges = 4))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "vocab encode must be an equi-join on word:\n" + p)
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[word".r
+        .findFirstIn(p).isDefined,
+      "the encode join must key on word:\n" + p)
+  }
+
   test("tf-idf broadcasts the corpus-size scalar and ranks per-doc only") {
     val p = plan(graft.operators.TextProfile.tfIdfTopK(Tables.documents(spark, sf), 3))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
