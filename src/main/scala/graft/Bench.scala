@@ -304,14 +304,40 @@ object Bench {
     // query that re-measures fast was host noise, not a regression; both
     // samples land in bench_result.json for the reviewer, and the retry
     // pass's own wall-clock is disclosed as retry_total_sec (it is NOT in
-    // `value`, which gates first-pass work only)
+    // `value`, which gates first-pass work only).
+    //
+    // BUDGET-GATED (round 16): the retry pass is discretionary — on a
+    // loaded host a slow main leg triggers MORE retries exactly when the
+    // budget is already tight, and 200+ s of retries then starved the
+    // ×10 DAG settle (the one item the emission must always carry).
+    // Reserve = last-known cost of everything still ahead (both scale
+    // legs, both settles, the diags); retries stop — loudly, worst-first
+    // retried first — once spending past the reserve would start eating
+    // the legs. A quiet run never hits the gate (few retries).
+    val downstreamReserve =
+      est("sf2_base", EstSf2Leg) + est("sf2_dag", 100.0) +
+        est("up100_base", EstUp100Leg) +
+        est("up_base", EstUpLegBase) + est("up_dag", EstUpDag) +
+        EstDiag.values.sum
     val r0 = System.nanoTime()
-    val retries = results.filter(_._2 > 5.0).map { case (name, first) =>
-      val t0 = System.nanoTime()
-      count(name, qs(name))
-      val second = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-22s $second%8.2f s (retry; first $first%.2f)")
-      name -> second
+    val retrySkipped = scala.collection.mutable.ArrayBuffer[String]()
+    val retries = results.filter(_._2 > 5.0).toSeq.sortBy(-_._2)
+      .flatMap { case (name, first) =>
+        if (remainingSec < downstreamReserve + first * 1.3) {
+          retrySkipped += name
+          None
+        } else {
+          val t0 = System.nanoTime()
+          count(name, qs(name))
+          val second = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[bench] $name%-22s $second%8.2f s (retry; first $first%.2f)")
+          Some(name -> second)
+        }
+      }.toMap
+    if (retrySkipped.nonEmpty) {
+      val msg = f"retries: ${retrySkipped.size} skipped (budget: downstream reserve ${downstreamReserve}%.0f s) " +
+        retrySkipped.sorted.mkString("[", ",", "]")
+      System.err.println(s"[bench] $msg"); skipped += msg
     }
     val retryTotal = (System.nanoTime() - r0) / 1e9
     // scale-sensitivity cross-check at the BENCH SF (correctness runs at

@@ -276,6 +276,39 @@ private[graft] object OracleSupport {
        |WHERE comp.comp IS NULL OR comp.comp = m.vec_id
        |ORDER BY m.vec_id""".stripMargin
 
+  /** The Dedup.capRecallAudit replay tail — shared by q178 (LSH-bucket
+    * cap) and q183 (SemDeDup cell cap): expects CTEs `fp` (uncapped
+    * pairs) and `cp` (capped pairs) in scope, runs one recursive
+    * transitive closure per pair set (min reachable id = label; capped
+    * singletons label themselves), emits the single all-integer audit
+    * row. */
+  lazy val capAuditTailSql: String =
+    """eef AS (SELECT a, b FROM fp UNION SELECT b, a FROM fp),
+      |reachf(a, b) AS (
+      |  SELECT a, a FROM (SELECT DISTINCT a FROM eef)
+      |  UNION
+      |  SELECT r.a, e2.b FROM reachf r JOIN eef e2 ON r.b = e2.a),
+      |compf AS (SELECT a AS id, min(b) AS comp FROM reachf GROUP BY a),
+      |eec AS (SELECT a, b FROM cp UNION SELECT b, a FROM cp),
+      |reachc(a, b) AS (
+      |  SELECT a, a FROM (SELECT DISTINCT a FROM eec)
+      |  UNION
+      |  SELECT r.a, e2.b FROM reachc r JOIN eec e2 ON r.b = e2.a),
+      |compc AS (SELECT a AS id, min(b) AS comp FROM reachc GROUP BY a),
+      |cmp AS (SELECT compf.id, compf.comp,
+      |  COALESCE(compc.comp, compf.id) AS ccomp
+      | FROM compf LEFT JOIN compc ON compf.id = compc.id)
+      |SELECT
+      | (SELECT count(*) FROM fp) AS n_pairs_full,
+      | (SELECT count(*) FROM cp) AS n_pairs_capped,
+      | (SELECT count(*) FROM (SELECT a, b FROM fp EXCEPT SELECT a, b FROM cp)) AS lost_edges,
+      | (SELECT count(*) FROM (SELECT a, b FROM cp EXCEPT SELECT a, b FROM fp)) AS extra_edges,
+      | (SELECT count(*) FROM cmp) AS n_docs,
+      | (SELECT CAST(COALESCE(sum(CASE WHEN comp = ccomp THEN 1 ELSE 0 END), 0) AS BIGINT)
+      |   FROM cmp) AS n_agree,
+      | (SELECT count(DISTINCT comp) FROM cmp) AS n_comps_full,
+      | (SELECT count(DISTINCT ccomp) FROM cmp) AS n_comps_capped""".stripMargin
+
   /** Shared by q37 (harness-fed) and q117 (the warehouse DAG's own
     * dws/keyword parquet) — ONE oracle over the shared log synthesis. */
   lazy val keywordWindowOracle: String =

@@ -236,6 +236,19 @@ private[graft] object SimilarityGates {
           nPlanes = Similarity.autoPlanes(n), maxBucketPop = 64L))
     }),
 
+    // The same recall audit over the SemDeDup twins: q102's uncapped
+    // within-cell pairs vs q169's cell cap 24 — the cap discipline is
+    // uniform across LSH buckets and k-means cells (VERDICT r15), so
+    // its recall measurement is too. No plane-band guard: the √N seed
+    // cells scale identically in both engines at any N.
+    "q183_semdedup_cap_audit" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.kmeansCentroids(emb, semDedupCells(emb.count()), 0)
+      Dedup.capRecallAudit(
+        Similarity.cellNearDupPairs(emb, cents, 0.35),
+        Similarity.cellNearDupPairsCapped(emb, cents, 0.35, maxCellPop = 24L))
+    }),
+
     // kNN label purity — the standard embedding-quality probe over the
     // labeled embeddings table: fraction of each query's exact top-10
     // cosine neighbors sharing its label, aggregated per label. Reuses
@@ -696,31 +709,27 @@ private[graft] object SimilarityGates {
          |   JOIN v vb ON va.bucket = vb.bucket AND va.vec_id < vb.vec_id
          |  WHERE st.pop <= 64 OR va.vec_id = st.pivot)
          | WHERE score >= 0.35),
-         |eef AS (SELECT a, b FROM fp UNION SELECT b, a FROM fp),
-         |reachf(a, b) AS (
-         |  SELECT a, a FROM (SELECT DISTINCT a FROM eef)
-         |  UNION
-         |  SELECT r.a, e2.b FROM reachf r JOIN eef e2 ON r.b = e2.a),
-         |compf AS (SELECT a AS id, min(b) AS comp FROM reachf GROUP BY a),
-         |eec AS (SELECT a, b FROM cp UNION SELECT b, a FROM cp),
-         |reachc(a, b) AS (
-         |  SELECT a, a FROM (SELECT DISTINCT a FROM eec)
-         |  UNION
-         |  SELECT r.a, e2.b FROM reachc r JOIN eec e2 ON r.b = e2.a),
-         |compc AS (SELECT a AS id, min(b) AS comp FROM reachc GROUP BY a),
-         |cmp AS (SELECT compf.id, compf.comp,
-         |  COALESCE(compc.comp, compf.id) AS ccomp
-         | FROM compf LEFT JOIN compc ON compf.id = compc.id)
-         |SELECT
-         | (SELECT count(*) FROM fp) AS n_pairs_full,
-         | (SELECT count(*) FROM cp) AS n_pairs_capped,
-         | (SELECT count(*) FROM (SELECT a, b FROM fp EXCEPT SELECT a, b FROM cp)) AS lost_edges,
-         | (SELECT count(*) FROM (SELECT a, b FROM cp EXCEPT SELECT a, b FROM fp)) AS extra_edges,
-         | (SELECT count(*) FROM cmp) AS n_docs,
-         | (SELECT CAST(COALESCE(sum(CASE WHEN comp = ccomp THEN 1 ELSE 0 END), 0) AS BIGINT)
-         |   FROM cmp) AS n_agree,
-         | (SELECT count(DISTINCT comp) FROM cmp) AS n_comps_full,
-         | (SELECT count(DISTINCT ccomp) FROM cmp) AS n_comps_capped""".stripMargin,
+         |$capAuditTailSql""".stripMargin,
+
+    // The same audit over the SemDeDup twins (q102 uncapped vs q169's
+    // cell cap 24) — the cap discipline is uniform across LSH buckets
+    // and k-means cells, so its recall measurement is too. Shares the
+    // recursive audit tail with q178.
+    "q183_semdedup_cap_audit" ->
+      s"""WITH RECURSIVE ${ivfAssignCteN(semDedupSeedLimitSql)},
+         |v AS (SELECT m.vec_id, m.embedding AS e, $nrmSql AS nrm, a.cell
+         |  FROM embeddings m JOIN assign a ON m.vec_id = a.vec_id),
+         |st AS (SELECT cell, count(*) AS pop, min(vec_id) AS pivot
+         |  FROM v GROUP BY cell),
+         |fp AS (SELECT va.vec_id AS a, vb.vec_id AS b
+         |  FROM v va JOIN v vb ON va.cell = vb.cell AND va.vec_id < vb.vec_id
+         |  WHERE $dotSql / (va.nrm * vb.nrm) >= 0.35),
+         |cp AS (SELECT va.vec_id AS a, vb.vec_id AS b
+         |  FROM v va JOIN st ON va.cell = st.cell
+         |  JOIN v vb ON va.cell = vb.cell AND va.vec_id < vb.vec_id
+         |  WHERE (st.pop <= 24 OR va.vec_id = st.pivot)
+         |    AND $dotSql / (va.nrm * vb.nrm) >= 0.35),
+         |$capAuditTailSql""".stripMargin,
 
     // q102's SemDeDup chain with the per-cell cap: same seed-assignment
     // and recursive-reach CTEs, the pair CTE filtered by (pop <= 24 OR

@@ -125,14 +125,21 @@ object Bpe {
       docs: DataFrame,
       nMerges: Int,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val vocab = bpeVocab(docs, nMerges, textCol)
-      .select(col("word"), col("n_sub"))
+      textCol: String = "text"): DataFrame =
+    tokenCountsFromVocab(docs, bpeVocab(docs, nMerges, textCol), idCol, textCol)
+
+  /** [[bpeTokenCounts]] against an ALREADY-TRAINED vocab — the form a
+    * pipeline uses when several consumers share one training run (the
+    * gates cache the trained vocab per (session, corpus)). */
+  def tokenCountsFromVocab(
+      docs: DataFrame,
+      vocab: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
     docs.select(col(idCol), explode(tokens(col(textCol))).as("word"))
-      .join(vocab, Seq("word")) // every corpus word is in the vocab
+      .join(vocab.select(col("word"), col("n_sub")), Seq("word"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_bpe_tokens"))
-  }
 
   /** chunkByTokens on the SUBWORD stream: each doc's words are replaced
     * by their trained subword sequences (in word order), then the same
@@ -148,11 +155,22 @@ object Bpe {
       idCol: String = "doc_id",
       textCol: String = "text",
       chunkSize: Int = 32,
+      stride: Int = 24): DataFrame =
+    chunksFromVocab(docs, bpeVocab(docs, nMerges, textCol),
+      idCol, textCol, chunkSize, stride)
+
+  /** [[bpeChunks]] against an already-trained vocab (see
+    * [[tokenCountsFromVocab]]). */
+  def chunksFromVocab(
+      docs: DataFrame,
+      trainedVocab: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      chunkSize: Int = 32,
       stride: Int = 24): DataFrame = {
     require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
       "need 0 < stride <= chunkSize")
-    val vocab = bpeVocab(docs, nMerges, textCol)
-      .select(col("word"), col("subwords"))
+    val vocab = trainedVocab.select(col("word"), col("subwords"))
     val docSubs = docs
       .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("ord", "word")))
       .join(vocab, Seq("word"))
