@@ -520,7 +520,13 @@ object Bench {
       // fixed-round training + corpus-join encode at scale (q180
       // accounting, q182 subword chunking)
       "q176_lsh_autocap", "q177_jaccard_autocap",
-      "q180_bpe_token_counts", "q182_bpe_chunk")
+      "q180_bpe_token_counts", "q182_bpe_chunk",
+      // round-16 continued: the KN bigram scoring pass (train + score,
+      // linear in corpus tokens — the word-order-aware q128 upgrade) and
+      // the waterfilling epoch plan (per-source aggregate + the grouped
+      // range-partitioned prefix cut; the solve itself is source-grain
+      // metadata)
+      "q185_kn_xent", "q187_epoch_plan")
     val sf2Twins = Seq(
       "q102_semdedup" -> "q118_stream_semdedup",
       "q102_semdedup" -> "q124_dag_semdedup",
@@ -736,7 +742,10 @@ object Bench {
       // (the SemDeDup pre-flight, O(N) like q168)
       "q171_embed_neardup_autocap", "q170_cell_profile",
       "q17_dedup_exact", "q101_paragraph_dedup", "q102_semdedup",
-      "q158_contamination_bloom", "q54_ann_ivf", "q134_stream_ann_ingest")
+      "q158_contamination_bloom", "q54_ann_ivf", "q134_stream_ann_ingest",
+      // round-16: KN bigram train+score — token-grain aggregates and a
+      // bigram-keyed join, the newest linear-claim operator on the leg
+      "q185_kn_xent")
     // Excluded at ×100 by design, each with a standing receipt:
     // - q21 (round-13 verdict #1c): its pair space is proven exactly
     //   linear every run by diag_q21_cand_pairs at a fraction of the

@@ -158,7 +158,7 @@ private[graft] object CorpusGates {
         Tables.documents(s, d), col("lang") === "en")
       val budget = iw.agg(sum(col("n_toks"))).head().getLong(0) / 2
       graft.operators.Corpus.selectByTokenBudget(
-          iw, "doc_id", "importance", "n_toks", budget)
+          iw, "doc_id", "importance_u", "n_toks", budget)
         .orderBy(col("doc_id"))
     }),
 
@@ -233,13 +233,13 @@ private[graft] object CorpusGates {
     "q181_bpe_budget_select" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val iw = TextProfile.importanceWeight(docs, col("lang") === "en")
-        .select(col("doc_id"), col("importance"))
+        .select(col("doc_id"), col("importance_u"))
       val bc = graft.operators.Bpe.tokenCountsFromVocab(docs, bpeVocabCached(s, d))
         .select(col("doc_id"), col("n_bpe_tokens"))
       val joined = iw.join(bc, Seq("doc_id"))
       val budget = joined.agg(sum(col("n_bpe_tokens"))).head().getLong(0) / 2
       graft.operators.Corpus.selectByTokenBudget(
-          joined, "doc_id", "importance", "n_bpe_tokens", budget)
+          joined, "doc_id", "importance_u", "n_bpe_tokens", budget)
         .orderBy(col("doc_id"))
     }),
 
@@ -312,7 +312,66 @@ private[graft] object CorpusGates {
       graft.operators.Corpus.weightedSample(
           Tables.documents(s, d), "doc_id", col("n_chars"), 100)
         .orderBy(col("rank"))),
+
+    // Epoch-capped mixture allocation (Corpus.mixtureAllocate): per-source
+    // availability = whitespace-token totals, weight = squared en-char
+    // mass (a deliberately skewed data-derived proxy for caller-supplied
+    // mixture weights — the square spreads the shares so the 1.15-epoch
+    // cap BINDS and surplus redistribution runs at both gated SFs),
+    // budget = one epoch of the whole corpus. The oracle replays all 6
+    // waterfilling rounds as MATERIALIZED CTEs.
+    "q186_mixture_allocate" -> ((s, d) => {
+      val aw = mixtureAvail(s, d)
+      val budget = aw.agg(sum(col("avail_toks"))).head().getLong(0)
+      graft.operators.Corpus.mixtureAllocate(aw, budget, 1150000L)
+        .select(col("group").as("source"), col("avail_toks"), col("weight"),
+          col("cap_toks"), col("alloc_toks"), col("epochs_ppm"), col("bound"))
+        .orderBy(col("source"))
+    }),
+
+    // q186's allocation APPLIED: full epochs = alloc div avail per
+    // source; the partial epoch is a per-source token-budget prefix cut
+    // in (source, doc_id) order — Corpus.selectByBudgetPerGroup, the
+    // grouped range-partitioned prefix scan (never a per-source
+    // single-task window). Output = the materialization plan
+    // (doc_id, source, n_copies).
+    "q187_epoch_plan" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val aw = mixtureAvail(s, d)
+      val budget = aw.agg(sum(col("avail_toks"))).head().getLong(0)
+      val sol = graft.operators.Corpus
+        .mixtureAllocate(aw, budget, 1150000L).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(4)))
+        .filter(_._2 > 0) // a zero-token source has no epochs to plan
+      val full = sol.map { case (g, a, al) => (g, al / a) }.toSeq
+      val rem = sol.map { case (g, a, al) => g -> (al % a) }.toMap
+      val dt = docs.select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("t"))
+      val extra = graft.operators.Corpus
+        .selectByBudgetPerGroup(dt, "source", "doc_id", "t", rem)
+        .select(col("doc_id"), lit(1).as("_x"))
+      import s.implicits._
+      dt.join(broadcast(full.toDF("source", "full")), Seq("source"))
+        .join(extra, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          (col("full") + when(col("_x").isNotNull, 1L).otherwise(0L))
+            .as("n_copies"))
+        .where(col("n_copies") > 0)
+        .orderBy(col("doc_id"))
+    }),
   )
+
+  /** q186/q187's per-source availability/weight inputs — mirrors the
+    * oracle's `aw`/`ab` CTEs: avail = Σ whitespace tokens, weight =
+    * (Σ en-doc n_chars)². */
+  private def mixtureAvail(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("source").as("group"))
+      .agg(sum(TextFunctions.tokenCount(col("text")).cast("long"))
+          .as("avail_toks"),
+        sum(when(col("lang") === "en", col("n_chars")).otherwise(0L)).as("ec"))
+      .select(col("group"), col("avail_toks"),
+        (col("ec") * col("ec")).as("weight"))
 
   /** q77's replay, shared verbatim by the bloom-screened q158 — the
     * pre-filter must be invisible in the result. */
@@ -416,12 +475,13 @@ private[graft] object CorpusGates {
          |dw AS (SELECT doc_id, unnest($toksSql) AS word FROM documents),
          |bc AS (SELECT doc_id, CAST(sum(n_sub) AS BIGINT) AS n_bpe_tokens
          |  FROM dw JOIN vocab USING (word) GROUP BY doc_id),
-         |iw2 AS (SELECT iw.doc_id, iw.importance, bc.n_bpe_tokens
+         |iw2 AS (SELECT iw.doc_id, iw.importance_u, bc.n_bpe_tokens
          |  FROM iw JOIN bc USING (doc_id)),
          |bud AS (SELECT CAST(sum(n_bpe_tokens) // 2 AS BIGINT) AS b FROM iw2),
-         |w2 AS (SELECT doc_id, n_bpe_tokens, importance,
-         |    sum(n_bpe_tokens) OVER (ORDER BY importance DESC, doc_id) AS cum FROM iw2)
-         |SELECT doc_id, n_bpe_tokens, importance FROM w2 CROSS JOIN bud
+         |w2 AS (SELECT doc_id, n_bpe_tokens, importance_u,
+         |    sum(n_bpe_tokens) OVER (ORDER BY importance_u DESC, doc_id) AS cum FROM iw2)
+         |SELECT doc_id, n_bpe_tokens, CAST(importance_u AS DOUBLE) AS importance_u
+         |FROM w2 CROSS JOIN bud
          |WHERE cum <= b ORDER BY doc_id""".stripMargin,
 
     // q139's chunk math over the subword stream: words → trained subword
@@ -631,9 +691,10 @@ private[graft] object CorpusGates {
     "q135_budget_select" ->
       s"""$importanceCtes,
          |bud AS (SELECT CAST(sum(n_toks) // 2 AS BIGINT) AS b FROM iw),
-         |w AS (SELECT doc_id, n_toks, importance,
-         |    sum(n_toks) OVER (ORDER BY importance DESC, doc_id) AS cum FROM iw)
-         |SELECT doc_id, n_toks, importance FROM w CROSS JOIN bud
+         |w AS (SELECT doc_id, n_toks, importance_u,
+         |    sum(n_toks) OVER (ORDER BY importance_u DESC, doc_id) AS cum FROM iw)
+         |SELECT doc_id, n_toks, CAST(importance_u AS DOUBLE) AS importance_u
+         |FROM w CROSS JOIN bud
          |WHERE cum <= b ORDER BY doc_id""".stripMargin,
 
     // smallest-10 md5(doc_id) per source, hash order with id tie-break —
@@ -696,5 +757,35 @@ private[graft] object CorpusGates {
          |  CASE WHEN ${hexLongSql("CAST(cluster_key AS VARCHAR)")} % 1000000 < 100000
          |    THEN 'heldout' ELSE 'train' END AS split
          |FROM ck ORDER BY doc_id""".stripMargin,
+
+    // all 6 waterfilling rounds replayed (floor(double) arithmetic with
+    // the Spark side's exact parenthesization); epochs_ppm derived from
+    // the final round
+    "q186_mixture_allocate" ->
+      s"""WITH $mixtureCtes
+         |SELECT source, a AS avail_toks, w AS weight, cap AS cap_toks,
+         |  alloc AS alloc_toks,
+         |  CASE WHEN a = 0 THEN 0 ELSE CAST(floor((CAST(alloc AS DOUBLE)
+         |    * 1000000.0) / CAST(a AS DOUBLE)) AS BIGINT) END AS epochs_ppm,
+         |  alloc >= cap AS bound
+         |FROM r6 ORDER BY source""".stripMargin,
+
+    // full epochs = alloc div avail; the partial epoch keeps the
+    // (source, doc_id)-ordered prefix whose running token total stays
+    // within alloc mod avail — the window mirror of the grouped
+    // range-partitioned prefix scan
+    "q187_epoch_plan" ->
+      s"""WITH $mixtureCtes,
+         |f AS (SELECT source, alloc // a AS com, alloc % a AS rem
+         |  FROM r6 WHERE a > 0),
+         |dt AS (SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS t
+         |  FROM documents),
+         |cpre AS (SELECT doc_id, source, t,
+         |    sum(t) OVER (PARTITION BY source ORDER BY doc_id) AS cum FROM dt)
+         |SELECT doc_id, source,
+         |  com + (CASE WHEN cum <= rem THEN 1 ELSE 0 END) AS n_copies
+         |FROM cpre JOIN f USING (source)
+         |WHERE com + (CASE WHEN cum <= rem THEN 1 ELSE 0 END) > 0
+         |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -135,6 +135,76 @@ private[graft] object OracleSupport {
        |  round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS surprisal
        |FROM s GROUP BY doc_id)""".stripMargin
 
+  /** Interpolated Kneser–Ney bigram LM — mirrors
+    * graft.operators.NgramLm stage for stage (minCount 2, D = 0.75,
+    * chr(1)/chr(2)/chr(3) = unk/bos/eos sentinels, ONE fixed
+    * parenthesization of the probability, counts exact BIGINTs). Shared
+    * by q184 (model head) and q185 (per-doc cross-entropy). Final
+    * tables: `bgs(doc_id, u, w)` the corpus bigram stream and
+    * `pm(u, w, c, p)` the bigram-grain model with RAW double p. */
+  lazy val knCtes: String =
+    s"""t0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |tv AS (SELECT doc_id, i, toks[i] AS tok FROM
+       |  (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM t0)),
+       |vc AS (SELECT tok FROM tv GROUP BY tok HAVING count(*) >= 2),
+       |tm AS (SELECT tv.doc_id, tv.i,
+       |    CASE WHEN vc.tok IS NULL THEN chr(1) ELSE tv.tok END AS m
+       |  FROM tv LEFT JOIN vc USING (tok)),
+       |sq AS (SELECT t0.doc_id,
+       |    list_concat(list_concat([chr(2)], coalesce(g.ml, [])), [chr(3)]) AS s
+       |  FROM t0 LEFT JOIN
+       |    (SELECT doc_id, list(m ORDER BY i) AS ml FROM tm GROUP BY doc_id) g
+       |    USING (doc_id)),
+       |bgs AS (SELECT doc_id, s[j] AS u, s[j + 1] AS w FROM
+       |  (SELECT doc_id, s, unnest(generate_series(1, len(s) - 1)) AS j FROM sq)),
+       |bg AS (SELECT u, w, count(*) AS c FROM bgs GROUP BY 1, 2),
+       |ctx AS (SELECT u, CAST(sum(c) AS BIGINT) AS cu, count(*) AS n1f
+       |  FROM bg GROUP BY 1),
+       |cont AS (SELECT w, count(*) AS n1p FROM bg GROUP BY 1),
+       |btot AS (SELECT count(*) AS b FROM bg),
+       |pm AS (SELECT u, w, c,
+       |    (greatest(CAST(c AS DOUBLE) - 0.75, 0.0) / CAST(cu AS DOUBLE))
+       |    + (((0.75 * CAST(n1f AS DOUBLE)) / CAST(cu AS DOUBLE))
+       |       * (CAST(n1p AS DOUBLE) / CAST(b AS DOUBLE))) AS p
+       |  FROM bg JOIN ctx USING (u) JOIN cont USING (w) CROSS JOIN btot)""".stripMargin
+
+  /** Renders a KN sentinel column as its readable tag — mirrors
+    * NgramLm.rendered. */
+  def knRenderSql(c: String): String =
+    s"""CASE WHEN $c = chr(1) THEN '<unk>' WHEN $c = chr(2) THEN '<s>'
+       | WHEN $c = chr(3) THEN '</s>' ELSE $c END""".stripMargin.replace("\n", "")
+
+  /** Epoch-capped mixture-allocation waterfilling — mirrors
+    * Corpus.mixtureAllocate round for round over the q186 inputs
+    * (avail = per-source whitespace-token totals, weight = squared
+    * en-char mass, budget = Σ avail, cap = 1.15 epochs, 6 fixed rounds;
+    * every derived quantity is floor(double) with the Spark side's exact
+    * parenthesization). Shared by q186 (allocation) and q187 (epoch
+    * plan). Final table: `r6(source, a, w, cap, alloc)`. */
+  lazy val mixtureCtes: String = {
+    val base =
+      s"""aw AS (SELECT source, CAST(sum(len($toksSql)) AS BIGINT) AS a,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN n_chars ELSE 0 END) AS BIGINT) AS ec
+         |  FROM documents GROUP BY 1),
+         |ab AS (SELECT source, a, ec * ec AS w,
+         |    CAST(floor((CAST(a AS DOUBLE) * 1150000.0) / 1000000.0) AS BIGINT) AS cap
+         |  FROM aw),
+         |tt AS (SELECT CAST(sum(a) AS BIGINT) AS t FROM ab),
+         |r0 AS (SELECT source, a, w, cap, CAST(0 AS BIGINT) AS alloc FROM ab)""".stripMargin
+    val rounds = (1 to 6).map { k =>
+      val p = s"r${k - 1}"
+      s"""s$k AS (SELECT (SELECT t FROM tt) - CAST(sum(alloc) AS BIGINT) AS rem,
+         |    CAST(sum(CASE WHEN alloc < cap THEN w END) AS BIGINT) AS wu FROM $p),
+         |r$k AS MATERIALIZED (SELECT source, a, w, cap,
+         |    alloc + least(cap - alloc,
+         |      CASE WHEN alloc >= cap OR wu IS NULL OR wu <= 0 OR rem <= 0 THEN 0
+         |        ELSE CAST(floor((CAST(rem AS DOUBLE) * CAST(w AS DOUBLE))
+         |              / CAST(wu AS DOUBLE)) AS BIGINT) END) AS alloc
+         |  FROM $p CROSS JOIN s$k)""".stripMargin
+    }.mkString(",\n")
+    base + ",\n" + rounds
+  }
+
   /** 10-word paragraph windows — ONE text shared by the four paragraph
     * oracles (q101/q104/q107/q108) so the twins can never silently
     * diverge; mirrors Dedup.explodeParagraphs. */
@@ -671,7 +741,7 @@ private[graft] object OracleSupport {
        |      / (CAST(cb + 1 AS DOUBLE) / CAST(nb + vv AS DOUBLE))), 6) AS DECIMAL(28,6)) AS s
        |  FROM t JOIN v USING (tok) CROSS JOIN tot),
        |iw AS (SELECT doc_id, count(*) AS n_toks,
-       |    round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS importance
+       |    CAST(sum(s) * 1000000 AS BIGINT) // count(*) AS importance_u
        |  FROM s GROUP BY doc_id)""".stripMargin
 
   // step-by-step min-time chaining: strictly-after µs compare + 7-day

@@ -113,6 +113,20 @@ private[graft] object TextGates {
     "q143_perplexity_bands" -> ((s, d) =>
       TextProfile.perplexityBands(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
+
+    // Interpolated Kneser–Ney bigram LM, self-trained with min-count-2
+    // unk pooling (structurally ACTIVE — hapaxes exist at every SF):
+    // q184 inspects the model head (top-200 bigram types by probability
+    // under the (p, u, w) total order), q185 is the scoring pass — the
+    // word-ORDER-aware upgrade of q128's unigram surprisal; the oracle
+    // replays vocab → unk mapping → all four count tables → the
+    // probability chain bit-for-bit.
+    "q184_kn_bigram_model" -> ((s, d) =>
+      graft.operators.NgramLm.knModelTop(Tables.documents(s, d), 200)),
+
+    "q185_kn_xent" -> ((s, d) =>
+      graft.operators.NgramLm.knScore(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -245,9 +259,33 @@ private[graft] object TextGates {
          |FROM r ORDER BY doc_id""".stripMargin,
 
     // one fixed parenthesization of the smoothed ratio; per-token ln
-    // rounded to 6 dp then DECIMAL-summed — q128's exactness trick
+    // rounded to 6 dp then DECIMAL-summed — q128's exactness trick; the
+    // mean emitted as a TRUNCATED signed µ-nat integer (div/// truncate
+    // identically), which closed the former sf0.1 round()-tie edge
     "q132_importance_weight" ->
       s"""$importanceCtes
-         |SELECT doc_id, n_toks, importance FROM iw ORDER BY doc_id""".stripMargin,
+         |SELECT doc_id, n_toks, importance_u FROM iw ORDER BY doc_id""".stripMargin,
+
+    // the full KN training chain (vocab → unk pooling → bigram/context/
+    // continuation counts → interpolated probability) replayed; head
+    // under the (floored nano-p desc, u, w) total order — ordinal ORDER
+    // BY so the aliases, not pm's raw columns, drive the sort
+    "q184_kn_bigram_model" ->
+      s"""WITH $knCtes
+         |SELECT ${knRenderSql("u")} AS u, ${knRenderSql("w")} AS w,
+         |  c, CAST(floor(p * 1000000000.0) AS BIGINT) AS p_nano
+         |FROM pm ORDER BY 4 DESC, 1, 2 LIMIT 200""".stripMargin,
+
+    // same chain, scoring side: per-bigram −ln p rounded to 6 dp,
+    // DECIMAL-summed per doc, mean emitted as a FLOORED micro-nat
+    // integer — integer ratios land on exact .5s where the engines'
+    // round() disagree (NgramLm.knScore doc)
+    "q185_kn_xent" ->
+      s"""WITH $knCtes,
+         |sc AS (SELECT doc_id, CAST(round(-ln(p), 6) AS DECIMAL(28,6)) AS s
+         |  FROM bgs JOIN pm USING (u, w))
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(sum(s) * 1000000 AS BIGINT) // count(*) AS xent_unats
+         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -611,4 +611,127 @@ object Corpus {
         coalesce(col("_hit"), lit(0L)).as("n_hit"),
         (coalesce(col("_hit"), lit(0L)) > 0).as("contaminated"))
   }
+
+  /** One group's waterfilling solution row. */
+  final case class Allocation(group: String, avail_toks: Long, weight: Long,
+      cap_toks: Long, alloc_toks: Long, epochs_ppm: Long, bound: Boolean)
+
+  /** Epoch-capped mixture-allocation WATERFILLING (the data-constrained
+    * budgeting step of an LLM corpus build — Muennighoff et al. 2023
+    * motivate the epoch cap: repeating a source beyond a few epochs stops
+    * buying loss): given per-source availability `a_s`, mixture weight
+    * `w_s`, a total token budget `T` and a per-source repetition cap of
+    * `epochCapPpm` ppm epochs (1 150 000 = at most 1.15 passes over a
+    * source), split `T` proportionally to the weights; a source that hits
+    * its cap is frozen and its surplus re-splits over the UNBOUND sources
+    * on the next round — `rounds` fixed rounds, each a no-op once
+    * everything is bound or only sub-`|unbound|` integer dust remains
+    * (floor division), so the result is a deterministic fixed point, not
+    * an until-converged loop.
+    *
+    * DETERMINISTIC ARITHMETIC (the DuckDB oracle replays every round):
+    * counts and allocations are exact BIGINTs; the three derived
+    * quantities (cap, per-round give, epochs_ppm) are computed as
+    * `floor(double)` with ONE fixed parenthesization — exact while the
+    * products stay under 2^53 and bit-identical across engines past it
+    * (IEEE doubles), unlike 64-bit integer products which would silently
+    * wrap in Spark and error in DuckDB at 100 TB token counts. Weights
+    * are caller-supplied magnitudes; keep Σw under 2^53.
+    *
+    * Scale: `avail` is one row per SOURCE — the distributed work is the
+    * caller's per-source aggregate; the solve itself is bounded metadata
+    * (the offset-map / bucket-list collect precedent), S rows for S
+    * sources, never corpus-grain. */
+  def mixtureAllocate(avail: DataFrame, budget: Long, epochCapPpm: Long,
+      rounds: Int = 6): DataFrame = {
+    val spark = avail.sparkSession
+    import spark.implicits._
+    val rows = avail.select(
+        col("group").cast("string"), col("avail_toks").cast("long"),
+        col("weight").cast("long"))
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    spark.createDataFrame(solveWaterfill(rows, budget, epochCapPpm, rounds))
+      .select(col("group"), col("avail_toks"), col("weight"), col("cap_toks"),
+        col("alloc_toks"), col("epochs_ppm"), col("bound"))
+  }
+
+  /** The driver-side fixed-round solve (see [[mixtureAllocate]]);
+    * exposed for specs. */
+  private[graft] def solveWaterfill(rows: Seq[(String, Long, Long)],
+      budget: Long, epochCapPpm: Long, rounds: Int): Seq[Allocation] = {
+    require(rows.forall(_._2 >= 0) && rows.forall(_._3 >= 0),
+      "availability and weights must be non-negative")
+    val cap = rows.map { case (g, a, _) =>
+      g -> math.floor((a.toDouble * epochCapPpm.toDouble) / 1000000.0).toLong
+    }.toMap
+    val alloc = scala.collection.mutable.Map(rows.map(r => r._1 -> 0L): _*)
+    for (_ <- 1 to rounds) {
+      val rem = budget - alloc.values.sum
+      val unbound = rows.filter { case (g, _, _) => alloc(g) < cap(g) }
+      val wu = unbound.map(_._3).sum
+      if (rem > 0 && wu > 0) unbound.foreach { case (g, _, w) =>
+        val give = math.floor((rem.toDouble * w.toDouble) / wu.toDouble).toLong
+        alloc(g) += math.min(give, cap(g) - alloc(g))
+      }
+    }
+    rows.map { case (g, a, w) =>
+      val al = alloc(g)
+      val ep = if (a == 0) 0L
+        else math.floor((al.toDouble * 1000000.0) / a.toDouble).toLong
+      Allocation(g, a, w, cap(g), al, ep, al >= cap(g))
+    }
+  }
+
+  /** Per-GROUP token-budget prefix cut — [[selectByTokenBudget]]'s
+    * grouped form: within each group, rows in (group, id) order are kept
+    * while the group's running token total stays within its budget. The
+    * partial-epoch cut of [[mixtureAllocate]]'s apply step, and the
+    * general "cut each source at its quota" primitive.
+    *
+    * Scale (same two-pass range-partition scheme as the single-budget
+    * form, never a per-group single-task window): range-repartition on
+    * (group, id) — each group spans a contiguous partition run, so a
+    * giant source parallelizes across partitions instead of one window
+    * task — then per-(partition, group) subtotals (one bounded collect:
+    * ≤ partitions + groups entries since the clustering makes each
+    * (partition, group) pair contiguous), scan-left offsets on the
+    * driver, and a second embarrassingly-parallel pass emits rows whose
+    * group-running total stays within budget. */
+  def selectByBudgetPerGroup(
+      rows: DataFrame, groupCol: String, idCol: String, tokenCol: String,
+      budgets: Map[String, Long]): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // pinned partitioning: the subtotal pass and the emit pass must see
+    // identical range splits (range sampling re-runs otherwise)
+    val base = rows
+      .select(col(groupCol).cast("string"), col(idCol).cast("long"),
+        col(tokenCol).cast("long"))
+      .as[(String, Long, Long)]
+      .repartitionByRange(n, col(groupCol).asc, col(idCol).asc)
+      .sortWithinPartitions(col(groupCol).asc, col(idCol).asc)
+      .localCheckpoint(true)
+    val sums: Array[(Int, String, Long)] = base.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val m = scala.collection.mutable.LinkedHashMap[String, Long]()
+      it.foreach { case (g, _, t) => m.update(g, m.getOrElse(g, 0L) + t) }
+      m.iterator.map { case (g, s) => (pid, g, s) }
+    }.collect()
+    val byGroup = sums.groupBy(_._2)
+    val offsets: Map[(Int, String), Long] = sums.map { case (pid, g, _) =>
+      (pid, g) -> byGroup(g).iterator.filter(_._1 < pid).map(_._3).sum
+    }.toMap
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    val bcBud = spark.sparkContext.broadcast(budgets)
+    base.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val cum = scala.collection.mutable.HashMap[String, Long]()
+      it.filter { case (g, _, t) =>
+        val c = cum.getOrElse(g, bcOff.value.getOrElse((pid, g), 0L)) + t
+        cum.update(g, c)
+        c <= bcBud.value.getOrElse(g, 0L)
+      }
+    }.toDF(groupCol, idCol, tokenCol)
+  }
 }

@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained interpolated Kneser–Ney BIGRAM language model — the
+  * real perplexity quality filter of the CCNet family, one model order up
+  * from [[TextProfile.unigramSurprisal]] (q128). CCNet scores documents
+  * with an n-gram LM and drops the tails; the unigram surprisal proxy
+  * cannot see word ORDER ("the the the the" scores as well as fluent
+  * text built from the same words). This is the public formulation
+  * (Kneser & Kneser–Ney 1995; Chen & Goodman 1998, interpolated form
+  * with one fixed discount):
+  *
+  *   p(w|u) = max(c(u,w) − D, 0) / c(u)  +  λ(u) · p_cont(w)
+  *   λ(u)   = D · N1+(u,·) / c(u)
+  *   p_cont(w) = N1+(·,w) / B
+  *
+  * with c(u,w) the bigram count, N1+(u,·) the number of distinct
+  * continuations of u, N1+(·,w) the number of distinct contexts w
+  * follows, B the number of distinct bigram types and D = 0.75 (the
+  * textbook discount). Self-trained on the scored corpus itself — the
+  * same no-external-model stance as q128/q132.
+  *
+  * VOCABULARY PRUNING (min-count): tokens with corpus count < `minCount`
+  * pool into one `<unk>` symbol BEFORE counting, the standard LM recipe
+  * and this operator's cap discipline — the model's term space is
+  * bounded by the observed-twice vocabulary, never the raw token space,
+  * and hapax noise (OCR junk, random ids) shares one distribution.
+  * Hapaxes exist at every corpus scale, so the pruning is structurally
+  * ACTIVE at the gated SFs. Each document is one <s> … </s> sequence, so
+  * every document produces n_tokens+1 scored bigrams (an empty document
+  * still scores the single (<s>,</s>) event).
+  *
+  * Sentinels are control characters (U+0001 unk / U+0002 bos /
+  * U+0003 eos — the [[Bpe]] sentinel argument: they cannot appear in a
+  * whitespace token of real text, and both engines treat them as plain
+  * one-char strings even if they did). Outputs render them as `<unk>`,
+  * `<s>`, `</s>`.
+  *
+  * CROSS-ENGINE EXACTNESS (the DuckDB oracle compares hashes): every
+  * count is an exact BIGINT below 2^53, so the probability — assembled
+  * with ONE fixed parenthesization of IEEE double ops — is bit-identical
+  * in Spark and DuckDB; each bigram's −ln p rounds to 6 dp before an
+  * exact DECIMAL per-document summation (q128's discipline — double
+  * summation order never matters), and every RATIO of those exact
+  * integers is emitted as an integer floor, never a rounded double
+  * (integer ratios land on exact decimal .5s, where the engines' round()
+  * disagree — see [[knScore]]).
+  *
+  * Scale: the model is three aggregates OF the bigram-type table (bg is
+  * (u,w)-grain, map-side combined from the corpus stream; ctx/cont/B are
+  * aggregates of bg — term-grain, tiny). Scoring is ONE equi-join of the
+  * corpus bigram stream against the assembled bigram-grain model
+  * (Catalyst broadcasts it when it fits, hash-joins on (u,w) past that;
+  * a hot bigram costs one fat reduce task at worst — model rows are one
+  * per type), then a doc-grain aggregate out. Never doc×doc, no global
+  * sort, linear in corpus tokens. The model table is localCheckpoint'ed:
+  * scoring and the model head both read it, and un-materialized each
+  * consumer would re-run the corpus explode + three aggregates. */
+object NgramLm {
+
+  private[graft] val Unk = "\u0001"
+  private[graft] val Bos = "\u0002"
+  private[graft] val Eos = "\u0003"
+
+  /** Textbook discount; exactly representable in binary, so the double
+    * chain stays engine-exact. */
+  val Discount = 0.75
+
+  private def tokens(text: Column): Column =
+    graft.functions.TextFunctions.tokens(text)
+
+  /** The corpus bigram stream (doc_id, u, w) with min-count unk pooling:
+    * raw <s>-…-</s> bigrams, each real-token side left-joined against the
+    * count ≥ minCount vocabulary and pooled to `<unk>` on a miss. */
+  private def mappedBigrams(docs: DataFrame, minCount: Long,
+      idCol: String, textCol: String): DataFrame = {
+    val vocab = docs
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+      .select(col("tok"))
+      .localCheckpoint(true)
+    val sq = concat(array(lit(Bos)), tokens(col(textCol)), array(lit(Eos)))
+    val raw = docs.select(col(idCol),
+        explode(transform(sequence(lit(1), size(sq) - 1),
+          j => struct(element_at(sq, j).as("u"), element_at(sq, j + 1).as("w"))))
+          .as("p"))
+      .select(col(idCol), col("p.u").as("u_raw"), col("p.w").as("w_raw"))
+    raw
+      .join(vocab.select(col("tok").as("u_raw"), lit(1).as("_u_in")),
+        Seq("u_raw"), "left")
+      .join(vocab.select(col("tok").as("w_raw"), lit(1).as("_w_in")),
+        Seq("w_raw"), "left")
+      .select(col(idCol),
+        when(col("u_raw") === Bos || col("_u_in").isNotNull, col("u_raw"))
+          .otherwise(lit(Unk)).as("u"),
+        when(col("w_raw") === Eos || col("_w_in").isNotNull, col("w_raw"))
+          .otherwise(lit(Unk)).as("w"))
+  }
+
+  /** The assembled bigram-grain model (u, w, c, cu, n1f, n1p, b, p) —
+    * materialized once; [[knScore]] and [[knModelTop]] both read it. */
+  private def model(stream: DataFrame, discount: Double): DataFrame = {
+    val bg = stream.groupBy(col("u"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val ctx = bg.groupBy(col("u"))
+      .agg(sum(col("c")).as("cu"), count(lit(1)).as("n1f"))
+    val cont = bg.groupBy(col("w")).agg(count(lit(1)).as("n1p"))
+    val btot = bg.agg(count(lit(1)).as("b"))
+    val d = lit(discount)
+    val p = (greatest(col("c").cast("double") - d, lit(0.0))
+        / col("cu").cast("double")) +
+      (((d * col("n1f").cast("double")) / col("cu").cast("double"))
+        * (col("n1p").cast("double") / col("b").cast("double")))
+    bg.join(ctx, Seq("u")).join(cont, Seq("w"))
+      .crossJoin(broadcast(btot))
+      .withColumn("p", p)
+      .localCheckpoint(true)
+  }
+
+  /** Per-document KN cross-entropy (doc_id, n_bigrams, xent_unats): the
+    * mean over the document's <s>…</s> bigrams of −ln p(w|u), in
+    * MICRO-NATS, floored — LOW = fluent/templated, HIGH = disordered or
+    * rare-token soup; production screens band on this column exactly as
+    * q143 bands q128.
+    *
+    * Why an integer, not a rounded double: the per-bigram 6 dp surprisal
+    * sum is an exact micro-nat integer, so the mean is a RATIONAL whose
+    * decimal expansion routinely lands on an exact .5 at any rounding
+    * scale — and Spark rounds the binary double down where DuckDB rounds
+    * the decimal view up (measured: 94940034/28 µnats → 3.390715 vs
+    * 3.390716). Integer floor division has no tie to disagree on. */
+  def knScore(docs: DataFrame, minCount: Long = 2, discount: Double = Discount,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val stream = mappedBigrams(docs, minCount, idCol, textCol)
+      .localCheckpoint(true) // feeds both the model counts and the scoring join
+    val m = model(stream, discount).select(col("u"), col("w"), col("p"))
+    stream.join(m, Seq("u", "w")) // inner: self-trained, every stream bigram is a model type
+      .withColumn("s", round(-log(col("p")), 6).cast("decimal(28,6)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("sum_s"))
+      .select(col(idCol), col("n_bigrams"),
+        expr("CAST(sum_s * 1000000 AS BIGINT) div n_bigrams")
+          .as("xent_unats"))
+  }
+
+  private def rendered(c: Column): Column =
+    when(c === Unk, "<unk>").when(c === Bos, "<s>").when(c === Eos, "</s>")
+      .otherwise(c)
+
+  /** The `k` highest-probability bigram types (u, w, c, p_nano) under
+    * the (p_nano desc, u, w) total order — the model-inspection head;
+    * `orderBy + limit` plans as TakeOrderedAndProject (per-partition
+    * top-k + one k-row merge), never a full global sort. p is emitted in
+    * floored NANO-probability (floor(double) is tie-free across engines,
+    * unlike round — see [[knScore]]). */
+  def knModelTop(docs: DataFrame, k: Int, minCount: Long = 2,
+      discount: Double = Discount,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val m = model(mappedBigrams(docs, minCount, idCol, textCol), discount)
+    m.select(rendered(col("u")).as("u"), rendered(col("w")).as("w"),
+        col("c"), floor(col("p") * lit(1000000000.0)).as("p_nano"))
+      .orderBy(col("p_nano").desc, col("u"), col("w"))
+      .limit(k)
+  }
+}

@@ -131,7 +131,14 @@ object TextProfile {
     * parenthesization, each per-token `ln` is rounded to 6 dp, and the
     * per-doc mean is an exact DECIMAL sum over those rounded terms
     * (identical trick as [[unigramSurprisal]] — float summation order
-    * never matters).
+    * never matters). The mean itself is emitted as `importance_u`, a
+    * TRUNCATED micro-nat integer (`div` truncates toward zero in both
+    * engines, signed-safe): the sum is an exact µ-unit integer, so the
+    * mean is a rational that routinely lands on an exact decimal .5 —
+    * where Spark's round() (binary value) and DuckDB's (decimal view)
+    * disagree by 1 ulp, the pre-round-16 q132 sf0.1 edge. Integer
+    * division has no tie to disagree on. Production resamples with
+    * probability ∝ exp(importance_u / 1e6).
     *
     * Scale: two token-grain count aggregates (map-side combined), three
     * 1-row globals under broadcast, one token→vocab equi-join (vocab is
@@ -161,7 +168,7 @@ object TextProfile {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_toks"), sum(col("s")).as("sum_s"))
       .select(col(idCol), col("n_toks"),
-        round(col("sum_s").cast("double") / col("n_toks"), 6).as("importance"))
+        expr("CAST(sum_s * 1000000 AS BIGINT) div n_toks").as("importance_u"))
   }
 
   /** n-gram LM quality proxy (the last text-quality signal next to

@@ -371,4 +371,25 @@ class PlanSpec extends SparkTestBase {
         || p.contains("hashpartitioning(doc_id"),
       "the span merge must window PARTITION BY doc_id:\n" + p)
   }
+
+  test("KN scoring joins the stream to the model on (u, w) — equi, no window, no product") {
+    val p = plan(graft.operators.NgramLm.knScore(Tables.documents(spark, sf)))
+    assert(!p.contains("CartesianProduct"),
+      "scoring must never cross the stream with the model:\n" + p)
+    assert(!p.contains("Window"),
+      "no window over the corpus bigram stream:\n" + p)
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[u".r
+        .findFirstIn(p).isDefined,
+      "the scoring join must key on the bigram:\n" + p)
+  }
+
+  test("grouped budget cut runs windowless — the prefix scan is the two-pass partition scheme") {
+    import spark.implicits._
+    val rows = (1 to 50).map(i => (s"g${i % 3}", i.toLong, 1L))
+      .toDF("grp", "id", "t")
+    val p = plan(graft.operators.Corpus.selectByBudgetPerGroup(
+      rows, "grp", "id", "t", Map("g0" -> 5L, "g1" -> 5L, "g2" -> 5L)))
+    assert(!p.contains("Window"),
+      "a per-group running-sum window would single-task each source:\n" + p)
+  }
 }

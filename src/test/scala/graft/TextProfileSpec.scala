@@ -60,13 +60,15 @@ class TextProfileSpec extends SparkTestBase {
   test("importanceWeight scores target-like docs positive, background-like negative") {
     // target slice = {d1}: "aa aa"; background adds d2: "bb bb".
     // vocab: aa (cb=2, ct=2), bb (cb=2, ct=0); nb=4, nt=2, V=2.
-    // aa: ln(((2+1)/(2+2)) / ((2+1)/(4+2))) = ln 1.5; bb: ln 0.5.
+    // aa: ln(((2+1)/(2+2)) / ((2+1)/(4+2))) = ln 1.5 → 405465 µnats;
+    // bb: ln 0.5 → −693147 µnats (µ-unit mean, div truncating toward 0 —
+    // signed-safe in both engines).
     val docs = Seq((1L, "aa aa", true), (2L, "bb bb", false))
       .toDF("doc_id", "text", "is_t")
     val out = TextProfile.importanceWeight(docs, $"is_t")
-      .orderBy("doc_id").as[(Long, Long, Double)].collect()
-    assert(out(0) === ((1L, 2L, 0.405465)))
-    assert(out(1) === ((2L, 2L, -0.693147)))
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    assert(out(0) === ((1L, 2L, 405465L)))
+    assert(out(1) === ((2L, 2L, -693147L)))
   }
 
   test("tfIdfTopK ranks by score desc then term, k bounded") {
