@@ -506,7 +506,7 @@ private[graft] object DedupGates {
          |comp AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY a),
          |$surprisalCtes,
          |kq AS (SELECT comp.comp AS cmp, comp.id AS id,
-         |    coalesce(srp.surprisal, CAST('infinity' AS DOUBLE)) AS s2
+         |    coalesce(CAST(srp.surprisal_u AS DOUBLE), CAST('infinity' AS DOUBLE)) AS s2
          |  FROM comp LEFT JOIN srp ON comp.id = srp.doc_id),
          |keep AS (SELECT cmp, id FROM (
          |  SELECT cmp, id, row_number() OVER (PARTITION BY cmp ORDER BY s2, id) AS rn

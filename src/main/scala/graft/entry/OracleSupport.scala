@@ -121,9 +121,10 @@ private[graft] object OracleSupport {
        |FROM est e JOIN exact USING (tok) ORDER BY key""".stripMargin
 
   /** Corpus-unigram surprisal per doc — ONE text shared by q128 and the
-    * q143 banding oracle; mirrors TextProfile.unigramSurprisal (per-token
-    * 6 dp rounding before exact DECIMAL summation). Final table:
-    * `srp(doc_id, n_toks, surprisal)`. */
+    * q143/q144 oracles; mirrors TextProfile.unigramSurprisal (per-token
+    * 6 dp rounding before exact DECIMAL summation; the mean a floored
+    * µ-nat integer — the round()-tie closure). Final table:
+    * `srp(doc_id, n_toks, surprisal_u)`. */
   lazy val surprisalCtes: String =
     s"""t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
        |v AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
@@ -132,7 +133,7 @@ private[graft] object OracleSupport {
        |    CAST(round(-ln(CAST(cnt AS DOUBLE) / n_total), 6) AS DECIMAL(28,6)) AS s
        |  FROM t JOIN v USING (tok) CROSS JOIN n),
        |srp AS (SELECT doc_id, count(*) AS n_toks,
-       |  round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS surprisal
+       |  CAST(sum(s) * 1000000 AS BIGINT) // count(*) AS surprisal_u
        |FROM s GROUP BY doc_id)""".stripMargin
 
   /** Interpolated Kneser–Ney bigram LM — mirrors

@@ -229,16 +229,16 @@ private[graft] object TextGates {
     // TextProfile.unigramSurprisal.
     "q128_unigram_surprisal" ->
       s"""WITH $surprisalCtes
-         |SELECT doc_id, n_toks, surprisal FROM srp ORDER BY doc_id""".stripMargin,
+         |SELECT doc_id, n_toks, surprisal_u FROM srp ORDER BY doc_id""".stripMargin,
 
     // q128's surprisal ranked by (surprisal, doc_id) — a total order, so
     // row_number is deterministic — then equal-population integer banding
     "q143_perplexity_bands" ->
       s"""WITH $surprisalCtes,
-         |r AS (SELECT doc_id, surprisal,
-         |    row_number() OVER (ORDER BY surprisal, doc_id) AS rank,
+         |r AS (SELECT doc_id, surprisal_u,
+         |    row_number() OVER (ORDER BY surprisal_u, doc_id) AS rank,
          |    count(*) OVER () AS n FROM srp)
-         |SELECT doc_id, surprisal, rank, 1 + ((rank - 1) * 3) // n AS band
+         |SELECT doc_id, surprisal_u, rank, 1 + ((rank - 1) * 3) // n AS band
          |FROM r ORDER BY doc_id""".stripMargin,
 
     // signals mirror TextFunctions / q68's CTEs; every threshold compares

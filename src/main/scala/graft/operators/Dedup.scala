@@ -818,7 +818,7 @@ object Dedup {
       components: DataFrame,
       scores: DataFrame,
       idCol: String = "doc_id",
-      scoreCol: String = "surprisal"): DataFrame = {
+      scoreCol: String = "surprisal_u"): DataFrame = {
     val keepers = components
       .join(scores.select(col(idCol).as("id"), col(scoreCol).as("_s")),
         Seq("id"), "left")

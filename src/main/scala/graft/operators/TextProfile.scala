@@ -241,7 +241,14 @@ object TextProfile {
     * Float determinism (the oracle compares exactly): each token's
     * surprisal is rounded to 6 dp and the per-doc summation runs as
     * exact DECIMAL arithmetic — raw double sums are partition-order
-    * dependent, the same discipline as every money aggregate here.
+    * dependent, the same discipline as every money aggregate here. The
+    * mean is emitted as `surprisal_u`, a micro-nat integer (exact
+    * floor division of the exact µ-sum), NOT a rounded double: the
+    * division-noise ulp can land the double quotient one ulp below an
+    * exact decimal .5 while its ×1e6 product still sits ON the .5 —
+    * precisely where Spark's round (shortest-repr half-up) and
+    * DuckDB's (product half-away) disagree. Same closure as
+    * [[importanceWeight]]'s importance_u.
     *
     * Scale: one token-grain shuffle with map-side combine for the vocab,
     * one token-keyed join back (a hot token costs one fat reduce task at
@@ -265,7 +272,7 @@ object TextProfile {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_toks"), sum(col("s")).as("sum_s"))
       .select(col(idCol), col("n_toks"),
-        round(col("sum_s").cast("double") / col("n_toks"), 6).as("surprisal"))
+        expr("CAST(sum_s * 1000000 AS BIGINT) div n_toks").as("surprisal_u"))
   }
 
   /** CCNet-style perplexity banding: rank every document by its
@@ -283,10 +290,13 @@ object TextProfile {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(nBands >= 2, "need at least two bands")
     val ranked = Corpus.rankByScore(
-      unigramSurprisal(docs, idCol, textCol), idCol, "surprisal")
+      unigramSurprisal(docs, idCol, textCol), idCol, "surprisal_u")
     ranked
       .crossJoin(broadcast(ranked.agg(count(lit(1)).as("_n"))))
       .withColumn("band", expr(s"1 + ((rank - 1) * $nBands) div _n"))
-      .select(col(idCol), col("surprisal"), col("rank"), col("band"))
+      // rankByScore widens the score to double for the range sort; µ-nat
+      // longs are < 2^53 so the round-trip back is exact
+      .select(col(idCol), col("surprisal_u").cast("long").as("surprisal_u"),
+        col("rank"), col("band"))
   }
 }

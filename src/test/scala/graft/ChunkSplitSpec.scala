@@ -189,7 +189,7 @@ class ChunkSplitSpec extends SparkTestBase {
   test("perplexityBands: equal-population bands, monotone in rank") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val out = graft.operators.TextProfile.perplexityBands(docs)
-      .as[(Long, Double, Long, Long)].collect().sortBy(_._3)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._3)
     val n = out.length
     assert(out.map(_._4).toSeq === out.map(r => 1 + ((r._3 - 1) * 3) / n).toSeq)
     val sizes = out.groupBy(_._4).view.mapValues(_.length).values.toSeq

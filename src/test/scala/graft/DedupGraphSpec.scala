@@ -226,7 +226,7 @@ class DedupGraphSpec extends SparkTestBase {
     // component {1,2,3}: doc 3 has the best (lowest) score; {4,5}: tie → min id
     val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L)).toDF("id", "comp")
     val scores = Seq((1L, 5.0), (2L, 4.0), (3L, 1.0), (4L, 2.0), (5L, 2.0), (6L, 9.0))
-      .toDF("doc_id", "surprisal")
+      .toDF("doc_id", "surprisal_u")
     val kept = Dedup.applyDedupBestKeeper(docs, comps, scores)
       .select($"doc_id").as[Long].collect().sorted.toSeq
     assert(kept === Seq(3L, 4L, 6L)) // best of {1,2,3}; tie-min of {4,5}; untouched 6
@@ -238,7 +238,7 @@ class DedupGraphSpec extends SparkTestBase {
     // component {3,4}: NO member scored → min-id 3 survives (the old
     // inner-join contract dropped the whole cluster — data loss)
     val comps = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L)).toDF("id", "comp")
-    val scores = Seq((2L, 4.0), (5L, 9.0)).toDF("doc_id", "surprisal")
+    val scores = Seq((2L, 4.0), (5L, 9.0)).toDF("doc_id", "surprisal_u")
     val kept = Dedup.applyDedupBestKeeper(docs, comps, scores)
       .select($"doc_id").as[Long].collect().sorted.toSeq
     assert(kept === Seq(2L, 3L, 5L))

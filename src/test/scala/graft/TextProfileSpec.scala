@@ -122,13 +122,13 @@ class TextProfileSpec extends SparkTestBase {
 
   test("unigram surprisal scores by corpus frequency with decimal-exact per-doc sums") {
     // vocab: a×3, b×3, c×1 over N=7 tokens
-    //   s(a) = s(b) = round(-ln(3/7), 6) = 0.847298
-    //   s(c) = round(-ln(1/7), 6) = 1.945910
+    //   s(a) = s(b) = round(-ln(3/7), 6) = 0.847298 → 847298 µnats
+    //   s(c) = round(-ln(1/7), 6) = 1.945910 → 1945910 µnats
     val docs = Seq((0L, "a a b"), (1L, "a b b c")).toDF("doc_id", "text")
     val out = graft.operators.TextProfile.unigramSurprisal(docs)
-      .orderBy($"doc_id").as[(Long, Long, Double)].collect().toSeq
+      .orderBy($"doc_id").as[(Long, Long, Long)].collect().toSeq
     assert(out === Seq(
-      (0L, 3L, 0.847298),                               // 3·0.847298 / 3
-      (1L, 4L, 1.121951)))                              // (3·0.847298 + 1.945910) / 4
+      (0L, 3L, 847298L),                         // 3·847298 div 3
+      (1L, 4L, 1121951L)))                       // (3·847298 + 1945910) div 4
   }
 }
