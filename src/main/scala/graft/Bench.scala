@@ -293,13 +293,18 @@ object Bench {
     // the flag is a parameter, not a mutable global)
     val qs = SparkEntry.queriesFor(oracleRun = false) // one Map build
     val counts = scala.collection.mutable.Map[String, Long]()
-    val results = qs.map { case (name, fn) =>
+    // name-sorted, NOT Map order: the SessionCache'd families (q179-182
+    // BPE, q184/q185 KN) charge training to whichever member runs first,
+    // and Map order can silently reshuffle when gates are added — sorted
+    // order pins the payer (q179/q180/q184) to match the scale-leg
+    // subsets, so per-query numbers stay comparable across rounds
+    val results = qs.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       counts(name) = count(name, fn)
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-22s $sec%8.2f s")
       name -> sec
-    }
+    }.toMap
     // variance probe: anything slow on the first pass runs once more — a
     // query that re-measures fast was host noise, not a regression; both
     // samples land in bench_result.json for the reviewer, and the retry
@@ -521,12 +526,15 @@ object Bench {
       // accounting, q182 subword chunking)
       "q176_lsh_autocap", "q177_jaccard_autocap",
       "q180_bpe_token_counts", "q182_bpe_chunk",
-      // round-16 continued: the KN bigram scoring pass (train + score,
-      // linear in corpus tokens — the word-order-aware q128 upgrade) and
-      // the waterfilling epoch plan (per-source aggregate + the grouped
-      // range-partitioned prefix cut; the solve itself is source-grain
-      // metadata)
-      "q185_kn_xent", "q187_epoch_plan")
+      // round-16 continued: the KN bigram chain and the waterfilling
+      // epoch plan (per-source aggregate + the grouped range-partitioned
+      // prefix cut; the solve itself is source-grain metadata). q184
+      // precedes q185 ON EVERY LEG so the SessionCache'd training is
+      // paid by the same gate everywhere — without it the main leg's
+      // q185 reads the cached scoring pass while a leg without q184
+      // retrains, and the growth exponent measures the cache asymmetry
+      // instead of the operator (the rehearsal-#7 1.26 artifact)
+      "q184_kn_bigram_model", "q185_kn_xent", "q187_epoch_plan")
     val sf2Twins = Seq(
       "q102_semdedup" -> "q118_stream_semdedup",
       "q102_semdedup" -> "q124_dag_semdedup",
@@ -743,9 +751,11 @@ object Bench {
       "q171_embed_neardup_autocap", "q170_cell_profile",
       "q17_dedup_exact", "q101_paragraph_dedup", "q102_semdedup",
       "q158_contamination_bloom", "q54_ann_ivf", "q134_stream_ann_ingest",
-      // round-16: KN bigram train+score — token-grain aggregates and a
-      // bigram-keyed join, the newest linear-claim operator on the leg
-      "q185_kn_xent")
+      // round-16: the KN bigram chain — q184 pays the SessionCache'd
+      // training on this leg exactly as on the main leg (see sf2Subset
+      // note: without it q185's exponent measures the cache asymmetry),
+      // q185 is then the scoring join, the linear-claim measurement
+      "q184_kn_bigram_model", "q185_kn_xent")
     // Excluded at ×100 by design, each with a standing receipt:
     // - q21 (round-13 verdict #1c): its pair space is proven exactly
     //   linear every run by diag_q21_cand_pairs at a fraction of the

@@ -20,6 +20,16 @@ import OracleSupport._
   * sides — the compare sorts columns by name before hashing). */
 private[graft] object TextGates {
 
+  /** The KN bigram stream / trained model over `d`'s documents, cached
+    * per (session, dir) — ONE training run serves q184 and q185 (the
+    * BPE-vocab caching discipline). */
+  private def knStreamCached(s: SparkSession, d: String): DataFrame =
+    graft.core.SessionCache(s, s"knstream|$d")(
+      graft.operators.NgramLm.bigramStream(Tables.documents(s, d)))
+  private def knModelCached(s: SparkSession, d: String): DataFrame =
+    graft.core.SessionCache(s, s"knmodel|$d")(
+      graft.operators.NgramLm.knModel(knStreamCached(s, d)))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q14_top_tokens" -> ((s, d) =>
@@ -122,11 +132,45 @@ private[graft] object TextGates {
     // replays vocab → unk mapping → all four count tables → the
     // probability chain bit-for-bit.
     "q184_kn_bigram_model" -> ((s, d) =>
-      graft.operators.NgramLm.knModelTop(Tables.documents(s, d), 200)),
+      graft.operators.NgramLm.knModelTopFrom(knModelCached(s, d), 200)),
 
     "q185_kn_xent" -> ((s, d) =>
-      graft.operators.NgramLm.knScore(Tables.documents(s, d))
+      graft.operators.NgramLm.knScoreFrom(
+          knStreamCached(s, d), knModelCached(s, d))
         .orderBy(col("doc_id"))),
+
+    // KN scoring ON INGEST (KnIngest): the model frozen offline (vocab +
+    // bigram counts persisted), then two ascending micro-batches of
+    // documents scored against it through real checkpointed epochs with
+    // idempotent epoch-dir writes — the CCNet deployment shape. The
+    // accreted scores must equal the batch q185 bit-for-bit (the feed
+    // covers the training corpus, so no unseen pairs — those are
+    // spec-planted); shares q185's oracle verbatim.
+    "q188_stream_kn_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val mid = midOf(docs.agg(min(col("doc_id")), max(col("doc_id"))).head(),
+        "documents (q188)")
+      val root =
+        java.nio.file.Files.createTempDirectory("graft_kn_ingest_").toString
+      graft.streaming.KnIngest.freezeModel(Tables.documents(s, d), root)
+      import s.implicits._
+      StreamHarness.runFilesSink(s,
+          Seq(docs.where(col("doc_id") <= mid).as[(Long, String)],
+            docs.where(col("doc_id") > mid).as[(Long, String)])) {
+        (ds, ckpt) =>
+          ds.toDF("doc_id", "text").writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: DataFrame, epochId: Long) =>
+              graft.streaming.KnIngest.processBatch(
+                b.toDF("doc_id", "text"), root, epochId)
+            }.start()
+      }
+      val out = graft.streaming.KnIngest.readScores(s, root)
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true) // materialize before the store dir vanishes
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+      out
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -280,12 +324,19 @@ private[graft] object TextGates {
     // DECIMAL-summed per doc, mean emitted as a FLOORED micro-nat
     // integer — integer ratios land on exact .5s where the engines'
     // round() disagree (NgramLm.knScore doc)
-    "q185_kn_xent" ->
-      s"""WITH $knCtes,
-         |sc AS (SELECT doc_id, CAST(round(-ln(p), 6) AS DECIMAL(28,6)) AS s
-         |  FROM bgs JOIN pm USING (u, w))
-         |SELECT doc_id, count(*) AS n_bigrams,
-         |  CAST(sum(s) * 1000000 AS BIGINT) // count(*) AS xent_unats
-         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q185_kn_xent" -> knXentOracle,
+
+    // the ingest-accreted scores must equal the batch scoring pass —
+    // ONE oracle text shared with q185 so the twins can never silently
+    // diverge
+    "q188_stream_kn_score" -> knXentOracle,
   )
+
+  private lazy val knXentOracle: String =
+    s"""WITH $knCtes,
+       |sc AS (SELECT doc_id, CAST(round(-ln(p), 6) AS DECIMAL(28,6)) AS s
+       |  FROM bgs JOIN pm USING (u, w))
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  CAST(sum(s) * 1000000 AS BIGINT) // count(*) AS xent_unats
+       |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -73,15 +73,35 @@ object NgramLm {
 
   /** The corpus bigram stream (doc_id, u, w) with min-count unk pooling:
     * raw <s>-…-</s> bigrams, each real-token side left-joined against the
-    * count ≥ minCount vocabulary and pooled to `<unk>` on a miss. */
+    * count ≥ minCount vocabulary and pooled to `<unk>` on a miss.
+    * localCheckpointed — ONE artifact feeding both the model counts and
+    * the scoring join (and cacheable per (session, dir) by gate runners,
+    * the BPE-vocab discipline: train once, serve every consumer). */
+  def bigramStream(docs: DataFrame, minCount: Long = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    mappedBigrams(docs, minCount, idCol, textCol).localCheckpoint(true)
+
   private def mappedBigrams(docs: DataFrame, minCount: Long,
-      idCol: String, textCol: String): DataFrame = {
-    val vocab = docs
-      .select(explode(tokens(col(textCol))).as("tok"))
+      idCol: String, textCol: String): DataFrame =
+    bigramStreamWith(docs, trainVocab(docs, minCount, textCol), idCol, textCol)
+
+  /** The count ≥ minCount vocabulary (tok) — the model's term space; a
+    * frozen model persists this next to its bigram counts so arriving
+    * text unk-pools under the SAME rule it was trained with. */
+  def trainVocab(docs: DataFrame, minCount: Long = 2,
+      textCol: String = "text"): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= minCount)
       .select(col("tok"))
       .localCheckpoint(true)
+
+  /** The bigram stream of `docs` unk-pooled under a GIVEN vocabulary —
+    * the scoring-side mapper of a frozen model ([[graft.streaming
+    * .KnIngest]] maps each arriving micro-batch with the trained
+    * vocab); [[bigramStream]] is the self-trained composition. */
+  def bigramStreamWith(docs: DataFrame, vocab: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sq = concat(array(lit(Bos)), tokens(col(textCol)), array(lit(Eos)))
     val raw = docs.select(col(idCol),
         explode(transform(sequence(lit(1), size(sq) - 1),
@@ -100,9 +120,10 @@ object NgramLm {
           .otherwise(lit(Unk)).as("w"))
   }
 
-  /** The assembled bigram-grain model (u, w, c, cu, n1f, n1p, b, p) —
-    * materialized once; [[knScore]] and [[knModelTop]] both read it. */
-  private def model(stream: DataFrame, discount: Double): DataFrame = {
+  /** The assembled bigram-grain model (u, w, c, cu, n1f, n1p, b, p)
+    * over a [[bigramStream]] — materialized once; [[knScoreFrom]] and
+    * [[knModelTopFrom]] both read it. */
+  def knModel(stream: DataFrame, discount: Double = Discount): DataFrame = {
     val bg = stream.groupBy(col("u"), col("w"))
       .agg(count(lit(1)).as("c"))
       .localCheckpoint(true)
@@ -110,15 +131,55 @@ object NgramLm {
       .agg(sum(col("c")).as("cu"), count(lit(1)).as("n1f"))
     val cont = bg.groupBy(col("w")).agg(count(lit(1)).as("n1p"))
     val btot = bg.agg(count(lit(1)).as("b"))
+    bg.join(ctx, Seq("u")).join(cont, Seq("w"))
+      .crossJoin(broadcast(btot))
+      .withColumn("p", knProb(col("c"), discount))
+      .localCheckpoint(true)
+  }
+
+  /** The interpolated-KN probability with ONE pinned parenthesization —
+    * shared by the self-trained model and the frozen-model scorer so the
+    * double chain can never fork. Reads cu/n1f/n1p/b from the enclosing
+    * plan's columns. */
+  private def knProb(c: Column, discount: Double): Column = {
     val d = lit(discount)
-    val p = (greatest(col("c").cast("double") - d, lit(0.0))
+    (greatest(c.cast("double") - d, lit(0.0))
         / col("cu").cast("double")) +
       (((d * col("n1f").cast("double")) / col("cu").cast("double"))
         * (col("n1p").cast("double") / col("b").cast("double")))
-    bg.join(ctx, Seq("u")).join(cont, Seq("w"))
+  }
+
+  /** Score a bigram stream against FROZEN bigram counts (u, w, c) — the
+    * ingest-side scorer: the context/continuation/total tables are
+    * re-derived from the frozen counts (type-grain, cheap), the pair
+    * join is LEFT (an unseen pair carries the backoff mass alone:
+    * max(0−D, 0) = 0, so p = λ(u)·p_cont(w) — real interpolated KN, not
+    * a special case), and an arriving context or continuation symbol
+    * missing from the model fails LOUDLY per row instead of silently
+    * dropping the bigram (only possible when the training corpus had no
+    * hapax, i.e. no `<unk>` state — a misuse, not a data condition). */
+  def knScoreAgainst(stream: DataFrame, bg: DataFrame,
+      discount: Double = Discount, idCol: String = "doc_id"): DataFrame = {
+    val ctx = bg.groupBy(col("u"))
+      .agg(sum(col("c")).as("cu"), count(lit(1)).as("n1f"))
+    val cont = bg.groupBy(col("w")).agg(count(lit(1)).as("n1p"))
+    val btot = bg.agg(count(lit(1)).as("b"))
+    val guard = (side: String, c: Column) => when(c.isNull,
+      raise_error(lit(s"KnIngest: $side symbol missing from the frozen " +
+        "model (trained without <unk>?)"))).otherwise(c)
+    stream.join(bg, Seq("u", "w"), "left")
+      .join(ctx, Seq("u"), "left")
+      .join(cont, Seq("w"), "left")
       .crossJoin(broadcast(btot))
-      .withColumn("p", p)
-      .localCheckpoint(true)
+      .withColumn("cu", guard("context", col("cu")))
+      .withColumn("n1p", guard("continuation", col("n1p")))
+      .withColumn("p", knProb(coalesce(col("c"), lit(0L)), discount))
+      .withColumn("s", round(-log(col("p")), 6).cast("decimal(28,6)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("sum_s"))
+      .select(col(idCol), col("n_bigrams"),
+        expr("CAST(sum_s * 1000000 AS BIGINT) div n_bigrams")
+          .as("xent_unats"))
   }
 
   /** Per-document KN cross-entropy (doc_id, n_bigrams, xent_unats): the
@@ -135,17 +196,23 @@ object NgramLm {
     * 3.390716). Integer floor division has no tie to disagree on. */
   def knScore(docs: DataFrame, minCount: Long = 2, discount: Double = Discount,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val stream = mappedBigrams(docs, minCount, idCol, textCol)
-      .localCheckpoint(true) // feeds both the model counts and the scoring join
-    val m = model(stream, discount).select(col("u"), col("w"), col("p"))
-    stream.join(m, Seq("u", "w")) // inner: self-trained, every stream bigram is a model type
+    val stream = bigramStream(docs, minCount, idCol, textCol)
+    knScoreFrom(stream, knModel(stream, discount), idCol)
+  }
+
+  /** [[knScore]] over a prebuilt stream + model (so gate runners can
+    * train once per corpus and serve both the head and the scoring
+    * gate). */
+  def knScoreFrom(stream: DataFrame, model: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    stream.join(model.select(col("u"), col("w"), col("p")), Seq("u", "w"))
+      // inner: self-trained, every stream bigram is a model type
       .withColumn("s", round(-log(col("p")), 6).cast("decimal(28,6)"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("sum_s"))
       .select(col(idCol), col("n_bigrams"),
         expr("CAST(sum_s * 1000000 AS BIGINT) div n_bigrams")
           .as("xent_unats"))
-  }
 
   private def rendered(c: Column): Column =
     when(c === Unk, "<unk>").when(c === Bos, "<s>").when(c === Eos, "</s>")
@@ -159,11 +226,14 @@ object NgramLm {
     * unlike round — see [[knScore]]). */
   def knModelTop(docs: DataFrame, k: Int, minCount: Long = 2,
       discount: Double = Discount,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val m = model(mappedBigrams(docs, minCount, idCol, textCol), discount)
-    m.select(rendered(col("u")).as("u"), rendered(col("w")).as("w"),
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    knModelTopFrom(
+      knModel(bigramStream(docs, minCount, idCol, textCol), discount), k)
+
+  /** [[knModelTop]] over a prebuilt model. */
+  def knModelTopFrom(model: DataFrame, k: Int): DataFrame =
+    model.select(rendered(col("u")).as("u"), rendered(col("w")).as("w"),
         col("c"), floor(col("p") * lit(1000000000.0)).as("p_nano"))
       .orderBy(col("p_nano").desc, col("u"), col("w"))
       .limit(k)
-  }
 }
