@@ -318,15 +318,33 @@ object Bench {
     // Reserve = last-known cost of everything still ahead (both scale
     // legs, both settles, the diags); retries stop — loudly, worst-first
     // retried first — once spending past the reserve would start eating
-    // the legs. A quiet run never hits the gate (few retries).
-    val downstreamReserve =
-      est("sf2_base", EstSf2Leg) + est("sf2_dag", 100.0) +
-        est("up100_base", EstUp100Leg) +
-        est("up_base", EstUpLegBase) + est("up_dag", EstUpDag) +
+    // the legs. A quiet run never hits the gate (few retries). A leg
+    // switched OFF reserves nothing — summing phantom legs starved
+    // retries in exactly the iterate-fast configuration where they are
+    // cheapest (round-16 review).
+    val downstreamReserve = {
+      def off(v: String) = sys.env.get(v).contains("off")
+      (if (off("SPARK_GRAFT_SF2")) 0.0
+       else est("sf2_base", EstSf2Leg) + est("sf2_dag", 100.0)) +
+        (if (off("SPARK_GRAFT_UP100")) 0.0
+         else est("up100_base", EstUp100Leg)) +
+        (if (off("SPARK_GRAFT_UP")) 0.0
+         else est("up_base", EstUpLegBase) + est("up_dag", EstUpDag)) +
         EstDiag.values.sum
+    }
+    // SessionCache-backed families never retry: their first pass may have
+    // paid (q184/q179) or ridden (q185/q180-182) the shared training, but
+    // a RETRY is always cache-warm, and min(first, warm-retry) would poison
+    // mainT and every growth exponent with the cache asymmetry the payer
+    // pinning exists to remove (round-16 review). Host-noise adjudication
+    // for these rides the uncached gates measured around them.
+    val cachedFamilies = Set("q179_bpe_merges", "q180_bpe_token_counts",
+      "q181_bpe_budget_select", "q182_bpe_chunk",
+      "q184_kn_bigram_model", "q185_kn_xent")
     val r0 = System.nanoTime()
     val retrySkipped = scala.collection.mutable.ArrayBuffer[String]()
     val retries = results.filter(_._2 > 5.0).toSeq.sortBy(-_._2)
+      .filterNot(r => cachedFamilies.contains(r._1))
       .flatMap { case (name, first) =>
         if (remainingSec < downstreamReserve + first * 1.3) {
           retrySkipped += name

@@ -20,11 +20,17 @@ import OracleSupport._
   * sides — the compare sorts columns by name before hashing). */
 private[graft] object CorpusGates {
 
-  /** The 16-merge BPE vocab trained on `d`'s documents, cached per
-    * (session, dir) — one training run serves q180/q181/q182. */
+  /** The 16-merge BPE training, cached per (session, dir) as ONE table
+    * (merge rows kind = 'm' + vocab rows kind = 'v') — a single training
+    * run serves q179 AND q180/q181/q182 (previously the merge-table and
+    * vocab caches each ran the full 16 rounds; round-16 review). */
+  private def bpeTrainedCached(s: SparkSession, d: String): DataFrame =
+    graft.core.SessionCache(s, s"bpe16train|$d")(
+      graft.operators.Bpe.trainedTable(Tables.documents(s, d), 16))
+
   private def bpeVocabCached(s: SparkSession, d: String): DataFrame =
-    graft.core.SessionCache(s, s"bpe16vocab|$d")(
-      graft.operators.Bpe.bpeVocab(Tables.documents(s, d), 16))
+    bpeTrainedCached(s, d).where(col("kind") === "v")
+      .select(col("word"), col("cnt"), col("n_sub"), col("subwords"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -203,19 +209,18 @@ private[graft] object CorpusGates {
         .orderBy(col("doc_id"), col("chunk_id"))),
 
     // ---- corpus-trained BPE (round-15 verdict #3): subword accounting ----
-    // The trained vocab is ONE artifact shared by q180/q181/q182 —
-    // cached per (session, corpus dir) via SessionCache (the DagRun
-    // memoization discipline), so a full gate run trains once for the
-    // three consumers instead of three times. q179 needs the merge TABLE
-    // (not derivable from the final vocab), its own cached training.
+    // ONE cached training (bpeTrainedCached: merge rows + vocab rows in
+    // one table, SessionCache per (session, corpus dir)) serves all four
+    // consumers — q179 reads the merge rows, q180/q181/q182 the vocab
+    // rows; previously the merge table and vocab each trained separately.
 
     // The 16-round merge table: highest-frequency adjacent symbol pair
     // per round under the fixed (count desc, lhs, rhs) tie order. The
     // oracle replays ALL 16 training rounds (pair counts → argmax →
     // sentinel-string replace) over the same word-frequency vocab.
     "q179_bpe_merges" -> ((s, d) =>
-      graft.core.SessionCache(s, s"bpe16merges|$d")(
-          graft.operators.Bpe.bpeMerges(Tables.documents(s, d), 16))
+      bpeTrainedCached(s, d).where(col("kind") === "m")
+        .select(col("rank"), col("lhs"), col("rhs"), col("pair_count"))
         .orderBy(col("rank"))),
 
     // Per-doc SUBWORD token accounting under the q179 merges: every word
@@ -371,7 +376,14 @@ private[graft] object CorpusGates {
           .as("avail_toks"),
         sum(when(col("lang") === "en", col("n_chars")).otherwise(0L)).as("ec"))
       .select(col("group"), col("avail_toks"),
-        (col("ec") * col("ec")).as("weight"))
+        // the square must stay inside Long: Spark would wrap SILENTLY
+        // where DuckDB raises, so fail loudly at the same boundary
+        // (~3e9 en-chars per source; production passes explicit weights)
+        (when(col("ec") > lit(3037000499L),
+          raise_error(concat(lit("mixture weight overflow: en-char mass "),
+            col("ec").cast("string"),
+            lit(" squares past Long range — pass explicit weights"))))
+          .otherwise(col("ec")) * col("ec")).as("weight"))
 
   /** q77's replay, shared verbatim by the bloom-screened q158 — the
     * pre-filter must be invisible in the result. */

@@ -110,6 +110,29 @@ object Bpe {
   def bpeVocab(docs: DataFrame, nMerges: Int, textCol: String = "text"): DataFrame =
     vocabOf(trainCore(docs, nMerges, textCol)._2)
 
+  /** ONE training run, BOTH artifacts: the merge table rows
+    * (kind = 'm') unioned with the vocab rows (kind = 'v') under a
+    * common schema — the cacheable form (SessionCache holds single
+    * DataFrames), so a gate run that needs the merge table AND the
+    * vocab trains once, not twice. */
+  def trainedTable(docs: DataFrame, nMerges: Int,
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (merges, state) = trainCore(docs, nMerges, textCol)
+    val m = merges.toDF("rank", "lhs", "rhs", "pair_count")
+      .select(lit("m").as("kind"), col("rank"), col("lhs"), col("rhs"),
+        col("pair_count"), lit(null).cast("string").as("word"),
+        lit(null).cast("long").as("cnt"), lit(null).cast("long").as("n_sub"),
+        lit(null).cast("string").as("subwords"))
+    val v = vocabOf(state)
+      .select(lit("v").as("kind"), lit(null).cast("long").as("rank"),
+        lit(null).cast("string").as("lhs"), lit(null).cast("string").as("rhs"),
+        lit(null).cast("long").as("pair_count"),
+        col("word"), col("cnt"), col("n_sub"), col("subwords"))
+    m.unionByName(v)
+  }
+
   private def vocabOf(state: DataFrame): DataFrame =
     state.select(col("word"), col("cnt"),
       split(expr("substring(s, 2, length(s) - 2)"), Sep + Sep).as("sy"))
@@ -130,14 +153,24 @@ object Bpe {
 
   /** [[bpeTokenCounts]] against an ALREADY-TRAINED vocab — the form a
     * pipeline uses when several consumers share one training run (the
-    * gates cache the trained vocab per (session, corpus)). */
+    * gates cache the trained vocab per (session, corpus)). A word
+    * MISSING from the vocab fails LOUDLY per row (the KnIngest
+    * missing-symbol contract): silently dropping OOV occurrences would
+    * under-count token budgets with no error. Scoring a DIFFERENT corpus
+    * than the vocab was trained on therefore needs an explicit OOV
+    * policy first (char-fallback or merge replay) — this form refuses to
+    * guess. */
   def tokenCountsFromVocab(
       docs: DataFrame,
       vocab: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
     docs.select(col(idCol), explode(tokens(col(textCol))).as("word"))
-      .join(vocab.select(col("word"), col("n_sub")), Seq("word"))
+      .join(vocab.select(col("word"), col("n_sub")), Seq("word"), "left")
+      .withColumn("n_sub", when(col("n_sub").isNull,
+        raise_error(concat(lit("Bpe: word missing from the trained vocab "
+          + "(OOV under a frozen vocab needs an explicit policy): "),
+          col("word")))).otherwise(col("n_sub")))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_bpe_tokens"))
 
@@ -173,7 +206,13 @@ object Bpe {
     val vocab = trainedVocab.select(col("word"), col("subwords"))
     val docSubs = docs
       .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("ord", "word")))
-      .join(vocab, Seq("word"))
+      .join(vocab, Seq("word"), "left")
+      // loud on OOV, exactly as tokenCountsFromVocab: a silently dropped
+      // word would splice the chunk stream with no error
+      .withColumn("subwords", when(col("subwords").isNull,
+        raise_error(concat(lit("Bpe: word missing from the trained vocab "
+          + "(OOV under a frozen vocab needs an explicit policy): "),
+          col("word")))).otherwise(col("subwords")))
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("ord"), col("subwords")))).as("ps"))
       .select(col(idCol),

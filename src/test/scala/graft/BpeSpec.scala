@@ -75,4 +75,41 @@ class BpeSpec extends SparkTestBase {
       (0L, 0L, 8L, md5hex(toks.slice(0, 8).mkString(" "))),
       (1L, 4L, 8L, md5hex(toks.slice(4, 12).mkString(" ")))), s"got $out")
   }
+
+  test("a word missing from a frozen vocab fails loudly, never drops silently") {
+    // vocab trained on docs; score a corpus with an unseen word — both
+    // the accounting and the chunking forms must refuse (the KnIngest
+    // missing-symbol contract), not under-count
+    val vocab = Bpe.bpeVocab(docs, 4)
+    val alien = Seq((9L, "newest zzzz")).toDF("doc_id", "text")
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    val e1 = intercept[Exception] {
+      Bpe.tokenCountsFromVocab(alien, vocab).collect()
+    }
+    assert(chain(e1).exists(_.contains("missing from the trained vocab")))
+    val e2 = intercept[Exception] {
+      Bpe.chunksFromVocab(alien, vocab).collect()
+    }
+    assert(chain(e2).exists(_.contains("missing from the trained vocab")))
+  }
+
+  test("trainedTable carries both artifacts of ONE training run") {
+    val t = Bpe.trainedTable(docs, 4)
+    val m = t.where($"kind" === "m")
+      .select($"rank", $"lhs", $"rhs", $"pair_count")
+      .orderBy($"rank")
+      .as[(Long, String, String, Long)].collect().toSeq
+    val want = Bpe.bpeMerges(docs, 4).orderBy($"rank")
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(m === want)
+    val v = t.where($"kind" === "v")
+      .select($"word", $"cnt", $"n_sub", $"subwords")
+      .orderBy($"word")
+      .as[(String, Long, Long, String)].collect().toSeq
+    val wantV = Bpe.bpeVocab(docs, 4).orderBy($"word")
+      .as[(String, Long, Long, String)].collect().toSeq
+    assert(v === wantV)
+  }
 }
