@@ -33,9 +33,12 @@ import org.apache.spark.sql.SparkSession
   * quiet-host emission). Within a leg, a query starting past the deadline
   * is skipped the same way. bench_result.json is REWRITTEN after the main
   * leg and again after every scale leg, so even a hard kill leaves the
-  * completed legs' numbers on disk. Leg order is sf0.01 → ×100 → ×10
-  * (cheapest first, then the contested doc-family exponents, then the
-  * ×10 leg whose DAG settle is the single largest skippable item).
+  * completed legs' numbers on disk. Leg order is sf0.01 → ×10 → ×100
+  * (round-17: cheapest first, then the ×10 leg whose DAG settle is the
+  * one artifact the emission must always carry, then the ×100 doc-family
+  * leg — so under a loaded host the sacrifice order is ×100 first,
+  * never the settle; the r13 ×100-first order protected then-contested
+  * exponents that have since been closed with quiet brackets).
   *
   * The stdout line carries total+warmup+slowest-N+exponents only, and is
   * SELF-LIMITING to 1800 bytes: the driver's tail buffer is a fixed 2000
@@ -315,23 +318,39 @@ object Bench {
     // loaded host a slow main leg triggers MORE retries exactly when the
     // budget is already tight, and 200+ s of retries then starved the
     // ×10 DAG settle (the one item the emission must always carry).
-    // Reserve = last-known cost of everything still ahead (both scale
-    // legs, both settles, the diags); retries stop — loudly, worst-first
-    // retried first — once spending past the reserve would start eating
-    // the legs. A quiet run never hits the gate (few retries). A leg
-    // switched OFF reserves nothing — summing phantom legs starved
-    // retries in exactly the iterate-fast configuration where they are
-    // cheapest (round-16 review).
-    val downstreamReserve = {
-      def off(v: String) = sys.env.get(v).contains("off")
-      (if (off("SPARK_GRAFT_SF2")) 0.0
-       else est("sf2_base", EstSf2Leg) + est("sf2_dag", 100.0)) +
-        (if (off("SPARK_GRAFT_UP100")) 0.0
-         else est("up100_base", EstUp100Leg)) +
-        (if (off("SPARK_GRAFT_UP")) 0.0
-         else est("up_base", EstUpLegBase) + est("up_dag", EstUpDag)) +
-        EstDiag.values.sum
-    }
+    // Reserve = last-known cost of everything still ahead (the planned
+    // scale legs, their settles, their diags); retries stop — loudly,
+    // worst-first retried first — once spending past the reserve would
+    // start eating the legs. A quiet run never hits the gate (few
+    // retries).
+    //
+    // PLANNED-LEG RESOLUTION (ADVICE r16): the reserve charges ONLY legs
+    // that resolve through the SAME logic the leg runners use below — an
+    // env-var-only check charged a phantom sf2 leg when no smaller
+    // sibling directory existed (VAR=off was recognized, absence was
+    // not), starving retries in exactly the configurations where they
+    // are cheapest. The leg runners reuse these resolved values, so the
+    // reserve and the legs can never disagree about what will run.
+    val sf2Planned: Option[String] = sys.env.get("SPARK_GRAFT_SF2_DIR")
+      .orElse(if (sys.env.get("SPARK_GRAFT_SF2").contains("off")) None
+              else sibsAsc.lastOption)
+      .filter(d => Files.isDirectory(Paths.get(d)))
+    // up/up100 dirs may not exist yet (ensureCorpus generates them), so
+    // "planned" is env-resolution only — no directory filter
+    val upPlanned: Option[String] = sys.env.get("SPARK_GRAFT_UP_DIR")
+      .orElse(if (sys.env.get("SPARK_GRAFT_UP").contains("off")) None
+              else Some(new java.io.File("updata/sf1").getAbsolutePath))
+    val up100Planned: Option[String] = sys.env.get("SPARK_GRAFT_UP100_DIR")
+      .orElse(if (sys.env.get("SPARK_GRAFT_UP100").contains("off")) None
+              else Some(new java.io.File("updata/sf10docs").getAbsolutePath))
+    val downstreamReserve =
+      sf2Planned.map(_ => est("sf2_base", EstSf2Leg) + est("sf2_dag", 100.0) +
+        est("diag_sf2", EstDiag("sf2"))).getOrElse(0.0) +
+      upPlanned.map(_ => est("up_base", EstUpLegBase) + est("up_dag", EstUpDag) +
+        est("diag_up", EstDiag("up"))).getOrElse(0.0) +
+      up100Planned.map(_ => est("up100_base", EstUp100Leg) +
+        est("diag_up100", EstDiag("up100"))).getOrElse(0.0) +
+      est("diag_main", EstDiag("main"))
     // SessionCache-backed families never retry: their first pass may have
     // paid (q184/q179) or ridden (q185/q180-182) the shared training, but
     // a RETRY is always cache-warm, and min(first, warm-retry) would poison
@@ -588,9 +607,16 @@ object Bench {
         }
       System.err.println(f"[bench] warmup($tag shared)  $warm%8.2f s")
       val cs = scala.collection.mutable.Map[String, Long]()
-      def runQueries(names: Seq[String]): Map[String, Double] = names.flatMap { name =>
-        if (remainingSec <= 0) {
-          val msg = s"$name: skipped (budget exhausted)"
+      // `reserve` protects the leg's DAG settle from its own base
+      // queries (round-17): the settle runs LAST in the leg, so without
+      // a reserve the base pass could spend down to the settle's
+      // estimate and skip the one item the emission must always carry.
+      def runQueries(names: Seq[String], reserve: Double = 0.0): Map[String, Double] =
+        names.flatMap { name =>
+        if (remainingSec <= reserve) {
+          val msg =
+            if (reserve > 0) f"$name: skipped (budget: settle reserve $reserve%.0f s)"
+            else s"$name: skipped (budget exhausted)"
           System.err.println(s"[bench] $msg"); errs += msg
           None
         } else {
@@ -620,7 +646,11 @@ object Bench {
       // could spend the whole leg budget on the settle and then skip the
       // ~20 cheap queries whose exponents the leg exists to measure
       val (dagPart, basePart) = subset.partition(dagGates)
-      val resBase = runQueries(basePart)
+      // the settle's estimate is RESERVED during the base pass: base
+      // queries can run long on a loaded host, and without the reserve
+      // they spend the settle's budget before its own gate ever checks
+      val resBase = runQueries(basePart,
+        reserve = if (dagPart.nonEmpty) dagEst else 0.0)
       val (legDag, resDag) =
         if (dagPart.isEmpty) (None, Map.empty[String, Double])
         else if (remainingSec < dagEst) {
@@ -687,10 +717,7 @@ object Bench {
         true
       }
     // ---- DOWN leg (next smaller sibling; exponent = log(t1/t2)/log(r))
-    val sf2Dir = sys.env.get("SPARK_GRAFT_SF2_DIR")
-      .orElse(if (sys.env.get("SPARK_GRAFT_SF2").contains("off")) None
-              else sibsAsc.lastOption)
-      .filter(d => Files.isDirectory(Paths.get(d)))
+    val sf2Dir = sf2Planned
       .filterNot(_ => budgetSkip("sf2", est("sf2_base", EstSf2Leg) +
         est("sf2_dag", 100.0)))
     sf2Dir.foreach { d2 =>
@@ -746,16 +773,64 @@ object Bench {
     }
     val upFactor = 10
     val up100Factor = 100
-    // ---- ×100 DOCUMENT-FAMILY leg runs BEFORE the ×10 leg (round-13
-    // verdict #3/#4: its exponents — q53 post-density-pin, q18, q56 — are
-    // the round's contested numbers, and the ×10 leg's DAG settle is the
-    // budget's biggest discretionary spend): a documents+embeddings-only
-    // corpus at 100× the bench SF (GenScale.generateDocs; ~10× the ×10
-    // leg's DOC bytes, none of its warehouse bytes), running just the
-    // gates that read those two tables. Exponent base is 100 vs the MAIN
-    // leg. SPARK_GRAFT_UP100=off skips; SPARK_GRAFT_UP100_DIR overrides.
-    // Contested gates lead the subset so a budget stop mid-leg still
-    // records them.
+    // ---- LEG PRIORITY (round-17, VERDICT r16 #4): the ×10 UP leg — and
+    // with it the ×10 warehouse-DAG settle — now runs BEFORE the ×100
+    // doc-family leg. The r13 order (×100 first) protected then-contested
+    // doc-family exponents; those are closed (q53 excluded with a
+    // standing receipt, q56/q170/q54 quiet brackets recorded in
+    // SCALING.md r15/r16), while the r16 driver run showed the loaded-
+    // host failure mode: every estimate self-tuned upward and the ONE
+    // artifact the emission must always carry — the ×10 settle — was the
+    // item left standing when the budget ran out. With the ×10 leg
+    // physically first (plus the in-leg settle reserve above), the
+    // sacrifice order under pressure is provably: ×100 leg first, then
+    // ×10 base queries, and the settle last.
+    //
+    // ---- ×10 UP leg (round-9 ask #1): a ×10 corpus GENERATED from the
+    // bench sf dir (manifest-guarded — regenerated only when absent or
+    // built from a different source), exponent = log(tUp/t1)/log(factor).
+    // The two quadratic exact BASELINES are excluded by design (documented
+    // all-pairs controls whose exponent 2 is known and whose up-scale
+    // cost is ~100× for that known answer); their scale-path variants
+    // (q102 cells, q18 bands, q19/q21 buckets, q159 bloom) stay in.
+    val upExcluded = Seq("q23_embed_neardup", "q24_ann_topk")
+    val upSubset = sf2Subset.filterNot(upExcluded.contains)
+    val upRequested = upPlanned
+      .filterNot(_ => budgetSkip("up", est("up_base", EstUpLegBase)))
+    val (upDir, upGenSec) = upRequested match {
+      case None => (None, 0.0)
+      case Some(d) => ensureCorpus(d, upFactor, "up-scale",
+        graft.tools.GenScale.generate(spark, sfDir, d, upFactor))
+    }
+    upDir.foreach { d =>
+      val legT0 = System.nanoTime()
+      val (resU, warmU, dagU, errsU) = runLeg(d, upSubset, "up",
+        dagEst = est("up_dag", EstUpDag))
+      recordLegEst("up", (System.nanoTime() - legT0) / 1e9, resU, dagU, errsU)
+      val growth = resU.collect { case (name, tU) if mainT(name) > 0 =>
+        name -> r2(math.log(tU / mainT(name)) / math.log(upFactor.toDouble))
+      } ++ dagU.filter(_ => dagCharge > 0).map(c =>
+        "dag_charge" -> r2(math.log(c / dagCharge) / math.log(upFactor.toDouble)))
+      growthByLeg("up") = qJson(growth)
+      allLegErrs ++= errsU
+      legJsons("up") =
+        s""","up":"$d","up_factor":$upFactor,"up_gen_sec":${r2(upGenSec)},""" +
+          s""""up_warmup_sec":${r2(warmU)}""" +
+          dagU.map(c => s""","up_dag_charge_sec":${r2(c)}""").getOrElse("") +
+          s""","queries_up":${qJson(resU)},""" +
+          s""""up_growth_exponents":${qJson(growth)},""" +
+          s""""up_errors":${sJson(errsU)},""" +
+          s""""up_excluded":${upExcluded.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+      emitResultFile()
+      runDiag("up", d)
+    }
+    // ---- ×100 DOCUMENT-FAMILY leg (now LAST — see the leg-priority note
+    // above): a documents+embeddings-only corpus at 100× the bench SF
+    // (GenScale.generateDocs; ~10× the ×10 leg's DOC bytes, none of its
+    // warehouse bytes), running just the gates that read those two
+    // tables. Exponent base is 100 vs the MAIN leg. SPARK_GRAFT_UP100=off
+    // skips; SPARK_GRAFT_UP100_DIR overrides. Contested gates lead the
+    // subset so a budget stop mid-leg still records them.
     val up100Subset = Seq(
       "q167_embed_neardup_capped", "q18_minhash_lsh", "q56_jaccard_capped",
       // the O(N) bucket-skew profile rides the leg as the embedding
@@ -789,9 +864,7 @@ object Bench {
     //   pair space ≤ cap·N + N) is the production path and takes the
     //   ×100 slot; q53 remains the gated uncapped verifier form.
     val up100Excluded = Seq("q21_jaccard_pairs", "q53_embed_neardup_lsh")
-    val up100Requested = sys.env.get("SPARK_GRAFT_UP100_DIR")
-      .orElse(if (sys.env.get("SPARK_GRAFT_UP100").contains("off")) None
-              else Some(new java.io.File("updata/sf10docs").getAbsolutePath))
+    val up100Requested = up100Planned
       .filterNot(_ => budgetSkip("up100", est("up100_base", EstUp100Leg)))
     val (up100Dir, up100GenSec) = up100Requested match {
       case None => (None, 0.0)
@@ -822,46 +895,6 @@ object Bench {
           s""""up100_excluded":${up100Excluded.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
       emitResultFile()
       runDiag("up100", d)
-    }
-    // ---- ×10 UP leg (round-9 ask #1): a ×10 corpus GENERATED from the
-    // bench sf dir (manifest-guarded — regenerated only when absent or
-    // built from a different source), exponent = log(tUp/t1)/log(factor).
-    // The two quadratic exact BASELINES are excluded by design (documented
-    // all-pairs controls whose exponent 2 is known and whose up-scale
-    // cost is ~100× for that known answer); their scale-path variants
-    // (q102 cells, q18 bands, q19/q21 buckets, q159 bloom) stay in.
-    val upExcluded = Seq("q23_embed_neardup", "q24_ann_topk")
-    val upSubset = sf2Subset.filterNot(upExcluded.contains)
-    val upRequested = sys.env.get("SPARK_GRAFT_UP_DIR")
-      .orElse(if (sys.env.get("SPARK_GRAFT_UP").contains("off")) None
-              else Some(new java.io.File("updata/sf1").getAbsolutePath))
-      .filterNot(_ => budgetSkip("up", est("up_base", EstUpLegBase)))
-    val (upDir, upGenSec) = upRequested match {
-      case None => (None, 0.0)
-      case Some(d) => ensureCorpus(d, upFactor, "up-scale",
-        graft.tools.GenScale.generate(spark, sfDir, d, upFactor))
-    }
-    upDir.foreach { d =>
-      val legT0 = System.nanoTime()
-      val (resU, warmU, dagU, errsU) = runLeg(d, upSubset, "up",
-        dagEst = est("up_dag", EstUpDag))
-      recordLegEst("up", (System.nanoTime() - legT0) / 1e9, resU, dagU, errsU)
-      val growth = resU.collect { case (name, tU) if mainT(name) > 0 =>
-        name -> r2(math.log(tU / mainT(name)) / math.log(upFactor.toDouble))
-      } ++ dagU.filter(_ => dagCharge > 0).map(c =>
-        "dag_charge" -> r2(math.log(c / dagCharge) / math.log(upFactor.toDouble)))
-      growthByLeg("up") = qJson(growth)
-      allLegErrs ++= errsU
-      legJsons("up") =
-        s""","up":"$d","up_factor":$upFactor,"up_gen_sec":${r2(upGenSec)},""" +
-          s""""up_warmup_sec":${r2(warmU)}""" +
-          dagU.map(c => s""","up_dag_charge_sec":${r2(c)}""").getOrElse("") +
-          s""","queries_up":${qJson(resU)},""" +
-          s""""up_growth_exponents":${qJson(growth)},""" +
-          s""""up_errors":${sJson(errsU)},""" +
-          s""""up_excluded":${upExcluded.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
-      emitResultFile()
-      runDiag("up", d)
     }
     emitResultFile()
     // the stdout line must fit the driver's tail buffer WITH sbt's

@@ -661,6 +661,15 @@ object Corpus {
       budget: Long, epochCapPpm: Long, rounds: Int): Seq[Allocation] = {
     require(rows.forall(_._2 >= 0) && rows.forall(_._3 >= 0),
       "availability and weights must be non-negative")
+    // the per-round weight sum below uses plain Long addition, which
+    // WRAPS silently — and the DuckDB oracle raises on the same sum's
+    // BIGINT cast, so an overflow would be silent divergence, not a loud
+    // error (ADVICE r16). The documented contract is Σw < 2^53 (the
+    // floor(double) give computation needs it exact anyway); enforce it
+    // loudly on the Spark side with an overflow-free BigInt sum.
+    require(rows.map(r => BigInt(r._3)).sum < BigInt(1L << 53),
+      s"mixtureAllocate: weight sum must stay under 2^53 for exact " +
+        s"double arithmetic (got ${rows.map(r => BigInt(r._3)).sum})")
     val cap = rows.map { case (g, a, _) =>
       g -> math.floor((a.toDouble * epochCapPpm.toDouble) / 1000000.0).toLong
     }.toMap
