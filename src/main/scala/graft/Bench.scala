@@ -359,7 +359,12 @@ object Bench {
     // for these rides the uncached gates measured around them.
     val cachedFamilies = Set("q179_bpe_merges", "q180_bpe_token_counts",
       "q181_bpe_budget_select", "q182_bpe_chunk",
-      "q184_kn_bigram_model", "q185_kn_xent")
+      "q184_kn_bigram_model", "q185_kn_xent",
+      // round-17 cache-backed families: the 1024-merge seq-BPE table
+      // (q190 pays, q191/q192 ride), the 16-merge vocab rider q193, and
+      // the trigram KN chain (q194 pays, q195 rides)
+      "q190_bpe1k_merges", "q191_bpe1k_token_counts", "q192_bpe1k_chunk",
+      "q193_bpe_oov_fallback", "q194_kn3_model", "q195_kn3_xent")
     val r0 = System.nanoTime()
     val retrySkipped = scala.collection.mutable.ArrayBuffer[String]()
     val retries = results.filter(_._2 > 5.0).toSeq.sortBy(-_._2)
@@ -571,7 +576,15 @@ object Bench {
       // q185 reads the cached scoring pass while a leg without q184
       // retrains, and the growth exponent measures the cache asymmetry
       // instead of the operator (the rehearsal-#7 1.26 artifact)
-      "q184_kn_bigram_model", "q185_kn_xent", "q187_epoch_plan")
+      "q184_kn_bigram_model", "q185_kn_xent", "q187_epoch_plan",
+      // round-17: the tokenizer-grade BPE chain (q190 trains on the
+      // constant doc_id < 500 sample and PAYS the SessionCache —
+      // listed before q191 so the payer is pinned on every leg; q191
+      // measures the linear replay encode) and the trigram KN chain
+      // (q194 pays the training, q195 is the scoring join — the
+      // type-table-growth measurement VERDICT r16 #5 asked for)
+      "q190_bpe1k_merges", "q191_bpe1k_token_counts",
+      "q194_kn3_model", "q195_kn3_xent")
     val sf2Twins = Seq(
       "q102_semdedup" -> "q118_stream_semdedup",
       "q102_semdedup" -> "q124_dag_semdedup",
@@ -848,7 +861,12 @@ object Bench {
       // training on this leg exactly as on the main leg (see sf2Subset
       // note: without it q185's exponent measures the cache asymmetry),
       // q185 is then the scoring join, the linear-claim measurement
-      "q184_kn_bigram_model", "q185_kn_xent")
+      "q184_kn_bigram_model", "q185_kn_xent",
+      // round-17: the trigram chain at ×100 — the (u1,u2,w) TYPE table's
+      // sublinearity is the claim this leg gates (less obvious at order
+      // 3 than 2, which is exactly why it rides); q194 pays the cached
+      // training here exactly as on the main leg
+      "q194_kn3_model", "q195_kn3_xent")
     // Excluded at ×100 by design, each with a standing receipt:
     // - q21 (round-13 verdict #1c): its pair space is proven exactly
     //   linear every run by diag_q21_cand_pairs at a fraction of the

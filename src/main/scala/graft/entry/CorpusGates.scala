@@ -32,6 +32,25 @@ private[graft] object CorpusGates {
     bpeTrainedCached(s, d).where(col("kind") === "v")
       .select(col("word"), col("cnt"), col("n_sub"), col("subwords"))
 
+  /** The 1024-merge SEQUENCE-GRAIN training (round-17, VERDICT r16 #2),
+    * cached per (session, dir): the driver-local merge loop over the
+    * doc_id < 500 sample — one cached merge table serves q190 (the
+    * table), q191 (accounting) and q192 (chunking). The table is
+    * driver-built (bounded: nMerges rows), so the cache cost is the
+    * training itself, once. */
+  private def bpeSeqTableCached(s: SparkSession, d: String): DataFrame =
+    graft.core.SessionCache(s, s"bpeseq1024|$d")(
+      graft.operators.Bpe.bpeSeqMerges(Tables.documents(s, d), 1024, 500L))
+
+  /** The cached merge table as driver-side [[graft.operators.Bpe.Merge]]
+    * rows — the encode path embeds them as plan literals. */
+  private def bpeSeqMergesCached(s: SparkSession, d: String)
+      : Seq[graft.operators.Bpe.Merge] =
+    bpeSeqTableCached(s, d).collect()
+      .map(r => graft.operators.Bpe.Merge(
+        r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_.rank).toSeq
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // deterministic hash-gated stratified sampling (corpus mixture
@@ -256,6 +275,57 @@ private[graft] object CorpusGates {
           Tables.documents(s, d), bpeVocabCached(s, d))
         .orderBy(col("doc_id"), col("chunk_id"))),
 
+    // ---- tokenizer-grade BPE (round-17, VERDICT r16 #2): 1024 merges ----
+    // Training moved DRIVER-LOCAL (one distributed vocab aggregate, then
+    // an in-memory merge loop — the solveWaterfill shape), which removes
+    // the one-Spark-job-per-merge round-trip the r16 verdict flagged.
+    // ≥1024 merges are unreachable at word grain on this corpus (its
+    // closed 31-word vocabulary caps intra-word merges at Σ(len−1) =
+    // 107), so the tokenizer-grade gate trains at SEQUENCE grain
+    // (SentencePiece --split_by_whitespace=false: merges may join across
+    // the token boundary) on the deterministic doc_id < 500 sample —
+    // sample-bounded training + distributed encode IS the production
+    // tokenizer shape. The oracle replays all 1024 rounds as ONE
+    // recursive CTE (the unrolled per-round chain hits DuckDB's
+    // 1000-deep binder limit at ~256 rounds).
+
+    // The 1024-round merge table itself — every round's (count desc,
+    // lhs, rhs) argmax oracle-replayed.
+    "q190_bpe1k_merges" -> ((s, d) =>
+      bpeSeqTableCached(s, d).orderBy(col("rank"))),
+
+    // q180 re-gated on the tokenizer-grade table: per-doc subword counts
+    // under the 1024-merge model, out-of-sample docs encoded by the
+    // frozen model (replay encode — one narrow fold, zero shuffle).
+    "q191_bpe1k_token_counts" -> ((s, d) =>
+      graft.operators.Bpe.seqTokenCounts(
+          Tables.documents(s, d), bpeSeqMergesCached(s, d))
+        .orderBy(col("doc_id"))),
+
+    // q182 re-gated on the tokenizer-grade table: the identical 32/24
+    // clamped-tail chunk windows over the sequence-grain subword stream.
+    "q192_bpe1k_chunk" -> ((s, d) =>
+      graft.operators.Bpe.seqChunks(
+          Tables.documents(s, d), bpeSeqMergesCached(s, d))
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
+    // ---- frozen-vocab OOV char-fallback (round-17, VERDICT r16 #3) ----
+    // q180's twin over a corpus DISJOINT from training: the scored set is
+    // documents (every word in the frozen 16-merge vocab — the in-vocab
+    // arm) UNION the part-name pseudo-docs (p_partkey + 1e6, p_name as
+    // text: a disjoint vocabulary, so the char-fallback arm is
+    // structurally ACTIVE at every SF). OOV words count length(word)
+    // subwords — the GPT-2/SentencePiece byte-fallback shape at char
+    // grain — instead of raising.
+    "q193_bpe_oov_fallback" -> ((s, d) => {
+      val held = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .unionByName(Tables.part(s, d).select(
+          (col("p_partkey") + 1000000L).as("doc_id"),
+          col("p_name").as("text")))
+      graft.operators.Bpe.tokenCountsFromVocabFallback(held, bpeVocabCached(s, d))
+        .orderBy(col("doc_id"))
+    }),
+
     // Leakage-free holdout split: split is a pure function of the CONTENT
     // fingerprint, so exact dups can never straddle train/heldout. 10%
     // heldout via the md5-ppm gate.
@@ -459,6 +529,73 @@ private[graft] object CorpusGates {
        |  array_to_string(sy, ' ') AS subwords FROM bsy)""".stripMargin
   }
 
+  /** The SEQUENCE-GRAIN 1024-merge training replay as ONE RECURSIVE CTE
+    * (round-17): DuckDB's binder caps expression depth at 1000, so the
+    * unrolled per-round chain (bpeCtes' form, ~4 CTEs per round) cannot
+    * reach 1024 rounds in a single statement — and the driver executes
+    * oracle SQL as exactly one statement. The recursive form carries the
+    * (seq, cnt, s) sample rows through iterations and each step picks
+    * the (count desc, lhs, rhs) argmax with GROUP BY + ORDER BY/LIMIT
+    * inside the recursive term (DuckDB supports both there; measured
+    * ~18 s for 1024 rounds at sf0.01). Merge rows ride every vocab row
+    * of the NEXT iteration and are projected out distinct at the end.
+    * Exposes `rec`; [[bpeSeqMergeCte]] adds `mg(rank, lhs, rhs, c)`. */
+  private def bpeSeqRecCte(n: Int, sample: Long): String = {
+    val p = graft.operators.Bpe.Sep
+    s"""base AS (SELECT seq FROM (SELECT array_to_string($toksSql, ' ') AS seq
+       |    FROM documents WHERE doc_id < $sample) WHERE length(seq) > 0),
+       |wt AS (SELECT seq, count(*) AS cnt FROM base GROUP BY seq),
+       |st0 AS (SELECT seq, cnt,
+       |  '$p' || array_to_string(string_split(seq, ' '), '$p$p') || '$p' AS s FROM wt),
+       |rec AS (
+       |  SELECT 0 AS it, seq, cnt, s,
+       |    CAST(NULL AS VARCHAR) AS lhs, CAST(NULL AS VARCHAR) AS rhs,
+       |    CAST(NULL AS BIGINT) AS c
+       |  FROM st0
+       |  UNION ALL
+       |  SELECT it + 1, seq, cnt,
+       |    replace(s, '$p' || bw.l || '$p$p' || bw.r || '$p',
+       |               '$p' || bw.l || ' ' || bw.r || '$p') AS s,
+       |    bw.l, bw.r, bw.c
+       |  FROM rec CROSS JOIN (
+       |    SELECT l, r, c FROM (
+       |      SELECT pp.l AS l, pp.r AS r, CAST(sum(cnt) AS BIGINT) AS c
+       |      FROM (SELECT cnt, unnest(list_transform(range(1, len(a)),
+       |              i -> struct_pack(l := a[i], r := a[i+1]))) AS pp
+       |            FROM (SELECT cnt, string_split(substr(s, 2, length(s) - 2), '$p$p') AS a
+       |                  FROM rec) WHERE len(a) >= 2)
+       |      GROUP BY 1, 2
+       |    ) ORDER BY c DESC, l, r LIMIT 1
+       |  ) bw
+       |  WHERE it < $n
+       |)""".stripMargin
+  }
+
+  /** `mg(rank, lhs, rhs, c)` — the distinct merge log of [[bpeSeqRecCte]]. */
+  private def bpeSeqMergeCte: String =
+    s"""mg AS (SELECT it AS rank, lhs, rhs, c
+       |  FROM (SELECT DISTINCT it, lhs, rhs, c FROM rec WHERE it >= 1))""".stripMargin
+
+  /** `enc(doc_id, syms)` — the replay encode of ALL docs under `mg`: the
+    * ranked merges fold through each doc's sentinel-wrapped sequence via
+    * list_reduce (one replace per merge — the exact training application
+    * order, mirrored by Spark's aggregate() fold). chr(4) separates
+    * pattern from replacement inside the folded merge strings (it cannot
+    * occur in either: symbols are real text + U+0001 sentinels). */
+  private def bpeSeqEncodeCte: String = {
+    val p = graft.operators.Bpe.Sep
+    s"""mgl AS (SELECT list('$p' || lhs || '$p$p' || rhs || '$p' || chr(4) ||
+       |    '$p' || lhs || ' ' || rhs || '$p' ORDER BY rank) AS ms FROM mg),
+       |d0 AS (SELECT doc_id,
+       |    '$p' || array_to_string($toksSql, '$p$p') || '$p' AS s0
+       |  FROM documents WHERE len($toksSql) >= 1),
+       |enc AS (SELECT doc_id,
+       |    string_split(substr(sf, 2, length(sf) - 2), '$p$p') AS syms
+       |  FROM (SELECT doc_id, list_reduce(list_prepend(s0, ms), (acc, m) ->
+       |      replace(acc, string_split(m, chr(4))[1], string_split(m, chr(4))[2])) AS sf
+       |    FROM d0 CROSS JOIN mgl))""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
 
     "q179_bpe_merges" ->
@@ -520,6 +657,61 @@ private[graft] object CorpusGates {
          |  least(32, n - start_tok) AS n_tok_chunk,
          |  md5(array_to_string(w[CAST(start_tok + 1 AS INT):CAST(start_tok + 32 AS INT)], ' ')) AS chunk_fp
          |FROM s2 ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // All 1024 sequence-grain training rounds replayed by the recursive
+    // CTE — every rank's (count desc, lhs, rhs) argmax is an oracle row.
+    "q190_bpe1k_merges" ->
+      s"""WITH RECURSIVE ${bpeSeqRecCte(1024, 500L)},
+         |$bpeSeqMergeCte
+         |SELECT CAST(rank AS BIGINT) AS "rank", lhs, rhs,
+         |  CAST(c AS BIGINT) AS pair_count
+         |FROM mg ORDER BY "rank"""".stripMargin,
+
+    // q180's accounting re-gated on the 1024-merge model: recursive
+    // training + list_reduce replay encode of EVERY doc (in-sample docs
+    // reproduce their training-final states; the rest get the frozen
+    // segmentation), then per-doc word/subword counts.
+    "q191_bpe1k_token_counts" ->
+      s"""WITH RECURSIVE ${bpeSeqRecCte(1024, 500L)},
+         |$bpeSeqMergeCte,
+         |$bpeSeqEncodeCte,
+         |nw AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_words
+         |  FROM documents WHERE len($toksSql) >= 1)
+         |SELECT doc_id, n_words, CAST(len(syms) AS BIGINT) AS n_bpe_tokens
+         |FROM enc JOIN nw USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // q182's chunk math re-gated on the 1024-merge model: the encoded
+    // subword stream through the identical 32/24 clamped-tail windows.
+    "q192_bpe1k_chunk" ->
+      s"""WITH RECURSIVE ${bpeSeqRecCte(1024, 500L)},
+         |$bpeSeqMergeCte,
+         |$bpeSeqEncodeCte,
+         |n2 AS (SELECT doc_id, syms AS w, CAST(len(syms) AS BIGINT) AS n FROM enc),
+         |k2 AS (SELECT doc_id, w, n, greatest(0, n - 32 + 23) // 24 AS k FROM n2),
+         |c2 AS (SELECT doc_id, w, n,
+         |   unnest(generate_series(0, k)) AS chunk_id FROM k2),
+         |s2 AS (SELECT doc_id, w, n, chunk_id,
+         |   least(chunk_id * 24, greatest(0, n - 32)) AS start_tok FROM c2)
+         |SELECT doc_id, chunk_id, start_tok,
+         |  least(32, n - start_tok) AS n_tok_chunk,
+         |  md5(array_to_string(w[CAST(start_tok + 1 AS INT):CAST(start_tok + 32 AS INT)], ' ')) AS chunk_fp
+         |FROM s2 ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // q180's twin over a training-disjoint corpus with the char-fallback
+    // OOV arm: documents (all in-vocab) UNION part-name pseudo-docs (all
+    // OOV), scored against the 16-merge frozen vocab; a missing word
+    // contributes length(word) subwords via the COALESCE.
+    "q193_bpe_oov_fallback" ->
+      s"""WITH ${bpeCtes(16)},
+         |${bpeVocabCte(16)},
+         |held AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT p_partkey + 1000000 AS doc_id, p_name AS text FROM part),
+         |dw AS (SELECT doc_id, unnest($toksSql) AS word FROM held)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(COALESCE(n_sub, length(word))) AS BIGINT) AS n_bpe_tokens
+         |FROM dw LEFT JOIN vocab USING (word) GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     // q101's reassembly CTEs feeding q60's lang-ID + hash gate, token
     // accounting on the DEDUPED text.

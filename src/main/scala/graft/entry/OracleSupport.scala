@@ -169,6 +169,48 @@ private[graft] object OracleSupport {
        |       * (CAST(n1p AS DOUBLE) / CAST(b AS DOUBLE))) AS p
        |  FROM bg JOIN ctx USING (u) JOIN cont USING (w) CROSS JOIN btot)""".stripMargin
 
+  /** Interpolated Kneser–Ney TRIGRAM LM — mirrors NgramLm's order-3
+    * chain stage for stage (round-17): double-BOS framing
+    * [chr(2), chr(2), …, chr(3)], min-count-2 unk pooling by vocab
+    * membership BEFORE framing (frame symbols positionally exempt), the
+    * trigram TYPE table, continuation counts at the lower orders
+    * (c2' = rows of tg per (u2, w); t2/n1f2/c1p/B1 aggregates of c2'),
+    * and BOTH probability levels in ONE pinned parenthesization of
+    * IEEE doubles. Final tables: `tgs(doc_id, u1, u2, w)` the corpus
+    * trigram stream and `pm3(u1, u2, w, c3, p)` the trigram-grain model
+    * with RAW double p. */
+  lazy val kn3Ctes: String =
+    s"""t0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |tv AS (SELECT doc_id, i, toks[i] AS tok FROM
+       |  (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM t0)),
+       |vc AS (SELECT tok FROM tv GROUP BY tok HAVING count(*) >= 2),
+       |tm AS (SELECT tv.doc_id, tv.i,
+       |    CASE WHEN vc.tok IS NULL THEN chr(1) ELSE tv.tok END AS m
+       |  FROM tv LEFT JOIN vc USING (tok)),
+       |sq AS (SELECT t0.doc_id,
+       |    list_concat(list_concat([chr(2), chr(2)], coalesce(g.ml, [])), [chr(3)]) AS s
+       |  FROM t0 LEFT JOIN
+       |    (SELECT doc_id, list(m ORDER BY i) AS ml FROM tm GROUP BY doc_id) g
+       |    USING (doc_id)),
+       |tgs AS (SELECT doc_id, s[j] AS u1, s[j + 1] AS u2, s[j + 2] AS w FROM
+       |  (SELECT doc_id, s, unnest(generate_series(1, len(s) - 2)) AS j FROM sq)),
+       |tg AS (SELECT u1, u2, w, count(*) AS c3 FROM tgs GROUP BY 1, 2, 3),
+       |ctx3 AS (SELECT u1, u2, CAST(sum(c3) AS BIGINT) AS c12, count(*) AS n1f3
+       |  FROM tg GROUP BY 1, 2),
+       |cp2 AS (SELECT u2, w, count(*) AS c2p FROM tg GROUP BY 1, 2),
+       |ctx2 AS (SELECT u2, CAST(sum(c2p) AS BIGINT) AS t2, count(*) AS n1f2
+       |  FROM cp2 GROUP BY 1),
+       |uni AS (SELECT w, count(*) AS c1p FROM cp2 GROUP BY 1),
+       |bt1 AS (SELECT count(*) AS b1 FROM cp2),
+       |pm3 AS (SELECT u1, u2, w, c3,
+       |    (greatest(CAST(c3 AS DOUBLE) - 0.75, 0.0) / CAST(c12 AS DOUBLE))
+       |    + (((0.75 * CAST(n1f3 AS DOUBLE)) / CAST(c12 AS DOUBLE))
+       |       * ((greatest(CAST(c2p AS DOUBLE) - 0.75, 0.0) / CAST(t2 AS DOUBLE))
+       |          + (((0.75 * CAST(n1f2 AS DOUBLE)) / CAST(t2 AS DOUBLE))
+       |             * (CAST(c1p AS DOUBLE) / CAST(b1 AS DOUBLE))))) AS p
+       |  FROM tg JOIN ctx3 USING (u1, u2) JOIN cp2 USING (u2, w)
+       |  JOIN ctx2 USING (u2) JOIN uni USING (w) CROSS JOIN bt1)""".stripMargin
+
   /** Renders a KN sentinel column as its readable tag — mirrors
     * NgramLm.rendered. */
   def knRenderSql(c: String): String =

@@ -30,6 +30,15 @@ private[graft] object TextGates {
     graft.core.SessionCache(s, s"knmodel|$d")(
       graft.operators.NgramLm.knModel(knStreamCached(s, d)))
 
+  /** The trigram twins (round-17, VERDICT r16 #5) — same caching
+    * discipline, q194 pays the training in name-sorted gate order. */
+  private def kn3StreamCached(s: SparkSession, d: String): DataFrame =
+    graft.core.SessionCache(s, s"kn3stream|$d")(
+      graft.operators.NgramLm.trigramStream(Tables.documents(s, d)))
+  private def kn3ModelCached(s: SparkSession, d: String): DataFrame =
+    graft.core.SessionCache(s, s"kn3model|$d")(
+      graft.operators.NgramLm.kn3Model(kn3StreamCached(s, d)))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q14_top_tokens" -> ((s, d) =>
@@ -137,6 +146,24 @@ private[graft] object TextGates {
     "q185_kn_xent" -> ((s, d) =>
       graft.operators.NgramLm.knScoreFrom(
           knStreamCached(s, d), knModelCached(s, d))
+        .orderBy(col("doc_id"))),
+
+    // Interpolated Kneser–Ney TRIGRAM LM (round-17, VERDICT r16 #5 —
+    // one order up the same type-table design, toward the CCNet-family
+    // 5-gram screens): double-BOS framing, lower orders from
+    // CONTINUATION counts (Chen & Goodman 1998's interpolated form),
+    // min-count-2 unk pooling by vocab membership with positional frame
+    // exemption. q194 inspects the model head (top-200 trigram types),
+    // q195 is the per-doc cross-entropy in integer µ-nats (q185's
+    // discipline at order 3). The oracle replays vocab → pooling → the
+    // trigram type table → all five count tables → both probability
+    // levels bit-for-bit.
+    "q194_kn3_model" -> ((s, d) =>
+      graft.operators.NgramLm.kn3ModelTopFrom(kn3ModelCached(s, d), 200)),
+
+    "q195_kn3_xent" -> ((s, d) =>
+      graft.operators.NgramLm.kn3ScoreFrom(
+          kn3StreamCached(s, d), kn3ModelCached(s, d))
         .orderBy(col("doc_id"))),
 
     // KN scoring ON INGEST (KnIngest): the model frozen offline (vocab +
@@ -330,6 +357,25 @@ private[graft] object TextGates {
     // ONE oracle text shared with q185 so the twins can never silently
     // diverge
     "q188_stream_kn_score" -> knXentOracle,
+
+    // trigram model head: same total order and floored nano-probability
+    // as q184, one order up
+    "q194_kn3_model" ->
+      s"""WITH $kn3Ctes
+         |SELECT ${knRenderSql("u1")} AS u1, ${knRenderSql("u2")} AS u2,
+         |  ${knRenderSql("w")} AS w,
+         |  c3, CAST(floor(p * 1000000000.0) AS BIGINT) AS p_nano
+         |FROM pm3 ORDER BY 5 DESC, 1, 2, 3 LIMIT 200""".stripMargin,
+
+    // trigram scoring: per-trigram −ln p rounded to 6 dp, DECIMAL-summed
+    // per doc, floored µ-nat integer — q185's tie-free discipline
+    "q195_kn3_xent" ->
+      s"""WITH $kn3Ctes,
+         |sc AS (SELECT doc_id, CAST(round(-ln(p), 6) AS DECIMAL(28,6)) AS s
+         |  FROM tgs JOIN pm3 USING (u1, u2, w))
+         |SELECT doc_id, count(*) AS n_trigrams,
+         |  CAST(sum(s) * 1000000 AS BIGINT) // count(*) AS xent_unats
+         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   private lazy val knXentOracle: String =

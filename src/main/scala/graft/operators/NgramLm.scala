@@ -102,21 +102,31 @@ object NgramLm {
     * vocab); [[bigramStream]] is the self-trained composition. */
   def bigramStreamWith(docs: DataFrame, vocab: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // the frame symbols are exempt from unk pooling BY POSITION, never by
+    // VALUE (ADVICE r16): a data token that happens to contain U+0002/
+    // U+0003 (not whitespace, so the tokenizer passes it through) must
+    // pool by vocab membership exactly like any other token — the oracle
+    // pools data tokens before concatenating the frame, and a value-based
+    // escape let input data claim sentinel identity and diverge. Position
+    // 1's u is the frame <s> and the last position's w is the frame </s>;
+    // every other side is a data token.
     val sq = concat(array(lit(Bos)), tokens(col(textCol)), array(lit(Eos)))
     val raw = docs.select(col(idCol),
         explode(transform(sequence(lit(1), size(sq) - 1),
-          j => struct(element_at(sq, j).as("u"), element_at(sq, j + 1).as("w"))))
+          j => struct(element_at(sq, j).as("u"), element_at(sq, j + 1).as("w"),
+            (j === 1).as("f"), (j === size(sq) - 1).as("l"))))
           .as("p"))
-      .select(col(idCol), col("p.u").as("u_raw"), col("p.w").as("w_raw"))
+      .select(col(idCol), col("p.u").as("u_raw"), col("p.w").as("w_raw"),
+        col("p.f").as("_u_frame"), col("p.l").as("_w_frame"))
     raw
       .join(vocab.select(col("tok").as("u_raw"), lit(1).as("_u_in")),
         Seq("u_raw"), "left")
       .join(vocab.select(col("tok").as("w_raw"), lit(1).as("_w_in")),
         Seq("w_raw"), "left")
       .select(col(idCol),
-        when(col("u_raw") === Bos || col("_u_in").isNotNull, col("u_raw"))
+        when(col("_u_frame") || col("_u_in").isNotNull, col("u_raw"))
           .otherwise(lit(Unk)).as("u"),
-        when(col("w_raw") === Eos || col("_w_in").isNotNull, col("w_raw"))
+        when(col("_w_frame") || col("_w_in").isNotNull, col("w_raw"))
           .otherwise(lit(Unk)).as("w"))
   }
 
@@ -213,6 +223,136 @@ object NgramLm {
       .select(col(idCol), col("n_bigrams"),
         expr("CAST(sum_s * 1000000 AS BIGINT) div n_bigrams")
           .as("xent_unats"))
+
+  // ------------------------------------------------ trigram KN (order 3) --
+
+  /** The corpus TRIGRAM stream (doc_id, u1, u2, w) — the order-3 twin of
+    * [[bigramStreamWith]] (round-17, VERDICT r16 #5: the CCNet-family
+    * screens run KenLM at order 5; this is one order up the same
+    * type-table design). Framing is the standard DOUBLE-BOS sentence:
+    * (<s>, <s>, w1), (<s>, w1, w2), …, (w_{n−1}, w_n, </s>) — n+1 events
+    * per document, an empty document scoring the single
+    * (<s>, <s>, </s>) event. Frame symbols are exempt from unk pooling
+    * BY POSITION (u1 at j ≤ 2, u2 at j = 1, w at the last slot), data
+    * tokens pool purely by vocab membership — the bigram fix's contract,
+    * applied from birth here. */
+  def trigramStreamWith(docs: DataFrame, vocab: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sq = concat(array(lit(Bos), lit(Bos)), tokens(col(textCol)),
+      array(lit(Eos)))
+    val raw = docs.select(col(idCol),
+        explode(transform(sequence(lit(1), size(sq) - 2),
+          j => struct(
+            element_at(sq, j).as("u1"), element_at(sq, j + 1).as("u2"),
+            element_at(sq, j + 2).as("w"),
+            (j <= 2).as("f1"), (j === 1).as("f2"),
+            (j === size(sq) - 2).as("fw"))))
+          .as("p"))
+      .select(col(idCol),
+        col("p.u1").as("u1_raw"), col("p.u2").as("u2_raw"),
+        col("p.w").as("w_raw"),
+        col("p.f1").as("_u1_frame"), col("p.f2").as("_u2_frame"),
+        col("p.fw").as("_w_frame"))
+    raw
+      .join(vocab.select(col("tok").as("u1_raw"), lit(1).as("_u1_in")),
+        Seq("u1_raw"), "left")
+      .join(vocab.select(col("tok").as("u2_raw"), lit(1).as("_u2_in")),
+        Seq("u2_raw"), "left")
+      .join(vocab.select(col("tok").as("w_raw"), lit(1).as("_w_in")),
+        Seq("w_raw"), "left")
+      .select(col(idCol),
+        when(col("_u1_frame") || col("_u1_in").isNotNull, col("u1_raw"))
+          .otherwise(lit(Unk)).as("u1"),
+        when(col("_u2_frame") || col("_u2_in").isNotNull, col("u2_raw"))
+          .otherwise(lit(Unk)).as("u2"),
+        when(col("_w_frame") || col("_w_in").isNotNull, col("w_raw"))
+          .otherwise(lit(Unk)).as("w"))
+  }
+
+  /** Self-trained composition (train vocab + map), localCheckpointed —
+    * ONE artifact feeding the model counts and the scoring join. */
+  def trigramStream(docs: DataFrame, minCount: Long = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    trigramStreamWith(docs, trainVocab(docs, minCount, textCol),
+      idCol, textCol).localCheckpoint(true)
+
+  /** The assembled trigram-grain interpolated-KN model over a
+    * [[trigramStream]] — Chen & Goodman 1998's interpolated form with
+    * one fixed discount at both backoff orders, LOWER ORDERS FROM
+    * CONTINUATION COUNTS (the defining KN property):
+    *
+    *   p₃(w|u1,u2) = max(c₃−D,0)/c₁₂ + (D·N1+(u1,u2,·)/c₁₂) · p₂(w|u2)
+    *   p₂(w|u2)    = max(c₂'−D,0)/t₂ + (D·N1+(u2,·)'/t₂) · p₁(w)
+    *   p₁(w)       = N1+(·,·,w)' / B₁
+    *
+    * with c₃ the trigram count, c₁₂ = Σ_w c₃(u1,u2,w), c₂'(u2,w) =
+    * |{u1 : c₃(u1,u2,w)>0}| (continuation count = rows of the trigram
+    * TYPE table per (u2,w)), t₂(u2) = Σ_w c₂', and B₁ = |{(u2,w)}| the
+    * bigram-type total. Every count is an exact BIGINT; the probability
+    * is ONE pinned parenthesization of IEEE doubles (the q184/q185
+    * cross-engine discipline).
+    *
+    * Scale — the point the ×10/×100 legs measure: the model is
+    * aggregates OF the (u1,u2,w) TYPE table (tg is map-side combined
+    * from the corpus stream; ctx3/c2p/ctx2/uni/B₁ are type-grain, each
+    * strictly smaller), so model size grows with trigram TYPES (heavily
+    * sublinear in corpus tokens), not with the corpus. Scoring is one
+    * (u1,u2,w) equi-join + a doc-grain aggregate, linear in tokens. */
+  def kn3Model(stream: DataFrame, discount: Double = Discount): DataFrame = {
+    val d = lit(discount)
+    val tg = stream.groupBy(col("u1"), col("u2"), col("w"))
+      .agg(count(lit(1)).as("c3"))
+      .localCheckpoint(true)
+    val ctx3 = tg.groupBy(col("u1"), col("u2"))
+      .agg(sum(col("c3")).as("c12"), count(lit(1)).as("n1f3"))
+    val c2p = tg.groupBy(col("u2"), col("w"))
+      .agg(count(lit(1)).as("c2p"))
+      .localCheckpoint(true)
+    val ctx2 = c2p.groupBy(col("u2"))
+      .agg(sum(col("c2p")).as("t2"), count(lit(1)).as("n1f2"))
+    val uni = c2p.groupBy(col("w")).agg(count(lit(1)).as("c1p"))
+    val b1 = c2p.agg(count(lit(1)).as("b1"))
+    val p2 = (greatest(col("c2p").cast("double") - d, lit(0.0))
+        / col("t2").cast("double")) +
+      (((d * col("n1f2").cast("double")) / col("t2").cast("double"))
+        * (col("c1p").cast("double") / col("b1").cast("double")))
+    tg.join(ctx3, Seq("u1", "u2")).join(c2p, Seq("u2", "w"))
+      .join(ctx2, Seq("u2")).join(uni, Seq("w"))
+      .crossJoin(broadcast(b1))
+      .withColumn("p2", p2)
+      .withColumn("p",
+        (greatest(col("c3").cast("double") - d, lit(0.0))
+            / col("c12").cast("double")) +
+          (((d * col("n1f3").cast("double")) / col("c12").cast("double"))
+            * col("p2")))
+      .localCheckpoint(true)
+  }
+
+  /** Per-document trigram-KN cross-entropy (doc_id, n_trigrams,
+    * xent_unats) over a prebuilt stream + model — q185's integer-µ-nat
+    * discipline at order 3 (inner join: self-trained, every stream
+    * trigram is a model type). */
+  def kn3ScoreFrom(stream: DataFrame, model: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    stream.join(model.select(col("u1"), col("u2"), col("w"), col("p")),
+        Seq("u1", "u2", "w"))
+      .withColumn("s", round(-log(col("p")), 6).cast("decimal(28,6)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("s")).as("sum_s"))
+      .select(col(idCol), col("n_trigrams"),
+        expr("CAST(sum_s * 1000000 AS BIGINT) div n_trigrams")
+          .as("xent_unats"))
+
+  /** The `k` highest-probability trigram types (u1, u2, w, c3, p_nano)
+    * under the (p_nano desc, u1, u2, w) total order — floored
+    * nano-probability, TakeOrderedAndProject plan (never a full global
+    * sort). */
+  def kn3ModelTopFrom(model: DataFrame, k: Int): DataFrame =
+    model.select(rendered(col("u1")).as("u1"), rendered(col("u2")).as("u2"),
+        rendered(col("w")).as("w"), col("c3"),
+        floor(col("p") * lit(1000000000.0)).as("p_nano"))
+      .orderBy(col("p_nano").desc, col("u1"), col("u2"), col("w"))
+      .limit(k)
 
   private def rendered(c: Column): Column =
     when(c === Unk, "<unk>").when(c === Bos, "<s>").when(c === Eos, "</s>")

@@ -502,6 +502,61 @@ object Similarity {
     scoredPairs(l.join(r, Seq("bucket")), threshold)
   }
 
+  /** [[nearDupPairsCapped]] with the single pivot generalized to a PIVOT
+    * BLOCK — the round-17 answer to the measured recall cost of the
+    * pivot star (the q178 audit: at sf0.1 the 1-pivot form kept only
+    * 39/1287 near-dup pairs and 196/1303 docs' dedup-group labels,
+    * because these over-cap buckets are big and LOOSE, so only ~2 % of
+    * (pivot, member) edges clear the cosine threshold — a star wagers
+    * the whole bucket's recall on one member's neighborhood).
+    *
+    * Over-cap buckets contribute (block, member) edges where the block
+    * is the bucket's `blockSize` smallest-id members: every member is
+    * scored against the whole block (block-clique + block×rest), so a
+    * member keeps ~blockSize/pop of its true edges instead of the star's
+    * 1/pop, and recall scales LINEARLY with the knob while the pair
+    * space stays Σ_over blockSize·pop + Σ_small pop²/2 ≤ blockSize·N +
+    * maxBucketPop·N — the same linear-in-N bound, a small constant
+    * factor wider. In a TIGHT over-cap cluster (the 100 TB job-killer
+    * the cap exists for) every member connects to the entire block, so
+    * the component survives intact exactly as under the star. Measured
+    * at sf0.1 (same corpus as q178): blockSize 64 → 351/1303 labels
+    * kept, 128 → 444, 256 → 926 (71 %, vs the cell cap's 53 % and the
+    * star's 15 %) — the q189 audit gates the 256 setting.
+    *
+    * The block is deterministic (min ids) and oracle-replayable as a
+    * per-bucket row_number ≤ blockSize; Spark computes it with a
+    * bucket-partitioned window — the same shuffle key the pair join
+    * needs, so the rank adds no extra exchange beyond the stats join. */
+  def nearDupPairsCappedBlock(
+      vecs: DataFrame,
+      threshold: Double,
+      dim: Int,
+      nPlanes: Int,
+      maxBucketPop: Long = 64L,
+      blockSize: Long = 256L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(blockSize >= 1, "blockSize < 1 would drop every over-cap pair")
+    import org.apache.spark.sql.expressions.Window
+    val base = vecs.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"),
+      hyperplaneBucket(col(vecCol), dim, nPlanes).as("bucket"))
+    val stats = base.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("pop"))
+    val rk = row_number().over(
+      Window.partitionBy(col("bucket")).orderBy(col(idCol)))
+    val l = base.withColumn("_rk", rk)
+      .join(stats, Seq("bucket"))
+      .where(col("pop") <= maxBucketPop || col("_rk") <= blockSize)
+      .select(col("bucket"), col(idCol).as("a"), col(vecCol).as("va"),
+        col("nrm").as("na"))
+    val r = base.select(col("bucket"), col(idCol).as("b"),
+      col(vecCol).as("vb"), col("nrm").as("nb"))
+    // an over-cap bucket's left side is its blockSize min-id members, so
+    // the join output is block-clique + block×rest after the a < b filter
+    scoredPairs(l.join(r, Seq("bucket")), threshold)
+  }
+
   /** Per-bucket population profile of the hyperplane-LSH space — the
     * pre-flight a near-dup run does BEFORE paying for pairs at 100 TB:
     * an over-cap bucket is a tight cluster no plane count splits (the

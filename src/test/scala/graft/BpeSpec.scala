@@ -95,6 +95,75 @@ class BpeSpec extends SparkTestBase {
     assert(chain(e2).exists(_.contains("missing from the trained vocab")))
   }
 
+  test("char-fallback OOV policy counts an unseen word as its characters") {
+    // the round-17 standard-policy twin of the loud-refusal test above:
+    // the same alien corpus scores with OOV words at char grain while
+    // in-vocab words keep their trained subword counts
+    val vocab = Bpe.bpeVocab(docs, 4)
+    val alien = Seq((9L, "newest zzzzz lower")).toDF("doc_id", "text")
+    val out = Bpe.tokenCountsFromVocabFallback(alien, vocab)
+      .as[(Long, Long, Long)].collect().toSeq
+    // newest → [n,e,w,est] = 4; zzzzz OOV → 5 chars; lower → [low,e,r] = 3
+    assert(out === Seq((9L, 3L, 12L)), s"got $out")
+  }
+
+  test("sequence-grain BPE learns cross-word phrase merges on the sample") {
+    // "x y" dominates: (x, y) merges FIRST and the merged symbol keeps
+    // the space — the SentencePiece split_by_whitespace=false shape
+    val d = Seq(
+      (0L, "x y x y x y"),
+      (1L, "x y q"),
+      (2L, "q q x")).toDF("doc_id", "text")
+    val m = Bpe.bpeSeqMerges(d, 2, sampleDocs = 500L).orderBy($"rank")
+      .as[(Long, String, String, Long)].collect().toSeq
+    // round 1: (x,y)=4 beats (y,x)=2,(y,q)=1,(q,q)=1,(q,x)=1 → "x y"
+    // round 2: doc 0 is now ["x y","x y","x y"] → ("x y","x y")=2 wins
+    //   (the merged PHRASE keeps merging — the tokenizer-grade property)
+    assert(m.head === (1L, "x", "y", 4L), s"got $m")
+    assert(m(1) === (2L, "x y", "x y", 2L), s"got $m")
+  }
+
+  test("sequence-grain training reads ONLY the doc_id < sampleDocs slice") {
+    val d = Seq(
+      (0L, "a b"),
+      (1L, "a b"),
+      (7L, "z z z z z z z z")).toDF("doc_id", "text")
+    val m = Bpe.bpeSeqMerges(d, 1, sampleDocs = 5L)
+      .as[(Long, String, String, Long)].collect().toSeq
+    // with doc 7 excluded, (a,b)=2 wins; unsampled (z,z) never counted
+    assert(m === Seq((1L, "a", "b", 2L)), s"got $m")
+  }
+
+  test("seqEncode replays the merge table over in- AND out-of-sample docs") {
+    val d = Seq(
+      (0L, "x y x y x y"),
+      (1L, "x y q")).toDF("doc_id", "text")
+    val merges = Bpe.bpeSeqMergesLocal(d, 1, sampleDocs = 500L)
+    val fresh = Seq(
+      (0L, "x y x y x y"),   // in-sample: reproduces the training state
+      (9L, "q x y x")).toDF("doc_id", "text") // out-of-sample: frozen model
+    val enc = Bpe.seqEncode(fresh, merges)
+      .select($"doc_id", concat_ws("|", $"syms").as("s"))
+      .orderBy($"doc_id").as[(Long, String)].collect().toSeq
+    assert(enc === Seq((0L, "x y|x y|x y"), (9L, "q|x y|x")), s"got $enc")
+  }
+
+  test("seqTokenCounts and seqChunks ride the replay encode") {
+    val d = Seq((0L, "x y x y"), (1L, "x y z"), (2L, "   ")).toDF("doc_id", "text")
+    val merges = Bpe.bpeSeqMergesLocal(d, 1, sampleDocs = 500L)
+    val counts = Bpe.seqTokenCounts(d, merges).orderBy($"doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    // doc 0: 4 words → [x y][x y] = 2 subwords; doc 1: 3 words → [x y][z];
+    // doc 2: zero tokens → dropped (the q182 contract)
+    assert(counts === Seq((0L, 4L, 2L), (1L, 3L, 2L)), s"got $counts")
+    val chunks = Bpe.seqChunks(d, merges, chunkSize = 2, stride = 1)
+      .where($"doc_id" === 0L)
+      .select($"chunk_id", $"start_tok", $"n_tok_chunk")
+      .as[(Long, Long, Long)].collect().toSeq
+    // 2 subwords, chunkSize 2 → one full window
+    assert(chunks === Seq((0L, 0L, 2L)), s"got $chunks")
+  }
+
   test("trainedTable carries both artifacts of ONE training run") {
     val t = Bpe.trainedTable(docs, 4)
     val m = t.where($"kind" === "m")

@@ -263,6 +263,46 @@ class SimilaritySpec extends SparkTestBase {
     assert(prof.toSeq === Seq((100L, 4950L, 1, 99L)))
   }
 
+  test("nearDupPairsCappedBlock: block=1 equals the pivot star; recall grows with the block") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val uncapped = Similarity.nearDupPairs(emb, 0.35, 64, nPlanes = 4)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) => (a, b) -> s }.toMap
+    // block=1 is EXACTLY the 1-pivot star (the min-id member is rank 1)
+    val star = Similarity.nearDupPairsCapped(emb, 0.35, 64, nPlanes = 4,
+        maxBucketPop = 64L)
+      .as[(Long, Long, Double)].collect().toSet
+    val block1 = Similarity.nearDupPairsCappedBlock(emb, 0.35, 64, nPlanes = 4,
+        maxBucketPop = 64L, blockSize = 1L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(block1 === star, "blockSize=1 must degenerate to the pivot star")
+    // widening the block only ADDS exact-score uncapped pairs, never
+    // invents or rescores — and it must actually recover recall here
+    val block256 = Similarity.nearDupPairsCappedBlock(emb, 0.35, 64, nPlanes = 4,
+        maxBucketPop = 64L, blockSize = 256L)
+      .as[(Long, Long, Double)].collect()
+    assert(block1.subsetOf(block256.toSet))
+    assert(block256.length > block1.size,
+      s"block 256 must widen recall (got ${block256.length} vs ${block1.size})")
+    assert(block256.length <= uncapped.size)
+    block256.foreach { case (a, b, s) =>
+      assert(uncapped.get((a, b)).contains(s),
+        s"pair ($a,$b) score drift or not in the uncapped set")
+    }
+    // an over-block bucket's pair space stays <= blockSize·pop: with the
+    // planted tight cluster below the block, the clique is complete
+    val base = Array.tabulate(dim)(i => 1.0f + 0.01f * i)
+    val cluster = (0L until 100L).map(i =>
+      (i, base.map(x => x * (1.0f + 1e-5f * i))))
+    val df = cluster.toDF("vec_id", "embedding")
+    val blocked = Similarity.nearDupPairsCappedBlock(df, 0.999, dim, nPlanes = 4,
+        maxBucketPop = 10L, blockSize = 20L)
+      .select("a", "b").as[(Long, Long)].collect()
+    // block members 0..19: full block clique C(20,2) + block×rest 20·80
+    assert(blocked.length === 190 + 1600, s"got ${blocked.length}")
+    assert(blocked.forall { case (a, b) => a < 20L || b < 20L })
+  }
+
   test("derivedCap: deterministic lower-median, floor and live arms") {
     // lower median = element at 1-based rank (n+1) div 2 under pop-asc
     // order, via cumulative counting over distinct pops
