@@ -249,6 +249,19 @@ private[graft] object SimilarityGates {
         Similarity.cellNearDupPairsCapped(emb, cents, 0.35, maxCellPop = 24L))
     }),
 
+    // q183's audit with the CELL cap's star generalized to the pivot
+    // block — the q189 recovery applied uniformly across both capped
+    // pair generators (the r14 cap discipline was uniform; its round-17
+    // fix is too).
+    "q196_semdedup_blockcap_audit" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.kmeansCentroids(emb, semDedupCells(emb.count()), 0)
+      Dedup.capRecallAudit(
+        Similarity.cellNearDupPairs(emb, cents, 0.35),
+        Similarity.cellNearDupPairsCappedBlock(emb, cents, 0.35,
+          maxCellPop = 24L, blockSize = 256L))
+    }),
+
     // q178's audit with the 1-pivot star generalized to the PIVOT BLOCK
     // (round-17, VERDICT r16 #1 — "act on the number the audit
     // produced"): over-cap buckets score every member against the
@@ -256,8 +269,8 @@ private[graft] object SimilarityGates {
     // scales with the block while pair space stays ≤ (256+64)·N.
     // Measured at sf0.1: label agreement 196/1303 (star) → 926/1303
     // (block 256), vs the q183 cell cap's 414/782 — the 15 % → 71 %
-    // recovery the round-16 verdict asked for, gated. Same 4-plane
-    // band guard as q178 (shared inlined matrix).
+    // recovery the round-16 verdict asked for, gated. q196 is the cell
+    // twin. Same 4-plane band guard as q178 (shared inlined matrix).
     "q189_blockcap_audit" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val n = emb.count()
@@ -779,6 +792,28 @@ private[graft] object SimilarityGates {
          |  FROM v va JOIN st ON va.cell = st.cell
          |  JOIN v vb ON va.cell = vb.cell AND va.vec_id < vb.vec_id
          |  WHERE (st.pop <= 24 OR va.vec_id = st.pivot)
+         |    AND $dotSql / (va.nrm * vb.nrm) >= 0.35),
+         |$capAuditTailSql""".stripMargin,
+
+    // q183's capped side swapped for the cell PIVOT-BLOCK form: the cp
+    // CTE's left filter is (pop <= 24 OR per-cell row_number <= 256),
+    // then the shared recursive closure tail.
+    "q196_semdedup_blockcap_audit" ->
+      s"""WITH RECURSIVE ${ivfAssignCteN(semDedupSeedLimitSql)},
+         |v AS (SELECT m.vec_id, m.embedding AS e, $nrmSql AS nrm, a.cell
+         |  FROM embeddings m JOIN assign a ON m.vec_id = a.vec_id),
+         |st AS (SELECT cell, count(*) AS pop FROM v GROUP BY cell),
+         |rk AS (SELECT vec_id,
+         |  row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rk
+         |  FROM v),
+         |fp AS (SELECT va.vec_id AS a, vb.vec_id AS b
+         |  FROM v va JOIN v vb ON va.cell = vb.cell AND va.vec_id < vb.vec_id
+         |  WHERE $dotSql / (va.nrm * vb.nrm) >= 0.35),
+         |cp AS (SELECT va.vec_id AS a, vb.vec_id AS b
+         |  FROM v va JOIN st ON va.cell = st.cell
+         |  JOIN rk ON va.vec_id = rk.vec_id
+         |  JOIN v vb ON va.cell = vb.cell AND va.vec_id < vb.vec_id
+         |  WHERE (st.pop <= 24 OR rk.rk <= 256)
          |    AND $dotSql / (va.nrm * vb.nrm) >= 0.35),
          |$capAuditTailSql""".stripMargin,
 

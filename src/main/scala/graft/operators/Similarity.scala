@@ -724,6 +724,45 @@ object Similarity {
     scoredPairs(l.join(r, Seq("cell")), threshold)
   }
 
+  /** [[cellNearDupPairsCapped]] with the pivot BLOCK (round-17 — the
+    * q189 discipline applied uniformly, as the cap itself was in r14):
+    * over-cap cells score every member against the cell's `blockSize`
+    * min-id members instead of one pivot. The q183 audit measured the
+    * cell star keeping 414/782 labels at sf0.1; the block form measures
+    * 782/782 — LOSSLESS, because every over-cap cell at the gated SFs
+    * has pop ≤ 256, so its block covers the whole cell (the √N cell
+    * sizing keeps cells near 2·√N ≈ 90 here) — while the bound still
+    * bites exactly where it must at 100 TB: a cell that IS a tight
+    * 50k-vector cluster pays block·pop, never pop² (q196 gates the
+    * chain; see [[nearDupPairsCappedBlock]] for the loose-bucket
+    * geometry argument). Pair space Σ_over block·pop + Σ_small pop²/2
+    * ≤ (blockSize + maxCellPop)·N. */
+  def cellNearDupPairsCappedBlock(
+      vecs: DataFrame,
+      cents: DataFrame,
+      threshold: Double,
+      maxCellPop: Long,
+      blockSize: Long = 256L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(blockSize >= 1, "blockSize < 1 would drop every over-cap pair")
+    import org.apache.spark.sql.expressions.Window
+    val assign = assignCells(vecs, cents, idCol, vecCol).localCheckpoint(true)
+    val base = vecs.join(assign, idCol)
+      .select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"), col("cell"))
+    val stats = assign.groupBy(col("cell")).agg(count(lit(1)).as("pop"))
+    val rk = row_number().over(
+      Window.partitionBy(col("cell")).orderBy(col(idCol)))
+    val l = base.withColumn("_rk", rk)
+      .join(stats, Seq("cell"))
+      .where(col("pop") <= maxCellPop || col("_rk") <= blockSize)
+      .select(col("cell"), col(idCol).as("a"), col(vecCol).as("va"),
+        col("nrm").as("na"))
+    val r = base.select(col("cell"), col(idCol).as("b"),
+      col(vecCol).as("vb"), col("nrm").as("nb"))
+    scoredPairs(l.join(r, Seq("cell")), threshold)
+  }
+
   /** Per-cell population profile of the k-means pair space — the cell
     * twin of [[bucketProfile]]: the O(N) pre-flight that tells a SemDeDup
     * run whether any cell is a tight cluster the cap must neutralize,

@@ -303,6 +303,29 @@ class SimilaritySpec extends SparkTestBase {
     assert(blocked.forall { case (a, b) => a < 20L || b < 20L })
   }
 
+  test("cellNearDupPairsCappedBlock: block=1 equals the cell star; wide block covers whole cells") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Similarity.kmeansCentroids(emb, 8, 0)
+    val star = Similarity.cellNearDupPairsCapped(emb, cents, 0.35, maxCellPop = 24L)
+      .as[(Long, Long, Double)].collect().toSet
+    val block1 = Similarity.cellNearDupPairsCappedBlock(emb, cents, 0.35,
+        maxCellPop = 24L, blockSize = 1L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(block1 === star, "blockSize=1 must degenerate to the cell pivot star")
+    val uncapped = Similarity.cellNearDupPairs(emb, cents, 0.35)
+      .as[(Long, Long, Double)].collect().toSet
+    // every cell at sf0.001 sits under a 10k block → lossless
+    val wide = Similarity.cellNearDupPairsCappedBlock(emb, cents, 0.35,
+        maxCellPop = 24L, blockSize = 10000L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(wide === uncapped, "a block covering every cell must be lossless")
+    // and the 256 default sits between the two, never rescoring
+    val b256 = Similarity.cellNearDupPairsCappedBlock(emb, cents, 0.35,
+        maxCellPop = 24L, blockSize = 256L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(star.subsetOf(b256) && b256.subsetOf(uncapped))
+  }
+
   test("derivedCap: deterministic lower-median, floor and live arms") {
     // lower median = element at 1-based rank (n+1) div 2 under pop-asc
     // order, via cumulative counting over distinct pops
