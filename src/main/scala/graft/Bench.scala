@@ -364,7 +364,11 @@ object Bench {
       // (q190 pays, q191/q192 ride), the 16-merge vocab rider q193, and
       // the trigram KN chain (q194 pays, q195 rides)
       "q190_bpe1k_merges", "q191_bpe1k_token_counts", "q192_bpe1k_chunk",
-      "q193_bpe_oov_fallback", "q194_kn3_model", "q195_kn3_xent")
+      "q193_bpe_oov_fallback", "q194_kn3_model", "q195_kn3_xent",
+      // round-17: the CART distillation chain shares one SessionCache'd
+      // tree (q198 trains, q199/q200 score under it)
+      "q198_cart_distill_model", "q199_cart_distill_score",
+      "q200_cart_distill_summary")
     val r0 = System.nanoTime()
     val retrySkipped = scala.collection.mutable.ArrayBuffer[String]()
     val retries = results.filter(_._2 > 5.0).toSeq.sortBy(-_._2)
@@ -584,7 +588,17 @@ object Bench {
       // (q194 pays the training, q195 is the scoring join — the
       // type-table-growth measurement VERDICT r16 #5 asked for)
       "q190_bpe1k_merges", "q191_bpe1k_token_counts",
-      "q194_kn3_model", "q195_kn3_xent")
+      "q194_kn3_model", "q195_kn3_xent",
+      // round-17: the CART distillation — q198 pays the SessionCache'd
+      // level-wise training (bounded: the hash-gated seed slice; the
+      // ×10 doc family's ~20k-row seed stays well under the s³ < 2^53
+      // guard), q199 measures the zero-shuffle nested-CASE scoring the
+      // distillation exists for (linear in docs by construction —
+      // that's the claim the leg certifies). Not on the ×100 doc
+      // family: its ~200k-row seed sits AT the exactness guard, and a
+      // guard-refusal there would be the operator working as designed,
+      // not a measurement
+      "q198_cart_distill_model", "q199_cart_distill_score")
     val sf2Twins = Seq(
       "q102_semdedup" -> "q118_stream_semdedup",
       "q102_semdedup" -> "q124_dag_semdedup",

@@ -287,6 +287,28 @@ private[graft] object SimilarityGates {
           blockSize = 256L))
     }),
 
+    // The two round-17 disciplines COMPOSED into the self-tuning
+    // production default: cap DERIVED from the bucket profile (q171's
+    // floor ∨ 4·lower-median) AND over-cap buckets kept as pivot BLOCKS
+    // (q189's recall recovery) — then the recall audit run on exactly
+    // that composition, so the default path's trade is itself a gated
+    // number. Same 4-plane band guard as q171/q178.
+    "q197_autocap_block_audit" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val n = emb.count()
+      require(!oracleRun || Similarity.autoPlanes(n) == 4,
+        s"q197's DuckDB oracle inlines a 4-plane matrix (valid while autoPlanes(n)==4, " +
+          s"i.e. n<=2000 embeddings); got n=$n => ${Similarity.autoPlanes(n)} planes - " +
+          s"re-derive the inlined plane literals in SimilarityGates.oracleSql before " +
+          s"gating this SF")
+      Dedup.capRecallAudit(
+        Similarity.nearDupPairs(emb, 0.35, 64,
+          nPlanes = Similarity.autoPlanes(n)),
+        Similarity.nearDupPairsAutoCapBlock(emb, 0.35, 64,
+          nPlanes = Similarity.autoPlanes(n), floorCap = 64L, mult = 4L,
+          blockSize = 256L))
+    }),
+
     // kNN label purity — the standard embedding-quality probe over the
     // labeled embeddings table: fraction of each query's exact top-10
     // cosine neighbors sharing its label, aggregated per label. Reuses
@@ -772,6 +794,35 @@ private[graft] object SimilarityGates {
          |   JOIN rk ON va.vec_id = rk.vec_id
          |   JOIN v vb ON va.bucket = vb.bucket AND va.vec_id < vb.vec_id
          |  WHERE st.pop <= 64 OR rk.rk <= 256)
+         | WHERE score >= 0.35),
+         |$capAuditTailSql""".stripMargin,
+
+    // q189's audit with the constant 64 cap swapped for q171's derived
+    // cap (floor 64 ∨ 4·lower-median bucket population, replayed by the
+    // same cumulative-counting median) — the capped side is the
+    // composed self-tuning default, block filter unchanged.
+    "q197_autocap_block_audit" ->
+      s"""WITH RECURSIVE ${lshBucketCte(4, 64)},
+         |v AS (SELECT m.vec_id, m.embedding AS e, $nrmSql AS nrm, b.bucket
+         |  FROM embeddings m JOIN bkt b ON m.vec_id = b.vec_id),
+         |st AS (SELECT bucket, count(*) AS pop FROM v GROUP BY bucket),
+         |cum AS (SELECT pop, sum(cnt) OVER (ORDER BY pop) AS cum
+         |  FROM (SELECT pop, count(*) AS cnt FROM st GROUP BY pop)),
+         |cap AS (SELECT greatest(64, 4 * (SELECT min(pop) FROM cum
+         |  WHERE cum >= ((SELECT count(*) FROM st) + 1) // 2)) AS cap),
+         |rk AS (SELECT vec_id,
+         |  row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rk
+         |  FROM v),
+         |fp AS (SELECT a, b FROM (
+         |  SELECT va.vec_id AS a, vb.vec_id AS b, $dotSql / (va.nrm * vb.nrm) AS score
+         |  FROM v va JOIN v vb ON va.bucket = vb.bucket AND va.vec_id < vb.vec_id)
+         | WHERE score >= 0.35),
+         |cp AS (SELECT a, b FROM (
+         |  SELECT va.vec_id AS a, vb.vec_id AS b, $dotSql / (va.nrm * vb.nrm) AS score
+         |  FROM v va JOIN st ON va.bucket = st.bucket
+         |   JOIN rk ON va.vec_id = rk.vec_id CROSS JOIN cap
+         |   JOIN v vb ON va.bucket = vb.bucket AND va.vec_id < vb.vec_id
+         |  WHERE st.pop <= cap.cap OR rk.rk <= 256)
          | WHERE score >= 0.35),
          |$capAuditTailSql""".stripMargin,
 

@@ -198,7 +198,85 @@ private[graft] object TextGates {
       org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
       out
     }),
+
+    // Distributed CART distillation (round-17): the PLANET-style
+    // level-wise exact split search trains a depth-3 tree on the
+    // hash-gated 40 % seed slice — teacher = the Gopher-style integer
+    // quality rule, features = the 3 engineered quality stats + 8
+    // hashed-noise buckets. The gated model table shows the split
+    // search selecting the signal features and rejecting all 8 noise
+    // buckets; every candidate count, the IEEE split score, and the
+    // (score, feat, thr) tie order are replayed by the oracle.
+    "q198_cart_distill_model" -> ((s, d) =>
+      cartTreeTableCached(s, d).orderBy(col("node"))),
+
+    // Corpus-wide scoring under the frozen tree — zero-shuffle nested-
+    // CASE projection (the distilled model's point at 100 TB): per doc,
+    // the landed leaf, the prediction, the teacher's own label, seed
+    // membership.
+    "q199_cart_distill_score" -> ((s, d) =>
+      graft.operators.Classifier.scoreTree(
+          graft.operators.Classifier.labeledFeatures(Tables.documents(s, d)),
+          cartTreeCached(s, d))
+        .orderBy(col("doc_id"))),
+
+    // The distillation's measured worth (the capRecallAudit spirit):
+    // teacher agreement split by seed membership — held-out
+    // generalization as a GATED NUMBER (sf0.01: 296/296 held-out docs
+    // agree; sf0.001: 295/296).
+    "q200_cart_distill_summary" -> ((s, d) =>
+      graft.operators.Classifier.scoreSummary(
+          graft.operators.Classifier.scoreTree(
+            graft.operators.Classifier.labeledFeatures(Tables.documents(s, d)),
+            cartTreeCached(s, d)))
+        .orderBy(col("is_seed"), col("teacher"), col("pred"))),
+
+    // CART scoring ON INGEST (CartIngest): the tree frozen offline, then
+    // two ascending micro-batches routed through it via real
+    // checkpointed epochs with idempotent epoch-dir writes — the
+    // FineWeb deployment shape (q188's contract with the distilled tree
+    // as the frozen model). The accreted scores must equal the batch
+    // q199 bit-for-bit; shares q199's oracle verbatim.
+    "q201_stream_cart_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val mid = midOf(docs.agg(min(col("doc_id")), max(col("doc_id"))).head(),
+        "documents (q201)")
+      val root =
+        java.nio.file.Files.createTempDirectory("graft_cart_ingest_").toString
+      graft.streaming.CartIngest.freezeModel(Tables.documents(s, d), root)
+      import s.implicits._
+      StreamHarness.runFilesSink(s,
+          Seq(docs.where(col("doc_id") <= mid).as[(Long, String)],
+            docs.where(col("doc_id") > mid).as[(Long, String)])) {
+        (ds, ckpt) =>
+          ds.toDF("doc_id", "text").writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: DataFrame, epochId: Long) =>
+              graft.streaming.CartIngest.processBatch(
+                b.toDF("doc_id", "text"), root, epochId)
+            }.start()
+      }
+      val out = graft.streaming.CartIngest.readScores(s, root)
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true) // materialize before the store dir vanishes
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+      out
+    }),
   )
+
+  /** The trained CART tree, cached per (session, dir) — ONE level-wise
+    * training serves q198/q199/q200 (the BPE caching discipline). The
+    * cached artifact is the model TABLE (≤ 2^depth rows); the driver-side
+    * Node view is a bounded collect off it. */
+  private def cartTreeTableCached(s: SparkSession, d: String): DataFrame =
+    graft.core.SessionCache(s, s"carttree|$d")(
+      graft.operators.Classifier.treeTable(s,
+        graft.operators.Classifier.trainTree(
+          graft.operators.Classifier.labeledFeatures(Tables.documents(s, d)))))
+
+  private def cartTreeCached(s: SparkSession, d: String)
+      : Seq[graft.operators.Classifier.Node] =
+    graft.operators.Classifier.nodesFrom(cartTreeTableCached(s, d))
 
   def oracleSql: Map[String, String] = Map(
 
@@ -376,7 +454,147 @@ private[graft] object TextGates {
          |SELECT doc_id, count(*) AS n_trigrams,
          |  CAST(sum(s) * 1000000 AS BIGINT) // count(*) AS xent_unats
          |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The full level-wise CART build replayed: per level, candidate
+    // (node, feat, value) class counts, the windowed cumulative left
+    // stats, the IEEE split score on exact-integer operands, the
+    // (score, feat, thr) argmin, and the re-assignment — then splits ∪
+    // leaves as the model table. Mirrors Classifier.trainTree
+    // level-for-level.
+    "q198_cart_distill_model" ->
+      s"""WITH $cartCtes,
+         |$cartLeafCte
+         |SELECT node, kind, feat, thr, label, n_pos, n_neg FROM (
+         |  ${cartSplitRowsSql}
+         |  UNION ALL
+         |  SELECT node, 'leaf' AS kind, CAST(NULL AS BIGINT) AS feat,
+         |    CAST(NULL AS BIGINT) AS thr,
+         |    CAST(CASE WHEN 2 * p > p + n THEN 1 ELSE -1 END AS BIGINT) AS label,
+         |    p AS n_pos, n AS n_neg FROM lv)
+         |ORDER BY node""".stripMargin,
+
+    // All docs routed through the trained splits (the same b1/b2/b3),
+    // prediction = landed leaf's majority label.
+    "q199_cart_distill_score" -> cartScoreSql,
+
+    // the ingest twin accretes the SAME rows (q188's shared-oracle
+    // contract applied to the frozen tree)
+    "q201_stream_cart_score" -> cartScoreSql,
+
+    // q199 aggregated to the gated generalization number.
+    "q200_cart_distill_summary" ->
+      s"""WITH $cartCtes,
+         |$cartLeafCte,
+         |$cartScoreCtes
+         |SELECT s.is_seed, s.label AS teacher,
+         |  CAST(CASE WHEN 2 * lv.p > lv.p + lv.n THEN 1 ELSE -1 END AS BIGINT) AS pred,
+         |  count(*) AS n_docs, CAST(sum(s.doc_id) AS BIGINT) AS sum_ids
+         |FROM s4 s JOIN lv ON s.node = lv.node
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
   )
+
+  /** One CART level: candidates over the frontier (node ∈ [2^(k−1), 2^k)),
+    * cumulative left stats, per-node (score, feat, thr) argmin, then the
+    * next assignment. `a1` is seeded by [[cartCtes]]. */
+  private def cartLevel(k: Int): String = {
+    val lo = 1 << (k - 1)
+    val hi = 1 << k
+    s"""c$k AS (SELECT node, j, v,
+       |    CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+       |    CAST(sum(CASE WHEN label = -1 THEN 1 ELSE 0 END) AS BIGINT) AS cn
+       |  FROM (SELECT a.node, u.j AS j, a.feats[u.j + 1] AS v, a.label
+       |        FROM a$k a CROSS JOIN range(11) u(j)
+       |        WHERE a.node >= $lo AND a.node < $hi)
+       |  GROUP BY 1, 2, 3),
+       |m$k AS (SELECT node, j, v,
+       |    sum(cp) OVER w AS pL, sum(cn) OVER w AS nL,
+       |    sum(cp) OVER wa AS p, sum(cn) OVER wa AS n,
+       |    max(v) OVER wa AS vmax
+       |  FROM c$k
+       |  WINDOW w AS (PARTITION BY node, j ORDER BY v ROWS UNBOUNDED PRECEDING),
+       |         wa AS (PARTITION BY node, j)),
+       |b$k AS (SELECT node, j, v, p, n FROM (
+       |    SELECT node, j, v, p, n,
+       |      row_number() OVER (PARTITION BY node ORDER BY
+       |        CAST((sL*sL - pL*pL - nL*nL) * sR + (sR*sR - pR*pR - nR*nR) * sL AS DOUBLE)
+       |          / CAST(sL * sR AS DOUBLE), j, v) AS rk
+       |    FROM (SELECT node, j, v, pL, nL, p, n,
+       |        pL + nL AS sL, (p + n) - (pL + nL) AS sR,
+       |        p - pL AS pR, n - nL AS nR
+       |      FROM m$k WHERE v < vmax AND p > 0 AND n > 0))
+       |  WHERE rk = 1),
+       |a${k + 1} AS (SELECT a.doc_id, a.feats, a.label,
+       |    CASE WHEN b.node IS NULL THEN a.node
+       |         WHEN a.feats[b.j + 1] <= b.v THEN 2 * a.node
+       |         ELSE 2 * a.node + 1 END AS node
+       |  FROM a$k a LEFT JOIN b$k b ON a.node = b.node)""".stripMargin
+  }
+
+  /** Features + teacher + seed gate + the three training levels. The
+    * feature plan mirrors Classifier.labeledFeatures: [ntok,
+    * 10·nstop−ntok, 8·ntok−sumlen] ++ 8 md5-hashed bucket counts. */
+  private lazy val cartCtes: String =
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |tb AS (SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS ntok,
+       |  CAST(coalesce(list_sum(list_transform(toks, x -> CAST(len(x) AS BIGINT))), 0) AS BIGINT) AS sumlen,
+       |  CAST(len(list_filter(toks, x -> lower(x) IN $stopListSql)) AS BIGINT) AS nstop,
+       |  list_transform(toks, tk -> ${hexLongSql("tk")} % 8) AS bks
+       |  FROM t),
+       |f AS (SELECT doc_id,
+       |  [ntok, 10 * nstop - ntok, 8 * ntok - sumlen] ||
+       |    list_transform(range(8), j -> CAST(len(list_filter(bks, b -> b = j)) AS BIGINT)) AS feats,
+       |  CAST(CASE WHEN ntok >= 20 AND nstop * 10 >= ntok AND sumlen <= ntok * 8
+       |       THEN 1 ELSE -1 END AS BIGINT) AS label,
+       |  CAST(${hexLongSql("CAST(doc_id AS VARCHAR)")} % 1000000 < 400000 AS BIGINT) AS is_seed
+       |  FROM tb),
+       |a1 AS (SELECT doc_id, feats, label, CAST(1 AS BIGINT) AS node
+       |  FROM f WHERE is_seed = 1),
+       |${cartLevel(1)},
+       |${cartLevel(2)},
+       |${cartLevel(3)}""".stripMargin
+
+  /** `lv(node, p, n)` — per-leaf class totals off the final seed
+    * assignment (every node surviving in a4 is a leaf: split nodes'
+    * rows all moved to children). */
+  private lazy val cartLeafCte: String =
+    s"""lv AS (SELECT node,
+       |  CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+       |  CAST(sum(CASE WHEN label = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n
+       |  FROM a4 GROUP BY node)""".stripMargin
+
+  private lazy val cartSplitRowsSql: String =
+    (1 to 3).map(k =>
+      s"""SELECT node, 'split' AS kind, CAST(j AS BIGINT) AS feat,
+         |    v AS thr, CAST(NULL AS BIGINT) AS label,
+         |    CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg FROM b$k""".stripMargin)
+      .mkString("\n  UNION ALL\n  ")
+
+  /** ONE scoring oracle shared verbatim by q199 (batch) and q201 (the
+    * ingest twin) — the q185/q188 contract. */
+  private lazy val cartScoreSql: String =
+    s"""WITH $cartCtes,
+       |$cartLeafCte,
+       |$cartScoreCtes
+       |SELECT s.doc_id, s.node AS leaf,
+       |  CAST(CASE WHEN 2 * lv.p > lv.p + lv.n THEN 1 ELSE -1 END AS BIGINT) AS pred,
+       |  s.label AS teacher, s.is_seed
+       |FROM s4 s JOIN lv ON s.node = lv.node
+       |ORDER BY s.doc_id""".stripMargin
+
+  /** ALL docs routed through b1/b2/b3 — the corpus-wide scoring walk. */
+  private lazy val cartScoreCtes: String = {
+    def step(k: Int) =
+      s"""s${k + 1} AS (SELECT s.doc_id, s.feats, s.label, s.is_seed,
+         |    CASE WHEN b.node IS NULL THEN s.node
+         |         WHEN s.feats[b.j + 1] <= b.v THEN 2 * s.node
+         |         ELSE 2 * s.node + 1 END AS node
+         |  FROM s$k s LEFT JOIN b$k b ON s.node = b.node)""".stripMargin
+    s"""s1 AS (SELECT doc_id, feats, label, is_seed, CAST(1 AS BIGINT) AS node FROM f),
+       |${step(1)},
+       |${step(2)},
+       |${step(3)}""".stripMargin
+  }
 
   private lazy val knXentOracle: String =
     s"""WITH $knCtes,

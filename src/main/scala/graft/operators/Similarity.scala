@@ -651,6 +651,45 @@ object Similarity {
     scoredPairs(l.join(r, Seq("bucket")), threshold)
   }
 
+  /** [[nearDupPairsAutoCap]] with the single pivot generalized to the
+    * PIVOT BLOCK — the two round-17 disciplines composed: the cap is
+    * DERIVED from the measured bucket profile ([[derivedCap]], q171) AND
+    * an over-cap bucket keeps (block × member) edges instead of a one-
+    * pivot star (q189's measured 15 % → 71 % label recovery). This is
+    * the self-tuning production default: nothing about the pair space is
+    * a constant someone must re-guess per corpus, and the recall cost of
+    * capping is the blockSize knob's, not the star's. Pair space ≤
+    * (blockSize + cap)·N with cap ≥ floorCap data-derived. */
+  def nearDupPairsAutoCapBlock(
+      vecs: DataFrame,
+      threshold: Double,
+      dim: Int,
+      nPlanes: Int,
+      floorCap: Long = 64L,
+      mult: Long = 4L,
+      blockSize: Long = 256L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(blockSize >= 1, "blockSize < 1 would drop every over-cap pair")
+    import org.apache.spark.sql.expressions.Window
+    val base = vecs.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"),
+      hyperplaneBucket(col(vecCol), dim, nPlanes).as("bucket"))
+    val stats = base.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("pop"))
+      .localCheckpoint(true)
+    val cap = derivedCap(stats.select(col("pop")), floorCap, mult)
+    val rk = row_number().over(
+      Window.partitionBy(col("bucket")).orderBy(col(idCol)))
+    val l = base.withColumn("_rk", rk)
+      .join(stats, Seq("bucket")).crossJoin(broadcast(cap))
+      .where(col("pop") <= col("cap") || col("_rk") <= blockSize)
+      .select(col("bucket"), col(idCol).as("a"), col(vecCol).as("va"),
+        col("nrm").as("na"))
+    val r = base.select(col("bucket"), col(idCol).as("b"),
+      col(vecCol).as("vb"), col("nrm").as("nb"))
+    scoredPairs(l.join(r, Seq("bucket")), threshold)
+  }
+
   /** The single pair-scoring contract behind [[nearDupPairs]] (exact and
     * bucketed), [[cellNearDupPairs]] and the streaming ingest twin
     * ([[graft.streaming.SemIngest]]): candidates carry

@@ -326,6 +326,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(star.subsetOf(b256) && b256.subsetOf(uncapped))
   }
 
+  test("nearDupPairsAutoCapBlock: block=1 equals the autocap star; wide block is lossless") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val star = Similarity.nearDupPairsAutoCap(emb, 0.35, 64, nPlanes = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    val block1 = Similarity.nearDupPairsAutoCapBlock(emb, 0.35, 64, nPlanes = 4,
+        blockSize = 1L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(block1 === star, "blockSize=1 must degenerate to the derived-cap pivot star")
+    val uncapped = Similarity.nearDupPairs(emb, 0.35, 64, nPlanes = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    val wide = Similarity.nearDupPairsAutoCapBlock(emb, 0.35, 64, nPlanes = 4,
+        blockSize = 10000L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(wide === uncapped, "a block covering every bucket must be lossless")
+    val b256 = Similarity.nearDupPairsAutoCapBlock(emb, 0.35, 64, nPlanes = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(star.subsetOf(b256) && b256.subsetOf(uncapped))
+  }
+
   test("derivedCap: deterministic lower-median, floor and live arms") {
     // lower median = element at 1-based rank (n+1) div 2 under pop-asc
     // order, via cumulative counting over distinct pops
