@@ -96,6 +96,15 @@ class PlanSpec extends SparkTestBase {
     assert(ps.contains("*(1)"), "split should be one codegen stage:\n" + ps)
   }
 
+  test("CART scoring is a zero-shuffle projection — the distilled tree rides as literals") {
+    val lf = graft.operators.Classifier.labeledFeatures(Tables.documents(spark, sf))
+    val tree = graft.operators.Classifier.trainTree(lf)
+    val p = plan(graft.operators.Classifier.scoreTree(lf, tree))
+    assert(!p.contains("Exchange"),
+      "frozen-tree scoring must not shuffle — that is the distillation's point:\n" + p)
+    assert(!p.contains("Join"), "the tree must fold into CASE literals, not a model join:\n" + p)
+  }
+
   test("driftPsi and cmsTable read the corpus exactly once") {
     val ev = Tables.events(spark, sf)
     val psi = plan(graft.operators.Sketches.driftPsi(
