@@ -365,10 +365,12 @@ object Bench {
       // the trigram KN chain (q194 pays, q195 rides)
       "q190_bpe1k_merges", "q191_bpe1k_token_counts", "q192_bpe1k_chunk",
       "q193_bpe_oov_fallback", "q194_kn3_model", "q195_kn3_xent",
-      // round-17: the CART distillation chain shares one SessionCache'd
-      // tree (q198 trains, q199/q200 score under it)
+      // round-17: the CART distillation chains share SessionCache'd
+      // trees (q198 trains the exact tree for q199/q200; q202 the
+      // 8-bin tree for q203)
       "q198_cart_distill_model", "q199_cart_distill_score",
-      "q200_cart_distill_summary")
+      "q200_cart_distill_summary", "q202_cart_binned_model",
+      "q203_cart_binned_summary")
     val r0 = System.nanoTime()
     val retrySkipped = scala.collection.mutable.ArrayBuffer[String]()
     val retries = results.filter(_._2 > 5.0).toSeq.sortBy(-_._2)

@@ -262,6 +262,26 @@ private[graft] object TextGates {
       org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
       out
     }),
+
+    // The PLANET candidate-binning arm (maxBins = 8, LIVE at the gated
+    // SFs: distinct ntok values ≫ 8 → step > 1 in every level): the
+    // 100 TB split-search shape, where the per-(node, feat) argmin
+    // grain is capped at maxBins regardless of how many distinct
+    // values the seed holds. Left stats stay exact — binning coarsens
+    // WHERE the tree may cut, never the counts at a cut.
+    "q202_cart_binned_model" -> ((s, d) =>
+      cartBinnedTreeTableCached(s, d).orderBy(col("node"))),
+
+    // The binning trade as a gated number (the q200 discipline): at
+    // sf0.001 the coarser grid lands different cuts — held-out 292/296
+    // vs the exact arm's 295/296; at sf0.01 the filter is live but the
+    // rule thresholds sit on kept ranks, so the trees coincide.
+    "q203_cart_binned_summary" -> ((s, d) =>
+      graft.operators.Classifier.scoreSummary(
+          graft.operators.Classifier.scoreTree(
+            graft.operators.Classifier.labeledFeatures(Tables.documents(s, d)),
+            graft.operators.Classifier.nodesFrom(cartBinnedTreeTableCached(s, d))))
+        .orderBy(col("is_seed"), col("teacher"), col("pred"))),
   )
 
   /** The trained CART tree, cached per (session, dir) — ONE level-wise
@@ -277,6 +297,14 @@ private[graft] object TextGates {
   private def cartTreeCached(s: SparkSession, d: String)
       : Seq[graft.operators.Classifier.Node] =
     graft.operators.Classifier.nodesFrom(cartTreeTableCached(s, d))
+
+  /** The 8-bin tree (q202/q203), cached like the exact one. */
+  private def cartBinnedTreeTableCached(s: SparkSession, d: String): DataFrame =
+    graft.core.SessionCache(s, s"carttree8|$d")(
+      graft.operators.Classifier.treeTable(s,
+        graft.operators.Classifier.trainTree(
+          graft.operators.Classifier.labeledFeatures(Tables.documents(s, d)),
+          maxBins = 8L)))
 
   def oracleSql: Map[String, String] = Map(
 
@@ -461,17 +489,11 @@ private[graft] object TextGates {
     // (score, feat, thr) argmin, and the re-assignment — then splits ∪
     // leaves as the model table. Mirrors Classifier.trainTree
     // level-for-level.
-    "q198_cart_distill_model" ->
-      s"""WITH $cartCtes,
-         |$cartLeafCte
-         |SELECT node, kind, feat, thr, label, n_pos, n_neg FROM (
-         |  ${cartSplitRowsSql}
-         |  UNION ALL
-         |  SELECT node, 'leaf' AS kind, CAST(NULL AS BIGINT) AS feat,
-         |    CAST(NULL AS BIGINT) AS thr,
-         |    CAST(CASE WHEN 2 * p > p + n THEN 1 ELSE -1 END AS BIGINT) AS label,
-         |    p AS n_pos, n AS n_neg FROM lv)
-         |ORDER BY node""".stripMargin,
+    "q198_cart_distill_model" -> cartModelSql(0),
+
+    // the PLANET candidate-binning arm replayed: same chain with the
+    // rank % ceil-div(distinct, 8) filter live in every level
+    "q202_cart_binned_model" -> cartModelSql(8),
 
     // All docs routed through the trained splits (the same b1/b2/b3),
     // prediction = landed leaf's majority label.
@@ -482,23 +504,25 @@ private[graft] object TextGates {
     "q201_stream_cart_score" -> cartScoreSql,
 
     // q199 aggregated to the gated generalization number.
-    "q200_cart_distill_summary" ->
-      s"""WITH $cartCtes,
-         |$cartLeafCte,
-         |$cartScoreCtes
-         |SELECT s.is_seed, s.label AS teacher,
-         |  CAST(CASE WHEN 2 * lv.p > lv.p + lv.n THEN 1 ELSE -1 END AS BIGINT) AS pred,
-         |  count(*) AS n_docs, CAST(sum(s.doc_id) AS BIGINT) AS sum_ids
-         |FROM s4 s JOIN lv ON s.node = lv.node
-         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q200_cart_distill_summary" -> cartSummarySql(0),
+
+    // the binning trade measured: same summary under the 8-bin tree
+    // (sf0.001: held-out 292/296 vs the exact arm's 295/296 — a real
+    // coarsening cost; sf0.01: the filter is live but the tree lands
+    // on the same cuts)
+    "q203_cart_binned_summary" -> cartSummarySql(8),
   )
 
   /** One CART level: candidates over the frontier (node ∈ [2^(k−1), 2^k)),
     * cumulative left stats, per-node (score, feat, thr) argmin, then the
-    * next assignment. `a1` is seeded by [[cartCtes]]. */
-  private def cartLevel(k: Int): String = {
+    * next assignment. `a1` is seeded by [[cartCtes]]. `bins > 0` adds the
+    * PLANET candidate-binning filter (rank % ⌈distinct/bins⌉ = 0 —
+    * mirrors Classifier.trainTree's maxBins arm; left stats stay exact,
+    * computed before the filter). */
+  private def cartLevel(k: Int, bins: Int = 0): String = {
     val lo = 1 << (k - 1)
     val hi = 1 << k
+    val binf = if (bins > 0) s" AND rn % ((nv + $bins - 1) // $bins) = 0" else ""
     s"""c$k AS (SELECT node, j, v,
        |    CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cp,
        |    CAST(sum(CASE WHEN label = -1 THEN 1 ELSE 0 END) AS BIGINT) AS cn
@@ -509,7 +533,9 @@ private[graft] object TextGates {
        |m$k AS (SELECT node, j, v,
        |    sum(cp) OVER w AS pL, sum(cn) OVER w AS nL,
        |    sum(cp) OVER wa AS p, sum(cn) OVER wa AS n,
-       |    max(v) OVER wa AS vmax
+       |    max(v) OVER wa AS vmax,
+       |    row_number() OVER (PARTITION BY node, j ORDER BY v) AS rn,
+       |    count(*) OVER wa AS nv
        |  FROM c$k
        |  WINDOW w AS (PARTITION BY node, j ORDER BY v ROWS UNBOUNDED PRECEDING),
        |         wa AS (PARTITION BY node, j)),
@@ -521,7 +547,7 @@ private[graft] object TextGates {
        |    FROM (SELECT node, j, v, pL, nL, p, n,
        |        pL + nL AS sL, (p + n) - (pL + nL) AS sR,
        |        p - pL AS pR, n - nL AS nR
-       |      FROM m$k WHERE v < vmax AND p > 0 AND n > 0))
+       |      FROM m$k WHERE v < vmax AND p > 0 AND n > 0$binf))
        |  WHERE rk = 1),
        |a${k + 1} AS (SELECT a.doc_id, a.feats, a.label,
        |    CASE WHEN b.node IS NULL THEN a.node
@@ -533,7 +559,9 @@ private[graft] object TextGates {
   /** Features + teacher + seed gate + the three training levels. The
     * feature plan mirrors Classifier.labeledFeatures: [ntok,
     * 10·nstop−ntok, 8·ntok−sumlen] ++ 8 md5-hashed bucket counts. */
-  private lazy val cartCtes: String =
+  private lazy val cartCtes: String = cartCtesWith(0)
+
+  private def cartCtesWith(bins: Int): String =
     s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |tb AS (SELECT doc_id,
        |  CAST(len(toks) AS BIGINT) AS ntok,
@@ -550,9 +578,9 @@ private[graft] object TextGates {
        |  FROM tb),
        |a1 AS (SELECT doc_id, feats, label, CAST(1 AS BIGINT) AS node
        |  FROM f WHERE is_seed = 1),
-       |${cartLevel(1)},
-       |${cartLevel(2)},
-       |${cartLevel(3)}""".stripMargin
+       |${cartLevel(1, bins)},
+       |${cartLevel(2, bins)},
+       |${cartLevel(3, bins)}""".stripMargin
 
   /** `lv(node, p, n)` — per-leaf class totals off the final seed
     * assignment (every node surviving in a4 is a leaf: split nodes'
@@ -569,6 +597,30 @@ private[graft] object TextGates {
          |    v AS thr, CAST(NULL AS BIGINT) AS label,
          |    CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg FROM b$k""".stripMargin)
       .mkString("\n  UNION ALL\n  ")
+
+  /** Model-table oracle for the exact (bins = 0) and binned arms. */
+  private def cartModelSql(bins: Int): String =
+    s"""WITH ${cartCtesWith(bins)},
+       |$cartLeafCte
+       |SELECT node, kind, feat, thr, label, n_pos, n_neg FROM (
+       |  ${cartSplitRowsSql}
+       |  UNION ALL
+       |  SELECT node, 'leaf' AS kind, CAST(NULL AS BIGINT) AS feat,
+       |    CAST(NULL AS BIGINT) AS thr,
+       |    CAST(CASE WHEN 2 * p > p + n THEN 1 ELSE -1 END AS BIGINT) AS label,
+       |    p AS n_pos, n AS n_neg FROM lv)
+       |ORDER BY node""".stripMargin
+
+  /** Agreement-summary oracle for the exact and binned arms. */
+  private def cartSummarySql(bins: Int): String =
+    s"""WITH ${cartCtesWith(bins)},
+       |$cartLeafCte,
+       |$cartScoreCtes
+       |SELECT s.is_seed, s.label AS teacher,
+       |  CAST(CASE WHEN 2 * lv.p > lv.p + lv.n THEN 1 ELSE -1 END AS BIGINT) AS pred,
+       |  count(*) AS n_docs, CAST(sum(s.doc_id) AS BIGINT) AS sum_ids
+       |FROM s4 s JOIN lv ON s.node = lv.node
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
   /** ONE scoring oracle shared verbatim by q199 (batch) and q201 (the
     * ingest twin) — the q185/q188 contract. */

@@ -112,9 +112,22 @@ object Classifier {
     * bounded driver collect of ≤ 2^depth winners. Nodes split while they
     * hold both classes and a non-degenerate candidate; everything else
     * leafs out at majority (tie → −1). */
+  /** @param maxBins 0 = EXACT search (every distinct value in the node
+    * is a candidate — right while the seed is bounded); > 0 = the
+    * PLANET/MLlib binning path for large seeds: per (node, feat), only
+    * every `step`-th distinct value (step = ⌈distinct/maxBins⌉, ranks
+    * `step, 2·step, …` under value-asc order) survives as a candidate,
+    * so the argmin grain is ≤ maxBins rows per (node, feat) no matter
+    * how many distinct values the seed holds. Left-stats stay EXACT
+    * (the cumulative window runs before the bin filter) — binning
+    * coarsens WHERE the tree may cut, never the counts at a cut; the
+    * q203 gate measures the coarsening's agreement cost against the
+    * exact q200. Deterministic: rank and step are integers in both
+    * engines. */
   def trainTree(
       labeled: DataFrame,
-      maxDepth: Int = DefaultDepth): Seq[Node] = {
+      maxDepth: Int = DefaultDepth,
+      maxBins: Long = 0L): Seq[Node] = {
     require(maxDepth >= 1 && maxDepth <= 10, s"maxDepth out of range: $maxDepth")
     val seed = labeled.where(col("is_seed") === 1L)
       .select(col("feats"), col("label")).localCheckpoint(true)
@@ -172,13 +185,26 @@ object Classifier {
           val wCum = Window.partitionBy(col("node"), col("j")).orderBy(col("v"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
           val wAll = Window.partitionBy(col("node"), col("j"))
+          val binFilter =
+            if (maxBins <= 0) lit(true)
+            else {
+              val rk = row_number().over(
+                Window.partitionBy(col("node"), col("j")).orderBy(col("v")))
+              val nv = count(lit(1)).over(wAll)
+              // integer ceil-div: Column `/` is double division, so floor
+              // the exact-in-double quotient back to Long (nv bounded by
+              // the seed guard)
+              val step = floor((nv + lit(maxBins) - 1L) / lit(maxBins))
+              rk % step === 0L
+            }
           val cum = cnt
             .withColumn("pL", sum(col("cp")).over(wCum))
             .withColumn("nL", sum(col("cn")).over(wCum))
             .withColumn("p", sum(col("cp")).over(wAll))
             .withColumn("n", sum(col("cn")).over(wAll))
             .withColumn("vmax", max(col("v")).over(wAll))
-            .where(col("v") < col("vmax"))
+            .withColumn("keep", binFilter)
+            .where(col("v") < col("vmax") && col("keep"))
           val sL = col("pL") + col("nL")
           val sR = col("p") + col("n") - sL
           val pR = col("p") - col("pL")

